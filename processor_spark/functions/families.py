@@ -1,0 +1,277 @@
+"""Scalar function families (SURVEY.md §2.8).
+
+One declared query per family; each exercises the family's
+representative functions on a fixture table.  All JVM built-ins —
+these queries are narrow projections (no shuffle at all) and exist to
+pin down cross-engine semantics: 1-based substring, null-safe
+equality, ns→µs timestamps, DuckDB's 0-based dayofweek vs Spark's
+1-based, etc.  Divergent conventions are reconciled *in the oracle
+SQL*, never by post-processing results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from processor_spark.registry import register
+from processor_spark.sources import load
+
+
+@register(
+    "q_str_funcs",
+    sql="""
+    SELECT c_custkey,
+           upper(c_name)                                   AS name_uc,
+           lower(c_mktsegment)                             AS seg_lc,
+           length(c_name)                                  AS name_len,
+           substring(c_name, 1, 8)                         AS name_head,
+           concat_ws('|', c_mktsegment, c_name)            AS tagged,
+           trim(c_name)                                    AS name_trim,
+           replace(c_name, '#', '-')                       AS name_dash,
+           regexp_extract(c_name, '([0-9]+)', 1)           AS name_num,
+           levenshtein(c_mktsegment, 'BUILDING')           AS seg_dist,
+           CASE WHEN c_name LIKE '%1%' THEN 1 ELSE 0 END   AS has_one,
+           split_part(c_name, '#', 2)                      AS name_tail
+    FROM customer
+    """,
+)
+def q_str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: case, length, substring, concat, trim, replace,
+    regexp_extract, levenshtein, LIKE, split_part."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_uc"),
+        F.lower("c_mktsegment").alias("seg_lc"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_head"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("tagged"),
+        F.trim(F.col("c_name")).alias("name_trim"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name_dash"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("name_num"),
+        F.levenshtein(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_dist"),
+        F.when(F.col("c_name").like("%1%"), 1).otherwise(0).alias("has_one"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_tail"),
+    )
+
+
+@register(
+    "q_date_funcs",
+    sql="""
+    SELECT o_orderkey,
+           year(o_orderdate)                                  AS y,
+           month(o_orderdate)                                 AS m,
+           day(o_orderdate)                                   AS d,
+           quarter(o_orderdate)                               AS q,
+           dayofweek(o_orderdate) + 1                         AS dow,           -- DuckDB 0=Sun; Spark 1=Sun
+           date_trunc('month', o_orderdate)                   AS month_start,
+           datediff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS days_to_y2k,
+           o_orderdate + INTERVAL 90 DAY                      AS due_date,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT)          AS epoch_s,
+           strftime(o_orderdate, '%Y-%m-%d')                  AS iso_day
+    FROM orders
+    """,
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family: extract parts, truncate, diff, interval math,
+    epoch, formatting.  dayofweek convention bridged in the oracle."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.quarter("o_orderdate").alias("q"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(
+            F.lit("2000-01-01 00:00:00").cast("timestamp"), F.col("o_orderdate")
+        ).alias("days_to_y2k"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_day"),
+    )
+
+
+@register(
+    "q_math_funcs",
+    sql="""
+    SELECT p_partkey,
+           round(p_retailprice, 1)                    AS price_r1,
+           CAST(floor(p_retailprice) AS BIGINT)       AS price_floor,
+           CAST(ceil(p_retailprice) AS BIGINT)        AS price_ceil,
+           abs(p_size - 25)                           AS size_dev,
+           round(sqrt(p_retailprice), 6)              AS price_sqrt,
+           round(ln(p_retailprice + 1), 6)            AS price_ln,
+           round(log10(p_retailprice + 1), 6)         AS price_log10,
+           round(pow(p_size, 2), 1)                   AS size_sq,
+           CAST(sign(p_size - 25) AS DOUBLE)          AS size_sign,
+           greatest(p_size, 10)                       AS size_min10,
+           least(p_size, 40)                          AS size_max40,
+           p_size % 7                                 AS size_mod
+    FROM part
+    """,
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family: rounding, roots, logs, powers, sign, clamps, modulo."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.round("p_retailprice", 1).alias("price_r1"),
+        F.floor("p_retailprice").alias("price_floor"),
+        F.ceil("p_retailprice").alias("price_ceil"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        F.round(F.sqrt("p_retailprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("p_retailprice") + 1), 6).alias("price_ln"),
+        F.round(F.log10(F.col("p_retailprice") + 1), 6).alias("price_log10"),
+        F.round(F.pow("p_size", F.lit(2)), 1).alias("size_sq"),
+        F.signum(F.col("p_size") - 25).cast("double").alias("size_sign"),
+        F.greatest("p_size", F.lit(10)).alias("size_min10"),
+        F.least("p_size", F.lit(40)).alias("size_max40"),
+        (F.col("p_size") % 7).alias("size_mod"),
+    )
+
+
+@register(
+    "q_array_funcs",
+    sql="""
+    SELECT vec_id,
+           len(embedding)                                          AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 6)                  AS first_dim,
+           round(CAST(list_max(embedding) AS DOUBLE), 6)           AS max_dim,
+           round(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)), 6)
+                                                                   AS sq_norm,
+           round(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 6)
+                                                                   AS l1_norm,
+           round(CAST(list_sort(embedding)[len(embedding) - 1] AS DOUBLE), 6)
+                                                                   AS second_max,
+           len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) AS n_positive,
+           round(list_sum(CAST(list_slice(embedding, 1, 8) AS DOUBLE[])), 6) AS head_sum
+    FROM embeddings
+    """,
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family on embeddings: size/element_at/max/sort/slice and
+    lambda forms (transform/filter/aggregate) — the fold (aggregate)
+    is the same primitive the similarity ops build on."""
+    e = load(spark, sf_dir, "embeddings")
+    emb_d = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at(emb_d, 1), 6).alias("first_dim"),
+        F.round(F.array_max(emb_d), 6).alias("max_dim"),
+        F.round(
+            F.aggregate(F.transform(emb_d, lambda x: x * x), F.lit(0.0), lambda a, x: a + x),
+            6,
+        ).alias("sq_norm"),
+        F.round(
+            F.aggregate(F.transform(emb_d, F.abs), F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("l1_norm"),
+        F.round(
+            F.element_at(F.array_sort(emb_d), F.size("embedding") - 1), 6
+        ).alias("second_max"),
+        F.size(F.filter(emb_d, lambda x: x > 0)).alias("n_positive"),
+        F.round(
+            F.aggregate(F.slice(emb_d, 1, 8), F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("head_sum"),
+    )
+
+
+@register(
+    "q_map_funcs",
+    sql="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER)  AS k_val,
+           json_keys(props)[1]                          AS first_key,
+           len(json_keys(props))                        AS n_keys
+    FROM events
+    """,
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family: props parsed to MapType; keys/values/element_at."""
+    e = load(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return e.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_val"),
+        F.element_at(F.map_keys(m), 1).alias("first_key"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
+@register(
+    "q_json_funcs",
+    sql="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER)            AS k_typed,
+           json_extract_string(props, '$.k')                      AS k_str,
+           CASE WHEN json_valid(props) THEN 1 ELSE 0 END          AS is_valid,
+           json_object('id', event_id, 'type', event_type)        AS rebuilt
+    FROM events
+    """,
+)
+def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family: schema-on-read (from_json), path extraction
+    (get_json_object), validity probe, and re-serialization (to_json)."""
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.from_json("props", "k INT").getField("k").alias("k_typed"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.when(F.from_json("props", "k INT").isNotNull(), 1).otherwise(0).alias("is_valid"),
+        F.to_json(
+            F.struct(F.col("event_id").alias("id"), F.col("event_type").alias("type"))
+        ).alias("rebuilt"),
+    )
+
+
+@register(
+    "q_hash_funcs",
+    sql="""
+    SELECT doc_id,
+           md5(text)          AS text_md5,
+           sha256(text)       AS text_sha256
+    FROM documents
+    """,
+)
+def q_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash family: engine-portable digests (md5/sha256) for content
+    addressing; xxhash64 (Spark-side only, used by dedup internals) is
+    excluded from the oracle because its seed is engine-specific."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("text_sha256"),
+    )
+
+
+@register(
+    "q_cast_funcs",
+    sql="""
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS VARCHAR)  AS price_dec_str,
+           CAST(floor(o_totalprice) AS BIGINT)                   AS price_int,
+           CAST(o_orderkey AS VARCHAR)                           AS key_str,
+           TRY_CAST(o_orderstatus AS INTEGER)                    AS status_as_int,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR)            AS order_day,
+           CASE WHEN o_orderstatus IS NOT DISTINCT FROM 'O' THEN 1 ELSE 0 END AS is_open
+    FROM orders
+    """,
+)
+def q_cast_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast/coercion family: decimal money casts (stringified for a
+    representation-stable oracle), try_cast → NULL on failure,
+    timestamp→date, null-safe equality (<=>)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(14,2)").cast("string").alias("price_dec_str"),
+        F.floor("o_totalprice").alias("price_int"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderstatus").try_cast("int").alias("status_as_int"),
+        F.col("o_orderdate").cast("date").cast("string").alias("order_day"),
+        F.when(F.col("o_orderstatus").eqNullSafe(F.lit("O")), 1).otherwise(0).alias("is_open"),
+    )

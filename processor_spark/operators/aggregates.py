@@ -1,0 +1,211 @@
+"""Aggregation operators (SURVEY.md §2.4).
+
+All grouped aggregates get Catalyst's 2-phase HashAggregate for free:
+partial (map-side) agg before the shuffle, final after — the exchange
+carries one row per (partition, group), not per input row.  Float sums
+are rounded identically on both engine and oracle sides because
+addition order across partitions is nondeterministic (SURVEY.md §7
+watch list).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from processor_spark.registry import register
+from processor_spark.sources import load
+
+
+@register(
+    "q_pricing_summary",
+    sql="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      round(sum(l_quantity), 2)                                          AS sum_qty,
+      round(sum(l_extendedprice), 2)                                     AS sum_base_price,
+      round(sum(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
+      round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
+      round(avg(l_quantity), 4)                                          AS avg_qty,
+      round(avg(l_extendedprice), 4)                                     AS avg_price,
+      round(avg(l_discount), 6)                                          AS avg_disc,
+      count(*)                                                           AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shape pricing summary: grouped sum/avg/count with computed measures."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q_agg_distinct",
+    sql="""
+    SELECT
+      l_returnflag,
+      count(DISTINCT l_suppkey)            AS n_suppliers,
+      count(DISTINCT l_partkey)            AS n_parts,
+      round(sum(DISTINCT l_quantity), 2)   AS sum_distinct_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(distinct)/sum(distinct) — Catalyst expands to a 2-level agg."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.round(F.sum_distinct(F.col("l_quantity")), 2).alias("sum_distinct_qty"),
+    )
+
+
+@register("q_agg_approx", sql=None)  # approximate: value differs from exact → rows-only
+def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate count-distinct per return flag.
+
+    At 100 TB this replaces exact countDistinct when a ~1% error is
+    acceptable: one pass, constant memory per group, no key explosion.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", 0.01).alias("approx_suppliers"),
+    )
+
+
+@register(
+    "q_agg_filtered",
+    sql="""
+    SELECT
+      o_orderpriority,
+      count(*)                                                        AS n_orders,
+      count(*) FILTER (WHERE o_orderstatus = 'F')                     AS n_finished,
+      round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2)  AS open_value,
+      round(avg(CASE WHEN o_totalprice > 100000.0 THEN o_totalprice END), 4) AS avg_big
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered aggregates via conditional projection (FILTER/CASE equivalent)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+        F.round(
+            F.sum(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))), 2
+        ).alias("open_value"),
+        F.round(
+            F.avg(F.when(F.col("o_totalprice") > 100000.0, F.col("o_totalprice"))), 4
+        ).alias("avg_big"),
+    )
+
+
+@register(
+    "q_grouping_sets",
+    sql="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_value
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: (status, priority) → (status) → () subtotal hierarchy."""
+    o = load(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+    )
+
+
+@register(
+    "q_cube",
+    sql="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders, round(avg(o_totalprice), 4) AS avg_value
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 4 grouping-set combinations in one pass (Expand operator)."""
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_value"),
+    )
+
+
+@register(
+    "q_agg_having",
+    sql="""
+    SELECT l_suppkey, count(*) AS n_items, round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING count(*) > 100 AND sum(l_quantity) > 2000.0
+    """,
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING) — filter applied above the final agg."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_quantity").alias("_raw_qty"),
+        )
+        .where((F.col("n_items") > 100) & (F.col("_raw_qty") > 2000.0))
+        .select("l_suppkey", "n_items", F.round("_raw_qty", 2).alias("total_qty"))
+    )
+
+
+@register(
+    "q_agg_collect",
+    sql="""
+    SELECT n_regionkey, list_sort(list(n_name)) AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array agg per group, sorted for order-canonical hashing."""
+    n = load(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_sort(F.collect_list("n_name")).alias("nations")
+    )
+
+
+@register("q_percentiles", sql=None)  # interpolation conventions differ → rows-only
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median + p90/p99 of order value per priority (percentile_approx).
+
+    approx percentile = one-pass QuantileSummaries sketch, mergeable
+    across partitions — the 100 TB-safe way to get quantiles without a
+    global sort.
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile_approx("o_totalprice", 0.5, 10000), 2).alias("p50"),
+        F.round(F.percentile_approx("o_totalprice", 0.9, 10000), 2).alias("p90"),
+        F.round(F.percentile_approx("o_totalprice", 0.99, 10000), 2).alias("p99"),
+    )

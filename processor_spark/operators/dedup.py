@@ -1,0 +1,259 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.10).
+
+Four strategies, cheapest-first — the standard LLM-corpus dedup ladder:
+1. exact (content hash)            — q_dedup_exact (SQL oracle)
+2. n-gram Jaccard near-dup         — q_dedup_ngram (SQL oracle)
+3. MinHash + LSH banding           — q_dedup_minhash (rows-only: seeded-hash specific)
+4. SimHash fingerprint Hamming     — q_simhash (rows-only)
+
+Scale notes: exact dedup is a single hash-agg keyed on the digest
+(map-side combine collapses duplicates before the shuffle).  The
+MinHash path never materializes the O(n²) pair space: docs are hashed
+to (band, signature-slice) buckets and only bucket-mates are compared —
+the shuffle key is the band hash, so candidate generation is a plain
+equi-join.  All candidate verification joins carry only (doc_id,
+token-set-hash) payloads, not full text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from processor_spark.registry import register
+from processor_spark.sources import load
+
+# MinHash parameters: 16 permutations × 4 bands of 4 rows each.
+MINHASH_PERMS = 16
+MINHASH_BANDS = 4
+JACCARD_THRESHOLD = 0.5
+
+
+@register(
+    "q_dedup_exact",
+    sql="""
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS keeper_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash; keeps min(doc_id) per group so the
+    survivor choice is deterministic (dropDuplicates picks an arbitrary
+    row — unusable under an oracle).  md5 used because both engines
+    implement it identically; in production xxhash64 is cheaper.
+    """
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def _tokens(col):
+    return F.split(F.trim(col), r"\s+")
+
+
+@register(
+    "q_dedup_ngram",
+    sql="""
+    WITH grams AS (
+      SELECT DISTINCT doc_id, source,
+             tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS gram
+      FROM (
+        SELECT doc_id, source,
+               unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+               generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+        FROM documents
+      )
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY lead(tok, 2) OVER w IS NOT NULL
+    ), sized AS (
+      SELECT doc_id, source, count(*) AS n_grams FROM grams GROUP BY 1, 2
+    ), pair_overlap AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM grams a JOIN grams b
+        ON a.gram = b.gram AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b,
+           round(p.n_common / (sa.n_grams + sb.n_grams - p.n_common), 6) AS jaccard
+    FROM pair_overlap p
+    JOIN sized sa ON sa.doc_id = p.doc_a
+    JOIN sized sb ON sb.doc_id = p.doc_b
+    WHERE p.n_common / (sa.n_grams + sb.n_grams - p.n_common) >= 0.5
+    """,
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact token-3-gram Jaccard >= 0.5, blocked by source.
+
+    Inverted-index join on the gram itself (within a blocking key)
+    instead of all-pairs: the shuffle key is the gram, each gram's
+    posting list meets only its own doc pairs.  Common-gram skew is the
+    classic hazard at 100 TB — mitigated by AQE skew-split here, and by
+    dropping ultra-frequent grams (stop-gram filter) in a production
+    tuning pass.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", F.posexplode(_tokens(F.col("text"))).alias("pos", "tok"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        toks.select(
+            "doc_id",
+            "source",
+            F.concat_ws(
+                " ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+            ).alias("gram"),
+            F.lead("tok", 2).over(w).alias("_has3"),
+        )
+        .where(F.col("_has3").isNotNull())
+        .select("doc_id", "source", "gram")
+        .distinct()
+    )
+    sized = grams.groupBy("doc_id", "source").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    overlap = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sized.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("grams_a"))
+    sb = sized.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("grams_b"))
+    jac = F.col("n_common") / (F.col("grams_a") + F.col("grams_b") - F.col("n_common"))
+    return (
+        overlap.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register("q_dedup_minhash", sql=None)  # seeded-hash specific → rows-only
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH-banding near-dup candidates (the 100 TB dedup path).
+
+    Signature: per doc, MINHASH_PERMS min-hashes of its distinct token
+    3-grams, each permutation simulated by xxhash64(seed_i, gram) —
+    built-in, JVM-side, no UDF.  Banding: the signature is split into
+    MINHASH_BANDS bands; docs agreeing on any full band become
+    candidate pairs (equi-join on the band hash).  Estimated Jaccard =
+    fraction of agreeing minhashes; pairs >= threshold are emitted.
+    Never materializes all pairs; candidate volume is controlled by the
+    band/row trade-off (4 bands × 4 rows → catches J >= ~0.5 w.h.p.).
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "tok")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        toks.select(
+            "doc_id",
+            F.concat_ws(" ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)).alias("gram"),
+            F.lead("tok", 2).over(w).alias("_has3"),
+        )
+        .where(F.col("_has3").isNotNull())
+        .select("doc_id", "gram")
+        .distinct()
+    )
+    # one min-hash per permutation, all in a single hash-agg pass
+    sig = grams.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("gram"))).alias(f"mh{i}")
+            for i in range(MINHASH_PERMS)
+        ]
+    )
+    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+    # explode into (band_id, band_hash) — band hash combines its rows
+    bands = sig.select(
+        "doc_id",
+        *[F.col(f"mh{i}") for i in range(MINHASH_PERMS)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash", *[f"mh{i}" for i in range(MINHASH_PERMS)])
+    a = bands.alias("a")
+    b = bands.alias("b")
+    agree = sum(
+        F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
+        for i in range(MINHASH_PERMS)
+    )
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (agree / F.lit(float(MINHASH_PERMS))).alias("est_jaccard"),
+        )
+        .distinct()
+    )
+    return cands.where(F.col("est_jaccard") >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.round("est_jaccard", 4).alias("est_jaccard")
+    )
+
+
+@register("q_simhash", sql=None)  # bit-vote fingerprint, engine-specific hash → rows-only
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprint per document via per-bit token voting.
+
+    tokens × 64 bit positions are exploded (pure built-ins: sequence +
+    explode + shiftright), each bit votes ±1, and the sign of the vote
+    sum sets the fingerprint bit.  The 64× row blowup is embarrassingly
+    parallel and map-side aggregated — at 100 TB this is one wide agg,
+    no joins.  Near-dup = small Hamming distance between fingerprints
+    (checked in tests; pairing strategy would be banding on bit slices,
+    same shape as MinHash LSH).
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok")).withColumn(
+        "h", F.xxhash64("tok")
+    )
+    bits = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+        F.col("h"),
+    ).select(
+        "doc_id",
+        "bit",
+        (F.expr("shiftright(h, bit)").bitwiseAND(F.lit(1)) * 2 - 1).alias("vote"),
+    )
+    votes = bits.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
+    # bit_or (not arithmetic sum) assembles the fingerprint: no int64
+    # overflow at bit 63 under ANSI mode
+    return (
+        votes.withColumn(
+            "bitval",
+            F.when(F.col("v") > 0, F.expr("shiftleft(1L, bit)")).otherwise(
+                F.lit(0).cast("bigint")
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.bit_or("bitval").alias("simhash"))
+    )

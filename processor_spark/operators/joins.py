@@ -1,0 +1,203 @@
+"""Join operators (SURVEY.md §2.3, minus temporal joins → temporal.py).
+
+Scale posture per join:
+- Star joins (q_join_5way): explicit ``F.broadcast`` on region/nation —
+  constant-size dims broadcast at any SF, so the only shuffles left are
+  customer⋈orders⋈lineitem, which share no key; AQE + CBO order them.
+  At 100 TB, orders/lineitem would be bucketed on the join key to make
+  the big join shuffle-free.
+- Semi/anti joins ship only the key column of the probe side.
+- Theta join keeps the build side tiny (supplier) so Catalyst picks
+  BroadcastNestedLoopJoin instead of a cartesian shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from processor_spark.registry import register
+from processor_spark.sources import load
+
+
+@register(
+    "q_join_inner",
+    sql="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join; filter on the build side prunes before the shuffle."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "q_join_5way",
+    sql="""
+    SELECT n.n_name AS nation, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders   o ON c.c_custkey  = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation   n ON c.c_nationkey = n.n_nationkey
+    JOIN region   r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q_join_5way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: 5-way star join + agg (TPC-H Q5 shape), revenue by nation.
+
+    region/nation broadcast explicitly; the region filter reduces
+    nation to ~5 rows before it ever touches customer, so the broadcast
+    carries only matching nations (a static partition-prune analogue).
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    dim = F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    return (
+        c.join(dim, c.c_nationkey == dim.n_nationkey)
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "q_join_left",
+    sql="""
+    SELECT c.c_custkey, c.c_name, count(o.o_orderkey) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0.0), 2) AS total_spend
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with no orders (count → 0)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "q_join_semi",
+    sql="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000.0
+    )
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (EXISTS): customers with at least one big order.
+
+    Semi join shuffles only the distinct probe keys — at scale the
+    filtered orders side collapses to its key column before exchange.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 250000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "q_join_anti",
+    sql="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+    )
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (NOT EXISTS): customers with no orders at all."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "q_join_theta",
+    sql="""
+    SELECT c.c_custkey, s.s_suppkey,
+           round(abs(c.c_acctbal - s.s_acctbal), 2) AS bal_gap
+    FROM customer c
+    JOIN supplier s
+      ON c.c_nationkey = s.s_nationkey
+     AND abs(c.c_acctbal - s.s_acctbal) < 10.0
+    """,
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/band join: same-nation customer–supplier pairs with close balances.
+
+    Expressed as equi-join on nationkey + residual inequality so the
+    planner can hash-partition on the equi key (100 TB-safe) instead of
+    a nested-loop cartesian; the band predicate is a cheap residual.
+    """
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    return (
+        c.join(
+            s,
+            (c.c_nationkey == s.s_nationkey)
+            & (F.abs(c.c_acctbal - s.s_acctbal) < 10.0),
+        )
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            F.round(F.abs(F.col("c_acctbal") - F.col("s_acctbal")), 2).alias("bal_gap"),
+        )
+    )
+
+
+@register(
+    "q_join_cross",
+    sql="""
+    SELECT r.r_name, n.n_name,
+           CASE WHEN r.r_regionkey = n.n_regionkey THEN 1 ELSE 0 END AS is_home
+    FROM region r
+    CROSS JOIN nation n
+    """,
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join of tiny dims (5 × 25); guarded to constant-size inputs."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(n).select(
+        "r_name",
+        "n_name",
+        F.when(F.col("r_regionkey") == F.col("n_regionkey"), 1).otherwise(0).alias("is_home"),
+    )

@@ -1,0 +1,245 @@
+"""Embedding similarity search (SURVEY.md §2.10; EDBT'19/'20, ICDE'21 patterns).
+
+Three tiers, matching published distributed top-k search designs:
+1. q_topk_similarity — brute-force top-k vs one query vector (baseline)
+2. q_knn_join        — k-NN join: small query set × corpus, window top-k
+3. q_ann_lsh         — sign-random-projection LSH buckets, search within
+                       bucket only (the 100 TB path: candidate set per
+                       query is O(bucket), not O(corpus))
+4. q_dedup_embed     — embedding-cosine near-dup pairs (label-blocked)
+
+All dot products / norms are pure built-ins (zip_with + aggregate →
+JVM codegen, no Python boundary).  Floats are cast to double before
+arithmetic so Spark and DuckDB agree bit-for-bit after rounding
+(SURVEY.md §7 watch list).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from processor_spark.registry import register
+from processor_spark.sources import load
+
+QUERY_VEC_ID = 1
+TOP_K = 10
+KNN_QUERIES = 20  # vec_id 1..20 act as the query set
+KNN_K = 5
+LSH_BITS = 8  # sign bits on the first 8 dimensions → 256 buckets
+
+
+def _as_double(col) -> Column:
+    return F.col(col).cast("array<double>") if isinstance(col, str) else col.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<double> columns — built-ins only."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2norm(a) * l2norm(b))
+
+
+@register(
+    "q_topk_similarity",
+    sql=f"""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+    )
+    SELECT e.vec_id, e.label,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qvec), 6) AS cos_sim
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> {QUERY_VEC_ID}
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def q_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-10 cosine neighbors of one query vector.
+
+    The 1-row query side is crossJoin-broadcast; orderBy().limit()
+    becomes TakeOrderedAndProject, so at 100 TB this is one scan with a
+    per-partition heap — the canonical brute-force ANN baseline.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    q = (
+        e.where(F.col("vec_id") == QUERY_VEC_ID)
+        .select(_as_double("embedding").alias("qvec"))
+    )
+    return (
+        e.where(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(_as_double("embedding"), F.col("qvec")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+@register(
+    "q_knn_join",
+    sql=f"""
+    SELECT q_id, vec_id AS neighbor_id, cos_sim, rn AS rank
+    FROM (
+      SELECT q.vec_id AS q_id, e.vec_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(q.embedding AS DOUBLE[])), 6) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                               CAST(q.embedding AS DOUBLE[])) DESC,
+                        e.vec_id
+             ) AS rn
+      FROM embeddings q
+      JOIN embeddings e ON e.vec_id <> q.vec_id
+      WHERE q.vec_id <= {KNN_QUERIES}
+    )
+    WHERE rn <= {KNN_K}
+    """,
+)
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN join: 5 nearest corpus vectors for each of 20 query vectors.
+
+    Query side is broadcast (small by construction); similarity is
+    computed corpus-side in one pass and per-query top-k falls out of a
+    row_number window partitioned by query id.  For corpus×corpus k-NN
+    at 100 TB, swap the broadcast for the LSH bucketing of q_ann_lsh
+    (REPOSE/ICDE'21-style partition-local search).
+    """
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") <= KNN_QUERIES).select(
+        F.col("vec_id").alias("q_id"), _as_double("embedding").alias("qvec")
+    )
+    sim = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(cosine(_as_double("embedding"), F.col("qvec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= KNN_K)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cos_sim", "rank")
+    )
+
+
+def _bucket_expr(emb_col: str) -> Column:
+    """Deterministic LSH bucket: sign bits of the first LSH_BITS dims.
+
+    A fixed coordinate-sign projection (rather than random Gaussian
+    planes) keeps the bucket function reproducible across engines and
+    rounds; swap in seeded random hyperplanes for production use.
+    """
+    bit_terms = [
+        F.when(F.element_at(F.col(emb_col), i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(LSH_BITS)
+    ]
+    out = bit_terms[0]
+    for t in bit_terms[1:]:
+        out = out + t
+    return out
+
+
+@register(
+    "q_ann_lsh",
+    sql=f"""
+    WITH b AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+             {" + ".join(f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(LSH_BITS))}
+               AS bucket
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS q_id, emb AS qvec, bucket FROM b WHERE vec_id <= {KNN_QUERIES}
+    )
+    SELECT q_id, vec_id AS neighbor_id,
+           round(cos_raw, 6) AS cos_sim, rn AS rank
+    FROM (
+      SELECT q.q_id, b.vec_id,
+             list_cosine_similarity(b.emb, q.qvec) AS cos_raw,
+             row_number() OVER (
+               PARTITION BY q.q_id
+               ORDER BY list_cosine_similarity(b.emb, q.qvec) DESC, b.vec_id
+             ) AS rn
+      FROM b JOIN q ON b.bucket = q.bucket AND b.vec_id <> q.q_id
+    ) t
+    WHERE rn <= {KNN_K}
+    """,
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN via sign-projection LSH buckets.
+
+    Corpus and queries are bucketed by the same 8-bit sign signature;
+    candidates = bucket-mates only, so the join is a plain equi-join on
+    the bucket id and per-query work drops from O(corpus) to
+    O(corpus / 2^bits) on balanced buckets.  This is the scale path —
+    approximate (a true neighbor in another bucket is missed), which is
+    the documented LSH trade-off; multi-probe or band-OR raises recall.
+    Deterministic bucket fn ⇒ SQL-oracle-checkable despite being "approximate".
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("emb")
+    ).withColumn("bucket", _bucket_expr("emb"))
+    q = e.where(F.col("vec_id") <= KNN_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("qvec"), F.col("bucket")
+    )
+    cands = e.join(F.broadcast(q), on="bucket").where(F.col("vec_id") != F.col("q_id"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        cands.select(
+            "q_id", "vec_id", F.round(cosine(F.col("emb"), F.col("qvec")), 6).alias("cos_sim")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= KNN_K)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cos_sim", "rank")
+    )
+
+
+@register(
+    "q_dedup_embed",
+    sql="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.99
+    """,
+)
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= 0.99), blocked by label.
+
+    Label acts as the blocking key (in production: an LSH bucket or
+    cluster id) so the pair space is per-block, not global — the
+    standard semantic-dedup shape for LLM corpora.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("label"), _as_double("embedding").alias("emb_a")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        _as_double("embedding").alias("emb_b"),
+    )
+    pairs = a.join(
+        b, (a.label == b.label_b) & (F.col("vec_a") < F.col("vec_b"))
+    ).withColumn("cos_sim_raw", cosine(F.col("emb_a"), F.col("emb_b")))
+    return pairs.where(F.col("cos_sim_raw") >= 0.99).select(
+        "vec_a", "vec_b", F.round("cos_sim_raw", 6).alias("cos_sim")
+    )

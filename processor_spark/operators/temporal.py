@@ -1,0 +1,315 @@
+"""Event-time / temporal operators — batch twins (SURVEY.md §2.9, §2.3).
+
+These are the batch-mode twins of the streaming operators; Structured
+Streaming's correctness story (SIGMOD'18, PAPERS.md:5) is exactly that
+the same logical transformation gives the same answer incrementally.
+processor_spark.streaming wires the readStream variants; the oracle
+checks run against these batch builders.
+
+Scale notes:
+- tumbling/sliding windows are plain hash aggregations on a derived
+  bucket key — fully parallel, map-side combinable.
+- sessionization & as-of are one-shuffle window-function plans
+  partitioned by user_id (high cardinality → no hot partitions; AQE
+  skew-split covers power-law users).
+- the interval join is expressed as coarse-bucket equi-join + residual
+  predicate, never a nested loop (SURVEY.md §4 table, last rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from processor_spark.registry import register
+from processor_spark.sources import load
+
+SESSION_GAP_MIN = 30
+
+
+@register(
+    "q_tumbling_window",
+    sql="""
+    SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+           count(*) AS n_events, round(sum(value), 3) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling event-time window per event type.
+
+    Uses F.window (the streaming-compatible form) and projects
+    window.start so the schema matches the date_trunc oracle.
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 3).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "q_sliding_window",
+    sql="""
+    WITH slid AS (
+      SELECT to_timestamp(floor(epoch(ts) / 900) * 900 - k.k * 900) AS window_start,
+             event_type, value
+      FROM events
+      CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+    )
+    SELECT window_start, event_type,
+           count(*) AS n_events, round(sum(value), 3) AS total_value
+    FROM slid
+    GROUP BY 1, 2
+    """,
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 15 min (each event lands in 4 windows).
+
+    Spark's F.window(slide) does the 4-way replication internally; the
+    oracle replicates explicitly via unnest([0..3]).
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 3).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_SESSION_SQL = f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL {SESSION_GAP_MIN} MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts, event_id, value,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, session_no,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events, round(sum(value), 3) AS session_value
+    FROM numbered
+    GROUP BY user_id, session_no
+"""
+
+
+@register("q_sessionization", sql=_SESSION_SQL)
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-min-gap sessions per user via gap-and-islands window functions.
+
+    New session when the gap to the previous event is >= 30 min —
+    matching F.session_window's exclusive window-end semantics, so the
+    session_window variant (q_session_window) agrees exactly.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = e.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap >= SESSION_GAP_MIN * 60 * 1_000_000), 1).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_no",
+        F.sum("is_new").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 3).alias("session_value"),
+    )
+
+
+@register(
+    "q_session_window",
+    sql=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL {SESSION_GAP_MIN} MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts, event_id, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS session_end,
+           count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native F.session_window (the streaming-capable session operator).
+
+    session_window end = last event + gap (exclusive); the oracle's
+    gap-and-islands twin adds the gap to max(ts) to match.  Agreement
+    of this key with q_sessionization is the batch↔stream-operator
+    equivalence proof for sessions.
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("sw"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "q_join_asof",
+    sql="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, 0 AS kind, ts AS click_ts, NULL::BIGINT AS purchase_id,
+             NULL::DOUBLE AS purchase_value
+      FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, ts, event_id, 1 AS kind, NULL AS click_ts, event_id AS purchase_id,
+             value AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+    ), carried AS (
+      SELECT user_id, ts, purchase_id, purchase_value,
+             max(click_ts) OVER (
+               PARTITION BY user_id ORDER BY ts, kind, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+      FROM tagged
+    )
+    SELECT purchase_id, user_id, ts AS purchase_ts, last_click_ts,
+           round(purchase_value, 3) AS purchase_value
+    FROM carried
+    WHERE purchase_id IS NOT NULL
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest click of the same user
+    at-or-before the purchase time.
+
+    PySpark has no native as-of join; the scalable pattern is the
+    union-and-carry trick: tag both sides, union, and carry the last
+    click timestamp forward with a running max over (user_id, time).
+    ONE shuffle on user_id, no candidate-pair explosion — unlike the
+    naive inequality join whose intermediate is O(clicks × purchases)
+    per user.  Ties (click.ts == purchase.ts) sort the click first
+    (kind 0 < 1) so "at-or-before" includes them; event_id breaks any
+    remaining tie deterministically (SURVEY.md §7 watch list).
+    """
+    e = load(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(0).alias("kind"),
+        F.col("ts").alias("click_ts"),
+        F.lit(None).cast("bigint").alias("purchase_id"),
+        F.lit(None).cast("double").alias("purchase_value"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = clicks.unionByName(purchases).withColumn(
+        "last_click_ts", F.max("click_ts").over(w)
+    )
+    return carried.where(F.col("purchase_id").isNotNull()).select(
+        "purchase_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "last_click_ts",
+        F.round("purchase_value", 3).alias("purchase_value"),
+    )
+
+
+@register(
+    "q_join_interval",
+    sql="""
+    SELECT p.event_id AS purchase_id,
+           count(e.event_id) AS n_errors_next_hour
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON p.user_id = e.user_id
+     AND e.ts >= p.ts
+     AND e.ts < p.ts + INTERVAL 1 HOUR
+    GROUP BY p.event_id
+    """,
+)
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: errors within 1 hour after each purchase (same user).
+
+    Expressed as equi-join on user_id + time-range residual.  At 100 TB
+    the additional trick (documented, not needed at fixture scale where
+    user_id already bounds candidates) is to add a coarse time-bucket
+    equi key on both sides — join on (user_id, bucket) with the probe
+    replicated into the 2 buckets its 1-hour window can span — keeping
+    the per-key candidate set O(events per user-hour) instead of
+    O(events per user).
+    """
+    e = load(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    errors = e.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+    )
+    joined = purchases.join(
+        errors,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts"))
+        & (F.col("e_ts") < F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count("err_id").alias("n_errors_next_hour")
+    )

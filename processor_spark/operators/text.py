@@ -1,0 +1,263 @@
+"""Text analysis operators for training-data pipelines (SURVEY.md §2.10).
+
+All pure built-ins (split/explode/regexp/length) — tokenization and
+scoring stay JVM-side in whole-stage codegen; there is no Python in
+any of these paths.  Every operator is a narrow map or a hash-agg:
+embarrassingly parallel at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from processor_spark.registry import register
+from processor_spark.sources import load
+
+TOP_TERMS = 20
+
+# tiny stopword list used by quality scoring + language heuristic;
+# chosen from common English function words
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+
+def tokens(col) -> F.Column:
+    return F.split(F.trim(col), r"\s+")
+
+
+@register(
+    "q_text_tokens",
+    sql=f"""
+    SELECT tok AS token, count(*) AS freq
+    FROM (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    )
+    GROUP BY tok
+    ORDER BY freq DESC, tok
+    LIMIT {TOP_TERMS}
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize + global term frequency, top-20 terms.
+
+    Ties at the cut line are broken by token text so the LIMIT is
+    deterministic across engines (SURVEY.md §7 watch list).
+    """
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(TOP_TERMS)
+    )
+
+
+@register(
+    "q_tfidf",
+    sql="""
+    WITH tf AS (
+      SELECT doc_id, tok AS term, count(*) AS tf
+      FROM (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents
+      )
+      GROUP BY doc_id, tok
+    ), df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    )
+    SELECT tf.doc_id, tf.term,
+           round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    WHERE tf.tf * ln(n.n_docs / df.df) > 0
+    """,
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per (doc, term), fully relational.
+
+    tf = in-doc term count; idf = ln(N/df).  The df table is small
+    (vocabulary-sized) and broadcast into the tf join; N is a scalar
+    cross join.  ml.feature.HashingTF is the constant-memory variant
+    for unbounded vocabularies at scale.
+    """
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.count()  # scalar; at scale use a broadcast 1-row DF instead
+    tfidf = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .where(tfidf > 0)
+        .select("doc_id", "term", F.round(tfidf, 6).alias("tfidf"))
+    )
+
+
+@register(
+    "q_text_stats",
+    sql="""
+    SELECT source, lang,
+           count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           round(avg(len(string_split_regex(trim(text), '\\s+'))), 4) AS avg_tokens,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars
+    FROM documents
+    GROUP BY source, lang
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stats per (source, lang): doc counts, char/token lengths."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(F.size(tokens(F.col("text")))), 4).alias("avg_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+@register(
+    "q_quality_score",
+    sql=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             n_chars,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                             t -> list_contains({_STOP_SQL}, t))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id,
+           n_tokens,
+           round(n_stop / n_tokens, 6) AS stopword_ratio,
+           round(n_chars / n_tokens, 6) AS avg_token_len,
+           CASE WHEN n_tokens >= 20 AND n_tokens <= 2000
+                 AND n_stop / n_tokens BETWEEN 0.0 AND 0.8
+                THEN 1 ELSE 0 END AS quality_pass
+    FROM scored
+    WHERE n_tokens > 0
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality scoring: length + stopword-ratio gates.
+
+    The classic C4/Gopher-style pre-filter shape (bounds on token
+    count, stopword density) as a single narrow projection.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    stop_ratio = n_stop.cast("double") / n_tokens.cast("double")
+    return (
+        d.select(
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            F.round(stop_ratio, 6).alias("stopword_ratio"),
+            F.round(F.col("n_chars").cast("double") / n_tokens.cast("double"), 6).alias(
+                "avg_token_len"
+            ),
+            F.when(
+                (n_tokens >= 20)
+                & (n_tokens <= 2000)
+                & (stop_ratio >= 0.0)
+                & (stop_ratio <= 0.8),
+                1,
+            )
+            .otherwise(0)
+            .alias("quality_pass"),
+        )
+        .where(F.col("n_tokens") > 0)
+    )
+
+
+@register(
+    "q_lang_id",
+    sql=f"""
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                     t -> list_contains({_STOP_SQL}, t)))
+                     > 0.02 * len(string_split_regex(trim(text), '\\s+'))
+                THEN 'en' ELSE 'unknown' END AS predicted_lang
+    FROM documents
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID heuristic: English stopword density > 2% → 'en'.
+
+    A deliberately simple, deterministic n-gram/stopword classifier so
+    the oracle can replay it; a real pipeline would swap in a fastText
+    model behind the same column contract.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.when(n_stop > 0.02 * F.size(toks), "en").otherwise("unknown").alias(
+            "predicted_lang"
+        ),
+    )
+
+
+@register(
+    "q_token_count",
+    sql="""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace and a BPE-ish regex segmentation
+    (letter runs / digit runs / single punctuation) — the cheap proxy
+    used for corpus token budgeting.
+    """
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+        ).alias("bpe_ish_tokens"),
+    )
+
+
+@register(
+    "q_fingerprint",
+    sql="""
+    SELECT doc_id, min(md5(tok)) AS fingerprint
+    FROM (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    )
+    GROUP BY doc_id
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min token digest (1-permutation MinHash).
+
+    Engine-portable digest (md5) so the oracle agrees; q_dedup_minhash
+    is the multi-permutation generalization.
+    """
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id")
+        .agg(F.min(F.md5(F.col("tok").cast("binary"))).alias("fingerprint"))
+    )
