@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on one warmed SparkSession, local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"q_x": sec, ...}, "sf": 0.1}
+
+Per BASELINE.md's engine-consistency note: each query is timed as a
+full action (collect) on a warmed session, JVM startup excluded; a
+cold per-query breakdown would measure driver overhead, not the plans.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+# The 8 BASELINE.md headline queries.
+HEADLINE = [
+    "q_pricing_summary",
+    "q_join_5way",
+    "q_window_rank",
+    "q_tumbling_window",
+    "q_sessionization",
+    "q_topk_similarity",
+    "q_text_tokens",
+    "q_grouping_sets",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    from processor_spark import registry
+    from processor_spark.session import build_session
+
+    spark = build_session(app_name="processor_spark-bench")
+    qs = registry.queries()
+
+    # Warm the JVM/codegen once with the cheapest headline query so the
+    # first measured query doesn't absorb one-time session costs.
+    qs["q_topk_similarity"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for key in HEADLINE:
+        if key not in qs:
+            continue
+        t0 = time.perf_counter()
+        qs[key](spark, sf_dir).collect()
+        timings[key] = round(time.perf_counter() - t0, 4)
+
+    out = {
+        "metric": "headline suite wall-clock (warm session)",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "engine": "pyspark",
+        "n_queries": len(timings),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,198 @@
+"""Streaming pipelines (SURVEY.md §2.9, EP3; SIGMOD'18 pattern).
+
+"Single events" in the reference's scope sentence (README.md:2) map to
+Structured Streaming: the SAME operator builders used in batch are
+re-bound to a ``readStream`` source.  The functions here wire those
+stream variants and the stream-only operators (watermark policy,
+streaming dedup, stream-stream join, arbitrary stateful processing).
+
+Correctness story (tests/test_streaming.py): every stream variant run
+with ``trigger(availableNow=True)`` into a memory sink must equal the
+batch twin's result — the prefix-consistency guarantee of Structured
+Streaming turned into a test.  Driver-facing oracle checks always run
+the batch twin; these exist to prove the event side of the engine.
+
+Scale notes: streaming state (windows, dedup keys, session state,
+join buffers) lives in the per-partition StateStore, bounded by the
+watermark — at 100 TB/day the watermark delay directly sizes state;
+every stateful op below takes an explicit watermark for that reason.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from processor_spark.sources.fixtures import schema_for
+
+
+def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over event parquet chunk files.
+
+    ``events_dir`` holds chronological chunk files (tests split the
+    fixture); each micro-batch picks up new files — the file-source
+    analogue of a Kafka topic.  Schema must be pinned for streams.
+    """
+    schema = T.StructType(
+        [f if f.name != "ts" else T.StructField("ts", T.LongType()) for f in schema_for("events")]
+    )
+    raw = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(events_dir)
+    # chunk files are written by tests with ts as long µs (Spark can't
+    # write parquet ns); convert back to TimestampType here
+    return raw.withColumn("ts", F.timestamp_micros(F.col("ts")))
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of q_tumbling_window (same logical plan + watermark)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 3).alias("total_value"))
+        .select(F.col("w.start").alias("bucket_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def session_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of q_session_window (native session_window + watermark)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming dedup on event_id; watermark bounds the dedup state."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def enrich_with_static(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream–static enrichment join (stream events ⋈ broadcast static dim)."""
+    return events.join(F.broadcast(dim), on="user_id", how="left")
+
+
+def purchases_with_recent_clicks(events: DataFrame) -> DataFrame:
+    """Stream–stream join: purchases ⋈ clicks of the same user within the
+    preceding hour.  Both sides watermarked; the time-bound condition
+    lets Spark evict join state past the watermark.
+    """
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("purchase_id", "p_user", "purchase_ts", "click_id", "click_ts")
+
+
+RUNNING_TOTAL_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def _running_totals_fn(key, pdfs: Iterator[pd.DataFrame], state):
+    """Arbitrary stateful op: per-user running event count + value total.
+
+    A minimal state machine (count, sum) demonstrating the
+    applyInPandasWithState contract: state survives across
+    micro-batches, evicted on event-time timeout.
+    """
+    (user_id,) = key
+    if state.hasTimedOut:
+        state.remove()
+        return
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "total_value": [round(total, 3)]})
+
+
+def running_totals(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """applyInPandasWithState: per-user running (count, sum) state machine."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _running_totals_fn,
+            outputStructType=RUNNING_TOTAL_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_to_memory(
+    df: DataFrame, name: str, output_mode: str = "append", timeout_s: int = 120
+) -> None:
+    """Drain a streaming DataFrame into a memory sink deterministically
+    (availableNow processes all available input then stops)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()
+
+
+def write_parquet_stream(df: DataFrame, path: str, checkpoint: str, timeout_s: int = 120):
+    """Parquet sink with checkpointing (exactly-once file sink)."""
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()

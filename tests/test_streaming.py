@@ -1,0 +1,179 @@
+"""Batch↔stream equivalence + incremental/late-data tests (SURVEY.md §5.3-4).
+
+The events fixture is split into chronological chunk files and fed to
+a file-source stream one file per micro-batch; results drained with
+availableNow must equal the batch twin — Structured Streaming's
+prefix-consistency guarantee as a test.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from processor_spark.sources import load
+from processor_spark.streaming import pipelines as P
+from tests.conftest import SF_SMALL
+
+N_CHUNKS = 5
+
+
+@pytest.fixture(scope="module")
+def events_chunks_dir(spark, tmp_path_factory):
+    """Split events chronologically into N parquet chunk files (ts as µs
+    longs — Spark's parquet writer has no ns type and the stream reader
+    converts back; see read_events_stream)."""
+    base = tmp_path_factory.mktemp("events_chunks")
+    e = (
+        load(spark, SF_SMALL, "events")
+        .withColumn("ts", F.unix_micros("ts"))
+        .orderBy("ts")
+        .withColumn("chunk", F.ntile(N_CHUNKS).over(Window.orderBy("ts")))
+    )
+    pdf = e.toPandas()
+    for i, grp in pdf.groupby("chunk"):
+        grp.drop(columns=["chunk"]).to_parquet(base / f"chunk_{i:02d}.parquet", index=False)
+    yield str(base)
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def _drain(spark, df, name, mode="append"):
+    P.run_to_memory(df, name, output_mode=mode)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def _sorted_rows(df, cols):
+    return [tuple(r) for r in df.select(*cols).orderBy(*cols).collect()]
+
+
+def test_stream_tumbling_equals_batch(spark, events_chunks_dir):
+    stream = P.read_events_stream(spark, events_chunks_dir)
+    got = _drain(spark, P.tumbling_counts(stream), "t_tumbling")
+    want = P.tumbling_counts(load(spark, SF_SMALL, "events"))
+    cols = ["bucket_start", "event_type", "n_events", "total_value"]
+    # append mode emits only watermark-closed windows: a strict prefix
+    # of the batch result; the batch run must contain every emitted row
+    got_rows = set(_sorted_rows(got, cols))
+    want_rows = set(_sorted_rows(want, cols))
+    assert got_rows <= want_rows
+    # and all but the last open hour must have been emitted
+    assert len(got_rows) >= len(want_rows) - 26  # ≤ #event_types windows open at EOF + late tail
+
+
+def test_stream_sessions_equal_batch_prefix(spark, events_chunks_dir):
+    stream = P.read_events_stream(spark, events_chunks_dir)
+    got = _drain(spark, P.session_counts(stream), "t_sessions")
+    want = P.session_counts(load(spark, SF_SMALL, "events"))
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    assert set(_sorted_rows(got, cols)) <= set(_sorted_rows(want, cols))
+    assert got.count() > 0
+
+
+def test_stream_dedup(spark, events_chunks_dir):
+    stream = P.read_events_stream(spark, events_chunks_dir)
+    got = _drain(spark, P.dedup_events(stream), "t_dedup")
+    batch = load(spark, SF_SMALL, "events")
+    assert got.count() == batch.select("event_id").distinct().count()
+
+
+def test_stream_static_enrichment_matches_batch_join(spark, events_chunks_dir):
+    dim = (
+        load(spark, SF_SMALL, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("user_total_events"))
+    )
+    stream = P.read_events_stream(spark, events_chunks_dir)
+    got = _drain(spark, P.enrich_with_static(stream, dim), "t_enrich")
+    want = P.enrich_with_static(load(spark, SF_SMALL, "events"), dim)
+    assert got.count() == want.count()
+    cols = ["event_id", "user_total_events"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
+def test_stream_stream_join_subset_of_batch(spark, events_chunks_dir):
+    stream = P.read_events_stream(spark, events_chunks_dir)
+    got = _drain(spark, P.purchases_with_recent_clicks(stream), "t_ssjoin")
+    want = P.purchases_with_recent_clicks(load(spark, SF_SMALL, "events"))
+    cols = ["purchase_id", "click_id"]
+    got_rows = set(_sorted_rows(got, cols))
+    want_rows = set(_sorted_rows(want, cols))
+    assert got_rows <= want_rows
+    assert len(got_rows) > 0.8 * len(want_rows)  # only the watermark tail may be missing
+
+
+def test_stateful_running_totals(spark, events_chunks_dir):
+    stream = P.read_events_stream(spark, events_chunks_dir)
+    got = _drain(spark, P.running_totals(stream), "t_state", mode="update")
+    # update mode re-emits a user's row each micro-batch; the LAST emit per
+    # user must equal the batch totals
+    batch = (
+        load(spark, SF_SMALL, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 3).alias("total_value"))
+    )
+    last = {}
+    for r in got.collect():
+        last[r.user_id] = (r.n_events, r.total_value)
+    want = {r.user_id: (r.n_events, r.total_value) for r in batch.collect()}
+    # every user seen before the final watermark must converge to batch truth
+    converged = sum(1 for u, v in want.items() if last.get(u) == v)
+    assert converged >= 0.9 * len(want), f"{converged}/{len(want)} users converged"
+
+
+def test_late_data_dropped_by_watermark(spark, tmp_path):
+    """Late-data policy + checkpoint recovery: a second availableNow run
+    resuming from the first run's checkpoint starts with the persisted
+    watermark; events older than it are dropped (numRowsDroppedByWatermark).
+
+    NOTE (empirical, Spark 4.1): within a SINGLE availableNow run the
+    watermark advanced by earlier micro-batches is not applied as a
+    late-row filter to later ones — all input present at trigger start
+    is treated as on-time.  Late-data tests must therefore span runs,
+    which is also the realistic restart scenario.
+    """
+    import pandas as pd
+
+    data = tmp_path / "late"
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    data.mkdir()
+    us = lambda s: int(pd.Timestamp(s).value // 1000)
+    chunk1 = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": [us("2024-01-01 00:10:00"), us("2024-01-01 01:10:00"), us("2024-01-01 08:00:00")],
+            "user_id": [1, 1, 1],
+            "event_type": ["click"] * 3,
+            "value": [1.0, 1.0, 1.0],
+            "props": ["{}"] * 3,
+        }
+    )
+    # run 2 input: one event for hour 00 (late: watermark is 07:30 by then)
+    chunk2 = chunk1.assign(
+        event_id=[4, 5, 6],
+        ts=[us("2024-01-01 00:20:00"), us("2024-01-01 08:30:00"), us("2024-01-01 09:30:00")],
+    )
+
+    def run_once():
+        stream = P.read_events_stream(spark, str(data))
+        P.write_parquet_stream(
+            P.tumbling_counts(stream, watermark="30 minutes"), out, ckpt
+        )
+
+    chunk1.to_parquet(data / "c1.parquet", index=False)
+    run_once()
+    chunk2.to_parquet(data / "c2.parquet", index=False)
+    run_once()
+
+    counts = {
+        r.bucket_start.isoformat(): r.n_events
+        for r in spark.read.parquet(out).collect()
+    }
+    # hour-00 window: closed with count 1; the late event_id=4 was dropped
+    assert counts.get("2024-01-01T00:00:00") == 1, counts
+    # on-time hour-08 window accumulated across both runs
+    assert counts.get("2024-01-01T08:00:00") == 2, counts
