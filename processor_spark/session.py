@@ -45,6 +45,8 @@ def build_session(
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # keep managed-table output (bucketed tables) out of the repo tree
+        .config("spark.sql.warehouse.dir", os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/processor_spark-warehouse"))
     )
     return builder.getOrCreate()
 

@@ -15,6 +15,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+# Fixture parquet stores timestamps with isAdjustedToUTC=false → Spark
+# reads them as TimestampNTZType (naive), which is exactly what the
+# DuckDB oracle sees.  events.ts is the exception: it arrives as ns
+# (read as long, converted via timestamp_micros → TimestampType); under
+# the pinned UTC session timezone the two behave identically.
+
 # Pinned schemas, dumped from the parquet footers (FIXTURES.md).
 # Parquet ns timestamps (events.ts) read as Spark TimestampType (µs,
 # truncated) — the oracle side truncates identically (DuckDB µs).
@@ -65,7 +71,7 @@ _SCHEMAS: dict[str, T.StructType] = {
             T.StructField("o_custkey", T.LongType()),
             T.StructField("o_orderstatus", T.StringType()),
             T.StructField("o_totalprice", T.DoubleType()),
-            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderdate", T.TimestampNTZType()),
             T.StructField("o_orderpriority", T.StringType()),
         ]
     ),
@@ -81,7 +87,7 @@ _SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_tax", T.DoubleType()),
             T.StructField("l_returnflag", T.StringType()),
             T.StructField("l_linestatus", T.StringType()),
-            T.StructField("l_shipdate", T.TimestampType()),
+            T.StructField("l_shipdate", T.TimestampNTZType()),
         ]
     ),
     "events": T.StructType(

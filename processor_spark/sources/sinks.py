@@ -1,0 +1,64 @@
+"""Batch sinks & auxiliary source formats (SURVEY.md §2.1).
+
+Parquet is the primary sink; CSV/JSON are dev-grade.  The partitioned
+writer is the 100 TB-relevant piece: date-partitioned layouts are what
+make Catalyst's static + dynamic partition pruning effective on the
+read side (SURVEY.md §4 'partition pruning'), and bucketed tables
+remove the shuffle from repeated large-scale joins on the bucket key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).parquet(path)
+
+
+def write_parquet_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Hive-style partitioned layout (scan-side partition pruning).
+
+    At 100 TB: partition by a low-cardinality time bucket (e.g.
+    month(o_orderdate)) — thousands of partitions, not millions; pair
+    with maxRecordsPerFile to bound file sizes.
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed + sorted managed table: co-located, shuffle-free joins on
+    the bucket key for every future query (the pre-shuffle is paid once
+    at write time).  Requires saveAsTable (bucket metadata lives in the
+    catalog, not the files)."""
+    w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(name)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    r = spark.read.option("header", True)
+    return (r.schema(schema) if schema else r.option("inferSchema", True)).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    r = spark.read
+    return (r.schema(schema) if schema else r).json(path)

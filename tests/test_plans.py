@@ -1,0 +1,106 @@
+"""Plan-shape tests (SURVEY.md §4, §5 item 6).
+
+Each §4 "free from Catalyst" claim becomes an assertion on the
+physical plan: pushed filters reach the Parquet scan, projections
+prune the read schema, dims broadcast, top-k avoids a global sort,
+aggregation is two-phase, and hot paths stay inside whole-stage
+codegen.  These guard the 100 TB posture — a regression here (e.g. a
+filter that stops pushing) is invisible at fixture scale but fatal at
+target scale.
+"""
+
+from __future__ import annotations
+
+from processor_spark import registry
+from processor_spark.plans import assert_in_plan, assert_not_in_plan, explain_str
+from tests.conftest import SF_SMALL
+
+registry.load_all_modules()
+
+
+def _df(spark, key):
+    return registry.get(key).fn(spark, SF_SMALL)
+
+
+def test_pruned_scan_pushes_filters_and_prunes_columns(spark):
+    plan = explain_str(_df(spark, "q_scan_pruned"))
+    assert "PushedFilters: [" in plan
+    # range + quantity predicates pushed into the parquet reader
+    assert "l_shipdate" in plan.split("PushedFilters")[1].split("]")[0]
+    assert "l_quantity" in plan.split("PushedFilters")[1].split("]")[0]
+    # read schema carries only referenced columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_returnflag" not in read_schema
+
+
+def test_scan_projection_prunes_read_schema(spark):
+    plan = explain_str(_df(spark, "q_scan_parquet"))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema, "unreferenced column must be pruned"
+
+
+def test_star_join_broadcasts_dims(spark):
+    assert_in_plan(_df(spark, "q_join_5way"), "BroadcastHashJoin")
+
+
+def test_semi_and_anti_join_operators(spark):
+    assert_in_plan(_df(spark, "q_join_semi"), "LeftSemi")
+    assert_in_plan(_df(spark, "q_join_anti"), "LeftAnti")
+
+
+def test_theta_join_is_hash_join_on_equi_key_not_nested_loop(spark):
+    # the band predicate must ride as a residual on the nationkey
+    # equi-join, NOT degrade the join to a nested loop / cartesian
+    plan = explain_str(_df(spark, "q_join_theta"))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_topn_plans_take_ordered_not_global_sort(spark):
+    assert_in_plan(_df(spark, "q_topn"), "TakeOrderedAndProject")
+
+
+def test_agg_is_two_phase_hash(spark):
+    plan = explain_str(_df(spark, "q_pricing_summary"))
+    assert plan.count("HashAggregate") >= 2, "expect partial+final HashAggregate"
+
+
+def test_pricing_summary_stays_in_codegen(spark):
+    # AQE shows codegen spans only in the final (post-execution) plan
+    df = _df(spark, "q_pricing_summary")
+    df.collect()
+    # formatted mode tags codegen'd operators with "[codegen id : N]"
+    plan = explain_str(df)
+    assert "codegen id" in plan, plan
+    # the scan→filter→project→partial-agg pipeline shares one span
+    assert "(5) HashAggregate [codegen id : 1]" in plan or "HashAggregate [codegen id" in plan
+
+
+def test_no_python_udf_in_relational_paths(spark):
+    # §2.11 policy: everything except q_media_features is UDF-free
+    for key in ["q_pricing_summary", "q_join_5way", "q_topk_similarity",
+                "q_dedup_exact", "q_tfidf", "q_sessionization"]:
+        assert_not_in_plan(_df(spark, key), "BatchEvalPython", "ArrowEvalPython", "PythonUDF")
+
+
+def test_topk_similarity_broadcasts_query_vector(spark):
+    plan = explain_str(_df(spark, "q_topk_similarity"))
+    assert "Broadcast" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_knn_join_broadcasts_query_side(spark):
+    assert_in_plan(_df(spark, "q_knn_join"), "BroadcastNestedLoopJoin")
+
+
+def test_ann_lsh_is_equi_join_on_bucket(spark):
+    # bucket-LSH's whole point: candidate generation is an equi join
+    plan = explain_str(_df(spark, "q_ann_lsh"))
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_interval_join_is_equi_join_with_residual(spark):
+    plan = explain_str(_df(spark, "q_join_interval"))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan

@@ -1,0 +1,136 @@
+"""Property-based tests (SURVEY.md §5 item 5).
+
+Algebraic laws over small generated frames, plus randomized-predicate
+agreement between the Spark engine and DuckDB.  Example counts are
+kept low: each Spark action costs ~0.3 s, so the laws use a handful of
+generated cases rather than hypothesis' default 100.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),             # k: join/group key
+        st.integers(min_value=-100, max_value=100),        # v: value
+        st.sampled_from(["a", "b", "c", None]),            # tag: nullable categorical
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+def _mk(spark, data):
+    return spark.createDataFrame(
+        [(int(k), int(v), t) for k, v, t in data], schema="k long, v long, tag string"
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@SETTINGS
+@given(data=rows)
+def test_filter_project_commute(spark, data):
+    from pyspark.sql import functions as F
+
+    df = _mk(spark, data)
+    p = F.col("v") > 0
+    a = df.filter(p).select("k", "v")
+    b = df.select("k", "v").filter(p)
+    assert _rows(a) == _rows(b)
+
+
+@SETTINGS
+@given(data=rows)
+def test_union_commutes_with_filter(spark, data):
+    from pyspark.sql import functions as F
+
+    df = _mk(spark, data)
+    other = df.withColumn("v", F.col("v") * 2)
+    p = F.col("v") % 3 == 0
+    a = df.unionByName(other).filter(p)
+    b = df.filter(p).unionByName(other.filter(p))
+    assert _rows(a) == _rows(b)
+
+
+@SETTINGS
+@given(data=rows)
+def test_join_with_empty_is_empty(spark, data):
+    df = _mk(spark, data)
+    empty = df.limit(0)
+    assert df.join(empty, "k", "inner").count() == 0
+
+
+@SETTINGS
+@given(data=rows)
+def test_distinct_idempotent(spark, data):
+    df = _mk(spark, data)
+    once = df.distinct()
+    assert _rows(once) == _rows(once.distinct())
+
+
+@SETTINGS
+@given(data=rows)
+def test_anti_plus_semi_partition_left(spark, data):
+    """semi(L,R) ⊎ anti(L,R) == L (row multiplicity preserved)."""
+    df = _mk(spark, data)
+    right = df.filter("v > 10").select("k")
+    semi = df.join(right, "k", "left_semi")
+    anti = df.join(right, "k", "left_anti")
+    assert sorted(_rows(semi) + _rows(anti)) == _rows(df)
+
+
+predicates = st.sampled_from(
+    [
+        "v > 0",
+        "v BETWEEN -10 AND 50",
+        "k IN (1, 3, 5)",
+        "tag IS NULL",
+        "tag IS NOT NULL AND v < 0",
+        "(k % 2 = 0) OR tag = 'a'",
+        "NOT (v > 20)",
+    ]
+)
+
+
+@SETTINGS
+@given(data=rows, pred=predicates)
+def test_randomized_predicate_agrees_with_duckdb(spark, data, pred):
+    df = _mk(spark, data)
+    got = _rows(df.filter(pred))
+    con = duckdb.connect()
+    pdf = pd.DataFrame(data, columns=["k", "v", "tag"])
+    if len(pdf):
+        pdf = pdf.astype({"k": "int64", "v": "int64"})
+    con.register("t", pdf)
+    want = sorted(tuple(r) for r in con.execute(f"SELECT k, v, tag FROM t WHERE {pred}").fetchall())
+    assert got == want
+
+
+@SETTINGS
+@given(data=rows)
+def test_groupby_sum_agrees_with_duckdb(spark, data):
+    df = _mk(spark, data)
+    got = _rows(df.groupBy("k").sum("v"))
+    con = duckdb.connect()
+    pdf = pd.DataFrame(data, columns=["k", "v", "tag"])
+    if len(pdf):
+        pdf = pdf.astype({"k": "int64", "v": "int64"})
+    con.register("t", pdf)
+    want = sorted(
+        tuple(r) for r in con.execute("SELECT k, CAST(sum(v) AS BIGINT) FROM t GROUP BY k").fetchall()
+    )
+    assert got == want

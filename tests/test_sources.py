@@ -1,0 +1,105 @@
+"""Source/sink round-trips + fixture invariants (SURVEY.md §2.1, §5)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from processor_spark.sources import TABLES, load, load_all, register_views, schema_for
+from processor_spark.sources import sinks
+from tests.conftest import SF_SMALL
+
+
+def test_all_tables_load_with_pinned_schemas(spark):
+    for t, df in load_all(spark, SF_SMALL).items():
+        assert df.schema == schema_for(t), f"{t}: {df.schema} != pinned"
+        assert df.count() > 0
+
+
+def test_events_ns_truncation_is_lossless(spark):
+    """The nanosAsLong → timestamp_micros conversion must be exact:
+    fixture ns values are µs-aligned (checked here against DuckDB's
+    ns-precision read)."""
+    con = duckdb.connect()
+    n_misaligned = con.execute(
+        f"SELECT count(*) FROM read_parquet('{SF_SMALL}/events.parquet') "
+        "WHERE epoch_ns(ts) % 1000 != 0"
+    ).fetchone()[0]
+    assert n_misaligned == 0
+    # spot-check: min/max round-trip identically
+    e = load(spark, SF_SMALL, "events")
+    smin, smax = e.agg(F.min("ts"), F.max("ts")).first()
+    omin, omax = con.execute(
+        f"SELECT CAST(min(ts) AS TIMESTAMP), CAST(max(ts) AS TIMESTAMP) "
+        f"FROM read_parquet('{SF_SMALL}/events.parquet')"
+    ).fetchone()
+    assert (smin, smax) == (omin, omax)
+
+
+def test_register_views_makes_sql_entrypoint_work(spark):
+    register_views(spark, SF_SMALL)
+    n = spark.sql("SELECT count(*) AS n FROM lineitem").first().n
+    assert n == load(spark, SF_SMALL, "lineitem").count()
+    # EP2: a real query through pure SQL
+    top = spark.sql(
+        "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1 ORDER BY n DESC"
+    ).collect()
+    assert len(top) == 3
+
+
+def test_parquet_roundtrip(spark, tmp_path):
+    df = load(spark, SF_SMALL, "nation")
+    sinks.write_parquet(df, str(tmp_path / "nation_out"))
+    back = spark.read.parquet(str(tmp_path / "nation_out"))
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_partitioned_write_enables_partition_pruning(spark, tmp_path):
+    df = load(spark, SF_SMALL, "orders").withColumn("order_year", F.year("o_orderdate"))
+    path = str(tmp_path / "orders_by_year")
+    sinks.write_parquet_partitioned(df, path, ["order_year"])
+    back = spark.read.parquet(path).where(F.col("order_year") == 1997)
+    from processor_spark.plans import explain_str
+
+    plan = explain_str(back)
+    assert "PartitionFilters: [" in plan and "order_year" in plan.split("PartitionFilters")[1].split("]")[0]
+    want = df.where(F.col("order_year") == 1997).count()
+    assert back.count() == want
+
+
+def test_csv_json_roundtrip(spark, tmp_path):
+    df = load(spark, SF_SMALL, "region")
+    sinks.write_csv(df, str(tmp_path / "region_csv"))
+    back = sinks.read_csv(spark, str(tmp_path / "region_csv"), schema=schema_for("region"))
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    sinks.write_json(df, str(tmp_path / "region_json"))
+    backj = sinks.read_json(spark, str(tmp_path / "region_json"), schema=schema_for("region"))
+    assert sorted(map(tuple, backj.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_bucketed_table_join_has_no_shuffle(spark, tmp_path):
+    """Bucketed join co-location: joining two tables bucketed on the same
+    key must not re-shuffle either side (the 100 TB join strategy)."""
+    o = load(spark, SF_SMALL, "orders")
+    li = load(spark, SF_SMALL, "lineitem")
+    sinks.write_bucketed_table(o, "orders_b", "o_orderkey", 4, mode="overwrite")
+    sinks.write_bucketed_table(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), "lineitem_b", "o_orderkey", 4,
+        mode="overwrite",
+    )
+    ob, lb = spark.table("orders_b"), spark.table("lineitem_b")
+    joined = ob.join(lb, "o_orderkey")
+    from processor_spark.plans import explain_str
+
+    # disable broadcast to force the join to prove bucket co-location
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = explain_str(ob.join(lb, "o_orderkey"))
+        assert "Exchange" not in plan, plan
+        assert joined.count() == o.join(li, o.o_orderkey == li.l_orderkey).count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
