@@ -33,6 +33,11 @@ def build_session(
         # broadcast conversion) — free wins at 100 TB per SURVEY.md §4
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # NOTE: parallelismFirst=false (respect 64 MB advisory when
+        # coalescing) was measured 20% SLOWER at fixture scale — it
+        # collapses the 100 k-row window sorts to one partition.  The
+        # default (true) is kept; on a real cluster with TB shuffles the
+        # advisory size governs either way.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # events.parquet carries TIMESTAMP(NANOS) which Spark's reader
