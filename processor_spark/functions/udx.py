@@ -1,0 +1,147 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.11).
+
+Policy: built-in expressions > pandas UDF > plain UDF.  Everything in
+the engine's relational paths is built-in (asserted by
+tests/test_plans.py::test_no_python_udf_in_relational_paths); this
+module holds the sanctioned Python-boundary escapes, each used only
+where Spark genuinely lacks the primitive:
+
+- scalar pandas UDF  : unit-normalize an embedding (Arrow-vectorized,
+  whole-column numpy math — the approved shape for custom numerics)
+- grouped UDAF       : median absolute deviation via applyInPandas
+  (no Spark built-in MAD; DuckDB has mad() → SQL-oracled!)
+- Python UDTF        : character-n-gram expansion as a true table
+  function (lateral-join shape)
+
+Each documents why a built-in doesn't cover it, per the §2.11 rule.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from processor_spark.registry import register
+from processor_spark.sources import load
+
+
+# ---------------------------------------------------------------- scalar pandas UDF
+@F.pandas_udf(T.ArrayType(T.DoubleType()))
+def unit_normalize(emb: pd.Series) -> pd.Series:
+    """L2-normalize embeddings batch-wise (Arrow in, numpy math, Arrow out).
+
+    Exists as a pandas UDF deliberately: the equivalent built-in
+    (transform(x -> x / sqrt(aggregate(...)))) recomputes the norm per
+    element; the vectorized form is the idiomatic escape hatch.
+    """
+    import numpy as np
+
+    def norm_one(v):
+        a = np.asarray(v, dtype="float64")
+        n = np.linalg.norm(a)
+        return (a / n if n else a).tolist()
+
+    return emb.map(norm_one)
+
+
+@register("q_udf_normalize", sql=None)  # pandas-UDF path → rows-only
+def q_udf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-normalized embeddings + norm-check column (≈1.0 for all rows)."""
+    e = load(spark, sf_dir, "embeddings")
+    normed = e.select("vec_id", unit_normalize(F.col("embedding").cast("array<double>")).alias("unit"))
+    sq = F.aggregate(F.col("unit"), F.lit(0.0), lambda a, x: a + x * x)
+    return normed.select("vec_id", F.round(F.sqrt(sq), 6).alias("unit_norm"))
+
+
+# ---------------------------------------------------------------- grouped UDAF
+MAD_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderpriority", T.StringType()),
+        T.StructField("mad_price", T.DoubleType()),
+        T.StructField("n_orders", T.LongType()),
+    ]
+)
+
+
+def _mad(pdf: pd.DataFrame) -> pd.DataFrame:
+    med = pdf["o_totalprice"].median()
+    mad = (pdf["o_totalprice"] - med).abs().median()
+    return pd.DataFrame(
+        {
+            "o_orderpriority": [pdf["o_orderpriority"].iloc[0]],
+            "mad_price": [round(float(mad), 4)],
+            "n_orders": [len(pdf)],
+        }
+    )
+
+
+@register(
+    "q_udaf_mad",
+    sql="""
+    SELECT o_orderpriority,
+           round(mad(o_totalprice), 4) AS mad_price,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_udaf_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation of order value per priority.
+
+    Spark has no built-in MAD (two dependent medians), so this is the
+    canonical applyInPandas UDAF: full-group pandas function with an
+    explicit output schema.  DuckDB's native mad() oracles it — a
+    Python-boundary operator still under the full SQL hash check.
+    Scale note: whole-group-in-memory is the applyInPandas contract;
+    groups here are ~5 — for high-cardinality groups prefer sketch
+    aggregates (q_percentiles).
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.select("o_orderpriority", "o_totalprice").groupBy("o_orderpriority").applyInPandas(
+        _mad, MAD_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------- Python UDTF
+class CharNgrams:
+    """UDTF: expand a string into its distinct character 3-grams.
+
+    A *table* function (one input row → N output rows with their own
+    schema) — the explode built-in covers array expansion, but a UDTF
+    carries per-row Python logic + multi-column output; this is the
+    minimal honest use."""
+
+    def eval(self, doc_id: int, text: str):  # noqa: D102
+        if not text:
+            return
+        seen = set()
+        compact = text.replace(" ", "_")
+        for i in range(len(compact) - 2):
+            g = compact[i : i + 3]
+            if g not in seen:
+                seen.add(g)
+                yield doc_id, g, i
+
+    def terminate(self):  # noqa: D102
+        return
+
+
+def char_ngrams_udtf():
+    from pyspark.sql.functions import udtf
+
+    return udtf(CharNgrams, returnType="doc_id bigint, gram string, first_pos int")
+
+
+@register("q_udtf_ngrams", sql=None)  # Python UDTF → rows-only
+def q_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct char-3-gram count per document via a lateral UDTF join."""
+    ngrams = char_ngrams_udtf()
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 50)
+    out = d.lateralJoin(ngrams(F.col("doc_id").outer(), F.col("text").outer()))
+    return (
+        out.groupBy(d.doc_id)
+        .agg(F.count(F.lit(1)).alias("n_grams"), F.min("first_pos").alias("min_pos"))
+    )

@@ -48,6 +48,7 @@ _MODULES = [
     "processor_spark.operators.text",
     "processor_spark.operators.multimodal",
     "processor_spark.functions.families",
+    "processor_spark.functions.udx",
 ]
 
 _LOADED = False
