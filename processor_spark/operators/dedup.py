@@ -257,3 +257,10 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.bit_or("bitval").alias("simhash"))
     )
+
+
+@register("q_dedup_near", sql=None)  # SURVEY §2.10 contract name for the MinHash path
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection (SURVEY.md §2.10 'q_dedup_near'): the MinHash+LSH
+    candidate pipeline; q_dedup_ngram is the exact-Jaccard SQL-oracled twin."""
+    return q_dedup_minhash(spark, sf_dir)

@@ -1,0 +1,247 @@
+"""Extended relational coverage: subqueries, pivot, statistics,
+string aggregation, first/last windows, histograms (SURVEY.md §2
+"complete surface" follow-through).
+
+Catalyst decorrelates the subquery shapes into joins
+(RewriteCorrelatedScalarSubquery — §4 table), so none of these need
+custom planning; they exist to pin cross-engine semantics and to make
+the engine's SQL surface (EP2) demonstrably complete.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from processor_spark.registry import register
+from processor_spark.sources import load
+
+
+@register(
+    "q_subquery_scalar",
+    sql="""
+    SELECT o_orderkey, o_totalprice,
+           round(o_totalprice - (SELECT avg(o_totalprice) FROM orders), 4) AS delta_from_avg
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    """,
+)
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders above the global average price.
+
+    Built via the same SQL entry point Catalyst gives users (EP2) —
+    the scalar subquery becomes a broadcast of a 1-row aggregate.
+    """
+    from processor_spark.sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice,
+               round(o_totalprice - (SELECT avg(o_totalprice) FROM orders), 4) AS delta_from_avg
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        """
+    )
+
+
+@register(
+    "q_subquery_in",
+    sql="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_nationkey IN (
+      SELECT n_nationkey FROM nation WHERE n_regionkey IN (0, 1)
+    )
+    """,
+)
+def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN subquery (decorrelates to a left-semi join)."""
+    from processor_spark.sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_nationkey IN (
+          SELECT n_nationkey FROM nation WHERE n_regionkey IN (0, 1)
+        )
+        """
+    )
+
+
+@register(
+    "q_subquery_correlated",
+    sql="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_totalprice > 2 * c.c_acctbal
+        AND c.c_acctbal > 0
+    )
+    """,
+)
+def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS with a cross-table predicate (decorrelated to a
+    semi join whose condition references both sides)."""
+    from processor_spark.sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_totalprice > 2 * c.c_acctbal
+            AND c.c_acctbal > 0
+        )
+        """
+    )
+
+
+@register(
+    "q_pivot",
+    sql="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts as priority × status cross-tab.
+
+    Uses the native DataFrame pivot with an explicit value list (the
+    at-scale form: without it Spark must pre-scan for distinct values).
+    Oracle uses portable FILTER aggregates.
+    """
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("status_f"),
+            F.coalesce("O", F.lit(0)).alias("status_o"),
+            F.coalesce("P", F.lit(0)).alias("status_p"),
+        )
+    )
+
+
+@register(
+    "q_stats_funcs",
+    sql="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 4)                   AS price_sd,
+           round(var_samp(l_quantity), 4)                           AS qty_var,
+           round(corr(l_extendedprice, l_quantity), 6)              AS price_qty_corr,
+           round(covar_samp(l_extendedprice, l_quantity), 4)        AS price_qty_covar,
+           round(regr_slope(l_extendedprice, l_quantity), 4)        AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4)    AS intercept,
+           -- DuckDB skewness is the bias-corrected sample G1; Spark's is
+           -- population g1 -> convert: g1 = G1 * (n-2) / sqrt(n*(n-1))
+           round(skewness(l_extendedprice) * (count(*) - 2)
+                 / sqrt(count(*) * (count(*) - 1.0)), 6)            AS price_skew
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_stats_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family: stddev/variance/corr/covar/
+    regression/skewness — all single-pass mergeable moments (scale-safe)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_sd"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias("price_qty_covar"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
+        F.round(F.skewness("l_extendedprice"), 6).alias("price_skew"),
+    )
+
+
+@register(
+    "q_string_agg",
+    sql="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations_csv
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation per group (listagg/string_agg).
+
+    Built as sort-canonicalized collect_list + concat — order pinned
+    on both sides so the hash check is deterministic.
+    """
+    n = load(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations_csv")
+    )
+
+
+@register(
+    "q_window_first_last",
+    sql="""
+    SELECT user_id, event_id,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type)  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND UNBOUNDED FOLLOWING) AS last_type,
+           nth_value(event_type, 2) OVER w AS second_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value with full-partition frames
+    (the frame spec matters: default frames make last_value ≡ current row)."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.nth_value("event_type", 2).over(w).alias("second_type"),
+    )
+
+
+@register(
+    "q_histogram",
+    sql="""
+    SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+           count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order values (the scale-safe histogram:
+    bucket key derived per row, one hash agg, no sort)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.floor(F.col("o_totalprice") / 50000.0).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )

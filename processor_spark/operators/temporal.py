@@ -313,3 +313,34 @@ def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("purchase_id").agg(
         F.count("err_id").alias("n_errors_next_hour")
     )
+
+
+@register(
+    "q_stream_enrich",
+    sql="""
+    SELECT e.event_id, e.event_type, round(e.value, 3) AS value,
+           c.c_mktsegment AS segment, c.c_nationkey AS nationkey
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join, batch twin (SURVEY.md §2.9).
+
+    events.user_id aligns with customer.c_custkey in the fixtures; the
+    dim side is broadcast — the exact shape the streaming variant
+    (streaming/pipelines.py::enrich_with_static) runs per micro-batch,
+    where the broadcast is shipped once and reused.
+    """
+    e = load(spark, sf_dir, "events")
+    c = load(spark, sf_dir, "customer")
+    return (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 3).alias("value"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_nationkey").alias("nationkey"),
+        )
+    )

@@ -42,6 +42,7 @@ _MODULES = [
     "processor_spark.operators.aggregates",
     "processor_spark.operators.windows",
     "processor_spark.operators.setops",
+    "processor_spark.operators.extended",
     "processor_spark.operators.temporal",
     "processor_spark.operators.dedup",
     "processor_spark.operators.similarity",
