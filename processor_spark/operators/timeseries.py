@@ -1,0 +1,127 @@
+"""Time-series completions: gap filling and funnel analysis.
+
+Two event-analytics staples beyond plain windowed aggs — both pure
+relational compositions (SURVEY.md §2.9 family):
+
+- q_gap_fill: dense hourly series per event type with zero-filled
+  gaps — the "resample" primitive behind dashboards and hypertable
+  rollups.  The hour spine is generated with F.sequence + explode
+  (rows = hours × types, tiny relative to events) and the events agg
+  is left-joined onto it; at 100 TB the spine stays negligible while
+  the agg side is the usual two-phase hash agg.
+- q_funnel: staged conversion (click → signup → purchase, each stage
+  at-or-after the previous) per user, reduced to stage counts.  Three
+  conditional aggs chained on user_id; all three shuffles share the
+  same key so AQE/bucketing co-locates them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from processor_spark.registry import register
+from processor_spark.sources import load
+
+
+@register(
+    "q_gap_fill",
+    sql="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ), hours AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_start FROM bounds
+    ), types AS (
+      SELECT DISTINCT event_type FROM events
+    ), actual AS (
+      SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+             count(*) AS n, round(sum(value), 3) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT h.bucket_start, t.event_type,
+           coalesce(a.n, 0) AS n_events,
+           coalesce(a.v, 0.0) AS total_value
+    FROM hours h
+    CROSS JOIN types t
+    LEFT JOIN actual a
+      ON a.bucket_start = h.bucket_start AND a.event_type = t.event_type
+    """,
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series per event type; missing hours zero-filled."""
+    e = load(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bucket_start")
+    )
+    types = e.select("event_type").distinct()
+    actual = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("bucket_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 3).alias("v"))
+    )
+    spine = hours.crossJoin(F.broadcast(types))
+    return (
+        spine.join(actual, ["bucket_start", "event_type"], "left")
+        .select(
+            "bucket_start",
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.coalesce("v", F.lit(0.0)).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "q_funnel",
+    sql="""
+    WITH c AS (
+      SELECT user_id, min(ts) AS t_click FROM events
+      WHERE event_type = 'click' GROUP BY user_id
+    ), s AS (
+      SELECT e.user_id, min(e.ts) AS t_signup
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'signup' AND e.ts >= c.t_click
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.t_signup
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM c) AS users_clicked,
+           (SELECT count(*) FROM s) AS users_signed_up,
+           (SELECT count(*) FROM p) AS users_purchased
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-stage funnel: users whose first click precedes a signup which
+    precedes a purchase (each stage at-or-after the previous one)."""
+    e = load(spark, sf_dir, "events")
+    c = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s = (
+        e.where(F.col("event_type") == "signup")
+        .join(c, "user_id")
+        .where(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .where(F.col("ts") >= F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        c.agg(F.count(F.lit(1)).alias("users_clicked"))
+        .crossJoin(s.agg(F.count(F.lit(1)).alias("users_signed_up")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("users_purchased")))
+    )

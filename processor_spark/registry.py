@@ -44,6 +44,7 @@ _MODULES = [
     "processor_spark.operators.setops",
     "processor_spark.operators.extended",
     "processor_spark.operators.temporal",
+    "processor_spark.operators.timeseries",
     "processor_spark.operators.dedup",
     "processor_spark.operators.similarity",
     "processor_spark.operators.text",
