@@ -68,11 +68,16 @@ def q_join_5way(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    # build from the selective side outward so the FACT table streams:
+    # region filter → nation → customer → orders gives a small
+    # (orderkey, n_name) relation; lineitem then probes it.  Writing the
+    # fact table as the left/probe side matters at scale — the reversed
+    # order invites the planner to build a hash relation over lineitem.
     dim = F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    co = c.join(dim, c.c_nationkey == dim.n_nationkey).select("c_custkey", "n_name")
+    o2 = o.join(co, o.o_custkey == co.c_custkey).select("o_orderkey", "n_name")
     return (
-        c.join(dim, c.c_nationkey == dim.n_nationkey)
-        .join(o, c.c_custkey == o.o_custkey)
-        .join(li, o.o_orderkey == li.l_orderkey)
+        li.join(o2, li.l_orderkey == o2.o_orderkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
