@@ -136,13 +136,18 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         raise KeyError(f"unknown fixture table {table!r}; known: {TABLES}")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if table == "events":
-        # ts is TIMESTAMP(NANOS) in the footer, surfaced as long nanos
-        # via spark.sql.legacy.parquet.nanosAsLong; convert to the µs
-        # TimestampType of the pinned schema (lossless: fixture values
-        # are µs-aligned, asserted in tests/test_sources.py)
+        # normalize ts to the pinned TimestampType whatever the layout:
+        # - driver fixture: TIMESTAMP(NANOS) surfaced as long nanos via
+        #   spark.sql.legacy.parquet.nanosAsLong → timestamp_micros
+        #   (lossless: fixture ns values are µs-aligned, asserted in tests)
+        # - µs layouts: NTZ → TIMESTAMP under the pinned UTC session tz
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         df = df.select("event_id", "ts", "user_id", "event_type", "value", "props")
     return df
 
