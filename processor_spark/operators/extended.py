@@ -245,3 +245,97 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+@register(
+    "q_unpivot",
+    sql="""
+    SELECT p_partkey, metric, value
+    FROM (
+      SELECT p_partkey,
+             CAST(p_size AS DOUBLE) AS size,
+             p_retailprice AS retailprice
+      FROM part
+    )
+    UNPIVOT (value FOR metric IN (size, retailprice))
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: wide part attributes to (metric, value) long form —
+    zero-shuffle row expansion (the Expand operator)."""
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"),
+    )
+    return p.unpivot("p_partkey", ["size", "retailprice"], "metric", "value")
+
+
+@register(
+    "q_null_funcs",
+    sql="""
+    SELECT s_suppkey,
+           nullif(s_nationkey, 0)                          AS nat_or_null,
+           coalesce(nullif(s_nationkey, 0), -1)            AS nat_filled,
+           CASE WHEN nullif(s_acctbal, 0.0) IS NULL THEN 'zero' ELSE 'nonzero' END AS bal_class,
+           ifnull(nullif(s_name, ''), 'unnamed')           AS name_or_default
+    FROM supplier
+    """,
+)
+def q_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling family: nullif / coalesce / ifnull / IS NULL logic
+    (fixtures are null-free, so nulls are manufactured via nullif)."""
+    s = load(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.nullif(F.col("s_nationkey"), F.lit(0)).alias("nat_or_null"),
+        F.coalesce(F.nullif(F.col("s_nationkey"), F.lit(0)), F.lit(-1)).alias("nat_filled"),
+        F.when(F.nullif(F.col("s_acctbal"), F.lit(0.0)).isNull(), "zero")
+        .otherwise("nonzero")
+        .alias("bal_class"),
+        F.ifnull(F.nullif(F.col("s_name"), F.lit("")), F.lit("unnamed")).alias(
+            "name_or_default"
+        ),
+    )
+
+
+@register(
+    "q_arg_minmax",
+    sql="""
+    -- DuckDB 1.0 arg_max can't order by a composite key; the window
+    -- formulation below is the deterministic equivalent
+    WITH ranked AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           max(CASE WHEN rmax = 1 THEN o_orderkey END) AS biggest_order,
+           max(CASE WHEN rmin = 1 THEN o_orderkey END) AS smallest_order,
+           round(max(o_totalprice), 2) AS max_price
+    FROM ranked
+    GROUP BY o_orderpriority
+    """,
+)
+def q_arg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg_min/arg_max (min_by/max_by): the orderkey of the extreme-priced
+    order per priority; ties broken by orderkey via struct ordering so
+    both engines pick the same row."""
+    o = load(spark, sf_dir, "orders")
+    key = F.struct("o_totalprice", "o_orderkey")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", key).alias("biggest_order"),
+        F.min_by("o_orderkey", key).alias("smallest_order"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@register("q_sample", sql=None)  # sampling differs across engines → rows-only (SURVEY §2.6)
+def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample of lineitem (dev-path operator; never in
+    the oracle set because engines draw differently)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")

@@ -243,3 +243,40 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.where(F.col("cos_sim_raw") >= 0.99).select(
         "vec_a", "vec_b", F.round("cos_sim_raw", 6).alias("cos_sim")
     )
+
+
+@register("q_ann_ml", sql=None)  # seeded ml LSH → rows-only
+def q_ann_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via pyspark.ml BucketedRandomProjectionLSH (SURVEY.md §2.10 [P]).
+
+    The MLlib twin of q_ann_lsh: seeded random hyperplane projections
+    with multi-table OR-amplification, then approxSimilarityJoin
+    pruning candidate pairs by Euclidean distance (on unit-normalized
+    vectors, d² = 2 - 2·cos, so the 0.6 radius ≈ cos ≥ 0.82).
+    Complements the hand-rolled sign-projection variant: ml handles
+    the hash family, the engine supplies normalize + join + top-k.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = load(spark, sf_dir, "embeddings")
+    norm = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: x / F.sqrt(F.aggregate(
+            F.transform(F.col("embedding").cast("array<double>"), lambda y: y * y),
+            F.lit(0.0), lambda a, y: a + y)),
+    )
+    vecs = e.select("vec_id", array_to_vector(norm).alias("features"))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=0.5, numHashTables=4, seed=42
+    )
+    model = lsh.fit(vecs)
+    q = vecs.where(F.col("vec_id") <= KNN_QUERIES)
+    pairs = model.approxSimilarityJoin(q, vecs, 0.6, distCol="dist")
+    out = pairs.select(
+        F.col("datasetA.vec_id").alias("q_id"),
+        F.col("datasetB.vec_id").alias("neighbor_id"),
+        F.round("dist", 6).alias("dist"),
+    ).where(F.col("q_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("q_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return out.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= KNN_K)

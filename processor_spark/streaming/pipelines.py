@@ -196,3 +196,24 @@ def write_parquet_stream(df: DataFrame, path: str, checkpoint: str, timeout_s: i
     q.awaitTermination(timeout_s)
     if q.isActive:
         q.stop()
+
+
+def run_foreach_batch(df: DataFrame, batch_fn, timeout_s: int = 120) -> None:
+    """foreachBatch sink: arbitrary batch-DataFrame logic per micro-batch
+    (the escape hatch for sinks Spark lacks — upserts, multi-table
+    writes).  batch_fn(batch_df, batch_id) runs on the driver with full
+    batch-DataFrame powers; idempotency across retries is on the caller
+    (batch_id is the dedup token)."""
+    q = df.writeStream.foreachBatch(batch_fn).trigger(availableNow=True).start()
+    q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()
+
+
+def type_totals_complete(events: DataFrame) -> DataFrame:
+    """Unwindowed global aggregation — requires COMPLETE output mode
+    (state is the whole result table, re-emitted every batch; bounded
+    because event_type cardinality is tiny)."""
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 3).alias("total_value")
+    )

@@ -177,3 +177,24 @@ def test_late_data_dropped_by_watermark(spark, tmp_path):
     assert counts.get("2024-01-01T00:00:00") == 1, counts
     # on-time hour-08 window accumulated across both runs
     assert counts.get("2024-01-01T08:00:00") == 2, counts
+
+
+def test_complete_mode_global_agg(spark, events_chunks_dir):
+    stream = P.read_events_stream(spark, events_chunks_dir)
+    got = _drain(spark, P.type_totals_complete(stream), "t_complete", mode="complete")
+    want = P.type_totals_complete(load(spark, SF_SMALL, "events"))
+    cols = ["event_type", "n_events", "total_value"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
+def test_foreach_batch_collects_all_batches(spark, events_chunks_dir):
+    seen = {"rows": 0, "batches": 0}
+
+    def sink(batch_df, batch_id):
+        seen["rows"] += batch_df.count()
+        seen["batches"] += 1
+
+    stream = P.read_events_stream(spark, events_chunks_dir)
+    P.run_foreach_batch(stream, sink)
+    assert seen["rows"] == load(spark, SF_SMALL, "events").count()
+    assert seen["batches"] >= N_CHUNKS  # one per chunk file (maxFilesPerTrigger=1)
