@@ -1,0 +1,146 @@
+"""End-to-end training-corpus pipeline (SURVEY.md §2.10 capstone).
+
+Composes the individual LLM-pipeline operators into the shape a real
+pretraining-data job has — and keeps the WHOLE composition under the
+SQL oracle, which is the point: every stage is deterministic and
+relational, so the full pipeline hash-matches DuckDB.
+
+    documents
+      → quality gate      (token-count + stopword-ratio bounds)
+      → exact dedup       (md5 content hash, keep min doc_id)
+      → near-dup removal  (token-3-gram Jaccard ≥ 0.5 within source;
+                           survivor = smaller doc_id of each pair)
+      → corpus stats      (per source: docs kept, tokens, chars)
+
+Scale shape: two hash-aggs (quality+hash dedup), one inverted-index
+self-join bounded by the blocking key (near-dup), one final agg — no
+stage is worse than the standalone operators it reuses (SCALE.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from processor_spark.registry import register
+from processor_spark.operators.dedup import JACCARD_THRESHOLD
+from processor_spark.operators.text import STOPWORDS, tokens
+from processor_spark.sources import load
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+@register(
+    "q_corpus_pipeline",
+    sql=f"""
+    WITH quality AS (
+      SELECT doc_id, text, source, n_chars,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+      WHERE len(string_split_regex(trim(text), '\\s+')) BETWEEN 5 AND 2000
+        AND len(list_filter(string_split_regex(trim(text), '\\s+'),
+                            t -> list_contains({_STOP_SQL}, t)))
+            <= 0.8 * len(string_split_regex(trim(text), '\\s+'))
+    ), exact_kept AS (
+      SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)
+    ), survivors AS (
+      SELECT q.* FROM quality q JOIN exact_kept k ON q.doc_id = k.doc_id
+    ), grams AS (
+      SELECT DISTINCT doc_id, source,
+             tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS gram
+      FROM (
+        SELECT doc_id, source,
+               unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+               generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+        FROM survivors
+      )
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY lead(tok, 2) OVER w IS NOT NULL
+    ), sized AS (
+      SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+    ), near_pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM grams a JOIN grams b
+        ON a.gram = b.gram AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), near_dropped AS (
+      SELECT DISTINCT p.doc_b AS doc_id
+      FROM near_pairs p
+      JOIN sized sa ON sa.doc_id = p.doc_a
+      JOIN sized sb ON sb.doc_id = p.doc_b
+      WHERE p.n_common / (sa.n_grams + sb.n_grams - p.n_common) >= {JACCARD_THRESHOLD}
+    ), final AS (
+      SELECT s.* FROM survivors s
+      LEFT JOIN near_dropped d ON s.doc_id = d.doc_id
+      WHERE d.doc_id IS NULL
+    )
+    SELECT source,
+           count(*)                  AS docs_kept,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT)  AS total_chars,
+           min(doc_id)               AS first_doc
+    FROM final
+    GROUP BY source
+    """,
+)
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate → exact dedup → near-dup removal → per-source stats."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    quality = d.select(
+        "doc_id", "text", "source", "n_chars", n_tokens.alias("n_tokens")
+    ).where(
+        n_tokens.between(5, 2000) & (n_stop <= 0.8 * n_tokens)
+    )
+
+    exact_kept = quality.groupBy(F.md5(F.col("text").cast("binary"))).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    survivors = quality.join(exact_kept, "doc_id")
+
+    tok_pos = survivors.select(
+        "doc_id", "source", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        tok_pos.select(
+            "doc_id",
+            "source",
+            F.concat_ws(" ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)).alias("gram"),
+            F.lead("tok", 2).over(w).alias("_has3"),
+        )
+        .where(F.col("_has3").isNotNull())
+        .select("doc_id", "source", "gram")
+        .distinct()
+    )
+    sized = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a, b = grams.alias("a"), grams.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sized.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("ga"))
+    sb = sized.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("gb"))
+    jac = F.col("n_common") / (F.col("ga") + F.col("gb") - F.col("n_common"))
+    near_dropped = (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .where(jac >= JACCARD_THRESHOLD)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    final = survivors.join(near_dropped, "doc_id", "left_anti")
+    return final.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_kept"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+    )

@@ -252,7 +252,8 @@ def q_ann_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     The MLlib twin of q_ann_lsh: seeded random hyperplane projections
     with multi-table OR-amplification, then approxSimilarityJoin
     pruning candidate pairs by Euclidean distance (on unit-normalized
-    vectors, d² = 2 - 2·cos, so the 0.6 radius ≈ cos ≥ 0.82).
+    vectors, d² = 2 - 2·cos; the 1.35 radius ≈ cos ≥ 0.09, tuned to
+    the near-orthogonal synthetic embeddings which top out ~cos 0.37).
     Complements the hand-rolled sign-projection variant: ml handles
     the hash family, the engine supplies normalize + join + top-k.
     """
@@ -272,7 +273,7 @@ def q_ann_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     model = lsh.fit(vecs)
     q = vecs.where(F.col("vec_id") <= KNN_QUERIES)
-    pairs = model.approxSimilarityJoin(q, vecs, 0.6, distCol="dist")
+    pairs = model.approxSimilarityJoin(q, vecs, 1.35, distCol="dist")
     out = pairs.select(
         F.col("datasetA.vec_id").alias("q_id"),
         F.col("datasetB.vec_id").alias("neighbor_id"),

@@ -45,6 +45,8 @@ _MODULES = [
     "processor_spark.operators.extended",
     "processor_spark.operators.temporal",
     "processor_spark.operators.timeseries",
+    "processor_spark.operators.skew",
+    "processor_spark.operators.corpus",
     "processor_spark.operators.dedup",
     "processor_spark.operators.similarity",
     "processor_spark.operators.text",

@@ -26,8 +26,29 @@ def test_sql_oracle_parity(spark, key):
     assert res["values_match"], f"{key}: value mismatch {res.get('first_diffs')}"
 
 
+# rows-only keys that must still produce output on the fixtures — an
+# empty result would mean a silently broken operator, not a weak check
+# (q_dedup_embed legitimately returns 0 pairs: no cos>=0.99 duplicates
+# exist in the synthetic embeddings)
+_MUST_BE_NONEMPTY = {
+    "q_agg_approx",
+    "q_percentiles",
+    "q_dedup_minhash",
+    "q_dedup_near",
+    "q_simhash",
+    "q_media_features",
+    "q_udf_normalize",
+    "q_udtf_ngrams",
+    "q_ann_ml",
+    "q_sample",
+}
+
+
 @pytest.mark.parametrize("key", _ROWS_ONLY_KEYS)
 def test_rows_only_queries_run(spark, key):
     q = registry.get(key)
     n = q.fn(spark, SF_ORACLE).count()
-    assert n >= 0
+    if key in _MUST_BE_NONEMPTY:
+        assert n > 0, f"{key}: rows-only query returned an empty result"
+    else:
+        assert n >= 0
