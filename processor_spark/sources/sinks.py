@@ -62,3 +62,16 @@ def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
 def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
     r = spark.read
     return (r.schema(schema) if schema else r).json(path)
+
+
+def compact_parquet(spark: SparkSession, path: str, out_path: str, target_files: int) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``target_files`` files (the 100 TB housekeeping op — streaming
+    sinks and fine-grained partitions produce file counts that degrade
+    scan planning; compaction restores healthy file sizes).  Returns
+    the number of files written."""
+    df = spark.read.parquet(path)
+    df.repartition(target_files).write.mode("overwrite").parquet(out_path)
+    import glob
+
+    return len(glob.glob(f"{out_path}/part-*.parquet"))

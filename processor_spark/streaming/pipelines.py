@@ -217,3 +217,21 @@ def type_totals_complete(events: DataFrame) -> DataFrame:
     return events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 3).alias("total_value")
     )
+
+
+def read_rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Rate source (SURVEY.md §2.1): synthetic (timestamp, value) stream
+    for development — shaped into the events schema so every pipeline
+    here runs against it unchanged."""
+    rate = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+    return rate.select(
+        F.col("value").alias("event_id"),
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % 50).alias("user_id"),
+        F.element_at(
+            F.array(F.lit("click"), F.lit("view"), F.lit("signup"), F.lit("purchase"), F.lit("error")),
+            (F.col("value") % 5 + 1).cast("int"),
+        ).alias("event_type"),
+        (F.col("value") % 97).cast("double").alias("value"),
+        F.lit("{}").alias("props"),
+    )

@@ -103,3 +103,15 @@ def test_bucketed_table_join_has_no_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    frag = str(tmp_path / "frag")
+    out = str(tmp_path / "compact")
+    load(spark, SF_SMALL, "orders").repartition(24).write.parquet(frag)
+    import glob
+
+    assert len(glob.glob(f"{frag}/part-*.parquet")) == 24
+    n = sinks.compact_parquet(spark, frag, out, target_files=2)
+    assert n == 2
+    assert spark.read.parquet(out).count() == load(spark, SF_SMALL, "orders").count()

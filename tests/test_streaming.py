@@ -198,3 +198,37 @@ def test_foreach_batch_collects_all_batches(spark, events_chunks_dir):
     P.run_foreach_batch(stream, sink)
     assert seen["rows"] == load(spark, SF_SMALL, "events").count()
     assert seen["batches"] >= N_CHUNKS  # one per chunk file (maxFilesPerTrigger=1)
+
+
+def test_rate_source_feeds_pipelines(spark):
+    """Dev rate source drains through the tumbling pipeline (one short
+    processing-time batch, then stop)."""
+    stream = P.read_rate_stream(spark, rows_per_second=500)
+    agg = P.type_totals_complete(stream)
+    q = (
+        agg.writeStream.format("memory").queryName("t_rate")
+        .outputMode("complete").trigger(processingTime="1 second").start()
+    )
+    import time
+
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        if any(p["numInputRows"] > 0 for p in q.recentProgress):
+            break
+        time.sleep(0.5)
+    q.stop()
+    rows = spark.sql("SELECT sum(n_events) AS n FROM t_rate").first().n
+    assert rows and rows > 0
+
+
+def test_session_implementations_agree(spark):
+    """q_sessionization (gap-and-islands) and q_session_window (native
+    session_window) must produce identical per-user session structure —
+    the engine-internal equivalence behind the shared oracle."""
+    from processor_spark import registry
+
+    a = registry.get("q_sessionization").fn(spark, SF_SMALL)
+    b = registry.get("q_session_window").fn(spark, SF_SMALL)
+    sa = sorted((r.user_id, r.session_start, r.n_events) for r in a.collect())
+    sb = sorted((r.user_id, r.session_start, r.n_events) for r in b.collect())
+    assert sa == sb
