@@ -275,3 +275,32 @@ def q_cast_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("date").cast("string").alias("order_day"),
         F.when(F.col("o_orderstatus").eqNullSafe(F.lit("O")), 1).otherwise(0).alias("is_open"),
     )
+
+
+@register(
+    "q_bit_funcs",
+    sql="""
+    SELECT p_partkey,
+           p_size & 12                        AS b_and,
+           p_size | 3                         AS b_or,
+           xor(p_size, 5)                     AS b_xor,
+           CAST(p_size << 2 AS INTEGER)       AS b_shl,
+           CAST(p_size >> 1 AS INTEGER)       AS b_shr,
+           ~p_size                            AS b_not
+    FROM part
+    """,
+)
+def q_bit_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family: and/or/xor/shifts/not (hash bucketing, bitmap and
+    flag manipulation at scale are built from exactly these)."""
+    p = load(spark, sf_dir, "part")
+    sz = F.col("p_size")
+    return p.select(
+        "p_partkey",
+        sz.bitwiseAND(F.lit(12)).alias("b_and"),
+        sz.bitwiseOR(F.lit(3)).alias("b_or"),
+        sz.bitwiseXOR(F.lit(5)).alias("b_xor"),
+        F.shiftleft(sz, 2).alias("b_shl"),
+        F.shiftright(sz, 1).alias("b_shr"),
+        F.bitwise_not(sz).alias("b_not"),
+    )

@@ -187,3 +187,32 @@ def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc_nulls_last("s_acctbal"),
         F.asc("s_suppkey"),
     ).select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+
+
+@register(
+    "q_window_range",
+    sql="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                          RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW) AS n_similar_cheaper,
+           round(sum(o_totalprice) OVER (
+                          PARTITION BY o_custkey ORDER BY o_totalprice
+                          RANGE BETWEEN 10000.0 PRECEDING AND 10000.0 FOLLOWING), 2) AS band_total
+    FROM orders
+    """,
+)
+def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frames (value-based, not row-based): per customer, orders
+    within a ±10k price band of each row.  Range frames require a
+    single numeric ordering key in both engines."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w.rangeBetween(-10000, 0)).alias("n_similar_cheaper"),
+        F.round(
+            F.sum("o_totalprice").over(w.rangeBetween(-10000, 10000)), 2
+        ).alias("band_total"),
+    )

@@ -235,3 +235,13 @@ def read_rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFra
         (F.col("value") % 97).cast("double").alias("value"),
         F.lit("{}").alias("props"),
     )
+
+
+def sliding_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of q_sliding_window (1h window / 15min slide)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 3).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )

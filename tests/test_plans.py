@@ -104,3 +104,23 @@ def test_ann_lsh_is_equi_join_on_bucket(spark):
 def test_interval_join_is_equi_join_with_residual(spark):
     plan = explain_str(_df(spark, "q_join_interval"))
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_layout(spark, tmp_path_factory):
+    """§4 'partition pruning': a join against a filtered dim over a
+    date-partitioned fact must prune fact partitions at runtime (DPP)."""
+    import pyspark.sql.functions as F
+    from processor_spark.sources import load, sinks
+
+    base = tmp_path_factory.mktemp("dpp")
+    o = load(spark, SF_SMALL, "orders").withColumn("order_year", F.year("o_orderdate"))
+    sinks.write_parquet_partitioned(o, str(base / "orders_part"), ["order_year"])
+    fact = spark.read.parquet(str(base / "orders_part"))
+    dim = (
+        o.select("order_year").distinct().where(F.col("order_year") == 1997)
+    )
+    joined = fact.join(dim, "order_year").select("o_orderkey", "order_year")
+    plan = explain_str(joined)
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [" in plan, plan
+    want = o.where(F.col("order_year") == 1997).count()
+    assert joined.count() == want

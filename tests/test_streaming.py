@@ -232,3 +232,14 @@ def test_session_implementations_agree(spark):
     sa = sorted((r.user_id, r.session_start, r.n_events) for r in a.collect())
     sb = sorted((r.user_id, r.session_start, r.n_events) for r in b.collect())
     assert sa == sb
+
+
+def test_stream_sliding_equals_batch_prefix(spark, events_chunks_dir):
+    stream = P.read_events_stream(spark, events_chunks_dir)
+    got = _drain(spark, P.sliding_counts(stream), "t_sliding")
+    want = P.sliding_counts(load(spark, SF_SMALL, "events"))
+    cols = ["window_start", "event_type", "n_events", "total_value"]
+    got_rows = set(_sorted_rows(got, cols))
+    want_rows = set(_sorted_rows(want, cols))
+    assert got_rows <= want_rows
+    assert len(got_rows) > 0.8 * len(want_rows)
