@@ -206,3 +206,39 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         F.when(F.col("r_regionkey") == F.col("n_regionkey"), 1).otherwise(0).alias("is_home"),
     )
+
+
+@register(
+    "q_join_full",
+    sql="""
+    SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+           coalesce(c.n_customers, 0) AS n_customers,
+           coalesce(s.n_suppliers, 0) AS n_suppliers
+    FROM (SELECT c_nationkey AS nationkey, count(*) AS n_customers
+          FROM customer GROUP BY 1) c
+    FULL JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+               FROM supplier GROUP BY 1) s
+      ON c.nationkey = s.nationkey
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: nations having customers, suppliers, or either —
+    rows preserved from BOTH sides with zero-filled counts."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        c.join(s, "nationkey", "full")
+        .select(
+            "nationkey",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )

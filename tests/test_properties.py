@@ -134,3 +134,27 @@ def test_groupby_sum_agrees_with_duckdb(spark, data):
         tuple(r) for r in con.execute("SELECT k, CAST(sum(v) AS BIGINT) FROM t GROUP BY k").fetchall()
     )
     assert got == want
+
+
+def test_asof_join_law_against_bruteforce(spark):
+    """q_join_asof law: last_click_ts is the max click ts <= purchase ts
+    for that user (None when no prior click) — verified row-by-row
+    against a pandas brute force on the fixture."""
+    from processor_spark import registry
+    from processor_spark.sources import load
+    from tests.conftest import SF_SMALL
+
+    got = {
+        r.purchase_id: r.last_click_ts
+        for r in registry.get("q_join_asof").fn(spark, SF_SMALL).collect()
+    }
+    events = load(spark, SF_SMALL, "events").toPandas()
+    clicks = events[events.event_type == "click"]
+    purchases = events[events.event_type == "purchase"]
+    for _, p in purchases.iterrows():
+        prior = clicks[(clicks.user_id == p.user_id) & (clicks.ts <= p.ts)]
+        want = prior.ts.max() if len(prior) else None
+        have = got[p.event_id]
+        assert (want is None and have is None) or (have == want), (
+            p.event_id, have, want
+        )
