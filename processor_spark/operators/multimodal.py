@@ -126,3 +126,80 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("media.payload").alias("payload")
     )
     return flat.mapInPandas(decode_stub_features, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("thumb", T.BinaryType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def resize_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB resize: a real implementation decodes the image and emits a
+    WxH thumbnail (PIL not in this container).  The fake derives a
+    deterministic "resolution" from payload length and returns the
+    payload head as the thumb bytes — schema and batching are real.
+    """
+    for pdf in batches:
+        payloads = pdf["payload"]
+        n = payloads.map(len)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": (n % 640 + 16).astype("int32"),
+                "height": (n % 480 + 16).astype("int32"),
+                "thumb": payloads.map(lambda b: bytes(b[:16])),
+                "decoded": False,
+            }
+        )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+    ]
+)
+
+
+def frame_sample_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB frame sampler: a real implementation pulls every k-th video
+    frame (ffmpeg not in this container).  The fake slices the payload
+    into 4 deterministic "frames" — exercising the 1→N row expansion a
+    frame sampler needs (mapInPandas may emit more rows than it reads).
+    """
+    for pdf in batches:
+        rows = {"doc_id": [], "frame_no": [], "frame_bytes": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            step = max(1, len(payload) // 4)
+            for i in range(4):
+                rows["doc_id"].append(doc_id)
+                rows["frame_no"].append(i)
+                rows["frame_bytes"].append(bytes(payload[i * step : i * step + 8]))
+        yield pd.DataFrame(rows)
+
+
+@register("q_media_resize", sql=None)  # pandas-UDF path → rows-only
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stubbed decode+resize stage over binary payloads (mapInPandas)."""
+    m = media_table(spark, sf_dir)
+    flat = m.repartition(8, "doc_id").select("doc_id", F.col("media.payload").alias("payload"))
+    return flat.mapInPandas(resize_stub, RESIZE_SCHEMA)
+
+
+@register("q_media_frames", sql=None)  # pandas-UDF path → rows-only
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stubbed frame sampling (1→4 row expansion) + per-doc frame count."""
+    m = media_table(spark, sf_dir)
+    flat = m.repartition(8, "doc_id").select("doc_id", F.col("media.payload").alias("payload"))
+    frames = flat.mapInPandas(frame_sample_stub, FRAME_SCHEMA)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.length("frame_bytes")).alias("total_frame_bytes"),
+    )
