@@ -304,3 +304,66 @@ def q_bit_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(sz, 1).alias("b_shr"),
         F.bitwise_not(sz).alias("b_not"),
     )
+
+
+@register(
+    "q_str_funcs2",
+    sql="""
+    SELECT p_partkey,
+           lpad(p_brand, 12, '.')                       AS brand_pad,
+           rpad(p_type, 20, '_')                        AS type_pad,
+           reverse(p_brand)                             AS brand_rev,
+           repeat('-', p_size % 5)                      AS dashes,
+           ascii(p_name)                                AS first_code,
+           left(p_name, 6)                              AS head6,
+           right(p_name, 4)                             AS tail4,
+           CAST(strpos(p_type, 'a') AS INTEGER)         AS a_pos,
+           CASE WHEN contains(p_type, 'steel') THEN 1 ELSE 0 END AS is_steel
+    FROM part
+    """,
+)
+def q_str_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family 2: padding, reverse, repeat, ascii, left/right,
+    position, containment."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, ".").alias("brand_pad"),
+        F.rpad("p_type", 20, "_").alias("type_pad"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+        F.repeat(F.lit("-"), (F.col("p_size") % 5).cast("int")).alias("dashes"),
+        F.ascii("p_name").alias("first_code"),
+        F.substring("p_name", 1, 6).alias("head6"),
+        F.substring(F.col("p_name"), -4, 4).alias("tail4"),
+        F.instr(F.col("p_type"), "a").alias("a_pos"),
+        F.when(F.col("p_type").contains("steel"), 1).otherwise(0).alias("is_steel"),
+    )
+
+
+@register(
+    "q_date_funcs2",
+    sql="""
+    SELECT o_orderkey,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR)     AS month_end,
+           o_orderdate + INTERVAL 2 MONTH                           AS plus_2mo,
+           CAST(weekofyear(o_orderdate) AS INTEGER)                 AS iso_week,
+           CAST(dayofyear(o_orderdate) AS INTEGER)                  AS doy,
+           CAST(isodow(o_orderdate) AS INTEGER)                     AS iso_dow,
+           date_trunc('quarter', o_orderdate)                       AS quarter_start
+    FROM orders
+    """,
+)
+def q_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date family 2: last_day, month arithmetic (end-of-month clamped the
+    same way in both engines), ISO week/day-of-week, day-of-year,
+    quarter truncation."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.last_day("o_orderdate").cast("string").alias("month_end"),
+        F.add_months("o_orderdate", 2).cast("timestamp_ntz").alias("plus_2mo"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.expr("weekday(o_orderdate) + 1").alias("iso_dow"),
+        F.date_trunc("quarter", "o_orderdate").alias("quarter_start"),
+    )
