@@ -367,3 +367,26 @@ def q_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("weekday(o_orderdate) + 1").alias("iso_dow"),
         F.date_trunc("quarter", "o_orderdate").alias("quarter_start"),
     )
+
+
+@register(
+    "q_variant_funcs",
+    sql="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
+           CAST(json_extract(props, '$.k') AS VARCHAR) AS k_raw
+    FROM events
+    """,
+)
+def q_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT type (Spark 4): parse_json into an
+    open-schema value, typed extraction via variant_get — the
+    schema-on-read path that scales to heterogeneous props without
+    declaring a struct up front."""
+    e = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "int").alias("k_int"),
+        F.variant_get(v, "$.k", "string").alias("k_raw"),
+    )

@@ -261,3 +261,66 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.min(F.md5(F.col("tok").cast("binary"))).alias("fingerprint"))
     )
+
+
+@register(
+    "q_heavy_hitters",
+    sql="""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents
+    ), tot AS (SELECT count(*) AS n FROM toks)
+    SELECT token, count(*) AS freq,
+           round(count(*) / (SELECT n FROM tot), 6) AS share
+    FROM toks
+    GROUP BY token
+    HAVING count(*) > 0.005 * (SELECT n FROM tot)
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: tokens above a 0.5% frequency share.
+
+    Exact two-pass form (count + threshold on the total); at 100 TB the
+    sketch variant is count_min_sketch / Misra-Gries keeping per-
+    partition candidate sets, merged at the driver — same output
+    contract, sublinear state."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("token"))
+    total = toks.count()  # scalar pass; at scale: broadcast 1-row agg
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    return counts.where(F.col("freq") > 0.005 * total).select(
+        "token",
+        "freq",
+        F.round(F.col("freq") / F.lit(float(total)), 6).alias("share"),
+    )
+
+
+@register(
+    "q_cooccurrence",
+    sql="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    )
+    SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_docs_together
+    FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.tok < b.tok
+    GROUP BY a.tok, b.tok
+    HAVING count(*) >= 50
+    """,
+)
+def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence: unordered token pairs appearing together in
+    >= 50 documents (the feature behind PMI / embedding co-training
+    stats).  Pair space is per-document distinct-token pairs — bounded
+    by doc length, not corpus size; the groupBy collapses map-side."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok")).distinct()
+    a = toks.alias("a")
+    b = toks.alias("b")
+    return (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.tok") < F.col("b.tok")))
+        .groupBy(F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b"))
+        .agg(F.count(F.lit(1)).alias("n_docs_together"))
+        .where(F.col("n_docs_together") >= 50)
+    )
