@@ -75,3 +75,13 @@ def compact_parquet(spark: SparkSession, path: str, out_path: str, target_files:
     import glob
 
     return len(glob.glob(f"{out_path}/part-*.parquet"))
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — the other columnar lake format Spark supports natively;
+    same predicate-pushdown / column-pruning story as parquet."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

@@ -115,3 +115,16 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     n = sinks.compact_parquet(spark, frag, out, target_files=2)
     assert n == 2
     assert spark.read.parquet(out).count() == load(spark, SF_SMALL, "orders").count()
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    df = load(spark, SF_SMALL, "orders")
+    sinks.write_orc(df, str(tmp_path / "orders_orc"))
+    back = sinks.read_orc(spark, str(tmp_path / "orders_orc"))
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    # ORC scans take pushed filters too
+    from processor_spark.plans import explain_str
+
+    pruned = back.where(F.col("o_totalprice") > 200000.0).select("o_orderkey")
+    plan = explain_str(pruned)
+    assert "PushedFilters: [" in plan and "o_totalprice" in plan.split("PushedFilters")[1].split("]")[0]
