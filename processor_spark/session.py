@@ -52,6 +52,9 @@ def build_session(
         .config("spark.ui.enabled", "false")
         # keep managed-table output (bucketed tables) out of the repo tree
         .config("spark.sql.warehouse.dir", os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/processor_spark-warehouse"))
+        # incremental pipelines overwrite only the partitions present in
+        # the written batch, not the whole table (100 TB backfill safety)
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
     )
     return builder.getOrCreate()
 

@@ -128,3 +128,18 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     pruned = back.where(F.col("o_totalprice") > 200000.0).select("o_orderkey")
     plan = explain_str(pruned)
     assert "PushedFilters: [" in plan and "o_totalprice" in plan.split("PushedFilters")[1].split("]")[0]
+
+
+def test_dynamic_partition_overwrite_preserves_untouched_partitions(spark, tmp_path):
+    """partitionOverwriteMode=dynamic: overwriting one year's batch must
+    not delete other years (the incremental-backfill contract)."""
+    path = str(tmp_path / "orders_dyn")
+    o = load(spark, SF_SMALL, "orders").withColumn("order_year", F.year("o_orderdate"))
+    sinks.write_parquet_partitioned(o, path, ["order_year"])
+    before = spark.read.parquet(path).count()
+    y1997 = o.where(F.col("order_year") == 1997)
+    # re-write ONLY 1997 (same rows) in overwrite mode
+    y1997.write.mode("overwrite").partitionBy("order_year").parquet(path)
+    after = spark.read.parquet(path)
+    assert after.count() == before, "non-1997 partitions must survive the overwrite"
+    assert after.where("order_year = 1997").count() == y1997.count()
