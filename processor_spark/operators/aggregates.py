@@ -231,3 +231,28 @@ def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("o_orderpriority").cast("int").alias("g_priority"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@register("q_hll_sketch", sql=None)  # sketch bytes are engine-specific → rows-only
+def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches, Spark 4 built-ins):
+    per-nation customer sketches unioned into a per-region distinct
+    estimate WITHOUT re-scanning — the pre-aggregated-rollup pattern
+    that makes 100 TB distinct-count dashboards cheap (store sketch
+    bytes per fine grain, union at query time)."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    per_nation = c.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey").alias("sketch")
+    )
+    joined = per_nation.join(
+        F.broadcast(n), per_nation.c_nationkey == n.n_nationkey
+    )
+    return (
+        joined.groupBy("n_regionkey")
+        .agg(F.hll_union_agg("sketch").alias("region_sketch"))
+        .select(
+            "n_regionkey",
+            F.hll_sketch_estimate("region_sketch").alias("approx_customers"),
+        )
+    )

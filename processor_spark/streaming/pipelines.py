@@ -245,3 +245,31 @@ def sliding_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 3).alias("total_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
     )
+
+
+def read_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Kafka source shaped into the events schema.
+
+    Requires the spark-sql-kafka connector on the classpath (not bundled
+    in this container — there is no broker to test against here; the
+    parquet file source stands in for it in tests, exercising identical
+    downstream pipelines).  Values are JSON event payloads.
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    parsed = F.from_json(
+        F.col("value").cast("string"),
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING",
+    )
+    return raw.select(parsed.alias("e")).select("e.*")
