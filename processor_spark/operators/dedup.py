@@ -23,9 +23,12 @@ from pyspark.sql import functions as F
 from processor_spark.registry import register
 from processor_spark.sources import load
 
-# MinHash parameters: 16 permutations × 4 bands of 4 rows each.
+# MinHash parameters: 16 permutations × 8 bands of 2 rows each.  The
+# banding S-curve threshold is ~(1/b)^(1/r) = (1/8)^(1/2) ≈ 0.35 —
+# matched to the declared JACCARD_THRESHOLD of 0.5 (the previous 4×4
+# banding had threshold ≈ 0.71 and would start missing pairs near 0.5).
 MINHASH_PERMS = 16
-MINHASH_BANDS = 4
+MINHASH_BANDS = 8
 JACCARD_THRESHOLD = 0.5
 
 
@@ -149,7 +152,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs (equi-join on the band hash).  Estimated Jaccard =
     fraction of agreeing minhashes; pairs >= threshold are emitted.
     Never materializes all pairs; candidate volume is controlled by the
-    band/row trade-off (4 bands × 4 rows → catches J >= ~0.5 w.h.p.).
+    band/row trade-off (8 bands × 2 rows → catches J >= ~0.5 w.h.p.).
     """
     d = load(spark, sf_dir, "documents")
     toks = d.select(

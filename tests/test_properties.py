@@ -158,3 +158,28 @@ def test_asof_join_law_against_bruteforce(spark):
         assert (want is None and have is None) or (have == want), (
             p.event_id, have, want
         )
+
+
+def test_ann_lsh_recall_floor(spark):
+    """Multi-table LSH must recover a meaningful fraction of the true
+    top-5 (measured ~43% on the near-orthogonal synthetic embeddings;
+    single-table sign LSH scored ~3%).  Floor set at 0.3."""
+    from processor_spark import registry
+    from tests.conftest import SF_SMALL
+
+    knn = {(r.q_id, r.neighbor_id) for r in registry.get("q_knn_join").fn(spark, SF_SMALL).collect()}
+    ann = {(r.q_id, r.neighbor_id) for r in registry.get("q_ann_lsh").fn(spark, SF_SMALL).collect()}
+    recall = len(knn & ann) / len(knn)
+    assert recall >= 0.3, f"LSH recall collapsed: {recall:.2f}"
+
+
+def test_minhash_catches_all_exact_near_dups(spark):
+    """Every pair the exact n-gram Jaccard finds (J >= 0.5) must appear
+    among the MinHash banding candidates (8 bands × 2 rows S-curve
+    threshold ≈ 0.35 < 0.5)."""
+    from processor_spark import registry
+    from tests.conftest import SF_SMALL
+
+    exact = {(r.doc_a, r.doc_b) for r in registry.get("q_dedup_ngram").fn(spark, SF_SMALL).collect()}
+    cand = {(r.doc_a, r.doc_b) for r in registry.get("q_dedup_minhash").fn(spark, SF_SMALL).collect()}
+    assert exact <= cand, f"missed pairs: {exact - cand}"
