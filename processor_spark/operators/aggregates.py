@@ -256,3 +256,26 @@ def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_estimate("region_sketch").alias("approx_customers"),
         )
     )
+
+
+@register(
+    "q_median",
+    sql="""
+    SELECT o_orderpriority,
+           round(median(o_totalprice), 4) AS median_price,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median per priority (both engines interpolate even-count
+    groups identically — verified at sf0.001/sf0.01, so this carries a
+    full hash oracle unlike the sketch-based q_percentiles).  Exact
+    medians need the group sorted — fine per-group here; at extreme
+    group sizes prefer the q_percentiles sketch."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.median("o_totalprice"), 4).alias("median_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
