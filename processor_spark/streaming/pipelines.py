@@ -273,3 +273,69 @@ def read_kafka_stream(
         "value DOUBLE, props STRING",
     )
     return raw.select(parsed.alias("e")).select("e.*")
+
+
+ASOF_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("purchase_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("purchase_ts", T.TimestampType()),
+        T.StructField("last_click_ts", T.TimestampType()),
+    ]
+)
+
+ASOF_STATE_SCHEMA = T.StructType([T.StructField("last_click_us", T.LongType())])
+
+
+def _asof_fn(key, pdfs: Iterator[pd.DataFrame], state):
+    """Streaming as-of join as a per-user state machine: remember the
+    latest click timestamp; emit each purchase with the click that
+    preceded it.  The incremental twin of the batch union-and-carry
+    rewrite (operators/temporal.py::q_join_asof)."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        state.remove()
+        return
+    (last_click_us,) = state.get if state.exists else (None,)
+    out = {"purchase_id": [], "user_id": [], "purchase_ts": [], "last_click_ts": []}
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for _, row in pdf.iterrows():
+            ts_us = int(pd.Timestamp(row["ts"]).value // 1000)
+            if row["event_type"] == "click":
+                if last_click_us is None or ts_us > last_click_us:
+                    last_click_us = ts_us
+            elif row["event_type"] == "purchase":
+                out["purchase_id"].append(int(row["event_id"]))
+                out["user_id"].append(int(user_id))
+                out["purchase_ts"].append(pd.Timestamp(ts_us * 1000))
+                out["last_click_ts"].append(
+                    pd.Timestamp(last_click_us * 1000) if last_click_us is not None else pd.NaT
+                )
+    state.update((last_click_us,))
+    if out["purchase_id"]:
+        yield pd.DataFrame(out)
+
+
+def asof_enrich_stateful(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming as-of: purchases enriched with the user's latest
+    at-or-before click via applyInPandasWithState.
+
+    Correct when micro-batches arrive in event-time order per user (the
+    file-source chunk feed; a Kafka feed keyed by user gives the same) —
+    cross-batch reordering older than the watermark is dropped upstream.
+    State = one timestamp per user, evicted on event-time timeout.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _asof_fn,
+            outputStructType=ASOF_OUT_SCHEMA,
+            stateStructType=ASOF_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

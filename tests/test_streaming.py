@@ -243,3 +243,19 @@ def test_stream_sliding_equals_batch_prefix(spark, events_chunks_dir):
     want_rows = set(_sorted_rows(want, cols))
     assert got_rows <= want_rows
     assert len(got_rows) > 0.8 * len(want_rows)
+
+
+def test_streaming_asof_matches_batch_asof(spark, events_chunks_dir):
+    """The stateful streaming as-of must agree with the batch
+    union-and-carry q_join_asof on every purchase (chronological feed,
+    no late data)."""
+    from processor_spark import registry
+
+    stream = P.read_events_stream(spark, events_chunks_dir)
+    got = _drain(spark, P.asof_enrich_stateful(stream), "t_asof", mode="append")
+    want = registry.get("q_join_asof").fn(spark, SF_SMALL)
+    g = {r.purchase_id: r.last_click_ts for r in got.collect()}
+    w = {r.purchase_id: r.last_click_ts for r in want.collect()}
+    assert set(g) == set(w), "every purchase must be emitted exactly once"
+    mismatches = {k: (g[k], w[k]) for k in w if g[k] != w[k]}
+    assert not mismatches, f"{len(mismatches)} mismatched enrichments: {list(mismatches.items())[:3]}"
