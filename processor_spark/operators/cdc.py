@@ -1,0 +1,95 @@
+"""CDC / upsert / SCD2 — MERGE-INTO emulation (no Delta in this stack).
+
+The relational identities behind MERGE:
+  upsert(base, updates, key) = updates ∪ (base ⟕anti updates)
+  scd2: close current rows touched by a change (valid_to = change ts),
+        append the new versions open-ended.
+
+Scale notes: the anti-join ships only update keys; at 100 TB base
+tables this is the standard "merge-on-read-free" batch upsert — one
+anti-join + union, partition-overwrite only the touched partitions
+(session partitionOverwriteMode=dynamic).  A Delta/Iceberg table
+format replaces the rewrite with deletion vectors; the logical plan
+here is what those formats execute underneath.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from processor_spark.registry import register
+from processor_spark.sources import load
+
+
+def upsert(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """MERGE-INTO emulation: rows from ``updates`` win on key collision;
+    unmatched base rows pass through."""
+    return updates.unionByName(base.join(updates.select(key), key, "left_anti"))
+
+
+def scd2_apply(
+    dim: DataFrame, changes: DataFrame, key: str, change_ts: str = "changed_at"
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: ``dim`` rows carry
+    (valid_from, valid_to NULL=open); each change row closes the open
+    version of its key at change time and appends a new open version."""
+    open_rows = dim.where(F.col("valid_to").isNull())
+    touched = open_rows.join(changes.select(key, change_ts), key)
+    closed = touched.withColumn("valid_to", F.col(change_ts)).drop(change_ts)
+    untouched = dim.join(changes.select(key), key, "left_anti")
+    closed_history = dim.where(F.col("valid_to").isNotNull()).join(
+        changes.select(key), key, "left_semi"
+    )
+    new_versions = changes.withColumn("valid_from", F.col(change_ts)).withColumn(
+        "valid_to", F.lit(None).cast("timestamp")
+    ).drop(change_ts)
+    return untouched.unionByName(closed_history).unionByName(closed).unionByName(
+        new_versions
+    )
+
+
+@register(
+    "q_upsert",
+    sql="""
+    WITH updates AS (
+      SELECT o_orderkey, 'X' AS o_orderstatus, round(o_totalprice * 1.1, 2) AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, 'N', 100.0
+      FROM orders WHERE o_orderkey % 1000 = 0
+    )
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+    FROM updates
+    UNION ALL
+    SELECT o.o_orderkey, o.o_orderstatus, round(o.o_totalprice, 2)
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = o.o_orderkey)
+    """,
+)
+def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic CDC batch applied to orders: every 10th order
+    updated (status X, +10% price), synthetic new orders inserted —
+    the full merged table is the hash-checked result."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    updated = (
+        o.where(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("X").alias("o_orderstatus"),
+            F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+        )
+    )
+    inserted = (
+        o.where(F.col("o_orderkey") % 1000 == 0)
+        .select(
+            (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.lit(100.0).alias("o_totalprice"),
+        )
+    )
+    updates = updated.unionByName(inserted)
+    merged = upsert(o, updates, "o_orderkey")
+    return merged.select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
+    )

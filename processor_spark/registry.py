@@ -47,6 +47,7 @@ _MODULES = [
     "processor_spark.operators.timeseries",
     "processor_spark.operators.skew",
     "processor_spark.operators.corpus",
+    "processor_spark.operators.cdc",
     "processor_spark.operators.dedup",
     "processor_spark.operators.similarity",
     "processor_spark.operators.text",
