@@ -53,7 +53,7 @@ def scd2_apply(
     "q_upsert",
     sql="""
     WITH updates AS (
-      SELECT o_orderkey, 'X' AS o_orderstatus, round(o_totalprice * 1.1, 2) AS o_totalprice
+      SELECT o_orderkey, 'X' AS o_orderstatus, round(o_totalprice + 1000.0, 2) AS o_totalprice
       FROM orders WHERE o_orderkey % 10 = 0
       UNION ALL
       SELECT o_orderkey + 10000000, 'N', 100.0
@@ -69,7 +69,7 @@ def scd2_apply(
 )
 def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic CDC batch applied to orders: every 10th order
-    updated (status X, +10% price), synthetic new orders inserted —
+    updated (status X, +1000 price), synthetic new orders inserted —
     the full merged table is the hash-checked result."""
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
     updated = (
@@ -77,7 +77,7 @@ def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             F.lit("X").alias("o_orderstatus"),
-            F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+            F.round(F.col("o_totalprice") + 1000.0, 2).alias("o_totalprice"),
         )
     )
     inserted = (
