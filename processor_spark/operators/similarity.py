@@ -239,6 +239,113 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_DIM = 64
+IVF_NPROBE = 2
+
+
+_IVF_SQL = f"""
+    WITH cents AS (
+      SELECT label AS cid, list(round(v, 6) ORDER BY dim) AS cvec FROM (
+        SELECT label, gs.dim AS dim, avg(CAST(embedding[gs.dim] AS DOUBLE)) AS v
+        FROM embeddings, generate_series(1, {IVF_DIM}) AS gs(dim)
+        GROUP BY label, gs.dim
+      ) GROUP BY label
+    ), assign AS (
+      SELECT vec_id, emb, cid AS cell FROM (
+        SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) DESC,
+                          c.cid) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT q_id, cid AS cell FROM (
+        SELECT e.vec_id AS q_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) DESC,
+                          c.cid) AS rn
+        FROM embeddings e CROSS JOIN cents c WHERE e.vec_id <= {KNN_QUERIES}
+      ) WHERE rn <= {IVF_NPROBE}
+    ), qv AS (
+      SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qvec
+      FROM embeddings WHERE vec_id <= {KNN_QUERIES}
+    )
+    SELECT q_id, vec_id AS neighbor_id, round(cos_raw, 6) AS cos_sim, rn AS rank FROM (
+      SELECT p.q_id, a.vec_id,
+             list_cosine_similarity(a.emb, qv.qvec) AS cos_raw,
+             row_number() OVER (PARTITION BY p.q_id
+               ORDER BY list_cosine_similarity(a.emb, qv.qvec) DESC, a.vec_id) AS rn
+      FROM probes p JOIN assign a ON a.cell = p.cell JOIN qv ON qv.q_id = p.q_id
+      WHERE a.vec_id <> p.q_id
+    ) WHERE rn <= {KNN_K}
+    """
+
+
+@register("q_ann_ivf", sql=_IVF_SQL)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: Voronoi-cell index + nprobe search.
+
+    The third scale path alongside sign-LSH (q_ann_lsh) and ml LSH
+    (q_ann_ml): corpus vectors are assigned to their nearest centroid
+    cell once (an O(n·nlist) map-side pass — centroids broadcast,
+    argmax via max_by partial aggregation so only one row per vector
+    crosses the shuffle), and each query probes only its IVF_NPROBE
+    nearest cells, scanning ~nprobe/nlist of the corpus.  Centroids
+    here are per-label mean vectors — deterministic (vs k-means'
+    init-dependence), so the whole index is SQL-oracle-checkable;
+    production swaps in k-means centroids, same plan shape.  Components
+    are rounded to 6dp on both engines before any cosine so the two
+    sides index identically."""
+    e = load(spark, sf_dir, "embeddings")
+    # deterministic centroids: per-label per-dimension mean, 6dp-rounded
+    cents = (
+        e.select("label", F.posexplode(_as_double("embedding")).alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.avg("v").alias("v"))
+        .groupBy(F.col("label").alias("cid"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "v"))),
+                lambda s: F.round(s["v"], 6),
+            ).alias("cvec")
+        )
+    )
+    corpus = e.select("vec_id", _as_double("embedding").alias("emb"))
+    scored = corpus.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "emb", "cid", cosine(F.col("emb"), F.col("cvec")).alias("ccos")
+    )
+    # nearest cell per vector: map-side max_by, ties to the lowest cid
+    assign = scored.groupBy("vec_id").agg(
+        F.max_by("cid", F.struct(F.col("ccos"), -F.col("cid"))).alias("cell"),
+        F.first("emb").alias("emb"),
+    )
+    probe_w = Window.partitionBy("q_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    probes = (
+        scored.where(F.col("vec_id") <= KNN_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), "cid", "ccos")
+        .withColumn("rn", F.row_number().over(probe_w))
+        .where(F.col("rn") <= IVF_NPROBE)
+        .select("q_id", F.col("cid").alias("cell"))
+    )
+    qv = corpus.where(F.col("vec_id") <= KNN_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("qvec")
+    )
+    cands = (
+        assign.join(F.broadcast(probes), on="cell")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .join(F.broadcast(qv), on="q_id")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        cands.select(
+            "q_id", "vec_id", F.round(cosine(F.col("emb"), F.col("qvec")), 6).alias("cos_sim")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= KNN_K)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cos_sim", "rank")
+    )
+
+
 @register(
     "q_dedup_embed",
     sql="""
