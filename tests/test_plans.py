@@ -101,6 +101,14 @@ def test_ann_lsh_is_equi_join_on_bucket(spark):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
 
 
+def test_ann_ivf_probes_cells_not_corpus(spark):
+    # IVF's point: the final search joins the cell assignment to the
+    # broadcast probe list on an equi key (cell) — never all-pairs.
+    plan = explain_str(_df(spark, "q_ann_ivf"))
+    assert "CartesianProduct" not in plan.replace("BroadcastNestedLoopJoin", "", 2), plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
 def test_interval_join_is_equi_join_with_residual(spark):
     plan = explain_str(_df(spark, "q_join_interval"))
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
