@@ -390,3 +390,104 @@ def q_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(v, "$.k", "int").alias("k_int"),
         F.variant_get(v, "$.k", "string").alias("k_raw"),
     )
+
+
+@register(
+    "q_regexp_funcs",
+    sql=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER)       AS n_words,
+           CAST(len(regexp_extract_all(text, '\bthe\b')) AS INTEGER)      AS n_the,
+           regexp_matches(text, '\bdata\b')                               AS has_data,
+           regexp_extract(substr(text, 1, 40), '([a-z]+) ([a-z]+)', 2)    AS second_word,
+           regexp_replace(substr(text, 1, 40), '([aeiou])', '<\1>', 'g')  AS vowels_marked,
+           regexp_replace(substr(text, 1, 40), '\s+', '_', 'g')           AS snake
+    FROM documents
+    """,
+)
+def q_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp family: extract_all (explicit idx=0 — Spark 4 requires it
+    for group-free patterns), count, like, group extraction, global
+    replace with backreference ($1 in Spark vs \\1 in DuckDB — bridged
+    in the oracle SQL).  All JVM-side, no shuffle."""
+    d = load(spark, sf_dir, "documents")
+    head = F.substring("text", 1, 40)
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"[a-z]+"), 0)).alias("n_words"),
+        F.regexp_count("text", F.lit(r"\bthe\b")).alias("n_the"),
+        F.regexp_like("text", F.lit(r"\bdata\b")).alias("has_data"),
+        F.regexp_extract(head, r"([a-z]+) ([a-z]+)", 2).alias("second_word"),
+        F.regexp_replace(head, r"([aeiou])", r"<$1>").alias("vowels_marked"),
+        F.regexp_replace(head, r"\s+", "_").alias("snake"),
+    )
+
+
+@register(
+    "q_try_funcs",
+    sql="""
+    SELECT o_orderkey,
+           round(o_totalprice / NULLIF(o_orderkey % 7, 0), 4)   AS div7,
+           TRY_CAST(o_orderpriority AS INTEGER)                 AS pri_int,
+           TRY_CAST(split_part(o_orderpriority, '-', 1) AS INTEGER) AS pri_num,
+           CASE WHEN o_orderkey = 0 THEN 0
+                WHEN o_orderkey = 1 THEN 9223372036854775807
+                ELSE NULL END                                   AS ovf_mul,
+           str_split(o_orderpriority, '-')[2]                   AS pri_word,
+           str_split(o_orderpriority, '-')[5]                   AS pri_missing
+    FROM orders
+    """,
+)
+def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode escape hatches (Spark 4 runs ANSI ON): try_divide
+    (NULL on /0 instead of error), try_cast, try_multiply (NULL on
+    int64 overflow — oracle states the expected value since DuckDB's
+    vectorized CASE would itself overflow), try_element_at past the
+    end.  The family every ANSI pipeline needs for dirty data."""
+    o = load(spark, sf_dir, "orders")
+    parts = F.split("o_orderpriority", "-")
+    return o.select(
+        "o_orderkey",
+        F.round(F.try_divide("o_totalprice", F.col("o_orderkey") % 7), 4).alias("div7"),
+        F.col("o_orderpriority").try_cast("int").alias("pri_int"),
+        F.split_part(F.col("o_orderpriority"), F.lit("-"), F.lit(1)).try_cast("int").alias(
+            "pri_num"
+        ),
+        F.try_multiply("o_orderkey", F.lit(9223372036854775807)).alias("ovf_mul"),
+        F.try_element_at(parts, F.lit(2)).alias("pri_word"),
+        F.try_element_at(parts, F.lit(5)).alias("pri_missing"),
+    )
+
+
+@register(
+    "q_array_funcs2",
+    sql="""
+    SELECT o_orderkey,
+           list_sort(list_intersect(range(1, n + 1), [2,3,4]))                  AS arr_inter,
+           list_sort(list_distinct(list_concat(range(1, n + 1), [4,9])))       AS arr_union,
+           list_sort(list_filter(range(1, n + 1),
+                                 x -> NOT list_contains([1,2], x)))            AS arr_exc,
+           flatten([range(1, n + 1), [0]])                                     AS flat,
+           CAST(len(list_intersect(range(1, n + 1), [5,6])) > 0 AS BOOLEAN)    AS overlaps56,
+           CAST(COALESCE(list_position(range(1, n + 1), 3), 0) AS BIGINT)      AS pos3
+    FROM (SELECT o_orderkey, o_orderkey % 5 + 2 AS n FROM orders)
+    """,
+)
+def q_array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family 2 — set algebra and generation: sequence,
+    intersect/union/except (sorted canonically on both engines; DuckDB
+    list_intersect order is unspecified), flatten, overlap test,
+    position (Spark's 0-when-absent bridged via COALESCE).  Generated
+    from keys so the oracle is pure SQL."""
+    o = load(spark, sf_dir, "orders")
+    n = (F.col("o_orderkey") % 5 + 2).cast("long")
+    seq = F.sequence(F.lit(1).cast("long"), n)
+    return o.select(
+        "o_orderkey",
+        F.array_sort(F.array_intersect(seq, F.array(F.lit(2), F.lit(3), F.lit(4)).cast("array<long>"))).alias("arr_inter"),
+        F.array_sort(F.array_union(seq, F.array(F.lit(4), F.lit(9)).cast("array<long>"))).alias("arr_union"),
+        F.array_sort(F.array_except(seq, F.array(F.lit(1), F.lit(2)).cast("array<long>"))).alias("arr_exc"),
+        F.flatten(F.array(seq, F.array(F.lit(0).cast("long")))).alias("flat"),
+        F.arrays_overlap(seq, F.array(F.lit(5), F.lit(6)).cast("array<long>")).alias("overlaps56"),
+        F.array_position(seq, 3).alias("pos3"),
+    )

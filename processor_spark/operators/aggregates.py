@@ -279,3 +279,28 @@ def q_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.median("o_totalprice"), 4).alias("median_price"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@register(
+    "q_agg_bool",
+    sql="""
+    SELECT o_orderstatus,
+           bool_and(o_totalprice > 1000.0)                    AS all_over_1k,
+           bool_or(o_orderpriority = '1-URGENT')              AS any_urgent,
+           CAST(count_if(o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent,
+           CAST(count_if(o_totalprice > 200000.0) AS BIGINT)  AS n_big
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregate family: bool_and / bool_or /
+    count_if per group — all partial-aggregable (map-side combine),
+    so the shuffle carries one row per (partition, group)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.bool_and(F.col("o_totalprice") > 1000.0).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
+        F.count_if(F.col("o_totalprice") > 200000.0).alias("n_big"),
+    )
