@@ -259,3 +259,38 @@ def test_streaming_asof_matches_batch_asof(spark, events_chunks_dir):
     assert set(g) == set(w), "every purchase must be emitted exactly once"
     mismatches = {k: (g[k], w[k]) for k in w if g[k] != w[k]}
     assert not mismatches, f"{len(mismatches)} mismatched enrichments: {list(mismatches.items())[:3]}"
+
+
+def test_restart_resumes_from_offsets_exactly_once(spark, tmp_path):
+    """Exactly-once across restarts: the checkpoint's offset log records
+    which source files batch N consumed; a restarted query must process
+    only files added since — no duplicates, no gaps (the file-sink
+    commit protocol is the other half of the guarantee)."""
+    import pandas as pd
+
+    data = tmp_path / "inbox"
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    data.mkdir()
+    us = lambda s: int(pd.Timestamp(s).value // 1000)
+    mk = lambda ids: pd.DataFrame(
+        {
+            "event_id": ids,
+            "ts": [us("2024-01-01 00:00:00") + i * 1_000_000 for i in ids],
+            "user_id": [1] * len(ids),
+            "event_type": ["click"] * len(ids),
+            "value": [1.0] * len(ids),
+            "props": ["{}"] * len(ids),
+        }
+    )
+
+    def run_once():
+        stream = P.read_events_stream(spark, str(data)).select("event_id", "ts")
+        P.write_parquet_stream(stream, out, ckpt)
+
+    mk([1, 2, 3]).to_parquet(data / "c1.parquet", index=False)
+    run_once()
+    mk([4, 5, 6]).to_parquet(data / "c2.parquet", index=False)
+    run_once()
+    got = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3, 4, 5, 6], got
