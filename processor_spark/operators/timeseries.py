@@ -125,3 +125,75 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(s.agg(F.count(F.lit(1)).alias("users_signed_up")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("users_purchased")))
     )
+
+
+@register(
+    "q_anomaly_zscore",
+    sql="""
+    SELECT event_id, event_type, round(value, 3) AS value, round(z, 4) AS z
+    FROM (
+      SELECT event_id, event_type, value,
+             (value - avg(value) OVER (PARTITION BY event_type))
+               / NULLIF(stddev(value) OVER (PARTITION BY event_type), 0) AS z
+      FROM events
+    )
+    WHERE abs(z) > 3.0
+    """,
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly detection: events whose value is >3 sample
+    standard deviations from their type's mean.  One unordered window
+    per event_type (a single shuffle on the partition key; at scale the
+    per-type stats could instead be a broadcast-back groupBy so the
+    fact table is scanned once and never sorted)."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    z = (F.col("value") - F.avg("value").over(w)) / F.nullif(
+        F.stddev("value").over(w), F.lit(0.0)
+    )
+    return (
+        e.withColumn("z", z)
+        .where(F.abs(F.col("z")) > 3.0)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 3).alias("value"),
+            F.round("z", 4).alias("z"),
+        )
+    )
+
+
+@register(
+    "q_cohort_retention",
+    sql="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week FROM events GROUP BY user_id
+    )
+    SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', f.cohort_week, date_trunc('week', e.ts)) / 7 AS INTEGER) AS week_n,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN firsts f USING (user_id)
+    GROUP BY f.cohort_week, week_n
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week, counted
+    distinct in each subsequent week.  first-seen is a groupBy (not a
+    window) so the fact scan shuffles once on user_id and the cohort
+    map joins back by key; Monday week-truncation agrees across engines
+    and the DATE is stringified (CLAUDE.md bridge)."""
+    e = load(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    return (
+        e.join(firsts, "user_id")
+        .withColumn(
+            "week_n",
+            (F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7).cast("int"),
+        )
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"), "week_n"
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
