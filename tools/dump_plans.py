@@ -1,5 +1,6 @@
 #!/usr/bin/env python3
 """Regenerate PLANS.md: executed AQE-final plans of the headline queries."""
+import re
 import sys
 
 sys.path.insert(0, ".")
@@ -12,16 +13,32 @@ HEADLINE = [
     "q_sessionization", "q_topk_similarity", "q_text_tokens", "q_grouping_sets",
 ]
 
+INTRO = """Post-execution (AQE-final) plans captured from `.explain("formatted")`
+minus the verbose node detail — regenerate with
+`python3 tools/dump_plans.py`. What to look for per SCALE.md:
+PushedFilters on every scan, BroadcastHashJoin on dim joins, two
+HashAggregate phases per agg, TakeOrderedAndProject for top-k,
+`[codegen id]` spans covering the hot pipelines, no BatchEvalPython
+anywhere.
+"""
+
+
 def main(sf="/root/testdata/sf0.1"):
     registry.load_all_modules()
     spark = build_session()
-    out = ["# PLANS — executed physical plans of the headline queries (sf0.1)\n"]
+    out = [f"# PLANS — executed physical plans of the headline queries (sf0.1)\n\n{INTRO}"]
     for key in HEADLINE:
         df = registry.get(key).fn(spark, sf)
         df.collect()
         plan = explain_str(df, "formatted")
         out.append(f"## {key}\n\n```\n{plan.split(chr(10)*2)[0]}\n```\n")
+        pushed = sorted(
+            {m for m in re.findall(r"PushedFilters: \[[^\]]+\]", plan) if "[]" not in m}
+        )
+        if pushed:
+            out.append("Pushed filters: " + "; ".join(pushed) + "\n")
     open("PLANS.md", "w").write("\n".join(out))
+
 
 if __name__ == "__main__":
     main(*sys.argv[1:])
