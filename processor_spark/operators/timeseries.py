@@ -197,3 +197,74 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@register(
+    "q_transition_matrix",
+    sql="""
+    SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n,
+           round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY event_type), 4) AS p
+    FROM (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: P(next event type | current).  One shuffle on user_id for
+    the lead window, then a tiny (types × types) agg; the row-normalize
+    window runs on that tiny result, not the fact table."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    counts = (
+        e.withColumn("next_type", F.lead("event_type").over(seq))
+        .where(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    norm = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(norm), 4).alias("p"),
+    )
+
+
+@register(
+    "q_event_throttle",
+    sql="""
+    SELECT event_id, user_id, event_type, ts
+    FROM (
+      SELECT event_id, user_id, event_type, ts,
+             lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    )
+    WHERE prev_ts IS NULL OR date_diff('second', prev_ts, ts) >= 300
+    """,
+)
+def q_event_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce/throttle: keep an event only if the previous event of
+    the same (user, type) is at least 5 minutes older — the dedup
+    variant real pipelines want when retries arrive with fresh ids
+    (dropDuplicates can't catch them).  Single lag window per key;
+    streaming twin is the same logic via applyInPandasWithState."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    return (
+        e.withColumn("prev_ts", prev)
+        .where(
+            F.col("prev_ts").isNull()
+            | ((F.unix_micros("ts") - F.unix_micros("prev_ts")) >= 300 * 1_000_000)
+        )
+        .select("event_id", "user_id", "event_type", "ts")
+    )
