@@ -339,3 +339,60 @@ def asof_enrich_stateful(events: DataFrame, watermark: str = "1 hour") -> DataFr
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+THROTTLE_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+THROTTLE_STATE_SCHEMA = T.StructType([T.StructField("last_seen_us", T.LongType())])
+
+THROTTLE_GAP_US = 300 * 1_000_000  # 5 minutes, matches q_event_throttle
+
+
+def _throttle_fn(key, pdfs: Iterator[pd.DataFrame], state):
+    """Streaming quiet-gap filter: emit an event iff the previous event
+    of the same (user, type) — emitted or not — is >= 5 min older,
+    exactly the batch lag(ts) semantics of q_event_throttle.  State =
+    last seen timestamp per key (always advanced)."""
+    user_id, event_type = key
+    if state.hasTimedOut:
+        state.remove()
+        return
+    (last_seen_us,) = state.get if state.exists else (None,)
+    out = {"event_id": [], "user_id": [], "event_type": [], "ts": []}
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for _, row in pdf.iterrows():
+            ts_us = int(pd.Timestamp(row["ts"]).value // 1000)
+            if last_seen_us is None or ts_us - last_seen_us >= THROTTLE_GAP_US:
+                out["event_id"].append(int(row["event_id"]))
+                out["user_id"].append(int(user_id))
+                out["event_type"].append(str(event_type))
+                out["ts"].append(pd.Timestamp(ts_us * 1000))
+            last_seen_us = ts_us
+    state.update((last_seen_us,))
+    if out["event_id"]:
+        yield pd.DataFrame(out)
+
+
+def throttle_stateful(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming 5-min debounce per (user, type) via applyInPandasWithState."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            _throttle_fn,
+            outputStructType=THROTTLE_OUT_SCHEMA,
+            stateStructType=THROTTLE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -183,3 +183,37 @@ def test_minhash_catches_all_exact_near_dups(spark):
     exact = {(r.doc_a, r.doc_b) for r in registry.get("q_dedup_ngram").fn(spark, SF_SMALL).collect()}
     cand = {(r.doc_a, r.doc_b) for r in registry.get("q_dedup_minhash").fn(spark, SF_SMALL).collect()}
     assert exact <= cand, f"missed pairs: {exact - cand}"
+
+
+def test_throttle_is_idempotent(spark):
+    """Throttling an already-throttled stream changes nothing: every
+    surviving event begins a >=5-min quiet gap, so re-applying the lag
+    filter keeps all of them."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from processor_spark.registry import get
+    from tests.conftest import SF_SMALL
+
+    once = get("q_event_throttle").fn(spark, SF_SMALL)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    twice = (
+        once.withColumn("prev_ts", F.lag("ts").over(w))
+        .where(
+            F.col("prev_ts").isNull()
+            | ((F.unix_micros("ts") - F.unix_micros("prev_ts")) >= 300 * 1_000_000)
+        )
+        .drop("prev_ts")
+    )
+    assert twice.count() == once.count()
+
+
+def test_transition_matrix_rows_are_distributions(spark):
+    from pyspark.sql import functions as F
+
+    from processor_spark.registry import get
+    from tests.conftest import SF_SMALL
+
+    tm = get("q_transition_matrix").fn(spark, SF_SMALL)
+    sums = tm.groupBy("event_type").agg(F.sum("p").alias("total")).collect()
+    assert all(abs(r.total - 1.0) < 0.01 for r in sums), sums

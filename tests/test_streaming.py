@@ -294,3 +294,13 @@ def test_restart_resumes_from_offsets_exactly_once(spark, tmp_path):
     run_once()
     got = sorted(r.event_id for r in spark.read.parquet(out).collect())
     assert got == [1, 2, 3, 4, 5, 6], got
+
+
+def test_streaming_throttle_matches_batch_throttle(spark, events_chunks_dir):
+    from processor_spark.registry import get
+
+    stream = P.read_events_stream(spark, events_chunks_dir)
+    got = _drain(spark, P.throttle_stateful(stream), "t_throttle")
+    want = get("q_event_throttle").fn(spark, SF_SMALL)
+    cols = ["event_id", "user_id", "event_type", "ts"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
