@@ -366,17 +366,26 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard semantic-dedup shape for LLM corpora.
     """
     e = load(spark, sf_dir, "embeddings")
-    a = e.select(
-        F.col("vec_id").alias("vec_a"), F.col("label"), _as_double("embedding").alias("emb_a")
+    # hoist the L2 norm to a per-vector column: the pair stage then does
+    # one dot product per pair instead of dot + two array folds —
+    # bit-identical result (same expression tree, evaluated once)
+    base = e.select(
+        "vec_id", "label", _as_double("embedding").alias("emb")
+    ).withColumn("nrm", l2norm(F.col("emb")))
+    a = base.select(
+        F.col("vec_id").alias("vec_a"), "label",
+        F.col("emb").alias("emb_a"), F.col("nrm").alias("nrm_a"),
     )
-    b = e.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("label").alias("label_b"),
-        _as_double("embedding").alias("emb_b"),
+    b = base.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"),
+        F.col("emb").alias("emb_b"), F.col("nrm").alias("nrm_b"),
     )
     pairs = a.join(
         b, (a.label == b.label_b) & (F.col("vec_a") < F.col("vec_b"))
-    ).withColumn("cos_sim_raw", cosine(F.col("emb_a"), F.col("emb_b")))
+    ).withColumn(
+        "cos_sim_raw",
+        dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b")),
+    )
     return pairs.where(F.col("cos_sim_raw") >= 0.99).select(
         "vec_a", "vec_b", F.round("cos_sim_raw", 6).alias("cos_sim")
     )
