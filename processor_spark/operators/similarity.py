@@ -119,16 +119,24 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (REPOSE/ICDE'21-style partition-local search).
     """
     e = load(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") <= KNN_QUERIES).select(
-        F.col("vec_id").alias("q_id"), _as_double("embedding").alias("qvec")
+    # per-vector norms hoisted out of the pair stage (see q_dedup_embed)
+    corpus = e.select("vec_id", _as_double("embedding").alias("emb")).withColumn(
+        "nrm", l2norm(F.col("emb"))
+    )
+    q = corpus.where(F.col("vec_id") <= KNN_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
     )
     sim = (
-        e.crossJoin(F.broadcast(q))
+        corpus.crossJoin(F.broadcast(q))
         .where(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
             "vec_id",
-            F.round(cosine(_as_double("embedding"), F.col("qvec")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("emb"), F.col("qvec")) / (F.col("nrm") * F.col("qnrm")), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
@@ -211,12 +219,13 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("emb")
-    )
+    ).withColumn("nrm", l2norm(F.col("emb")))
     for t in range(LSH_TABLES):
         e = e.withColumn(f"bucket{t}", _table_bucket_expr("emb", t))
     q = e.where(F.col("vec_id") <= KNN_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("emb").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
         *[F.col(f"bucket{t}").alias(f"qbucket{t}") for t in range(LSH_TABLES)],
     )
     cands = None
@@ -224,14 +233,18 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ct = (
             e.join(F.broadcast(q), on=e[f"bucket{t}"] == q[f"qbucket{t}"])
             .where(F.col("vec_id") != F.col("q_id"))
-            .select("q_id", "vec_id", "emb", "qvec")
+            .select("q_id", "vec_id", "emb", "nrm", "qvec", "qnrm")
         )
         cands = ct if cands is None else cands.unionByName(ct)
     cands = cands.dropDuplicates(["q_id", "vec_id"])
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
         cands.select(
-            "q_id", "vec_id", F.round(cosine(F.col("emb"), F.col("qvec")), 6).alias("cos_sim")
+            "q_id",
+            "vec_id",
+            F.round(
+                dot(F.col("emb"), F.col("qvec")) / (F.col("nrm") * F.col("qnrm")), 6
+            ).alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= KNN_K)
@@ -310,14 +323,23 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cvec")
         )
     )
-    corpus = e.select("vec_id", _as_double("embedding").alias("emb"))
+    corpus = e.select("vec_id", _as_double("embedding").alias("emb")).withColumn(
+        "nrm", l2norm(F.col("emb"))
+    )
     scored = corpus.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "emb", "cid", cosine(F.col("emb"), F.col("cvec")).alias("ccos")
+        "vec_id",
+        "emb",
+        "nrm",
+        "cid",
+        (dot(F.col("emb"), F.col("cvec")) / (F.col("nrm") * l2norm(F.col("cvec")))).alias(
+            "ccos"
+        ),
     )
     # nearest cell per vector: map-side max_by, ties to the lowest cid
     assign = scored.groupBy("vec_id").agg(
         F.max_by("cid", F.struct(F.col("ccos"), -F.col("cid"))).alias("cell"),
         F.first("emb").alias("emb"),
+        F.first("nrm").alias("nrm"),
     )
     probe_w = Window.partitionBy("q_id").orderBy(F.desc("ccos"), F.asc("cid"))
     probes = (
@@ -328,7 +350,9 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", F.col("cid").alias("cell"))
     )
     qv = corpus.where(F.col("vec_id") <= KNN_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("emb").alias("qvec")
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
     )
     cands = (
         assign.join(F.broadcast(probes), on="cell")
@@ -338,7 +362,11 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
         cands.select(
-            "q_id", "vec_id", F.round(cosine(F.col("emb"), F.col("qvec")), 6).alias("cos_sim")
+            "q_id",
+            "vec_id",
+            F.round(
+                dot(F.col("emb"), F.col("qvec")) / (F.col("nrm") * F.col("qnrm")), 6
+            ).alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= KNN_K)
