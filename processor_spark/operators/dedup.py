@@ -116,6 +116,10 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_has3").isNotNull())
         .select("doc_id", "source", "gram")
         .distinct()
+        # referenced three times below (both self-join sides + the size
+        # agg) — persist so the tokenize/window/distinct pipeline runs
+        # once, not three times
+        .persist()
     )
     sized = grams.groupBy("doc_id", "source").agg(F.count(F.lit(1)).alias("n_grams"))
     a = grams.alias("a")
@@ -362,7 +366,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays it as a recursive CTE, so even the engine's one
     iterative operator is hash-checked.
     """
-    pairs = q_dedup_ngram(spark, sf_dir).select("doc_a", "doc_b")
+    # materialize the (expensive) candidate-pair pipeline ONCE — the
+    # union references `pairs` twice and would compute it twice
+    pairs = (
+        q_dedup_ngram(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).distinct()
@@ -376,6 +386,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        # localCheckpoint breaks the lineage each round: without it the
+        # plan references the previous labels twice per iteration
+        # (2^k growth) and every round recomputes all prior rounds
         new_labels = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
@@ -384,6 +397,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
