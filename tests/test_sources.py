@@ -143,3 +143,28 @@ def test_dynamic_partition_overwrite_preserves_untouched_partitions(spark, tmp_p
     after = spark.read.parquet(path)
     assert after.count() == before, "non-1997 partitions must survive the overwrite"
     assert after.where("order_year = 1997").count() == y1997.count()
+
+
+def test_range_clustered_layout_has_disjoint_file_ranges(spark, tmp_path):
+    """write_range_clustered: each output file owns a disjoint key range
+    (this is what lets row-group min/max stats skip whole files)."""
+    import pyspark.sql.functions as F
+
+    from processor_spark.sources import load, sinks
+
+    path = str(tmp_path / "clustered")
+    o = load(spark, SF_SMALL, "orders")
+    sinks.write_range_clustered(o, path, ["o_totalprice"], n_files=8)
+    spans = (
+        spark.read.parquet(path)
+        .select("o_totalprice", F.input_file_name().alias("f"))
+        .groupBy("f")
+        .agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(spans) > 1
+    for prev, cur in zip(spans, spans[1:]):
+        assert prev.hi <= cur.lo, (prev, cur)
+    # and the data survives intact
+    assert spark.read.parquet(path).count() == o.count()
