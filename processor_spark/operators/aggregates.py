@@ -304,3 +304,72 @@ def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
         F.count_if(F.col("o_totalprice") > 200000.0).alias("n_big"),
     )
+
+
+@register(
+    "q_mode",
+    sql="""
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS mode_count
+    FROM (
+      SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY count(*) DESC, o_orderpriority) AS rn
+      FROM orders GROUP BY 1, 2
+    ) WHERE rn = 1
+    """,
+)
+def q_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode (most frequent value) per group: counted,
+    then row_number with an explicit (count DESC, value ASC)
+    tie-break — F.mode exists in Spark 4 but leaves ties
+    engine-defined, so the portable form is count + top-1.  Two-phase
+    hash agg shrinks the input to |statuses x priorities| rows before
+    the window, so the sort is over a constant-size relation at any
+    scale."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    counted = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("cnt"), F.asc("o_orderpriority"))
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )
+
+
+@register(
+    "q_agg_weighted",
+    sql="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wavg_price,
+           round(sum(l_quantity), 2) AS total_weight,
+           round(pow(sum(l_quantity), 2) / sum(l_quantity * l_quantity), 4) AS eff_n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted aggregates per return flag: quantity-weighted mean
+    price plus Kish effective sample size (sum w)^2 / sum(w^2) — the
+    survey-statistics building blocks, expressed as plain sum
+    combinations so Catalyst keeps everything in one partial+final
+    hash agg (fully mergeable at 100 TB; no window, no second pass)."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity")) / F.sum("l_quantity"), 4
+        ).alias("wavg_price"),
+        F.round(F.sum("l_quantity"), 2).alias("total_weight"),
+        F.round(
+            F.pow(F.sum("l_quantity"), F.lit(2))
+            / F.sum(F.col("l_quantity") * F.col("l_quantity")),
+            4,
+        ).alias("eff_n"),
+    )

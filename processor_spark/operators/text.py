@@ -324,3 +324,63 @@ def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs_together"))
         .where(F.col("n_docs_together") >= 50)
     )
+
+
+@register(
+    "q_quality_repetition",
+    sql="""
+    WITH per_doc AS (
+      SELECT source,
+             len(grams) AS total_grams,
+             len(list_distinct(grams)) AS distinct_grams
+      FROM (
+        SELECT source,
+               list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i + 1]) AS grams
+        FROM (SELECT source, string_split(text, ' ') AS toks FROM documents)
+        WHERE len(toks) >= 2
+      )
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(total_grams) AS BIGINT) AS total_grams,
+           CAST(sum(distinct_grams) AS BIGINT) AS distinct_grams,
+           CAST(sum(CASE WHEN 10 * distinct_grams < 7 * total_grams
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+    FROM per_doc
+    GROUP BY source
+    """,
+)
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-bigram quality signal (the Gopher 'duplicate n-gram
+    fraction' rule): per document, total vs distinct word-2-grams, and
+    a repetitive flag when >30 % of bigrams are repeats — aggregated
+    per source.  All counts stay integers and the flag is an integer
+    cross-multiplication (10*distinct < 7*total), so the oracle check
+    is exact with zero float-boundary risk.  The grams never explode
+    to rows: array lambdas (transform + array_distinct) keep the work
+    per-document inside codegen, and the agg is one partial+final pass."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("source", F.split("text", " ").alias("toks")).where(
+        F.size("toks") >= 2
+    )
+    grams = toks.select(
+        "source",
+        F.expr(
+            "transform(sequence(1, size(toks) - 1),"
+            " i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))"
+        ).alias("grams"),
+    )
+    per_doc = grams.select(
+        "source",
+        F.size("grams").alias("total_grams"),
+        F.size(F.array_distinct("grams")).alias("distinct_grams"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("total_grams").alias("total_grams"),
+        F.sum("distinct_grams").alias("distinct_grams"),
+        F.sum(
+            F.when(10 * F.col("distinct_grams") < 7 * F.col("total_grams"), 1).otherwise(0)
+        ).alias("n_repetitive"),
+    )

@@ -268,3 +268,207 @@ def q_event_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "user_id", "event_type", "ts")
     )
+
+
+@register(
+    "q_resample_ohlc",
+    sql="""
+    WITH b AS (
+      SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS bucket_epoch,
+             event_type, value, ts, event_id,
+             row_number() OVER (
+               PARTITION BY CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT), event_type
+               ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (
+               PARTITION BY CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT), event_type
+               ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT bucket_epoch, event_type,
+           round(max(CASE WHEN rn_a = 1 THEN value END), 3) AS open,
+           round(max(value), 3) AS high,
+           round(min(value), 3) AS low,
+           round(max(CASE WHEN rn_d = 1 THEN value END), 3) AS close,
+           count(*) AS n_events,
+           round(sum(value), 3) AS volume
+    FROM b
+    GROUP BY bucket_epoch, event_type
+    """,
+)
+def q_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample/resample to 6-hour OHLC bars per event type — the
+    time-series "candlestick" primitive (open/high/low/close first-
+    and-last semantics made deterministic with an (ts, event_id)
+    tie-break on both engines).  One shuffle on (bucket, type): the
+    two row_numbers share the partition key with the final agg, so
+    Catalyst plans a single exchange followed by two in-partition
+    sorts and a partial+final hash agg.  At 100 TB the bar count is
+    bounded (buckets x types), so the output is dashboard-sized no
+    matter the input."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    b = e.withColumn(
+        "bucket_epoch",
+        (F.floor(F.unix_timestamp("ts") / 21600) * 21600).cast("bigint"),
+    )
+    part = ["bucket_epoch", "event_type"]
+    w_a = Window.partitionBy(*part).orderBy(F.asc("ts"), F.asc("event_id"))
+    w_d = Window.partitionBy(*part).orderBy(F.desc("ts"), F.desc("event_id"))
+    b = b.withColumn("rn_a", F.row_number().over(w_a)).withColumn(
+        "rn_d", F.row_number().over(w_d)
+    )
+    return b.groupBy(*part).agg(
+        F.round(F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 3).alias("open"),
+        F.round(F.max("value"), 3).alias("high"),
+        F.round(F.min("value"), 3).alias("low"),
+        F.round(F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 3).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 3).alias("volume"),
+    )
+
+
+def _ewma_terms(alpha: float = 0.5, depth: int = 8) -> tuple[str, str]:
+    """Identically-ordered numerator/denominator lag chains for both
+    engines.  0.5**k is binary-exact, the hourly inputs are pre-rounded
+    to 6 dp, and the term order is fixed by the generated text — so
+    Spark and DuckDB run bit-identical float arithmetic."""
+    num = " + ".join(
+        f"coalesce({alpha**k!r} * lag(v, {k}) OVER w, 0.0)" for k in range(depth)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag(v, {k}) OVER w IS NOT NULL THEN {alpha**k!r} ELSE 0.0 END)"
+        for k in range(depth)
+    )
+    return num, den
+
+
+_EWMA_NUM, _EWMA_DEN = _ewma_terms()
+
+
+@register(
+    "q_ewma",
+    sql=f"""
+    WITH hourly AS (
+      SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_epoch,
+             event_type, round(avg(value), 6) AS v
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT bucket_epoch, event_type, v AS hourly_avg,
+           round(({_EWMA_NUM}) / ({_EWMA_DEN}), 4) AS ewma
+    FROM hourly
+    WINDOW w AS (PARTITION BY event_type ORDER BY bucket_epoch)
+    """,
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha=0.5, 8-term
+    truncation) of the hourly mean value per event type — the
+    smoothing primitive behind alerting baselines.  The recursive EWMA
+    definition is unrolled into a fixed lag chain, so it stays a pure
+    window expression (one shuffle on event_type, no UDF, no
+    iteration); the truncation error is alpha**8 < 0.4 %.  Weights are
+    renormalized over the lags that exist so the series is exact from
+    the first bucket."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        (F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+        .cast("bigint")
+        .alias("bucket_epoch"),
+        "event_type",
+    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    w = Window.partitionBy("event_type").orderBy("bucket_epoch")
+    num = sum(
+        (F.coalesce(F.lit(0.5**k) * F.lag("v", k).over(w), F.lit(0.0)) for k in range(8)),
+        start=F.lit(0.0),
+    )
+    den = sum(
+        (
+            F.when(F.lag("v", k).over(w).isNotNull(), F.lit(0.5**k)).otherwise(F.lit(0.0))
+            for k in range(8)
+        ),
+        start=F.lit(0.0),
+    )
+    return hourly.select(
+        "bucket_epoch",
+        "event_type",
+        F.col("v").alias("hourly_avg"),
+        F.round(num / den, 4).alias("ewma"),
+    )
+
+
+@register(
+    "q_rollup_hier",
+    sql="""
+    WITH hour AS (
+      SELECT event_type,
+             CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_epoch,
+             CAST(floor(epoch(date_trunc('day',  ts))) AS BIGINT) AS day_epoch,
+             CAST(floor(epoch(date_trunc('week', ts))) AS BIGINT) AS week_epoch,
+             count(*) AS n_events, round(sum(value), 3) AS total_value
+      FROM events GROUP BY 1, 2, 3, 4
+    ), day AS (
+      SELECT event_type, day_epoch AS bucket_epoch,
+             min(week_epoch) AS week_epoch,
+             CAST(sum(n_events) AS BIGINT) AS n_events,
+             round(sum(total_value), 3) AS total_value
+      FROM hour GROUP BY 1, 2
+    ), week AS (
+      SELECT event_type, week_epoch AS bucket_epoch,
+             CAST(sum(n_events) AS BIGINT) AS n_events,
+             round(sum(total_value), 3) AS total_value
+      FROM day GROUP BY 1, 2
+    )
+    SELECT 'hour' AS granularity, event_type, bucket_epoch, n_events, total_value FROM hour
+    UNION ALL
+    SELECT 'day', event_type, bucket_epoch, n_events, total_value FROM day
+    UNION ALL
+    SELECT 'week', event_type, bucket_epoch, n_events, total_value FROM week
+    """,
+)
+def q_rollup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate hierarchy: hour buckets
+    aggregated once from the raw events, then day re-aggregated from
+    hour and week from day — the input is scanned ONCE regardless of
+    how many granularities are served (the TimescaleDB/Druid rollup
+    pattern).  hour/day are persisted because each feeds two branches
+    of the union (CLAUDE.md shared-subplan rule); their size is
+    bounded by buckets x types, so the cache is negligible at 100 TB
+    while the raw scan is the whole cost."""
+    e = load(spark, sf_dir, "events")
+
+    def _epoch(level: str) -> F.Column:
+        return F.unix_timestamp(F.date_trunc(level, "ts")).alias(f"{level}_epoch")
+
+    hour = (
+        e.groupBy(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("bucket_epoch"),
+            _epoch("day"),
+            _epoch("week"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 3).alias("total_value"))
+        .persist()
+    )
+    day = (
+        hour.groupBy("event_type", F.col("day_epoch").alias("bucket_epoch"))
+        .agg(
+            F.min("week_epoch").alias("week_epoch"),
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("total_value"), 3).alias("total_value"),
+        )
+        .persist()
+    )
+    week = day.groupBy("event_type", F.col("week_epoch").alias("bucket_epoch")).agg(
+        F.sum("n_events").alias("n_events"),
+        F.round(F.sum("total_value"), 3).alias("total_value"),
+    )
+    cols = ["granularity", "event_type", "bucket_epoch", "n_events", "total_value"]
+    out = (
+        hour.withColumn("granularity", F.lit("hour")).select(*cols)
+        .unionByName(day.withColumn("granularity", F.lit("day")).select(*cols))
+        .unionByName(week.withColumn("granularity", F.lit("week")).select(*cols))
+    )
+    return out
