@@ -339,3 +339,19 @@ def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle set because engines draw differently)."""
     li = load(spark, sf_dir, "lineitem")
     return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+
+
+@register("q_sample_stratified")
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (per-class) sampling via df.sampleBy — the
+    class-balancing primitive for training-data curation: rare
+    classes kept whole, dominant classes downsampled.  Seeded
+    Bernoulli per stratum, embarrassingly parallel (no shuffle at
+    all: the filter runs inside the scan stage).  Sampling RNGs
+    differ across engines, so like q_sample this is rows-only
+    (SURVEY.md §2.6)."""
+    o = load(spark, sf_dir, "orders")
+    fractions = {"F": 0.1, "O": 0.1, "P": 1.0}
+    return o.sampleBy("o_orderstatus", fractions, seed=42).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )

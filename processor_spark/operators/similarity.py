@@ -455,3 +455,49 @@ def q_ann_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("q_id") != F.col("neighbor_id"))
     w = Window.partitionBy("q_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
     return out.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= KNN_K)
+
+
+@register(
+    "q_embed_stats",
+    sql="""
+    WITH comp AS (
+      SELECT label, p.pos, embedding[p.pos] AS val
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) p
+    ), per_dim AS (
+      SELECT label, pos,
+             round(avg(val), 6) AS cent,
+             round(avg(val * val), 6) AS msq,
+             count(*) AS n
+      FROM comp GROUP BY label, pos
+    )
+    SELECT label,
+           max(n) AS n_vecs,
+           round(sqrt(sum(cent * cent)), 4) AS centroid_norm,
+           round(avg(msq - cent * cent), 6) AS dispersion
+    FROM per_dim
+    GROUP BY label
+    """,
+)
+def q_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding cluster statistics per label: centroid L2 norm and
+    mean per-dimension variance (dispersion) — the diversity /
+    collapse diagnostics a training-data pipeline runs before
+    sampling.  Vectors are unpivoted with posexplode and reduced in
+    two hash aggs keyed (label, dim) then (label): fully mergeable,
+    no pairwise work, so cost is rows x dims regardless of cluster
+    count — the scale-safe alternative to pairwise diversity metrics.
+    Per-dim means are rounded before the second pass so both engines
+    fold identical doubles."""
+    em = load(spark, sf_dir, "embeddings")
+    comp = em.select("label", F.posexplode("embedding").alias("pos0", "val"))
+    per_dim = comp.groupBy("label", (F.col("pos0") + 1).alias("pos")).agg(
+        F.round(F.avg("val"), 6).alias("cent"),
+        F.round(F.avg(F.col("val") * F.col("val")), 6).alias("msq"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return per_dim.groupBy("label").agg(
+        F.max("n").alias("n_vecs"),
+        F.round(F.sqrt(F.sum(F.col("cent") * F.col("cent"))), 4).alias("centroid_norm"),
+        F.round(F.avg(F.col("msq") - F.col("cent") * F.col("cent")), 6).alias("dispersion"),
+    )

@@ -43,6 +43,7 @@ _MUST_BE_NONEMPTY = {
     "q_udtf_ngrams",
     "q_ann_ml",
     "q_sample",
+    "q_sample_stratified",
 }
 
 
