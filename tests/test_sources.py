@@ -168,3 +168,43 @@ def test_range_clustered_layout_has_disjoint_file_ranges(spark, tmp_path):
         assert prev.hi <= cur.lo, (prev, cur)
     # and the data survives intact
     assert spark.read.parquet(path).count() == o.count()
+
+
+def test_zorder_layout_bounds_both_dimensions(spark, tmp_path):
+    """write_zorder_clustered: every file owns a compact rectangle in
+    (custkey, totalprice) space — per-file ranges on BOTH dimensions
+    are far below the global range, unlike single-column range
+    clustering (tight on one dim, full-width on the other)."""
+    import pyspark.sql.functions as F
+
+    from processor_spark.sources import load, sinks
+
+    path = str(tmp_path / "zorder")
+    o = load(spark, SF_SMALL, "orders")
+    sinks.write_zorder_clustered(
+        o, path, ["o_custkey", "o_totalprice"], n_files=16
+    )
+    back = spark.read.parquet(path)
+    assert back.count() == o.count()
+    assert "__z" not in back.columns
+
+    spans = (
+        back.select("o_custkey", "o_totalprice", F.input_file_name().alias("f"))
+        .groupBy("f")
+        .agg(
+            (F.max("o_custkey") - F.min("o_custkey")).alias("ck_span"),
+            (F.max("o_totalprice") - F.min("o_totalprice")).alias("tp_span"),
+        )
+        .collect()
+    )
+    assert len(spans) >= 8
+    glob = o.agg(
+        (F.max("o_custkey") - F.min("o_custkey")).alias("ck"),
+        (F.max("o_totalprice") - F.min("o_totalprice")).alias("tp"),
+    ).first()
+    avg_ck = sum(r.ck_span for r in spans) / len(spans) / glob.ck
+    avg_tp = sum(r.tp_span for r in spans) / len(spans) / glob.tp
+    # a random/naive layout gives ~1.0 on both; single-dim range
+    # clustering gives ~1/files on one and ~1.0 on the other
+    assert avg_ck < 0.6, avg_ck
+    assert avg_tp < 0.6, avg_tp
