@@ -396,3 +396,32 @@ def throttle_stateful(events: DataFrame, watermark: str = "1 hour") -> DataFrame
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def ohlc_bars(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming 6-hour OHLC bars per event type — the stream twin of
+    q_resample_ohlc.  open/close are min_by/max_by over the composite
+    (ts, event_id) order key: both are mergeable aggregates, so the
+    incremental window-state update is exactly the batch semantics
+    (no row_number needed on the stream side).  Watermark bounds the
+    number of live bars in the StateStore."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "6 hours"), "event_type")
+        .agg(
+            F.min_by("value", F.struct("ts", "event_id")).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", F.struct("ts", "event_id")).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("bucket_epoch"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )

@@ -304,3 +304,19 @@ def test_streaming_throttle_matches_batch_throttle(spark, events_chunks_dir):
     want = get("q_event_throttle").fn(spark, SF_SMALL)
     cols = ["event_id", "user_id", "event_type", "ts"]
     assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
+def test_streaming_ohlc_matches_batch_resample(spark, events_chunks_dir):
+    """Streaming 6-hour OHLC bars (min_by/max_by window agg) must be a
+    prefix of the batch twin's bars — first/last semantics survive
+    incremental micro-batch merging of window state."""
+    stream = P.read_events_stream(spark, events_chunks_dir)
+    got = _drain(spark, P.ohlc_bars(stream), "t_ohlc")
+    want = P.ohlc_bars(load(spark, SF_SMALL, "events"))
+    cols = ["bucket_epoch", "event_type", "open", "high", "low", "close", "n_events"]
+    got_rows = set(_sorted_rows(got, cols))
+    want_rows = set(_sorted_rows(want, cols))
+    assert got_rows <= want_rows
+    # only the bars still open at EOF (≤ event_types x 1 bucket) plus
+    # the late tail may be unemitted
+    assert len(got_rows) >= len(want_rows) - 10
