@@ -373,3 +373,79 @@ def q_agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("eff_n"),
     )
+
+
+@register(
+    "q_percentile_cont",
+    sql="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+           round(quantile_cont(o_totalprice, 0.90), 4) AS p90,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated percentiles (type-7, position p*(n-1)) per
+    priority — Spark `percentile` and DuckDB `quantile_cont` share the
+    definition, and interpolation weights of .25/.75/.9 on 2-dp prices
+    yield <= 4-dp exact decimals, so round(.,4) is divergence-free
+    (same bridge as q_median).  Exact percentiles sort per group; the
+    sketch-based q_percentiles is the 100 TB default, this is the
+    small-group exact path."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
+        F.round(F.expr("percentile(o_totalprice, 0.90)"), 4).alias("p90"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "q_incremental_agg",
+    sql="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the orders table is
+    split into a 'base' partition (orderdate < 1997-07-01, the
+    yesterday's-rollup stand-in) and a 'delta' (newer rows); each side
+    is aggregated to PARTIAL states (count/sum/min/max) independently
+    and the partials are merged by a second agg — count+=count,
+    sum+=sum, min=min, max=max.  The oracle is the direct full-table
+    aggregate: merged partials must equal a from-scratch run, which is
+    exactly the mergeability contract that lets a 100 TB rollup absorb
+    a daily delta without rescanning history."""
+    o = load(spark, sf_dir, "orders")
+    cut = F.lit("1997-07-01").cast("date")
+
+    def partial(side: DataFrame) -> DataFrame:
+        return side.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("s"),
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+        )
+
+    base = partial(o.where(F.col("o_orderdate") < cut))
+    delta = partial(o.where(F.col("o_orderdate") >= cut))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n").alias("n_orders"),
+            F.round(F.sum("s"), 2).alias("total"),
+            F.round(F.min("mn"), 2).alias("lo"),
+            F.round(F.max("mx"), 2).alias("hi"),
+        )
+    )

@@ -410,3 +410,46 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     edges.unpersist()
     return labels
+
+
+@register(
+    "q_dedup_canonical",
+    sql="""
+    WITH canon AS (
+      SELECT source,
+             md5(text) AS exact_h,
+             md5(array_to_string(list_sort(string_split(lower(trim(text)), ' ')), ' '))
+               AS canon_h
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT exact_h) AS n_exact_distinct,
+           count(DISTINCT canon_h) AS n_canonical_distinct
+    FROM canon
+    GROUP BY source
+    """,
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalized (token-set) dedup: documents are normalized —
+    lowercase, trimmed, tokens SORTED — before hashing, so permuted /
+    re-ordered copies collapse to one canonical id that byte-exact
+    hashing misses.  Per source: raw docs vs exact-distinct vs
+    canonical-distinct.  The canonical key is built entirely from
+    array built-ins (split -> sort -> rejoin -> md5) inside codegen,
+    then it's an ordinary two-level distinct agg — the cheapest
+    near-dup tier, run before MinHash (q_dedup_minhash) in the
+    pipeline."""
+    d = load(spark, sf_dir, "documents")
+    canon = d.select(
+        "source",
+        F.md5("text").alias("exact_h"),
+        F.md5(
+            F.array_join(F.array_sort(F.split(F.lower(F.trim("text")), " ")), " ")
+        ).alias("canon_h"),
+    )
+    return canon.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("exact_h").alias("n_exact_distinct"),
+        F.countDistinct("canon_h").alias("n_canonical_distinct"),
+    )

@@ -501,3 +501,65 @@ def q_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(F.sum(F.col("cent") * F.col("cent"))), 4).alias("centroid_norm"),
         F.round(F.avg(F.col("msq") - F.col("cent") * F.col("cent")), 6).alias("dispersion"),
     )
+
+
+@register(
+    "q_knn_classify",
+    sql=f"""
+    WITH nn AS (
+      SELECT q_id, vec_id, rn
+      FROM (
+        SELECT q.vec_id AS q_id, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                 CAST(q.embedding AS DOUBLE[])) DESC,
+                          e.vec_id
+               ) AS rn
+        FROM embeddings q
+        JOIN embeddings e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id <= {KNN_QUERIES}
+      ) WHERE rn <= {KNN_K}
+    ), votes AS (
+      SELECT nn.q_id, l.label, count(*) AS votes,
+             row_number() OVER (PARTITION BY nn.q_id
+                                ORDER BY count(*) DESC, l.label) AS vr
+      FROM nn JOIN embeddings l ON l.vec_id = nn.vec_id
+      GROUP BY nn.q_id, l.label
+    )
+    SELECT v.q_id, t.label AS true_label, v.label AS pred_label,
+           CAST(v.votes AS BIGINT) AS votes,
+           CASE WHEN v.label = t.label THEN 1 ELSE 0 END AS correct
+    FROM votes v
+    JOIN embeddings t ON t.vec_id = v.q_id
+    WHERE v.vr = 1
+    """,
+)
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote classification: each held-out query vector is
+    labeled by its 5 nearest corpus neighbors (deterministic tie-break:
+    most votes, then smallest label) — the standard embedding-quality
+    eval a training-data pipeline runs after building an index.  Built
+    on the same broadcast + window top-k as q_knn_join; the vote is a
+    tiny agg over q x k rows, and the label lookups broadcast."""
+    nn = q_knn_join(spark, sf_dir).select("q_id", "neighbor_id")
+    em = load(spark, sf_dir, "embeddings")
+    labels = em.select("vec_id", "label")
+    votes = (
+        nn.join(F.broadcast(labels), nn.neighbor_id == labels.vec_id)
+        .groupBy("q_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("votes"), F.asc("label"))
+    pred = votes.withColumn("vr", F.row_number().over(w)).where(F.col("vr") == 1)
+    truth = labels.select(F.col("vec_id").alias("q_id"), F.col("label").alias("true_label"))
+    return (
+        pred.join(F.broadcast(truth), "q_id")
+        .select(
+            "q_id",
+            "true_label",
+            F.col("label").alias("pred_label"),
+            "votes",
+            F.when(F.col("label") == F.col("true_label"), 1).otherwise(0).alias("correct"),
+        )
+    )

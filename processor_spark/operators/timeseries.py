@@ -472,3 +472,47 @@ def q_rollup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(week.withColumn("granularity", F.lit("week")).select(*cols))
     )
     return out
+
+
+@register(
+    "q_cumulative_distinct",
+    sql="""
+    WITH first_seen AS (
+      SELECT event_type, user_id,
+             min(CAST(date_trunc('day', ts) AS DATE)) AS first_day
+      FROM events GROUP BY 1, 2
+    ), daily_new AS (
+      SELECT event_type, first_day AS day, count(*) AS new_users
+      FROM first_seen GROUP BY 1, 2
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           CAST(new_users AS BIGINT) AS new_users,
+           CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT)
+             AS cum_users
+    FROM daily_new
+    """,
+)
+def q_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per event type by day — the growth
+    curve every analytics stack needs.  COUNT(DISTINCT) OVER a running
+    frame is unsupported/expensive in both engines; the scale-safe
+    rewrite is first-touch attribution: min(day) per (type, user)
+    collapses the input to one row per user, daily new-user counts
+    follow, and the cumulative sum is a window over ~30 rows per type.
+    State never exceeds |users| — no per-day distinct recount."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    first_seen = e.groupBy("event_type", "user_id").agg(
+        F.min(F.date_trunc("day", "ts").cast("date")).alias("first_day")
+    )
+    daily_new = first_seen.groupBy("event_type", F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    return daily_new.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )
