@@ -242,3 +242,27 @@ def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
         )
     )
+
+
+_NAAJ_SQL = """
+    SELECT c_custkey, c_name, c_nationkey
+    FROM customer
+    WHERE nullif(c_nationkey, 5) NOT IN (
+      SELECT s_nationkey FROM supplier WHERE s_suppkey % 3 = 0
+    )
+"""
+
+
+@register("q_join_anti_nullaware", sql=_NAAJ_SQL)
+def q_join_anti_nullaware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-aware anti join — NOT IN under SQL three-valued logic,
+    which left_anti does NOT implement: a NULL probe key (here
+    nationkey 5, nulled via nullif) is never 'not in' anything, so
+    those rows are excluded too.  Catalyst plans the dedicated
+    null-aware single-column anti join against the broadcast build
+    side; at scale keep NOT IN lists single-column and null-free when
+    possible (then it degrades to the cheap left_anti)."""
+    from processor_spark.sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_NAAJ_SQL)

@@ -132,3 +132,48 @@ def test_dynamic_partition_pruning_on_partitioned_layout(spark, tmp_path_factory
     assert "dynamicpruning" in plan.lower() or "PartitionFilters: [" in plan, plan
     want = o.where(F.col("order_year") == 1997).count()
     assert joined.count() == want
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Catalyst's runtime row-level Bloom filter: a selective build
+    side injects might_contain(...) into the probe-side scan of a
+    shuffle join — at 100 TB this skips most of the probe shuffle for
+    selective joins.  Fixture scans are below the default 10 GiB
+    application-side threshold, so the test lowers it to observe the
+    rewrite; production keeps the defaults."""
+    import pyspark.sql.functions as F
+
+    from processor_spark.sources import load
+
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        l = load(spark, SF_SMALL, "lineitem")
+        o = load(spark, SF_SMALL, "orders").where(F.col("o_totalprice") > 400000)
+        j = l.join(o, l.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        plan = explain_str(j)
+        assert "might_contain" in plan.lower(), "runtime bloom filter not injected"
+        got = {(r[0], r[1]) for r in j.collect()}
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    # semantics unchanged vs the default plan
+    l = load(spark, SF_SMALL, "lineitem")
+    o = load(spark, SF_SMALL, "orders").where(F.col("o_totalprice") > 400000)
+    want = {
+        (r[0], r[1])
+        for r in l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .count()
+        .collect()
+    }
+    assert got == want and len(got) > 0
