@@ -93,3 +93,63 @@ def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
     )
+
+
+_PIT_SQL = """
+    WITH versions AS (
+      SELECT c_custkey, c_mktsegment AS segment,
+             DATE '1992-01-01' AS valid_from, DATE '1995-06-17' AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 'POST-' || c_mktsegment,
+             DATE '1995-06-17', NULL
+      FROM customer
+    )
+    SELECT v.segment,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total
+    FROM orders o
+    JOIN versions v
+      ON v.c_custkey = o.o_custkey
+     AND o.o_orderdate >= v.valid_from
+     AND (v.valid_to IS NULL OR o.o_orderdate < v.valid_to)
+    GROUP BY v.segment
+"""
+
+
+@register("q_join_pointintime", sql=_PIT_SQL)
+def q_join_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against an SCD2 dimension: each order picks
+    the customer-segment VERSION that was valid on its order date
+    (valid_from <= d < valid_to, NULL = open) — the temporal lookup
+    every warehouse needs to avoid leaking future attributes into
+    history, and the read-side complement of scd2_apply.  The version
+    predicate rides as a residual on the c_custkey equi join (never a
+    nested loop); since a key's versions are contiguous, exactly one
+    matches per order.  Versions here are derived deterministically
+    from the fixture so the oracle can re-create them."""
+    c = load(spark, sf_dir, "customer")
+    v1 = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1992-01-01").cast("date").alias("valid_from"),
+        F.lit("1995-06-17").cast("date").alias("valid_to"),
+    )
+    v2 = c.select(
+        "c_custkey",
+        F.concat(F.lit("POST-"), F.col("c_mktsegment")).alias("segment"),
+        F.lit("1995-06-17").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    versions = v1.unionByName(v2)
+    o = load(spark, sf_dir, "orders")
+    joined = o.join(
+        versions,
+        (versions.c_custkey == o.o_custkey)
+        & (o.o_orderdate >= versions.valid_from)
+        & (versions.valid_to.isNull() | (o.o_orderdate < versions.valid_to)),
+    )
+    return joined.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

@@ -177,3 +177,10 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_pointintime_join_is_equi_join_with_residual(spark):
+    # the SCD2 validity predicate must ride the custkey equi join
+    plan = explain_str(_df(spark, "q_join_pointintime"))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
