@@ -384,3 +384,44 @@ def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(10 * F.col("distinct_grams") < 7 * F.col("total_grams"), 1).otherwise(0)
         ).alias("n_repetitive"),
     )
+
+
+@register(
+    "q_text_chunks",
+    sql="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), starts AS (
+      SELECT doc_id, toks, u.s,
+             row_number() OVER (PARTITION BY doc_id ORDER BY u.s) AS chunk_idx
+      FROM t, unnest(range(1, len(toks) + 1, 48)) AS u(s)
+    )
+    SELECT doc_id, chunk_idx, s AS start_tok,
+           len(array_slice(toks, s, s + 63)) AS n_tokens,
+           toks[s] AS head
+    FROM starts
+    """,
+)
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping document chunking — 64-token windows on a 48-token
+    stride (16-token overlap), the context-window splitter every LLM
+    training/RAG pipeline runs before embedding.  Chunk starts come
+    from `sequence(1, n, 48)` + posexplode and the chunk itself is
+    `slice` — all array built-ins inside codegen, embarrassingly
+    parallel, no shuffle at all until a downstream agg.  Emits chunk
+    geometry (start, length, head token) rather than the chunk text to
+    keep the oracle diff small; real pipelines keep the slice."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    starts = t.select(
+        "doc_id",
+        "toks",
+        F.posexplode(F.expr("sequence(1, size(toks), 48)")).alias("pos0", "s"),
+    )
+    return starts.select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("chunk_idx"),
+        F.col("s").alias("start_tok"),
+        F.size(F.slice("toks", F.col("s"), F.lit(64))).alias("n_tokens"),
+        F.element_at("toks", F.col("s")).alias("head"),
+    )
