@@ -425,3 +425,74 @@ def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.slice("toks", F.col("s"), F.lit(64))).alias("n_tokens"),
         F.element_at("toks", F.col("s")).alias("head"),
     )
+
+
+@register(
+    "q_top_terms_per_source",
+    sql="""
+    SELECT source, token, freq, rank
+    FROM (
+      SELECT source, tok AS token, count(*) AS freq,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY count(*) DESC, tok) AS rank
+      FROM (
+        SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents
+      )
+      GROUP BY source, tok
+    ) WHERE rank <= 3
+    """,
+)
+def q_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k: the 3 most frequent terms per source — the
+    per-stratum variant of heavy hitters.  Token counts reduce in a
+    two-phase hash agg on (source, token); the window then ranks
+    within each source over the already-tiny agg output, so the sort
+    never sees raw tokens.  Deterministic tie-break (freq DESC, token
+    ASC) on both engines."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    )
+    counts = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.partitionBy("source").orderBy(F.desc("freq"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("source", "token", "freq", "rank")
+    )
+
+
+@register(
+    "q_profile_stats",
+    sql="""
+    SELECT count(*) AS n_rows,
+           count(DISTINCT source) AS n_sources,
+           count(DISTINCT lang) AS n_langs,
+           CAST(count(*) - count(text) AS BIGINT) AS null_texts,
+           CAST(count_if(length(text) = 0) AS BIGINT) AS empty_texts,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+           CAST(count_if(n_chars < 100) AS BIGINT) AS short_docs
+    FROM documents
+    """,
+)
+def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling in ONE pass: row count, category
+    cardinalities, null/empty-text counts, length extremes and a
+    too-short flag count — the data-quality gate a pipeline runs
+    before spending GPU-hours on a corpus.  Every measure is a plain
+    or conditional aggregate, so the whole profile is a single
+    partial+final agg over one scan (no per-metric jobs)."""
+    d = load(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        (F.count(F.lit(1)) - F.count("text")).alias("null_texts"),
+        F.count_if(F.length("text") == 0).alias("empty_texts"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.count_if(F.col("n_chars") < 100).alias("short_docs"),
+    )
