@@ -145,3 +145,36 @@ def q_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.groupBy(d.doc_id)
         .agg(F.count(F.lit(1)).alias("n_grams"), F.min("first_pos").alias("min_pos"))
     )
+
+
+@register(
+    "q_udtf_chunks",
+    sql="""
+    SELECT doc_id, u.s // 32 + 1 AS chunk_idx,
+           array_to_string(array_slice(toks, u.s + 1, u.s + 32), ' ') AS piece
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         unnest(range(0, len(toks), 32)) AS u(s)
+    """,
+)
+def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A TRUE Python UDTF (Spark 4 `@udtf`, §2.11) splitting each
+    document into non-overlapping 32-token pieces via a lateral join —
+    and still carrying the full SQL value-hash oracle: the Python
+    generator's output must byte-match DuckDB's relational slicing.
+    The UDTF is the row-expanding escape hatch for logic a lambda
+    can't express (stateful per-row expansion, external tokenizers);
+    for THIS particular job the built-in path (q_text_chunks) is
+    preferred at scale — this key exists to prove the boundary is
+    correct, not to recommend it."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx: int, piece: string")
+    class Chunker:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for i in range(0, len(toks), 32):
+                yield i // 32 + 1, " ".join(toks[i : i + 32])
+
+    d = load(spark, sf_dir, "documents")
+    out = d.lateralJoin(Chunker(F.col("text").outer()))
+    return out.select("doc_id", "chunk_idx", "piece")
