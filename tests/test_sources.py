@@ -208,3 +208,50 @@ def test_zorder_layout_bounds_both_dimensions(spark, tmp_path):
     # clustering gives ~1/files on one and ~1.0 on the other
     assert avg_ck < 0.6, avg_ck
     assert avg_tp < 0.6, avg_tp
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution: a v2 writer adds a column; mergeSchema reads
+    both generations with the union schema, v1 rows null-filled — the
+    contract that lets a 100 TB table evolve without rewriting
+    history."""
+    import pyspark.sql.functions as F
+
+    from processor_spark.sources import load
+
+    path = str(tmp_path / "evolving")
+    o = load(spark, SF_SMALL, "orders").select("o_orderkey", "o_totalprice")
+    o.where(F.col("o_orderkey") % 2 == 0).write.parquet(path)
+    (
+        o.where(F.col("o_orderkey") % 2 == 1)
+        .withColumn("priority_class", F.lit("standard"))
+        .write.mode("append")
+        .parquet(path)
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"o_orderkey", "o_totalprice", "priority_class"}
+    assert merged.count() == o.count()
+    nulls = merged.where(F.col("priority_class").isNull()).count()
+    assert nulls == o.where(F.col("o_orderkey") % 2 == 0).count()
+
+
+def test_json_corrupt_records_are_quarantined(spark, tmp_path):
+    """PERMISSIVE JSON parsing: malformed lines land in
+    _corrupt_record instead of failing the job — the quarantine
+    pattern for dirty feeds."""
+    import pyspark.sql.types as T
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text('{"k": 1}\n{"k": 2}\nNOT JSON AT ALL\n{"k": 4}\n')
+    schema = T.StructType(
+        [T.StructField("k", T.IntegerType()), T.StructField("_corrupt_record", T.StringType())]
+    )
+    df = spark.read.schema(schema).json(str(p)).cache()
+    try:
+        good = df.where(df._corrupt_record.isNull())
+        bad = df.where(df._corrupt_record.isNotNull())
+        assert good.count() == 3
+        assert bad.count() == 1
+        assert "NOT JSON" in bad.first()._corrupt_record
+    finally:
+        df.unpersist()
