@@ -39,6 +39,7 @@ _MODULES = [
     "processor_spark.operators.scans",
     "processor_spark.operators.relational",
     "processor_spark.operators.joins",
+    "processor_spark.operators.dss",
     "processor_spark.operators.aggregates",
     "processor_spark.operators.windows",
     "processor_spark.operators.setops",
