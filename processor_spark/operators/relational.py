@@ -106,3 +106,31 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_linestatus", "l_suppkey"
     ).distinct()
+
+
+@register(
+    "q_sql_grouping_sets",
+    sql="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def q_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL entry point (SURVEY.md §3 EP2).
+
+    Arbitrary (non-rollup, non-cube) grouping sets have no DataFrame
+    API; this exercises the second engine entry point — temp view +
+    spark.sql text — which parses to the exact same logical plan class
+    (one Expand + one aggregate pass over the fact, not two scans).
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )

@@ -344,3 +344,82 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("nationkey"),
         )
     )
+
+
+@register(
+    "q_join_asof_tolerance",
+    sql="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, 0 AS kind, ts AS err_ts,
+             NULL::BIGINT AS purchase_id
+      FROM events WHERE event_type = 'error'
+      UNION ALL
+      SELECT user_id, ts, event_id, 1 AS kind, NULL AS err_ts,
+             event_id AS purchase_id
+      FROM events WHERE event_type = 'purchase'
+    ), carried AS (
+      SELECT user_id, ts, purchase_id,
+             min(err_ts) OVER (
+               PARTITION BY user_id ORDER BY ts DESC, kind, event_id DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS next_err_ts
+      FROM tagged
+    )
+    SELECT purchase_id, user_id, ts AS purchase_ts,
+           CASE WHEN next_err_ts <= ts + INTERVAL 30 MINUTE
+                THEN next_err_ts END AS error_ts
+    FROM carried
+    WHERE purchase_id IS NOT NULL
+    """,
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with tolerance: for each purchase, the FIRST
+    error of the same user at-or-after the purchase, but only within
+    30 minutes (else NULL) — pandas merge_asof(direction='forward',
+    tolerance=...) semantics.
+
+    Same union-and-carry scalability story as q_join_asof (one shuffle
+    on user_id, zero pair explosion), but scanning time DESCENDING and
+    carrying a running MIN of error timestamps: every error already
+    seen in a descending scan is >= the current row's ts, so the min
+    of them is exactly the next-at-or-after error. The tolerance is a
+    post-filter, not a join predicate, so the plan shape is unchanged.
+    Ties (error.ts == purchase.ts) sort the error first (kind 0 < 1)
+    so "at-or-after" includes them.
+    """
+    e = load(spark, sf_dir, "events")
+    errors = e.where(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(0).alias("kind"),
+        F.col("ts").alias("err_ts"),
+        F.lit(None).cast("bigint").alias("purchase_id"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("timestamp").alias("err_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.asc("kind"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = errors.unionByName(purchases).select(
+        "user_id",
+        "ts",
+        "purchase_id",
+        F.min("err_ts").over(w).alias("next_err_ts"),
+    )
+    return carried.where(F.col("purchase_id").isNotNull()).select(
+        "purchase_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.when(
+            F.col("next_err_ts") <= F.col("ts") + F.expr("INTERVAL 30 MINUTES"),
+            F.col("next_err_ts"),
+        ).alias("error_ts"),
+    )

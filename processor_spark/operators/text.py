@@ -496,3 +496,41 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").alias("max_chars"),
         F.count_if(F.col("n_chars") < 100).alias("short_docs"),
     )
+
+
+@register(
+    "q_fuzzy_join",
+    sql="""
+    WITH names AS (SELECT DISTINCT p_name, split_part(p_name, ' ', 2) AS blk FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM names a JOIN names b
+      ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy (edit-distance) self-join over part names.
+
+    The entity-resolution primitive: candidate pairs come ONLY from an
+    equi-join on a blocking key (last name token), so the quadratic
+    levenshtein never runs across blocks — at 100 TB the block join
+    shuffles on blk and each executor scores its block locally.
+    DISTINCT first: scoring distinct strings, not rows, shrinks the
+    pair space by the duplication factor squared. Integer distances →
+    no cross-engine float hazard.
+    """
+    names = (
+        load(spark, sf_dir, "part")
+        .select("p_name")
+        .distinct()
+        .withColumn("blk", F.split(F.col("p_name"), " ").getItem(1))
+    )
+    a = names.select(F.col("p_name").alias("name_a"), F.col("blk").alias("blk_a"))
+    b = names.select(F.col("p_name").alias("name_b"), F.col("blk").alias("blk_b"))
+    return (
+        a.join(b, (F.col("blk_a") == F.col("blk_b")) & (F.col("name_a") < F.col("name_b")))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("dist") <= 3)
+        .select("name_a", "name_b", "dist")
+    )

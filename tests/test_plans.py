@@ -184,3 +184,27 @@ def test_pointintime_join_is_equi_join_with_residual(spark):
     plan = explain_str(_df(spark, "q_join_pointintime"))
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_dss_shipping_priority_take_ordered(spark):
+    # top-10 must plan TakeOrderedAndProject, never a global sort of the agg
+    plan = explain_str(_df(spark, "q_dss_shipping_priority"))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_dss_promo_effect_broadcasts_part(spark):
+    plan = explain_str(_df(spark, "q_dss_promo_effect"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_dss_order_priority_is_semi_join(spark):
+    plan = explain_str(_df(spark, "q_dss_order_priority"))
+    assert "LeftSemi" in plan, plan
+
+
+def test_dss_waiting_suppliers_single_window_shuffle(spark):
+    # the two-analytic-window formulation must not plan a lineitem self-join
+    plan = explain_str(_df(spark, "q_dss_waiting_suppliers"))
+    assert plan.count("lineitem.parquet") == 1, plan  # exactly one fact scan
+    assert "SortMergeJoin" not in plan, plan

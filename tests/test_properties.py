@@ -37,8 +37,15 @@ def _mk(spark, data):
     )
 
 
+def _null_safe_key(t):
+    return tuple((v is None, "" if v is None else v) for v in t)
+
+
 def _rows(df):
-    return sorted(tuple(r) for r in df.collect())
+    # None-safe total order: sort on (is_null, value) per field so NULL
+    # rows compare against strings without a TypeError (hypothesis found
+    # the [(0,0,'a'),(0,0,None)] counterexample).
+    return sorted((tuple(r) for r in df.collect()), key=_null_safe_key)
 
 
 @SETTINGS
@@ -90,7 +97,7 @@ def test_anti_plus_semi_partition_left(spark, data):
     right = df.filter("v > 10").select("k")
     semi = df.join(right, "k", "left_semi")
     anti = df.join(right, "k", "left_anti")
-    assert sorted(_rows(semi) + _rows(anti)) == _rows(df)
+    assert sorted(_rows(semi) + _rows(anti), key=_null_safe_key) == _rows(df)
 
 
 predicates = st.sampled_from(
