@@ -144,3 +144,124 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+@register(
+    "q_dataset_split",
+    sql="""
+    WITH assigned AS (
+      SELECT source,
+             CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+                  WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT source, split, count(*) AS n_docs
+    FROM assigned GROUP BY source, split
+    """,
+)
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split assignment (80/10/10).
+
+    The training-pipeline invariant: a document's split must be a pure
+    function of its stable id — never of row order, partitioning, or a
+    seeded RNG — so re-runs, backfills, and incremental appends land
+    every doc in the same split on any cluster size. Knuth
+    multiplicative hashing ((id * 2654435761) mod 100) is exact 64-bit
+    integer arithmetic on both engines (no float, no overflow at
+    fixture ids under ANSI mode). Output is the per-source split
+    histogram; the assignment itself is the embarrassingly parallel
+    narrow map feeding split-partitioned sink writes at 100 TB.
+    """
+    d = load(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % 100
+    return (
+        d.select(
+            "source",
+            F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+        )
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "q_global_shuffle",
+    sql="""
+    SELECT doc_id,
+           row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+             AS shuffle_pos
+    FROM documents
+    """,
+)
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-data shuffle: every doc gets a
+    reproducible pseudo-random position (rank of its id's md5 digest).
+
+    Training jobs need the corpus in a fixed shuffled order that is
+    stable across re-runs and independent of input file layout. Rank
+    over a cryptographic digest of the stable id gives exactly that —
+    and at 100 TB it runs as a range-partitioned sort on the digest
+    (Spark samples digest boundaries, so output files are the shuffled
+    shards, no single-node sort). doc_id tie-break keeps the order
+    total even under (impossible) digest collisions.
+    """
+    d = load(spark, sf_dir, "documents")
+    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    return d.select("doc_id", F.row_number().over(w).alias("shuffle_pos"))
+
+
+@register(
+    "q_contamination",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t
+      FROM documents WHERE len(string_split(text, ' ')) >= 8
+    ), grams AS (
+      SELECT doc_id, source,
+             unnest(list_transform(generate_series(1, len(t) - 7),
+                                   i -> array_to_string(t[i:i+7], ' '))) AS gram
+      FROM toks
+    ), eval_grams AS (
+      SELECT DISTINCT gram FROM grams WHERE source = 'src0'
+    )
+    SELECT g.doc_id, count(DISTINCT g.gram) AS shared_grams
+    FROM grams g JOIN eval_grams e ON g.gram = e.gram
+    WHERE g.source <> 'src0'
+    GROUP BY g.doc_id
+    """,
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: training docs sharing any token
+    8-gram with the held-out eval set (source = src0), with the count
+    of distinct shared grams — the standard decontamination primitive.
+
+    Shape at 100 TB: the eval side is tiny by construction, so its
+    distinct grams BROADCAST; the train side streams through an
+    explode → broadcast-semi-hash-join → partial count(distinct) — no
+    shuffle ever carries a full gram inventory, only the matched
+    (doc_id, gram) pairs. Gram = exact 8-token window (sliding, step
+    1), the same convention as the Gopher/PaLM decontamination setups.
+    """
+    d = (
+        load(spark, sf_dir, "documents")
+        .withColumn("t", F.split("text", " "))
+        .where(F.size("t") >= 8)  # sequence(0, size-8) reverses if size<8
+    )
+    grams = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 8),
+                lambda i: F.concat_ws(" ", F.slice("t", i + 1, 8)),
+            )
+        ).alias("gram"),
+    )
+    eval_grams = grams.where(F.col("source") == "src0").select("gram").distinct()
+    return (
+        grams.where(F.col("source") != "src0")
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("shared_grams"))
+    )
