@@ -200,15 +200,50 @@ def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Training jobs need the corpus in a fixed shuffled order that is
     stable across re-runs and independent of input file layout. Rank
-    over a cryptographic digest of the stable id gives exactly that —
-    and at 100 TB it runs as a range-partitioned sort on the digest
-    (Spark samples digest boundaries, so output files are the shuffled
-    shards, no single-node sort). doc_id tie-break keeps the order
-    total even under (impossible) digest collisions.
+    over a cryptographic digest of the stable id gives exactly that.
+
+    A bare ``row_number() OVER (ORDER BY dig)`` would coalesce every
+    row into ONE partition — the canonical global-window anti-pattern.
+    Instead this computes the distributed rank the scale-safe way:
+    range-partition by digest (disjoint ordered ranges across tasks),
+    rank locally within each partition, then add the exclusive prefix
+    sum of partition row-counts (a partition-count-sized table — bytes)
+    as the offset. The final position is identical for ANY range
+    boundaries, so sampling nondeterminism in the range partitioner
+    cannot change the answer. doc_id tie-break keeps the order total
+    even under (impossible) digest collisions.
     """
-    d = load(spark, sf_dir, "documents")
-    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
-    return d.select("doc_id", F.row_number().over(w).alias("shuffle_pos"))
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("dig")
+    )
+    nparts = max(2, spark.sparkContext.defaultParallelism // 2)
+    ranged = d.repartitionByRange(nparts, "dig", "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    # exclusive prefix sum over ~nparts rows — driver-scale metadata only
+    offsets = (
+        ranged.groupBy("pid")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("cnt").over(
+                    Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("pid", "offset")
+    )
+    local = Window.partitionBy("pid").orderBy("dig", "doc_id")
+    return (
+        ranged.withColumn("local_rn", F.row_number().over(local))
+        .join(F.broadcast(offsets), "pid")
+        .select(
+            "doc_id",
+            (F.col("offset") + F.col("local_rn")).cast("int").alias("shuffle_pos"),
+        )
+    )
 
 
 @register(

@@ -423,10 +423,12 @@ def q_dss_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dss_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: the single top-revenue supplier for a quarter.
 
-    The classic view-plus-max is expressed as arg-max via row_number
-    with an s_suppkey tie-break (CLAUDE.md: arg_max needs a composite
-    key). Selection orders by the UNROUNDED sum — rounding only the
-    output keeps the winner stable on both engines.
+    The classic view-plus-max is expressed as arg-max via
+    orderBy().limit(1) with an s_suppkey tie-break (CLAUDE.md: arg_max
+    needs a composite key) — this plans TakeOrderedAndProject
+    (per-partition heaps), NOT a global window, so it scales to any
+    supplier cardinality. Selection orders by the UNROUNDED sum —
+    rounding only the output keeps the winner stable on both engines.
     """
     l = load(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
@@ -435,11 +437,10 @@ def q_dss_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev")
     )
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    w = Window.orderBy(F.desc("total_rev"), F.asc("s_suppkey"))
     return (
         srev.join(F.broadcast(s), F.col("s_suppkey") == F.col("suppkey"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        .orderBy(F.desc("total_rev"), F.asc("s_suppkey"))
+        .limit(1)
         .select("s_suppkey", "s_name", F.round("total_rev", 2).alias("total_revenue"))
     )
 

@@ -208,3 +208,18 @@ def test_dss_waiting_suppliers_single_window_shuffle(spark):
     plan = explain_str(_df(spark, "q_dss_waiting_suppliers"))
     assert plan.count("lineitem.parquet") == 1, plan  # exactly one fact scan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_top_supplier_take_ordered_not_global_window(spark):
+    plan = explain_str(_df(spark, "q_dss_top_supplier"))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_global_shuffle_has_no_single_partition_window(spark):
+    # the distributed-rank formulation must range-partition, then rank
+    # per partition — never a Window over an empty partition spec
+    plan = explain_str(_df(spark, "q_global_shuffle"))
+    assert "rangepartitioning" in plan.lower(), plan
+    assert "windowspecdefinition(dig" not in plan, plan  # no global ORDER BY window
+    assert "windowspecdefinition(pid" in plan, plan  # local rank only

@@ -255,3 +255,33 @@ def test_json_corrupt_records_are_quarantined(spark, tmp_path):
         assert "NOT JSON" in bad.first()._corrupt_record
     finally:
         df.unpersist()
+
+
+def test_binaryfile_source_feeds_multimodal_pipeline(spark, tmp_path):
+    """spark.read.format('binaryFile') is the ingestion path for raw
+    media files at 100 TB: each file becomes (path, modificationTime,
+    length, content BinaryType) with NO decoding on read, so metadata
+    predicates (path glob, length) prune before any payload moves.
+    """
+    media = tmp_path / "media"
+    media.mkdir()
+    payloads = {f"img_{i:03d}.jpg": bytes([i]) * (100 + i) for i in range(8)}
+    (media / "notes.txt").write_bytes(b"not media")
+    for name, blob in payloads.items():
+        (media / name).write_bytes(blob)
+
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.jpg")
+        .load(str(media))
+    )
+    rows = df.selectExpr(
+        "reverse(split(path, '/'))[0] AS fname", "length", "content"
+    ).collect()
+    got = {r.fname: bytes(r.content) for r in rows}
+    assert got == payloads  # txt filtered out by the glob, bytes intact
+    assert all(r.length == len(payloads[r.fname]) for r in rows)
+
+    # length-only projection must not require content (columnar prune):
+    small = df.where("length < 104").select("length").collect()
+    assert sorted(r.length for r in small) == [100, 101, 102, 103]
