@@ -74,3 +74,42 @@ def q_skew_join(spark, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("l_extendedprice"), 2).alias("total"),
     )
+
+
+@register(
+    "q_skew_profile",
+    sql="""
+    WITH per_key AS (
+      SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT count(*) AS n_keys,
+           CAST(min(cnt) AS BIGINT) AS min_per_key,
+           CAST(max(cnt) AS BIGINT) AS max_per_key,
+           round(avg(cnt), 6) AS avg_per_key,
+           round(max(cnt) / avg(cnt), 6) AS skew_factor,
+           round(max(cnt) / sum(cnt), 9) AS top_key_share
+    FROM per_key
+    """,
+)
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics: the pre-flight profile you run BEFORE
+    shuffling 100 TB on a key — per-key cardinality summarized as
+    min/max/avg, the max/avg skew factor (how much hotter the hottest
+    task runs than the average), and the hottest key's share of all
+    rows (what fraction of the table one task would own).
+
+    Two map-side-combinable aggs back to back; cost is one pass over
+    the key column. A skew_factor ≫ 10 is the signal to salt the key
+    or rely on AQE skew-join splitting (see q_skew_join for the cure;
+    this operator is the diagnosis).
+    """
+    l = load(spark, sf_dir, "lineitem")
+    per_key = l.groupBy("l_orderkey").agg(F.count("*").alias("cnt"))
+    return per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.min("cnt").alias("min_per_key"),
+        F.max("cnt").alias("max_per_key"),
+        F.round(F.avg("cnt"), 6).alias("avg_per_key"),
+        F.round(F.max("cnt") / F.avg("cnt"), 6).alias("skew_factor"),
+        F.round(F.max("cnt") / F.sum("cnt"), 9).alias("top_key_share"),
+    )

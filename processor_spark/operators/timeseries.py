@@ -17,7 +17,7 @@ relational compositions (SURVEY.md §2.9 family):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from processor_spark.registry import register
@@ -552,4 +552,138 @@ def q_growth_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round(F.col("revenue") - prev, 2).alias("delta"),
         F.round(100.0 * (F.col("revenue") - prev) / prev, 4).alias("pct_change"),
+    )
+
+
+@register(
+    "q_gap_fill_locf",
+    sql="""
+    WITH bounds AS (
+      SELECT date_trunc('day', min(ts)) AS lo, date_trunc('day', max(ts)) AS hi
+      FROM events
+    ), days AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds
+    ), types AS (
+      SELECT DISTINCT event_type FROM events
+    ), actual AS (
+      SELECT date_trunc('day', ts) AS day, event_type,
+             round(avg(value), 3) AS v
+      FROM events WHERE value > 90 GROUP BY 1, 2
+    )
+    SELECT day, event_type,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff
+    FROM (
+      SELECT d.day, t.event_type, a.v
+      FROM days d CROSS JOIN types t
+      LEFT JOIN actual a ON a.day = d.day AND a.event_type = t.event_type
+    )
+    """,
+)
+def q_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap fill with LOCF (last observation carried forward): a dense
+    daily spine per event type where days with no qualifying reading
+    repeat the previous day's value — the standard forward-fill
+    resample for sensor/metric series (zero-fill sibling: q_gap_fill).
+
+    The sparse "readings" series (daily avg of value>90) is left-joined
+    onto the generated spine, then F.last(ignorenulls) over an
+    unbounded-preceding frame carries values forward. Days before the
+    first reading stay NULL by design. At 100 TB the spine is
+    days×types (tiny); the carry is one window shuffle keyed by type —
+    state per task is a single scalar, so frame evaluation is O(rows).
+    """
+    e = load(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    types = e.select("event_type").distinct()
+    actual = (
+        e.where(F.col("value") > 90)
+        .groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(F.round(F.avg("value"), 3).alias("v"))
+    )
+    spine = days.crossJoin(types).join(actual, ["day", "event_type"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return spine.select(
+        "day", "event_type", F.last("v", ignorenulls=True).over(w).alias("value_ff")
+    )
+
+
+@register(
+    "q_attribution",
+    sql="""
+    WITH touches AS (
+      SELECT user_id, ts AS touch_ts, event_id AS touch_id, event_type AS touch_type
+      FROM events WHERE event_type IN ('click', 'view')
+    ), purchases AS (
+      SELECT user_id, ts AS p_ts, event_id AS p_id, value AS revenue
+      FROM events WHERE event_type = 'purchase'
+    ), candidates AS (
+      SELECT p.p_id, p.revenue, t.touch_type,
+             row_number() OVER (PARTITION BY p.p_id
+                                ORDER BY t.touch_ts, t.touch_id) AS rn
+      FROM purchases p
+      JOIN touches t
+        ON t.user_id = p.user_id
+       AND t.touch_ts <= p.p_ts
+       AND t.touch_ts >  p.p_ts - INTERVAL 7 DAY
+    )
+    SELECT touch_type,
+           count(*) AS n_purchases,
+           round(sum(revenue), 3) AS attributed_revenue
+    FROM candidates WHERE rn = 1
+    GROUP BY touch_type
+    """,
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch marketing attribution: each purchase's revenue is
+    credited to the EARLIEST click/view of the same user in the 7 days
+    before the purchase; output is revenue per touch channel.
+
+    Shape: an interval join (user equi-key + 7-day residual band, same
+    posture as q_join_interval — never a nested loop) followed by a
+    per-purchase row_number to pick the first touch, with (ts,
+    event_id) as a total order. Candidate fan-out is bounded by
+    touches-per-user-week, not by table sizes; at 100 TB both sides
+    shuffle once on user_id and the rank window rides the same
+    partitioning.
+    """
+    e = load(spark, sf_dir, "events")
+    touches = e.where(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("touch_ts"),
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+        F.col("value").alias("revenue"),
+    )
+    cand = purchases.join(
+        touches,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("touch_ts") <= F.col("p_ts"))
+        & (F.col("touch_ts") > F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+    )
+    w = Window.partitionBy("p_id").orderBy("touch_ts", "touch_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy("touch_type")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("revenue"), 3).alias("attributed_revenue"),
+        )
     )
