@@ -238,7 +238,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (checked in tests; pairing strategy would be banding on bit slices,
     same shape as MinHash LSH).
     """
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok")).withColumn(
         "h", F.xxhash64("tok")
     )

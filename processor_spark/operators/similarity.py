@@ -118,7 +118,7 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB, swap the broadcast for the LSH bucketing of q_ann_lsh
     (REPOSE/ICDE'21-style partition-local search).
     """
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", spread=True)
     # per-vector norms hoisted out of the pair stage (see q_dedup_embed)
     corpus = e.select("vec_id", _as_double("embedding").alias("emb")).withColumn(
         "nrm", l2norm(F.col("emb"))
@@ -392,8 +392,14 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Label acts as the blocking key (in production: an LSH bucket or
     cluster id) so the pair space is per-block, not global — the
     standard semantic-dedup shape for LLM corpora.
+
+    spread=True: the pair-scoring stage is compute-dense (a 64-dim dot
+    per candidate pair) and the build side broadcasts, so the probe
+    side's partitioning alone decides the parallelism — a single-file
+    scan would run every pair on one core. At cluster scale the same
+    balance comes from partitioning both sides by (block, salt).
     """
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", spread=True)
     # hoist the L2 norm to a per-vector column: the pair stage then does
     # one dot product per pair instead of dot + two array folds —
     # bit-identical result (same expression tree, evaluated once)
@@ -434,7 +440,7 @@ def q_ann_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", spread=True)
     norm = F.transform(
         F.col("embedding").cast("array<double>"),
         lambda x: x / F.sqrt(F.aggregate(

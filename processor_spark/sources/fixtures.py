@@ -130,11 +130,24 @@ def schema_for(table: str) -> T.StructType:
     return _SCHEMAS[table]
 
 
-def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    """Load one fixture table as a batch DataFrame with its pinned schema."""
+def load(
+    spark: SparkSession, sf_dir: str, table: str, spread: bool = False
+) -> DataFrame:
+    """Load one fixture table as a batch DataFrame with its pinned schema.
+
+    ``spread=True`` round-robins the rows across the session's default
+    parallelism straight off the scan. Use it ONLY ahead of
+    compute-dense per-row/per-pair stages (vector scoring, simhash bit
+    voting): a small table arrives as a single file split, so without
+    it the expensive stage runs on one core no matter how many the
+    cluster has. Filter-then-aggregate paths should NOT spread — the
+    extra exchange would cost more than the map work it balances.
+    """
     if table not in _SCHEMAS:
         raise KeyError(f"unknown fixture table {table!r}; known: {TABLES}")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if spread:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     if table == "events":
         # normalize ts to the pinned TimestampType whatever the layout:
         # - driver fixture: TIMESTAMP(NANOS) surfaced as long nanos via
