@@ -463,11 +463,11 @@ def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_array_funcs2",
     sql="""
     SELECT o_orderkey,
-           list_sort(list_intersect(range(1, n + 1), [2,3,4]))                  AS arr_inter,
-           list_sort(list_distinct(list_concat(range(1, n + 1), [4,9])))       AS arr_union,
-           list_sort(list_filter(range(1, n + 1),
-                                 x -> NOT list_contains([1,2], x)))            AS arr_exc,
-           flatten([range(1, n + 1), [0]])                                     AS flat,
+           array_to_string(list_sort(list_intersect(range(1, n + 1), [2,3,4])), ',')            AS arr_inter,
+           array_to_string(list_sort(list_distinct(list_concat(range(1, n + 1), [4,9]))), ',')  AS arr_union,
+           COALESCE(array_to_string(list_sort(list_filter(range(1, n + 1),
+                                 x -> NOT list_contains([1,2], x))), ','), '') AS arr_exc,
+           array_to_string(flatten([range(1, n + 1), [0]]), ',')               AS flat,
            CAST(len(list_intersect(range(1, n + 1), [5,6])) > 0 AS BOOLEAN)    AS overlaps56,
            CAST(COALESCE(list_position(range(1, n + 1), 3), 0) AS BIGINT)      AS pos3
     FROM (SELECT o_orderkey, o_orderkey % 5 + 2 AS n FROM orders)
@@ -478,16 +478,17 @@ def q_array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersect/union/except (sorted canonically on both engines; DuckDB
     list_intersect order is unspecified), flatten, overlap test,
     position (Spark's 0-when-absent bridged via COALESCE).  Generated
-    from keys so the oracle is pure SQL."""
+    from keys so the oracle is pure SQL.  Array outputs are serialized
+    to CSV strings on both sides — the driver hash can't take lists."""
     o = load(spark, sf_dir, "orders")
     n = (F.col("o_orderkey") % 5 + 2).cast("long")
     seq = F.sequence(F.lit(1).cast("long"), n)
     return o.select(
         "o_orderkey",
-        F.array_sort(F.array_intersect(seq, F.array(F.lit(2), F.lit(3), F.lit(4)).cast("array<long>"))).alias("arr_inter"),
-        F.array_sort(F.array_union(seq, F.array(F.lit(4), F.lit(9)).cast("array<long>"))).alias("arr_union"),
-        F.array_sort(F.array_except(seq, F.array(F.lit(1), F.lit(2)).cast("array<long>"))).alias("arr_exc"),
-        F.flatten(F.array(seq, F.array(F.lit(0).cast("long")))).alias("flat"),
+        F.array_join(F.array_sort(F.array_intersect(seq, F.array(F.lit(2), F.lit(3), F.lit(4)).cast("array<long>"))), ",").alias("arr_inter"),
+        F.array_join(F.array_sort(F.array_union(seq, F.array(F.lit(4), F.lit(9)).cast("array<long>"))), ",").alias("arr_union"),
+        F.array_join(F.array_sort(F.array_except(seq, F.array(F.lit(1), F.lit(2)).cast("array<long>"))), ",").alias("arr_exc"),
+        F.array_join(F.flatten(F.array(seq, F.array(F.lit(0).cast("long")))), ",").alias("flat"),
         F.arrays_overlap(seq, F.array(F.lit(5), F.lit(6)).cast("array<long>")).alias("overlaps56"),
         F.array_position(seq, 3).alias("pos3"),
     )

@@ -182,16 +182,19 @@ def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_agg_collect",
     sql="""
-    SELECT n_regionkey, list_sort(list(n_name)) AS nations
+    SELECT n_regionkey, array_to_string(list_sort(list(n_name)), ',') AS nations
     FROM nation
     GROUP BY n_regionkey
     """,
 )
 def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array agg per group, sorted for order-canonical hashing."""
+    """Array agg per group, sorted for order-canonical hashing.
+
+    Serialized to a CSV string on BOTH sides: the driver's value-hash
+    canonicalization can't hash list cells (ADVICE r1)."""
     n = load(spark, sf_dir, "nation")
     return n.groupBy("n_regionkey").agg(
-        F.array_sort(F.collect_list("n_name")).alias("nations")
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
     )
 
 

@@ -417,7 +417,7 @@ def q_dss_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT s.s_suppkey, s.s_name, round(r.total_rev, 2) AS total_revenue
     FROM srev r JOIN supplier s ON s.s_suppkey = r.suppkey
-    QUALIFY row_number() OVER (ORDER BY r.total_rev DESC, s.s_suppkey) = 1
+    QUALIFY row_number() OVER (ORDER BY round(r.total_rev, 2) DESC, s.s_suppkey) = 1
     """,
 )
 def q_dss_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -427,8 +427,10 @@ def q_dss_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     orderBy().limit(1) with an s_suppkey tie-break (CLAUDE.md: arg_max
     needs a composite key) — this plans TakeOrderedAndProject
     (per-partition heaps), NOT a global window, so it scales to any
-    supplier cardinality. Selection orders by the UNROUNDED sum —
-    rounding only the output keeps the winner stable on both engines.
+    supplier cardinality. Selection orders by the ROUNDED sum on both
+    engines (ADVICE r1): partition sum-order can flip the last bit of
+    the double, so the unrounded value is not a stable cross-engine
+    selection key.
     """
     l = load(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
@@ -439,7 +441,7 @@ def q_dss_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         srev.join(F.broadcast(s), F.col("s_suppkey") == F.col("suppkey"))
-        .orderBy(F.desc("total_rev"), F.asc("s_suppkey"))
+        .orderBy(F.desc(F.round("total_rev", 2)), F.asc("s_suppkey"))
         .limit(1)
         .select("s_suppkey", "s_name", F.round("total_rev", 2).alias("total_revenue"))
     )

@@ -145,7 +145,20 @@ def load(
     """
     if table not in _SCHEMAS:
         raise KeyError(f"unknown fixture table {table!r}; known: {TABLES}")
-    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if table == "events":
+        # events.ts is parquet TIMESTAMP(NANOS): Spark refuses it unless
+        # nanosAsLong is on.  The driver (and any embedding app) calls us
+        # with its OWN session, so the conf must be set here at runtime —
+        # it is a plain SQL conf, not a session-start-only one.  It only
+        # affects nanos columns, which only events has.  The pinned
+        # schema can't be passed on this read (ts arrives as long and is
+        # normalized below), so events skips the .schema() pin.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    else:
+        # Pin the declared schema on the read so column types are the
+        # documented contract, not whatever the parquet footer says.
+        df = spark.read.schema(_SCHEMAS[table]).parquet(f"{sf_dir}/{table}.parquet")
     if spread:
         df = df.repartition(spark.sparkContext.defaultParallelism)
     if table == "events":

@@ -123,7 +123,10 @@ def test_randomized_predicate_agrees_with_duckdb(spark, data, pred):
     if len(pdf):
         pdf = pdf.astype({"k": "int64", "v": "int64"})
     con.register("t", pdf)
-    want = sorted(tuple(r) for r in con.execute(f"SELECT k, v, tag FROM t WHERE {pred}").fetchall())
+    want = sorted(
+        (tuple(r) for r in con.execute(f"SELECT k, v, tag FROM t WHERE {pred}").fetchall()),
+        key=_null_safe_key,
+    )
     assert got == want
 
 
