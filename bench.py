@@ -7,8 +7,12 @@ Prints ONE JSON line:
    "queries": {"q_x": sec, ...}, "sf": 0.1}
 
 Per BASELINE.md's engine-consistency note: each query is timed as a
-full action (collect) on a warmed session, JVM startup excluded; a
-cold per-query breakdown would measure driver overhead, not the plans.
+full action on a warmed session, JVM startup excluded; a cold
+per-query breakdown would measure driver overhead, not the plans.
+The action is Arrow-batched ``toPandas()`` — the idiomatic PySpark
+full-materialization path, and the engine-consistent twin of DuckDB's
+columnar ``fetchdf``; row-pickling ``collect()`` was measured 5-6×
+slower on 95 k-row outputs while executing the identical plan.
 """
 
 from __future__ import annotations
@@ -46,7 +50,7 @@ def main() -> None:
 
     # Warm the JVM/codegen once with the cheapest headline query so the
     # first measured query doesn't absorb one-time session costs.
-    qs["q_topk_similarity"](spark, sf_dir).collect()
+    qs["q_topk_similarity"](spark, sf_dir).toPandas()
 
     keys = list(HEADLINE)
     if os.environ.get("SPARK_GRAFT_BENCH_ALL"):
@@ -60,10 +64,10 @@ def main() -> None:
         # per-plan cost that amortizes to zero at 100 TB.  run 2 (warm):
         # steady-state execution; this is the reported number.
         t0 = time.perf_counter()
-        qs[key](spark, sf_dir).collect()
+        qs[key](spark, sf_dir).toPandas()
         cold[key] = round(time.perf_counter() - t0, 4)
         t0 = time.perf_counter()
-        qs[key](spark, sf_dir).collect()
+        qs[key](spark, sf_dir).toPandas()
         timings[key] = round(time.perf_counter() - t0, 4)
 
     out = {

@@ -226,6 +226,128 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# md5-derived 48-bit minhash values (md5 is the one digest both engines
+# compute identically; 12 hex chars = 48 bits keeps every intermediate
+# exact in a double, so the DuckDB polynomial/hex-cast parse is lossless).
+_MD5_PERMS = 8
+_MD5_BANDS = 4  # 4 bands × 2 rows → S-curve threshold (1/4)^(1/2) = 0.5
+
+
+def _minhash_sig_sql(n: int) -> str:
+    cols = ",\n             ".join(
+        f"min(mh) FILTER (WHERE seed = {i}) AS mh{i}" for i in range(n)
+    )
+    return cols
+
+
+@register(
+    "q_dedup_minhash_md5",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+             generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id,
+             tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS gram
+      FROM toks
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY lead(tok, 2) OVER w IS NOT NULL
+    ), hashed AS (
+      SELECT doc_id, s.seed,
+             min(CAST(('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' || gram), 1, 12)) AS BIGINT)) AS mh
+      FROM grams CROSS JOIN (SELECT unnest(range({_MD5_PERMS})) AS seed) s
+      GROUP BY doc_id, s.seed
+    ), sig AS (
+      SELECT doc_id,
+             {_minhash_sig_sql(_MD5_PERMS)}
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(({" + ".join(f"CAST(a.mh{i} = b.mh{i} AS INTEGER)" for i in range(_MD5_PERMS))}) / {_MD5_PERMS}.0, 4) AS est_jaccard
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+      {" OR ".join(f"(a.mh{2 * b} = b.mh{2 * b} AND a.mh{2 * b + 1} = b.mh{2 * b + 1})" for b in range(_MD5_BANDS))}
+    )
+    """,
+)
+def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH with an engine-portable (md5-derived) hash family —
+    the SQL-verifiable twin of q_dedup_minhash.
+
+    Same banding algebra as the xxhash64 path (which stays the
+    production hot path — xxhash64 is JVM-native and ~10× cheaper) but
+    every permutation hash is the first 48 bits of
+    md5("<seed>:<gram>"), which DuckDB reproduces bit-for-bit, so the
+    full candidate-pair set and estimated Jaccards hash-match under the
+    driver's oracle.  8 permutations in 4 bands of 2 rows → candidate
+    threshold (1/4)^(1/2) = 0.5.  The Spark plan is the scalable shape
+    (band-bucket equi-join); the oracle's OR-of-bands nested-loop join
+    is fine at oracle scale only.
+    """
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        toks.select(
+            "doc_id",
+            F.concat_ws(" ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)).alias("gram"),
+            F.lead("tok", 2).over(w).alias("_has3"),
+        )
+        .where(F.col("_has3").isNotNull())
+        .select("doc_id", "gram")
+        .distinct()
+    )
+
+    def mh(i: int):
+        digest = F.md5(F.concat(F.lit(f"{i}:"), F.col("gram")).cast("binary"))
+        return F.min(F.conv(F.substring(digest, 1, 12), 16, 10).cast("long")).alias(f"mh{i}")
+
+    sig = grams.groupBy("doc_id").agg(*[mh(i) for i in range(_MD5_PERMS)])
+    mh_cols = [f"mh{i}" for i in range(_MD5_PERMS)]
+    bands = sig.select(
+        "doc_id",
+        *mh_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "_",
+                            F.col(f"mh{2 * b}").cast("string"),
+                            F.col(f"mh{2 * b + 1}").cast("string"),
+                        ).alias("band_key"),
+                    )
+                    for b in range(_MD5_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key", *mh_cols)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    agree = sum(
+        F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
+        for i in range(_MD5_PERMS)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(agree / F.lit(float(_MD5_PERMS)), 4).alias("est_jaccard"),
+        )
+        .distinct()
+    )
+
+
 @register("q_simhash", sql=None)  # bit-vote fingerprint, engine-specific hash → rows-only
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprint per document via per-bit token voting.

@@ -39,6 +39,15 @@ def build_session(
         # default (true) is kept; on a real cluster with TB shuffles the
         # advisory size governs either way.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Broadcast policy: distrust STATIC size estimates (a raw-scan
+        # estimate can nominate the pruned FACT scan as the build side —
+        # observed at sf0.1: the planner broadcast the 600 k-row lineitem
+        # scan of q_join_5way), but trust RUNTIME-observed sizes.  Low
+        # static threshold + high adaptive threshold = broadcasts are
+        # decided from real post-shuffle sizes, which is exactly the
+        # decision procedure that stays correct at 100 TB.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(2 * 1024 * 1024))
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # events.parquet carries TIMESTAMP(NANOS) which Spark's reader
         # rejects; read as long and convert in the loader (µs-lossless —
