@@ -300,3 +300,36 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.countDistinct("gram").alias("shared_grams"))
     )
+
+
+@register(
+    "q_sample_hash",
+    sql="""
+    SELECT doc_id, source, n_chars,
+           CAST(CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT) % 1000 AS BIGINT)
+             AS sample_bucket
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT) % 1000 < 50
+    """,
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5% content-hash sample — the reproducible
+    alternative to rand()-based sampling for training-data subsets.
+
+    The keep/drop decision is a pure function of the document CONTENT
+    (first 48 bits of md5(text), bucketed mod 1000), so the same
+    documents are selected on any cluster size, row order, or engine —
+    and re-ingested byte-identical duplicates always sample together,
+    which id-hash sampling (q_dataset_split) cannot guarantee.  A
+    narrow map + filter: no shuffle at all at 100 TB.
+    """
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("text").cast("binary")), 1, 12), 16, 10)
+        .cast("long")
+        % 1000
+    )
+    return (
+        d.select("doc_id", "source", "n_chars", bucket.alias("sample_bucket"))
+        .where(F.col("sample_bucket") < 50)
+    )

@@ -652,3 +652,119 @@ def q_dss_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("c_nationkey") % 10).alias("cntrycode"))
         .agg(F.count("*").alias("numcust"), F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
     )
+
+
+@register(
+    "q_dss_ship_delay",
+    sql="""
+    SELECT CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE date_diff('day', o.o_orderdate, l.l_shipdate) > 90
+    GROUP BY 1
+    """,
+)
+def q_dss_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: no l_shipmode/commitdate in the fixture
+    schema): lines shipped >90 days after their order date, counted per
+    ship year split by order-priority class.
+
+    The fact-fact join shuffles on l_orderkey/o_orderkey; the delay
+    predicate is evaluated post-join (it references both sides) but the
+    priority split is a conditional agg, one pass.  Integer counts only
+    — no float parity risk.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .where(F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90)
+        .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q_dss_important_parts",
+    sql="""
+    WITH pq AS (
+        SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, total_qty
+    FROM pq
+    WHERE total_qty * 2000 > (SELECT CAST(sum(total_qty) AS BIGINT) FROM pq)
+    """,
+)
+def q_dss_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: no partsupp table — lineitem quantity
+    stands in for stock value): parts whose shipped quantity exceeds
+    0.05% of the global total.
+
+    The scalar global total broadcasts as a 1-row cross join against
+    the per-part agg.  Parity hazard avoided by construction: quantity
+    is integer-valued, so both the per-part sums and the global sum are
+    EXACT in any summation order, and the threshold compare is pure
+    64-bit integer arithmetic (total_qty * 2000 > grand_total) — no
+    float rounding anywhere.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    pq = l.groupBy("l_partkey").agg(
+        F.sum("l_quantity").cast("bigint").alias("total_qty")
+    )
+    total = pq.agg(F.sum("total_qty").cast("bigint").alias("grand_total"))
+    return (
+        pq.crossJoin(F.broadcast(total))
+        .where(F.col("total_qty") * 2000 > F.col("grand_total"))
+        .select("l_partkey", "total_qty")
+    )
+
+
+@register(
+    "q_dss_parts_suppliers",
+    sql="""
+    SELECT p.p_brand, p.p_size, count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 9, 19, 29, 39, 49)
+      AND l.l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7'
+      )
+    GROUP BY p.p_brand, p.p_size
+    """,
+)
+def q_dss_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted: lineitem is the part-supplier bridge —
+    the fixture has no partsupp): distinct supplier count per
+    (brand, size) for selected sizes, excluding one brand and a
+    denylisted supplier set.
+
+    The supplier denylist (NOT IN, all keys non-null by schema) plans
+    as a broadcast anti join; part filters push into the dimension
+    before the fact join; count(DISTINCT) expands to a two-level agg.
+    """
+    l = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = (
+        load(spark, sf_dir, "part")
+        .where((F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 9, 19, 29, 39, 49))
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    bad = (
+        load(spark, sf_dir, "supplier")
+        .where(F.col("s_name").like("%7"))
+        .select(F.col("s_suppkey").alias("bad_suppkey"))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), l.l_suppkey == F.col("bad_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )

@@ -534,3 +534,111 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("dist") <= 3)
         .select("name_a", "name_b", "dist")
     )
+
+
+@register(
+    "q_doc_entropy",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ), counts AS (
+      SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+    ), sized AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS n_distinct
+      FROM counts GROUP BY doc_id
+    )
+    SELECT c.doc_id, s.n AS n_tokens, s.n_distinct,
+           round(-sum((c.c / CAST(s.n AS DOUBLE)) * ln(c.c / CAST(s.n AS DOUBLE))), 6)
+             AS entropy
+    FROM counts c JOIN sized s ON s.doc_id = c.doc_id
+    GROUP BY c.doc_id, s.n, s.n_distinct
+    """,
+)
+def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram (Shannon) entropy — the repetition/diversity
+    quality signal: near-zero entropy means a document is one token
+    stamped over and over; high entropy means diverse vocabulary.
+
+    Two hash-aggs (token counts, then the entropy sum) — no joins wider
+    than doc_id, embarrassingly parallel at 100 TB.  The entropy sum
+    has ≤ a few hundred terms per doc, so round(…, 6) is far above
+    float sum-order noise.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    sized = counts.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    p = F.col("c") / F.col("n").cast("double")
+    return (
+        counts.join(sized, "doc_id")
+        .groupBy("doc_id", F.col("n").alias("n_tokens"), "n_distinct")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
+    )
+
+
+@register(
+    "q_bigram_surprisal",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+             generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+      FROM documents
+    ), bigrams AS (
+      SELECT doc_id, tok AS w1, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM toks
+      QUALIFY lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+    ), bg_stats AS (
+      SELECT w1, w2, count(*) AS c12 FROM bigrams GROUP BY w1, w2
+    ), ug_stats AS (
+      SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bg_stats GROUP BY w1
+    )
+    SELECT b.doc_id,
+           count(*) AS n_bigrams,
+           round(avg(-ln(s.c12 / CAST(u.c1 AS DOUBLE))), 6) AS avg_surprisal
+    FROM bigrams b
+    JOIN bg_stats s ON s.w1 = b.w1 AND s.w2 = b.w2
+    JOIN ug_stats u ON u.w1 = b.w1
+    GROUP BY b.doc_id
+    """,
+)
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model surprisal per document —
+    the classic perplexity-style quality score: docs whose token
+    transitions are improbable under the corpus's own bigram model
+    score high (gibberish / shuffled text), repetitive boilerplate
+    scores near zero.
+
+    The bigram table is derived from the SAME corpus then joined back
+    to each document's bigrams: the derived stats are re-referenced, so
+    the bigram extraction is persist()ed (CLAUDE.md shared-subplan
+    rule).  Shuffle keys are (w1, w2) and w1 — token-skew is the 100 TB
+    hazard (stop-bigrams), mitigated by AQE skew-split exactly as in
+    q_dedup_ngram.
+    """
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        toks.select("doc_id", F.col("tok").alias("w1"), F.lead("tok").over(w).alias("w2"))
+        .where(F.col("w2").isNotNull())
+        .persist()
+    )
+    bg = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ug = bg.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    surprisal = -F.log(F.col("c12") / F.col("c1").cast("double"))
+    return (
+        bigrams.join(bg, ["w1", "w2"])
+        .join(ug, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(surprisal), 6).alias("avg_surprisal"),
+        )
+    )
