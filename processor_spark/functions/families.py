@@ -264,8 +264,12 @@ def q_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cast_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cast/coercion family: decimal money casts (stringified for a
     representation-stable oracle), try_cast → NULL on failure,
-    timestamp→date, null-safe equality (<=>)."""
-    o = load(spark, sf_dir, "orders")
+    timestamp→date, null-safe equality (<=>).
+
+    spread=True: a try_cast that FAILS costs a caught JVM exception per
+    row (measured ~13 µs/row vs ~1 µs for a clean cast), and the
+    single-file fixture scan would run that on one core."""
+    o = load(spark, sf_dir, "orders", spread=True)
     return o.select(
         "o_orderkey",
         F.col("o_totalprice").cast("decimal(14,2)").cast("string").alias("price_dec_str"),
@@ -443,8 +447,13 @@ def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (NULL on /0 instead of error), try_cast, try_multiply (NULL on
     int64 overflow — oracle states the expected value since DuckDB's
     vectorized CASE would itself overflow), try_element_at past the
-    end.  The family every ANSI pipeline needs for dirty data."""
-    o = load(spark, sf_dir, "orders")
+    end.  The family every ANSI pipeline needs for dirty data.
+
+    spread=True: every failing try_* costs a caught JVM exception per
+    row (try_multiply overflowing all 150 k rows measured 3.3 s on one
+    core; ~22 µs/row of exception unwinding) — the per-row cost is
+    inherent to the escape-hatch semantics, so parallelize it."""
+    o = load(spark, sf_dir, "orders", spread=True)
     parts = F.split("o_orderpriority", "-")
     return o.select(
         "o_orderkey",

@@ -115,6 +115,10 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_has3").isNotNull())
         .select("doc_id", "source", "gram")
         .distinct()
+        # referenced three times (size agg + both self-join sides) —
+        # persist so the quality→dedup→tokenize→window pipeline runs
+        # once (CLAUDE.md shared-subplan rule; measured 4.2 s → ~1.5 s)
+        .persist()
     )
     sized = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     a, b = grams.alias("a"), grams.alias("b")

@@ -3,8 +3,11 @@
 Four strategies, cheapest-first — the standard LLM-corpus dedup ladder:
 1. exact (content hash)            — q_dedup_exact (SQL oracle)
 2. n-gram Jaccard near-dup         — q_dedup_ngram (SQL oracle)
-3. MinHash + LSH banding           — q_dedup_minhash (rows-only: seeded-hash specific)
-4. SimHash fingerprint Hamming     — q_simhash (rows-only)
+3. MinHash + LSH banding           — q_dedup_minhash (xxhash64 hot path,
+   rows-only) + q_dedup_minhash_md5 (portable md5 hash family, full
+   SQL-oracle hash check of the identical banding algebra)
+4. SimHash fingerprint Hamming     — q_simhash (xxhash64, rows-only) +
+   q_simhash_md5 (portable 48-bit md5 variant, SQL oracle)
 
 Scale notes: exact dedup is a single hash-agg keyed on the digest
 (map-side combine collapses duplicates before the shuffle).  The
@@ -326,6 +329,10 @@ def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_key", *mh_cols)
+    # both sides of the candidate self-join reference the signature
+    # pipeline (tokenize → window 3-grams → 8 md5 min-aggs) — persist or
+    # it is computed twice (CLAUDE.md shared-subplan rule)
+    bands = bands.persist()
     a = bands.alias("a")
     b = bands.alias("b")
     agree = sum(
@@ -574,4 +581,62 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("exact_h").alias("n_exact_distinct"),
         F.countDistinct("canon_h").alias("n_canonical_distinct"),
+    )
+
+
+@register(
+    "q_simhash_md5",
+    sql="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents
+      )
+    ), hashed AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) AS h
+      FROM toks
+    ), votes AS (
+      SELECT doc_id, b.bit,
+             sum(CASE WHEN ((h >> b.bit) & 1) = 1 THEN 1 ELSE -1 END) AS v
+      FROM hashed CROSS JOIN (SELECT unnest(range(48)) AS bit) b
+      GROUP BY doc_id, b.bit
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT)
+             AS fingerprint
+    FROM votes GROUP BY doc_id
+    """,
+)
+def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint with an engine-portable (md5-derived) hash —
+    the SQL-verifiable twin of q_simhash, same pattern as
+    q_dedup_minhash_md5.
+
+    48-bit fingerprints (12 md5 hex chars) instead of 64 so every
+    DuckDB-side intermediate stays exact; the bit-vote algebra is
+    identical: distinct tokens hash once, each of the 48 positions
+    votes ±1 per token, vote sign sets the bit.  Ties (vote sum 0)
+    resolve to 0 on both engines.  One explode + two hash-aggs — no
+    joins, map-side combinable, embarrassingly parallel at 100 TB.
+    """
+    d = load(spark, sf_dir, "documents", spread=True)
+    toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok")).distinct()
+    h = F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 12), 16, 10).cast("long")
+    hashed = toks.select("doc_id", h.alias("h"))
+    bits = hashed.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(47))).alias("bit"),
+        "h",
+    ).select(
+        "doc_id",
+        "bit",
+        (F.expr("shiftright(h, bit)").bitwiseAND(F.lit(1)) * 2 - 1).alias("vote"),
+    )
+    votes = bits.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0).cast("long"))
+        )
+        .cast("bigint")
+        .alias("fingerprint")
     )
