@@ -62,7 +62,11 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sliding_window",
     sql="""
     WITH slid AS (
-      SELECT to_timestamp(floor(epoch(ts) / 900) * 900 - k.k * 900) AS window_start,
+      -- naive timestamp arithmetic only: to_timestamp() would return
+      -- TIMESTAMPTZ, whose rendering depends on the harness timezone
+      SELECT TIMESTAMP '1970-01-01 00:00:00'
+               + CAST(floor(epoch(ts) / 900) * 900 - k.k * 900 AS BIGINT) * INTERVAL 1 SECOND
+               AS window_start,
              event_type, value
       FROM events
       CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k

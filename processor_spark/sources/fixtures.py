@@ -154,6 +154,12 @@ def load(
         # schema can't be passed on this read (ts arrives as long and is
         # normalized below), so events skips the .schema() pin.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # ts becomes TimestampType, whose wall-clock (date_trunc, hour,
+        # window boundaries) follows the session timezone.  The engine
+        # contract and the DuckDB oracle are both naive/UTC, so pin it
+        # here too — operators must be correct under ANY caller session
+        # (the driver brings its own), not just build_session()'s.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     else:
         # Pin the declared schema on the read so column types are the

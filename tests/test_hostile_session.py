@@ -1,0 +1,55 @@
+"""Operators must be correct under a CALLER-provided SparkSession.
+
+The driver runs registered queries with its own session — round 1
+proved the hazard: every events-based operator threw
+PARQUET_TYPE_ILLEGAL because nanosAsLong was only set in
+build_session().  The loader now pins the two correctness-critical
+runtime confs itself (nanosAsLong, session timezone); this test runs
+timestamp-sensitive queries under a deliberately hostile session
+configuration (America/New_York, confs unset) and checks oracle
+parity still holds.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from processor_spark import registry
+from tests.conftest import SF_SMALL
+from tests.oracle_utils import compare, run_oracle
+
+# the keys most exposed to session-timezone semantics: event-time
+# windows, epoch arithmetic, date truncation on the events table
+HOSTILE_KEYS = [
+    "q_tumbling_window",
+    "q_sliding_window",
+    "q_sessionization",
+    "q_anomaly_zscore",
+    "q_cohort_retention",
+    "q_cumulative_distinct",
+    "q_resample_ohlc",
+    "q_join_asof",
+]
+
+
+@pytest.fixture()
+def hostile_spark(spark):
+    """The shared session, reconfigured the way a worst-case driver
+    might have it: non-UTC timezone, loader-managed confs cleared."""
+    saved_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    except Exception:
+        pass
+    yield spark
+    spark.conf.set("spark.sql.session.timeZone", saved_tz)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+@pytest.mark.parametrize("key", HOSTILE_KEYS)
+def test_parity_under_hostile_session(hostile_spark, key):
+    q = registry.get(key)
+    res = compare(q.fn(hostile_spark, SF_SMALL), run_oracle(q.sql, SF_SMALL))
+    assert res["rows_match"], f"{key}: rows {res['rows_spark']} != {res['rows_oracle']}"
+    assert res["values_match"], f"{key}: value mismatch {res.get('first_diffs')}"
