@@ -501,3 +501,42 @@ def q_array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.arrays_overlap(seq, F.array(F.lit(5), F.lit(6)).cast("array<long>")).alias("overlaps56"),
         F.array_position(seq, 3).alias("pos3"),
     )
+
+
+@register(
+    "q_url_funcs",
+    sql="""
+    WITH urls AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+               || '?lang=' || lang || '&v=' || CAST(doc_id % 7 AS VARCHAR) AS url
+      FROM documents
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, 'https://([^/]+)/', 1)      AS host,
+           regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1)      AS q_lang,
+           regexp_extract(url, '[?&]v=([^&]*)', 1)         AS q_v
+    FROM urls
+    """,
+)
+def q_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL family: Spark's parse_url (HOST / PATH / QUERY with key) over
+    synthetic document URLs; the oracle re-derives each component with
+    anchored regexes (DuckDB has no URL parser).  parse_url is the
+    idiomatic JVM-side path for web-corpus pipelines (host-level dedup,
+    per-domain quotas, query stripping)."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+        F.lit("&v="), (F.col("doc_id") % 7).cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("q_lang"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("v")).alias("q_v"),
+    )

@@ -452,3 +452,55 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("mx"), 2).alias("hi"),
         )
     )
+
+
+@register(
+    "q_percentile_disc",
+    sql="""
+    WITH ranked AS (
+      SELECT o_orderpriority, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             count(*)   OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           min(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN o_totalprice END) AS p50_disc,
+           min(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT) THEN o_totalprice END) AS p90_disc,
+           min(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN o_totalprice END) AS p99_disc
+    FROM ranked
+    GROUP BY o_orderpriority
+    """,
+)
+def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT discrete percentiles (the value AT position ceil(p*n), no
+    interpolation) per priority — identical-by-construction on both
+    engines: the selection rule is spelled out as row_number =
+    ceil(p*n) with a deterministic tie-break, so no engine's
+    percentile_disc convention is involved, and the output is a raw
+    data value (no float arithmetic to round).
+
+    Scale shape: one shuffle on the group key, one sort per group —
+    same cost as any windowed rank; for percentiles over billions of
+    rows per group use q_percentiles (mergeable sketch) instead.
+    """
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pick(p: float, name: str):
+        return F.min(
+            F.when(F.col("rn") == F.ceil(p * F.col("n")).cast("bigint"), F.col("o_totalprice"))
+        ).alias(name)
+
+    return ranked.groupBy("o_orderpriority").agg(
+        pick(0.50, "p50_disc"), pick(0.90, "p90_disc"), pick(0.99, "p99_disc")
+    )

@@ -337,3 +337,64 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "source", "n_chars", bucket.alias("sample_bucket"))
         .where(F.col("sample_bucket") < 50)
     )
+
+
+@register(
+    "q_pack_sequences",
+    sql="""
+    WITH sized AS (
+      SELECT doc_id, source,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(floor(
+               (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tokens) / 512.0) AS BIGINT) AS pack_id
+      FROM sized
+    )
+    SELECT source, pack_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+           min(doc_id) AS first_doc
+    FROM packed
+    GROUP BY source, pack_id
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: documents are concatenated in stable
+    doc_id order into ~512-token packs (a doc starts a new pack when
+    the running total BEFORE it crosses the next 512 boundary) — the
+    deterministic streaming-concat packing every pretraining tokenizer
+    job needs, as opposed to bin-packing heuristics whose output
+    depends on iteration order.
+
+    Packing is per-source, so the window cumsum parallelizes across
+    the partition key; a single global pack order would serialize the
+    scan (the same reason q_global_shuffle ranks by hashed key).
+    """
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", "source", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = sized.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 512.0)
+        .cast("bigint")
+        .alias("pack_id"),
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )

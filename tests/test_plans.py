@@ -223,3 +223,14 @@ def test_global_shuffle_has_no_single_partition_window(spark):
     assert "rangepartitioning" in plan.lower(), plan
     assert "windowspecdefinition(dig" not in plan, plan  # no global ORDER BY window
     assert "windowspecdefinition(pid" in plan, plan  # local rank only
+
+
+def test_join_5way_never_broadcasts_the_fact_side(spark):
+    """Round-2 broadcast policy: the 600k-row lineitem scan must not be
+    the build side of a broadcast (static estimates once nominated it);
+    the fact join is a shuffle_hash with the reduced orders side built."""
+    plan = _df(spark, "q_join_5way")._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, plan
+    import re
+    for m in re.finditer(r"BroadcastExchange[^\n]*\n(?:[^\n]*\n){0,4}", plan):
+        assert "lineitem.parquet" not in m.group(0), m.group(0)
