@@ -1,0 +1,119 @@
+"""Graph / iterative operators (beyond-reference coverage).
+
+Iterative algorithms are the one shape a declarative plan can't
+express in a single pass: each round's output feeds the next round's
+scan.  The Spark pattern (SURVEY.md §2.11 policy + CLAUDE.md
+performance rules) is a driver-side loop of DataFrame transformations
+with ``localCheckpoint(eager=True)`` per round — truncating lineage so
+round k does not replay rounds 1..k-1 (2^k plan growth otherwise; see
+q_dedup_clusters for the same pattern on connected components).
+
+The DuckDB oracle unrolls the fixed iteration count as chained CTEs —
+same arithmetic, same join shape, bit-comparable after rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from processor_spark.registry import register
+from processor_spark.sources import load
+
+_DAMP = 0.85
+_ITERS = 3
+
+
+def _pr_iter_sql(i: int) -> str:
+    prev = f"it{i - 1}"
+    return f"""
+    it{i} AS (
+      SELECT n.node,
+             0.15 / (SELECT n FROM n_cnt)
+               + {_DAMP} * coalesce(sum(p.pr * e.w / o.ow), 0.0) AS pr
+      FROM nodes n
+      LEFT JOIN edges e ON e.dst = n.node
+      LEFT JOIN {prev} p ON p.node = e.src
+      LEFT JOIN outw o ON o.src = e.src
+      GROUP BY n.node
+    )"""
+
+
+@register(
+    "q_pagerank",
+    sql=f"""
+    WITH edges AS (
+      SELECT sn.n_name AS src, cn.n_name AS dst, count(*) AS w
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+      JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ), nodes AS (
+      SELECT n_name AS node FROM nation
+    ), n_cnt AS (
+      SELECT count(*) AS n FROM nodes
+    ), outw AS (
+      SELECT src, CAST(sum(w) AS DOUBLE) AS ow FROM edges GROUP BY src
+    ), it0 AS (
+      SELECT node, 1.0 / (SELECT n FROM n_cnt) AS pr FROM nodes
+    ),{",".join(_pr_iter_sql(i) for i in range(1, _ITERS + 1))}
+    SELECT node, round(pr, 8) AS pagerank FROM it{_ITERS}
+    """,
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank ({_ITERS} fixed iterations, damping 0.85) over the
+    nation-level trade graph: an edge src→dst weighted by how many
+    lineitems a supplier nation shipped into a customer nation.
+
+    Scale shape: the edge list is built once from the fact join and
+    persist()ed (it is scanned every iteration); each iteration is one
+    broadcast-size join (node count ≪ edge count) + hash-agg, and the
+    rank vector is localCheckpoint(eager=True)ed so lineage stays O(1)
+    across rounds.  At 100 TB the edges (nation×nation here, user×item
+    in general) shuffle once and stay partitioned by dst across all
+    iterations — the iteration cost is bounded by the rank-vector agg,
+    not the graph build.
+    """
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("src"))), F.col("s_nationkey") == F.col("sk"))
+        .join(F.broadcast(n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("dst"))), F.col("c_nationkey") == F.col("ck"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .persist()
+    )
+    nodes = n.select(F.col("n_name").alias("node")).persist()
+    n_count = nodes.count()
+    outw = edges.groupBy("src").agg(F.sum("w").cast("double").alias("ow"))
+    # contribution edges with normalized weight, reused every iteration
+    contrib = (
+        edges.join(outw, "src")
+        .select("src", "dst", (F.col("w") / F.col("ow")).alias("share"))
+        .persist()
+    )
+    pr = nodes.select("node", F.lit(1.0 / n_count).alias("pr"))
+    for _ in range(_ITERS):
+        incoming = (
+            contrib.join(pr, contrib.src == pr.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("pr") * F.col("share")).alias("mass"))
+        )
+        pr = (
+            nodes.join(incoming, "node", "left")
+            .select(
+                "node",
+                (F.lit(0.15 / n_count) + _DAMP * F.coalesce(F.col("mass"), F.lit(0.0))).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr.select("node", F.round("pr", 8).alias("pagerank"))

@@ -569,3 +569,66 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("label") == F.col("true_label"), 1).otherwise(0).alias("correct"),
         )
     )
+
+
+_KMEANS_K = 4  # centroids seeded from vec_id 0..3 (deterministic, no RNG)
+
+_KMEANS_SQL = f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings WHERE vec_id < {_KMEANS_K}
+    ), vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ), dists AS (
+      SELECT v.vec_id, c.cent_id,
+             sqrt(list_sum(list_transform(range(1, len(v.vec) + 1),
+                  i -> (v.vec[i] - c.cvec[i]) * (v.vec[i] - c.cvec[i])))) AS dist
+      FROM vecs v CROSS JOIN cents c
+    ), assigned AS (
+      SELECT vec_id, cent_id, dist
+      FROM dists
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) = 1
+    )
+    SELECT cent_id, count(*) AS n_assigned,
+           round(min(dist), 6) AS min_dist,
+           round(max(dist), 6) AS max_dist
+    FROM assigned GROUP BY cent_id
+"""
+
+
+@register("q_kmeans_assign", sql=_KMEANS_SQL)
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means ASSIGNMENT step with deterministic seeds (centroids =
+    vectors 0..{_KMEANS_K-1}; no RNG, so the oracle can replay it):
+    every vector goes to its nearest centroid by L2, ties to the lower
+    centroid id.
+
+    Scale shape: centroids broadcast (k vectors, always tiny); the
+    distance computation is a narrow map over the corpus — one pass,
+    no shuffle until the per-centroid agg.  A full Lloyd iteration =
+    this + centroid re-averaging (same broadcast-agg pattern looped
+    with localCheckpoint, as in q_pagerank); per-cluster counts and
+    distance extrema are exact/minmax values, so no float-sum parity
+    hazard.
+    """
+    e = load(spark, sf_dir, "embeddings", spread=True)
+    vecs = e.select("vec_id", _as_double("embedding").alias("vec"))
+    cents = (
+        e.where(F.col("vec_id") < _KMEANS_K)
+        .select(F.col("vec_id").alias("cent_id"), _as_double("embedding").alias("cvec"))
+    )
+    sqdist = F.aggregate(
+        F.zip_with(F.col("vec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dists = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cent_id", F.sqrt(sqdist).alias("dist")
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cent_id")
+    assigned = dists.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return assigned.groupBy("cent_id").agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.round(F.min("dist"), 6).alias("min_dist"),
+        F.round(F.max("dist"), 6).alias("max_dist"),
+    )

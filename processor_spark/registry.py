@@ -50,6 +50,7 @@ _MODULES = [
     "processor_spark.operators.corpus",
     "processor_spark.operators.cdc",
     "processor_spark.operators.dedup",
+    "processor_spark.operators.graph",
     "processor_spark.operators.similarity",
     "processor_spark.operators.text",
     "processor_spark.operators.multimodal",
