@@ -540,3 +540,96 @@ def q_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("q_lang"),
         F.parse_url(url, F.lit("QUERY"), F.lit("v")).alias("q_v"),
     )
+
+
+@register(
+    "q_map_funcs2",
+    sql="""
+    WITH base AS (
+      SELECT o_orderkey,
+             o_orderkey % 100                                    AS kv,
+             CAST(split_part(o_orderpriority, '-', 1) AS BIGINT) AS pv
+      FROM orders
+    )
+    SELECT o_orderkey,
+           'key=' || kv || ',pri=' || pv                                   AS entries,
+           'key=' || kv * 2 || ',pri=' || pv * 2                           AS doubled,
+           CASE WHEN kv > 10 AND pv > 10 THEN 'key=' || kv || ',pri=' || pv
+                WHEN kv > 10 THEN 'key=' || kv
+                WHEN pv > 10 THEN 'pri=' || pv
+                ELSE '' END                                                AS filtered,
+           'extra=1,key=' || kv || ',pri=' || pv                           AS merged,
+           'key=' || kv + pv || ',pri=' || pv + kv                         AS zipped
+    FROM base
+    """,
+)
+def q_map_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family 2 — higher-order map functions (Spark 4):
+    transform_values, map_filter, map_concat, map_zip_with.
+
+    Maps can't cross the driver's value-hash (same limitation as
+    arrays), so every result is serialized as sorted ``k=v`` CSV via
+    map_entries → transform → array_sort → array_join.  The oracle
+    computes the expected entries from first principles (DuckDB's MAP
+    algebra is too thin to mirror the higher-order forms directly) —
+    which makes this a true semantic check of Spark's map functions,
+    not an echo of the same implementation.
+    """
+    o = load(spark, sf_dir, "orders")
+    kv = F.col("o_orderkey") % 100
+    pv = F.split_part(F.col("o_orderpriority"), F.lit("-"), F.lit(1)).cast("long")
+    m = F.create_map(F.lit("key"), kv, F.lit("pri"), pv)
+    m2 = F.create_map(F.lit("key"), pv, F.lit("pri"), kv)
+
+    def ser(mp) -> F.Column:
+        return F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.map_entries(mp),
+                    lambda e: F.concat(e["key"], F.lit("="), e["value"].cast("string")),
+                )
+            ),
+            ",",
+        )
+
+    return o.select(
+        "o_orderkey",
+        ser(m).alias("entries"),
+        ser(F.transform_values(m, lambda k, v: v * 2)).alias("doubled"),
+        ser(F.map_filter(m, lambda k, v: v > 10)).alias("filtered"),
+        ser(F.map_concat(m, F.create_map(F.lit("extra"), F.lit(1).cast("long")))).alias("merged"),
+        ser(F.map_zip_with(m, m2, lambda k, v1, v2: v1 + v2)).alias("zipped"),
+    )
+
+
+@register(
+    "q_struct_funcs",
+    sql="""
+    SELECT o_orderkey,
+           to_json(struct_pack(id := o_orderkey, pri := o_orderpriority)) AS as_json,
+           o_orderpriority                                                AS nested_pri,
+           CAST(o_orderkey % 5 AS BIGINT)                                 AS nested_bucket,
+           CASE WHEN o_orderkey % 5 = 0 THEN 'zero' ELSE 'nonzero' END    AS bucket_tag
+    FROM orders
+    """,
+)
+def q_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct family: named_struct construction, nested field access
+    through dot paths, struct → JSON serialization (both engines render
+    compact ``{"k":v}`` JSON identically for int/string fields —
+    doubles are excluded, their repr differs).
+    """
+    o = load(spark, sf_dir, "orders")
+    s = F.struct(
+        F.col("o_orderkey").alias("id"), F.col("o_orderpriority").alias("pri")
+    )
+    nested = F.struct(
+        s.alias("inner"), (F.col("o_orderkey") % 5).alias("bucket")
+    )
+    return o.select(
+        "o_orderkey",
+        F.to_json(s).alias("as_json"),
+        nested["inner"]["pri"].alias("nested_pri"),
+        nested["bucket"].cast("long").alias("nested_bucket"),
+        F.when(nested["bucket"] == 0, "zero").otherwise("nonzero").alias("bucket_tag"),
+    )

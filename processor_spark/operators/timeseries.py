@@ -687,3 +687,100 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("revenue"), 3).alias("attributed_revenue"),
         )
     )
+
+
+@register(
+    "q_rolling_median",
+    sql="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             round(sum(value), 3) AS hour_value
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT event_type, bucket,
+           round(median(hour_value) OVER (
+             PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS med7
+    FROM hourly
+    """,
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-bucket exact median of hourly value per event type —
+    the robust (outlier-immune) smoother a moving average is not.
+
+    The frame holds ≤7 values, so the exact median is a per-frame sort
+    of a constant-size buffer — unlike a global exact median this
+    scales linearly.  Spark refuses aggregate `median` with a window
+    frame (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so the frame is
+    collected (collect_list over ROWS BETWEEN — allowed), sorted, and
+    the middle taken explicitly, averaging the two middle values on
+    even counts exactly as DuckDB's windowed median does.  The hourly
+    pre-agg sum is rounded on BOTH sides so the median's input is
+    bit-identical.
+    """
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.round(F.sum("value"), 3).alias("hour_value"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("hour_value").over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    return hourly.select(
+        "event_type",
+        "bucket",
+        F.round((lo + hi) / 2.0, 4).alias("med7"),
+    )
+
+
+@register(
+    "q_cross_correlation",
+    sql="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket,
+             round(sum(CASE WHEN event_type = 'click'    THEN value ELSE 0 END), 3) AS clicks,
+             round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 3) AS purchases
+      FROM events
+      GROUP BY 1
+    ), lagged AS (
+      SELECT bucket, clicks, purchases,
+             lag(clicks, 1) OVER (ORDER BY bucket) AS clicks_prev
+      FROM hourly
+    )
+    SELECT round(corr(purchases, clicks), 6)      AS corr_same_hour,
+           round(corr(purchases, clicks_prev), 6) AS corr_lag1,
+           count(*)                               AS n_hours
+    FROM lagged
+    """,
+)
+def q_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between two event streams: does click
+    value in hour t-1 predict purchase value in hour t?  The standard
+    lead-indicator probe over resampled series.
+
+    Pivot-style conditional sums build both hourly series in ONE pass
+    over events (no self-join); the lag is a window over the tiny
+    hourly table.  The global corr() is a single-row mergeable
+    aggregate — exact at any scale.  Hourly sums are rounded on both
+    sides before corr so its inputs are bit-identical.
+    """
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("bucket")).agg(
+        F.round(F.sum(F.when(F.col("event_type") == "click", F.col("value")).otherwise(0.0)), 3).alias("clicks"),
+        F.round(F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)), 3).alias("purchases"),
+    )
+    w = Window.orderBy("bucket")
+    lagged = hourly.select(
+        "purchases", "clicks", F.lag("clicks", 1).over(w).alias("clicks_prev")
+    )
+    return lagged.agg(
+        F.round(F.corr("purchases", "clicks"), 6).alias("corr_same_hour"),
+        F.round(F.corr("purchases", "clicks_prev"), 6).alias("corr_lag1"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )
