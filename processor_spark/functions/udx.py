@@ -47,13 +47,47 @@ def unit_normalize(emb: pd.Series) -> pd.Series:
     return emb.map(norm_one)
 
 
-@register("q_udf_normalize", sql=None)  # pandas-UDF path → rows-only
+@register(
+    "q_udf_normalize",
+    sql="""
+    WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), normed AS (
+      SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM vecs
+    )
+    SELECT vec_id,
+           array_to_string(
+             list_transform(v, x -> CAST(round(
+               (CASE WHEN nrm = 0 THEN x ELSE x / nrm END) * 1000000, 0) AS BIGINT)),
+             ',') AS unit_micro,
+           round(sqrt(list_sum(list_transform(v,
+             x -> (CASE WHEN nrm = 0 THEN x ELSE x / nrm END)
+                * (CASE WHEN nrm = 0 THEN x ELSE x / nrm END)))), 6) AS unit_norm
+    FROM normed
+    """,
+)
 def q_udf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unit-normalized embeddings + norm-check column (≈1.0 for all rows)."""
-    e = load(spark, sf_dir, "embeddings")
-    normed = e.select("vec_id", unit_normalize(F.col("embedding").cast("array<double>")).alias("unit"))
+    """Unit-normalized embeddings via the Arrow-batched pandas UDF, with
+    a FULL SQL oracle: each normalized component is scaled to integer
+    micro-units (round(x·1e6)) and CSV-serialized, so the Python
+    boundary itself — Arrow transfer, numpy math, Arrow return — is
+    value-hash-verified against DuckDB's pure-SQL normalization, not
+    just row-counted.  The norm-check column (≈1.0) rides along."""
+    e = load(spark, sf_dir, "embeddings", spread=True)
+    normed = e.select(
+        "vec_id", unit_normalize(F.col("embedding").cast("array<double>")).alias("unit")
+    )
     sq = F.aggregate(F.col("unit"), F.lit(0.0), lambda a, x: a + x * x)
-    return normed.select("vec_id", F.round(F.sqrt(sq), 6).alias("unit_norm"))
+    return normed.select(
+        "vec_id",
+        F.array_join(
+            F.transform(F.col("unit"), lambda x: F.round(x * 1000000, 0).cast("bigint")),
+            ",",
+        ).alias("unit_micro"),
+        F.round(F.sqrt(sq), 6).alias("unit_norm"),
+    )
 
 
 # ---------------------------------------------------------------- grouped UDAF
@@ -135,9 +169,26 @@ def char_ngrams_udtf():
     return udtf(CharNgrams, returnType="doc_id bigint, gram string, first_pos int")
 
 
-@register("q_udtf_ngrams", sql=None)  # Python UDTF → rows-only
+@register(
+    "q_udtf_ngrams",
+    sql="""
+    SELECT doc_id,
+           CAST(len(list_distinct(list_transform(
+                range(1, len(replace(text, ' ', '_')) - 1),
+                i -> substr(replace(text, ' ', '_'), CAST(i AS INTEGER), 3)
+           ))) AS BIGINT) AS n_grams,
+           CAST(0 AS INTEGER) AS min_pos
+    FROM documents
+    WHERE doc_id <= 50 AND len(replace(text, ' ', '_')) >= 3
+    """,
+)
 def q_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct char-3-gram count per document via a lateral UDTF join."""
+    """Distinct char-3-gram count per document via a lateral UDTF join —
+    with a full SQL oracle (DuckDB re-derives the distinct-gram count
+    relationally), so the Python UDTF boundary is value-hash-verified
+    like the pandas-UDF (q_udf_normalize) and UDTF-chunk
+    (q_udtf_chunks) paths.  min(first_pos) is 0 by construction for any
+    text of length ≥ 3; the oracle states that constant."""
     ngrams = char_ngrams_udtf()
     d = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 50)
     out = d.lateralJoin(ngrams(F.col("doc_id").outer(), F.col("text").outer()))

@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Scaling probe: separate fixed per-action overhead from marginal
+per-row cost (the quantity that matters at 100 TB).
+
+Replicates the fact tables (lineitem, orders, events) N× with
+key-shifting (so join keys stay consistent and cardinalities scale),
+writes them to a temp layout next to the sf0.1 dims, and times the
+headline queries warm on both layouts in ONE session.  A query whose
+time is flat is overhead-bound at fixture scale; one that scales
+linearly shows its true marginal cost.
+
+Usage: python3 tools/scale_probe.py [N]   (default 8)
+Prints one JSON line; safe to re-run (temp dir reused).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPL = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DST = f"/tmp/processor_spark-scale-probe-{REPL}x"
+
+HEADLINE = [
+    "q_pricing_summary",
+    "q_join_5way",
+    "q_window_rank",
+    "q_tumbling_window",
+    "q_sessionization",
+    "q_text_tokens",
+    "q_grouping_sets",
+]
+
+# per-table key columns to shift per replica so keys stay unique and
+# join relationships replicate instead of exploding
+_SHIFTS = {
+    "lineitem": {"l_orderkey": 10_000_000},
+    "orders": {"o_orderkey": 10_000_000, "o_custkey": 0},
+    "events": {"event_id": 10_000_000, "user_id": 100_000},
+}
+
+
+def build_layout(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from processor_spark.sources.fixtures import TABLES, load
+
+    if os.path.isdir(DST):
+        shutil.rmtree(DST)
+    os.makedirs(DST)
+    for t in TABLES:
+        df = load(spark, SRC, t)
+        if t in _SHIFTS:
+            parts = []
+            for i in range(REPL):
+                rep = df
+                for col, step in _SHIFTS[t].items():
+                    if step:
+                        rep = rep.withColumn(col, F.col(col) + F.lit(i * step))
+                parts.append(rep)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        else:
+            out = df
+        out.write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
+
+
+def main() -> None:
+    from processor_spark import registry
+    from processor_spark.session import build_session
+
+    spark = build_session(app_name="processor_spark-scale-probe")
+    qs = registry.queries()
+    build_layout(spark)
+
+    result: dict[str, dict[str, float]] = {}
+    for key in HEADLINE:
+        row: dict[str, float] = {}
+        for tag, sf_dir in (("base", SRC), (f"{REPL}x", DST)):
+            qs[key](spark, sf_dir).toPandas()  # warm (plan+codegen)
+            t0 = time.perf_counter()
+            qs[key](spark, sf_dir).toPandas()
+            row[tag] = round(time.perf_counter() - t0, 3)
+        row["ratio"] = round(row[f"{REPL}x"] / row["base"], 2) if row["base"] else -1.0
+        result[key] = row
+
+    print(json.dumps({"replication": REPL, "base_dir": SRC, "queries": result}))
+
+
+if __name__ == "__main__":
+    main()
