@@ -153,3 +153,59 @@ def q_join_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@register(
+    "q_scd2_build",
+    sql="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), changes AS (
+      SELECT user_id, event_type, ts
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id,
+           CAST(row_number() OVER w2 AS BIGINT) AS version_no,
+           event_type,
+           ts            AS valid_from,
+           lead(ts) OVER w2 AS valid_to
+    FROM changes
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)
+    """,
+)
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build an SCD2 (type-2 slowly-changing) dimension FROM raw change
+    history: per user, a new version opens whenever the tracked
+    attribute (event_type) actually changes; valid_to = next version's
+    valid_from, NULL = current.  The inverse of q_join_pointintime —
+    together they round-trip CDC: history → versioned dim → temporal
+    lookup.
+
+    Two window passes over the same (user_id, ts) partitioning — one
+    shuffle total, the second window reuses the sort.  This is the
+    standard lag-compress + lead-close pattern; at 100 TB it is
+    embarrassingly parallel across users with no joins at all.
+    """
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    changes = ordered.where(
+        F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts")
+    return changes.select(
+        "user_id",
+        F.row_number().over(w2).cast("bigint").alias("version_no"),
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    )

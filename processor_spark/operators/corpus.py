@@ -398,3 +398,74 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+@register(
+    "q_data_quality",
+    sql="""
+    SELECT
+      (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        AS orphan_orders,
+      (SELECT count(*) FROM lineitem
+        WHERE l_discount < 0.0 OR l_discount > 1.0)     AS bad_discount,
+      (SELECT count(*) FROM lineitem WHERE l_quantity <= 0.0) AS nonpos_qty,
+      (SELECT count(*) FROM events
+        WHERE props IS NULL OR NOT json_valid(props))   AS bad_props,
+      (SELECT count(*) FROM documents
+        WHERE text IS NULL OR trim(text) = '')          AS empty_docs,
+      (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        AS orphan_lineitems
+    """,
+)
+def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline pre-flight data-quality audit in one row: referential
+    orphans (orders→customer, lineitem→orders via anti joins) and
+    domain-rule violations (discount out of [0,1], non-positive
+    quantity, unparseable props JSON, empty documents).
+
+    Each rule is an independent scalar aggregate; the anti joins ship
+    only the key column and count — at 100 TB this is the cheap
+    always-on gate you run BEFORE an ingest lands, the relational twin
+    of a schema validator.  All counts are exact integers — zero float
+    parity surface.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    l = load(spark, sf_dir, "lineitem")
+    e = load(spark, sf_dir, "events")
+    d = load(spark, sf_dir, "documents")
+
+    orphan_orders = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_orders"))
+    )
+    bad_discount = l.agg(
+        F.sum(
+            F.when((F.col("l_discount") < 0.0) | (F.col("l_discount") > 1.0), 1).otherwise(0)
+        ).alias("bad_discount")
+    )
+    nonpos_qty = l.agg(
+        F.sum(F.when(F.col("l_quantity") <= 0.0, 1).otherwise(0)).alias("nonpos_qty")
+    )
+    bad_props = e.agg(
+        F.sum(
+            F.when(
+                F.col("props").isNull() | F.get_json_object("props", "$").isNull(), 1
+            ).otherwise(0)
+        ).alias("bad_props")
+    )
+    empty_docs = d.agg(
+        F.sum(
+            F.when(F.col("text").isNull() | (F.trim(F.col("text")) == ""), 1).otherwise(0)
+        ).alias("empty_docs")
+    )
+    orphan_lineitems = (
+        l.join(o.select("o_orderkey"), l.l_orderkey == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_lineitems"))
+    )
+    out = orphan_orders
+    for piece in [bad_discount, nonpos_qty, bad_props, empty_docs, orphan_lineitems]:
+        out = out.crossJoin(F.broadcast(piece))
+    return out

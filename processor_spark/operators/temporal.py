@@ -427,3 +427,55 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("next_err_ts"),
         ).alias("error_ts"),
     )
+
+
+@register(
+    "q_late_arrivals",
+    sql="""
+    WITH arrivals AS (
+      SELECT event_type, ts,
+             max(ts) OVER (PARTITION BY event_type ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS frontier
+      FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN ts < frontier - INTERVAL 10 MINUTE THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           CAST(sum(CASE WHEN ts < frontier - INTERVAL 60 MINUTE THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_very_late
+    FROM arrivals
+    GROUP BY event_type
+    """,
+)
+def q_late_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data audit — the batch mirror of the streaming watermark
+    decision: replay events in ARRIVAL order (event_id) and count how
+    many arrive with an event time more than 10/60 minutes behind the
+    already-seen maximum for their type.  This is exactly the row set a
+    10-minute (resp. 1-hour) watermark would drop, so it is the
+    measurement you run BEFORE choosing a watermark delay.
+
+    One running-max window per type (single shuffle), then a
+    conditional agg.  The frontier excludes the current row (1
+    PRECEDING) so an event is compared against strictly earlier
+    arrivals on both engines.
+    """
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    arrivals = e.select(
+        "event_type", "ts", F.max("ts").over(w).alias("frontier")
+    )
+    late = F.col("ts") < F.col("frontier") - F.expr("INTERVAL 10 MINUTES")
+    very_late = F.col("ts") < F.col("frontier") - F.expr("INTERVAL 60 MINUTES")
+    return arrivals.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(late, 1).otherwise(0)).alias("n_late"),
+        F.sum(F.when(very_late, 1).otherwise(0)).alias("n_very_late"),
+    )

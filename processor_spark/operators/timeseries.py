@@ -330,8 +330,8 @@ def q_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ewma_terms(alpha: float = 0.5, depth: int = 8) -> tuple[str, str]:
     """Identically-ordered numerator/denominator lag chains for both
-    engines.  0.5**k is binary-exact, the hourly inputs are pre-rounded
-    to 6 dp, and the term order is fixed by the generated text — so
+    engines.  0.5**k is binary-exact, the hourly inputs are exact
+    micro-units, and the term order is fixed by the generated text — so
     Spark and DuckDB run bit-identical float arithmetic."""
     num = " + ".join(
         f"coalesce({alpha**k!r} * lag(v, {k}) OVER w, 0.0)" for k in range(depth)
@@ -351,13 +351,21 @@ _EWMA_NUM, _EWMA_DEN = _ewma_terms()
     sql=f"""
     WITH hourly AS (
       SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_epoch,
-             event_type, round(avg(value), 6) AS v
+             event_type,
+             CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+             count(*) AS n
       FROM events
       GROUP BY 1, 2
+    ), avgd AS (
+      SELECT bucket_epoch, event_type,
+             CAST(floor(CAST(cents AS DOUBLE) * 100.0 / n + 0.5) AS BIGINT) AS hourly_avg_micro,
+             CAST(CAST(floor(CAST(cents AS DOUBLE) * 100.0 / n + 0.5) AS BIGINT) AS DOUBLE)
+               / 10000.0 AS v
+      FROM hourly
     )
-    SELECT bucket_epoch, event_type, v AS hourly_avg,
-           round(({_EWMA_NUM}) / ({_EWMA_DEN}), 4) AS ewma
-    FROM hourly
+    SELECT bucket_epoch, event_type, hourly_avg_micro,
+           CAST(floor(({_EWMA_NUM}) / ({_EWMA_DEN}) * 10000.0 + 0.5) AS BIGINT) AS ewma_micro
+    FROM avgd
     WINDOW w AS (PARTITION BY event_type ORDER BY bucket_epoch)
     """,
 )
@@ -369,16 +377,34 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     window expression (one shuffle on event_type, no UDF, no
     iteration); the truncation error is alpha**8 < 0.4 %.  Weights are
     renormalized over the lags that exist so the series is exact from
-    the first bucket."""
+    the first bucket.
+
+    Parity-by-construction (sf0.1 caught systematic round() flips):
+    hourly means of 2-decimal values land EXACTLY on 4/6-dp rounding
+    boundaries (rationals with denominator n·100), where Spark's
+    BigDecimal HALF_UP and DuckDB's multiply+std::round disagree.  So
+    no engine round() anywhere: values become exact integer cents
+    (floor(x·100+0.5)), sums are exact 64-bit ints in any order, and
+    every emitted float is an integer micro-unit via floor(x·1e4+0.5)
+    — identical elementary IEEE ops on identical inputs on both
+    engines, which cannot diverge."""
     from pyspark.sql import Window
 
     e = load(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")
     hourly = e.groupBy(
         (F.floor(F.unix_timestamp("ts") / 3600) * 3600)
         .cast("bigint")
         .alias("bucket_epoch"),
         "event_type",
-    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    ).agg(F.sum(cents).cast("bigint").alias("cents"), F.count(F.lit(1)).alias("n"))
+    micro = F.floor(F.col("cents").cast("double") * 100.0 / F.col("n") + 0.5).cast("bigint")
+    avgd = hourly.select(
+        "bucket_epoch",
+        "event_type",
+        micro.alias("hourly_avg_micro"),
+        (micro.cast("double") / 10000.0).alias("v"),
+    )
     w = Window.partitionBy("event_type").orderBy("bucket_epoch")
     num = sum(
         (F.coalesce(F.lit(0.5**k) * F.lag("v", k).over(w), F.lit(0.0)) for k in range(8)),
@@ -391,11 +417,11 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         start=F.lit(0.0),
     )
-    return hourly.select(
+    return avgd.select(
         "bucket_epoch",
         "event_type",
-        F.col("v").alias("hourly_avg"),
-        F.round(num / den, 4).alias("ewma"),
+        "hourly_avg_micro",
+        F.floor(num / den * 10000.0 + 0.5).cast("bigint").alias("ewma_micro"),
     )
 
 
