@@ -117,3 +117,65 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return pr.select("node", F.round("pr", 8).alias("pagerank"))
+
+
+@register(
+    "q_triangle_count",
+    sql="""
+    WITH raw AS (
+      SELECT sn.n_name AS a, cn.n_name AS b
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+      JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+      WHERE sn.n_name <> cn.n_name
+    ), edges AS (
+      SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM raw
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM edges e1
+    JOIN edges e2 ON e2.u = e1.v
+    JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the undirected nation trade graph — the
+    canonical graph-analytics primitive (clustering coefficient,
+    community detection all build on it).
+
+    Edges are canonicalized u < v, so each triangle is counted exactly
+    once via the ordered two-hop join u<v<w (e1: u-v, e2: v-w, e3:
+    u-w).  At 100 TB the standard refinement is degree-ordering
+    (orient each edge from lower- to higher-degree endpoint) so the
+    join fan-out is bounded by arboricity, not max degree — the edge
+    derivation here already collapses the fact table to the distinct
+    node-pair list before any self-join.
+    """
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    raw = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("a"))), F.col("s_nationkey") == F.col("sk"))
+        .join(F.broadcast(n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("b"))), F.col("c_nationkey") == F.col("ck"))
+        .where(F.col("a") != F.col("b"))
+    )
+    edges = (
+        raw.select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+        .persist()
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
+    )
+    return tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))

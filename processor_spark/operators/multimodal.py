@@ -112,7 +112,24 @@ def decode_stub_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
         )
 
 
-@register("q_media_features", sql=None)  # pandas-UDF path → rows-only check
+@register(
+    "q_media_features",
+    sql="""
+    WITH payloads AS (
+      SELECT doc_id, encode(text) AS payload FROM documents
+    )
+    SELECT doc_id,
+           CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+           CASE WHEN octet_length(payload) = 0 THEN -1
+                ELSE CAST(('0x' || substr(hex(payload), 1, 2)) AS INTEGER) END
+             AS first_byte,
+           CAST(list_sum(list_transform(range(1, octet_length(payload) + 1),
+                i -> CAST(('0x' || substr(hex(payload), 2 * CAST(i AS INTEGER) - 1, 2))
+                          AS INTEGER))) % 1000000007 AS BIGINT) AS byte_checksum,
+           FALSE AS decoded
+    FROM payloads
+    """,
+)
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary media via Arrow-batched mapInPandas.
 
@@ -120,6 +137,12 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     §2.11 policy): batch-wise Arrow transfer, explicit output schema,
     stub decode.  Repartitioned by doc_id so batches are balanced
     regardless of upstream file layout.
+
+    Carries a FULL SQL oracle: DuckDB re-derives every feature from the
+    payload BLOB itself (hex-pair byte walk for the checksum), so the
+    binary column's round-trip through Arrow into pandas bytes — the
+    exact plumbing a real image decoder would sit on — is
+    value-hash-verified, not just row-counted.
     """
     m = media_table(spark, sf_dir)
     flat = m.repartition(8, "doc_id").select(
