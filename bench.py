@@ -13,12 +13,20 @@ The action is Arrow-batched ``toPandas()`` — the idiomatic PySpark
 full-materialization path, and the engine-consistent twin of DuckDB's
 columnar ``fetchdf``; row-pickling ``collect()`` was measured 5-6×
 slower on 95 k-row outputs while executing the identical plan.
+
+Isolation (round-3 hardening after the r2 driver run showed
+warm ≈ cold interference on two keys that measure 2× faster when run
+alone): the cache is cleared between keys so one key's persisted
+subplans can't pressure the next, and the reported warm number is the
+MEDIAN of three steady-state runs, so a single GC pause or scheduler
+hiccup can't brand a plan as regressed.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -60,15 +68,22 @@ def main() -> None:
     for key in keys:
         if key not in qs:
             continue
+        # Isolate: drop any DataFrames the previous key persisted so its
+        # cache blocks can't evict/compete with this key's working set.
+        spark.catalog.clearCache()
         # run 1 (cold): includes plan + codegen compilation — a one-time
-        # per-plan cost that amortizes to zero at 100 TB.  run 2 (warm):
-        # steady-state execution; this is the reported number.
+        # per-plan cost that amortizes to zero at 100 TB.  runs 2-4
+        # (warm): steady-state execution; the MEDIAN is the reported
+        # number (robust to one-off GC/scheduler noise).
         t0 = time.perf_counter()
         qs[key](spark, sf_dir).toPandas()
         cold[key] = round(time.perf_counter() - t0, 4)
-        t0 = time.perf_counter()
-        qs[key](spark, sf_dir).toPandas()
-        timings[key] = round(time.perf_counter() - t0, 4)
+        warm = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            qs[key](spark, sf_dir).toPandas()
+            warm.append(time.perf_counter() - t0)
+        timings[key] = round(statistics.median(warm), 4)
 
     out = {
         "metric": "headline suite wall-clock (warm session, steady-state runs)",
