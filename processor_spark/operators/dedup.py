@@ -34,6 +34,19 @@ MINHASH_PERMS = 16
 MINHASH_BANDS = 8
 JACCARD_THRESHOLD = 0.5
 
+# Stop-gram document-frequency cap for the exact n-gram inverted-index
+# join: a gram appearing in more than this many docs (within a source)
+# is dropped from BOTH the overlap numerator and the per-doc gram
+# counts.  The gram self-join is quadratic in each gram's df, so one
+# "the quick brown" posting list at corpus scale explodes the candidate
+# pair count (AQE skew-split rebalances partitions but cannot shrink
+# the pair set).  Ubiquitous grams carry no dedup signal — two docs
+# sharing only stop-grams are not near-dups — while true near-dups
+# (Jaccard >= 0.5) share mostly rare grams, so the cap preserves the
+# answer.  Fixture max df is 6 at sf0.1, so at test scale the cap is
+# provably inert; the oracle SQL applies the identical cap.
+NGRAM_DF_CAP = 64
+
 
 @register(
     "q_dedup_exact",
@@ -64,8 +77,8 @@ def _tokens(col):
 
 @register(
     "q_dedup_ngram",
-    sql="""
-    WITH grams AS (
+    sql=f"""
+    WITH grams_all AS (
       SELECT DISTINCT doc_id, source,
              tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS gram
       FROM (
@@ -76,6 +89,9 @@ def _tokens(col):
       )
       WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
       QUALIFY lead(tok, 2) OVER w IS NOT NULL
+    ), grams AS (
+      SELECT doc_id, source, gram FROM grams_all
+      QUALIFY count(*) OVER (PARTITION BY source, gram) <= {NGRAM_DF_CAP}
     ), sized AS (
       SELECT doc_id, source, count(*) AS n_grams FROM grams GROUP BY 1, 2
     ), pair_overlap AS (
@@ -97,17 +113,21 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Inverted-index join on the gram itself (within a blocking key)
     instead of all-pairs: the shuffle key is the gram, each gram's
-    posting list meets only its own doc pairs.  Common-gram skew is the
-    classic hazard at 100 TB — mitigated by AQE skew-split here, and by
-    dropping ultra-frequent grams (stop-gram filter) in a production
-    tuning pass.
+    posting list meets only its own doc pairs.  Common-gram skew — the
+    classic hazard at 100 TB, quadratic in each gram's posting-list
+    length — is bounded by the NGRAM_DF_CAP stop-gram filter: a
+    map-side-combinable df pre-agg followed by a left-semi join drops
+    grams shared by > cap docs per source, so no posting list can emit
+    more than cap*(cap-1)/2 pairs.  Jaccard is then computed over the
+    same capped gram space on both numerator and denominator (and
+    identically in the oracle SQL).
     """
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", "source", F.posexplode(_tokens(F.col("text"))).alias("pos", "tok"))
     from pyspark.sql import Window
 
     w = Window.partitionBy("doc_id").orderBy("pos")
-    grams = (
+    grams_all = (
         toks.select(
             "doc_id",
             "source",
@@ -119,9 +139,20 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_has3").isNotNull())
         .select("doc_id", "source", "gram")
         .distinct()
+        # referenced twice (df pre-agg + semi-join probe side) — persist
+        # so the tokenize/window/distinct pipeline runs once
+        .persist()
+    )
+    gram_df = grams_all.groupBy("source", "gram").agg(F.count(F.lit(1)).alias("df"))
+    grams = (
+        grams_all.join(
+            gram_df.where(F.col("df") <= NGRAM_DF_CAP).select("source", "gram"),
+            ["source", "gram"],
+            "left_semi",
+        )
+        .select("doc_id", "source", "gram")
         # referenced three times below (both self-join sides + the size
-        # agg) — persist so the tokenize/window/distinct pipeline runs
-        # once, not three times
+        # agg)
         .persist()
     )
     sized = grams.groupBy("doc_id", "source").agg(F.count(F.lit(1)).alias("n_grams"))
@@ -402,74 +433,39 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_dedup_minhash(spark, sf_dir)
 
 
-_NGRAM_PAIRS_SQL = """
-      SELECT p.doc_a, p.doc_b
-      FROM (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-        FROM (
-          SELECT DISTINCT doc_id, source,
-                 tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS gram
-          FROM (
-            SELECT doc_id, source,
-                   unnest(string_split_regex(trim(text), '\\s+')) AS tok,
-                   generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
-            FROM documents
-          )
-          WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-          QUALIFY lead(tok, 2) OVER w IS NOT NULL
-        ) a
-        JOIN (
-          SELECT DISTINCT doc_id, source,
-                 tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS gram
-          FROM (
-            SELECT doc_id, source,
-                   unnest(string_split_regex(trim(text), '\\s+')) AS tok,
-                   generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
-            FROM documents
-          )
-          WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-          QUALIFY lead(tok, 2) OVER w IS NOT NULL
-        ) b ON a.gram = b.gram AND a.source = b.source AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-      ) p
-      JOIN (
-        SELECT doc_id, count(*) AS n_grams FROM (
-          SELECT DISTINCT doc_id,
-                 tok || ' ' || lead(tok, 1) OVER w AS g2,
-                 tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS gram
-          FROM (
-            SELECT doc_id,
-                   unnest(string_split_regex(trim(text), '\\s+')) AS tok,
-                   generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
-            FROM documents
-          )
-          WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-          QUALIFY lead(tok, 2) OVER w IS NOT NULL
-        ) GROUP BY doc_id
-      ) sa ON sa.doc_id = p.doc_a
-      JOIN (
-        SELECT doc_id, count(*) AS n_grams FROM (
-          SELECT DISTINCT doc_id,
-                 tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS gram
-          FROM (
-            SELECT doc_id,
-                   unnest(string_split_regex(trim(text), '\\s+')) AS tok,
-                   generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
-            FROM documents
-          )
-          WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-          QUALIFY lead(tok, 2) OVER w IS NOT NULL
-        ) GROUP BY doc_id
-      ) sb ON sb.doc_id = p.doc_b
-      WHERE p.n_common / (sa.n_grams + sb.n_grams - p.n_common) >= 0.5
-"""
-
-
+# The clusters oracle shares the capped-gram CTEs with q_dedup_ngram's
+# oracle (same NGRAM_DF_CAP stop-gram filter), then closes the pair set
+# transitively with a recursive CTE.
 @register(
     "q_dedup_clusters",
     sql=f"""
-    WITH RECURSIVE pairs AS (
-      {_NGRAM_PAIRS_SQL}
+    WITH RECURSIVE grams_all AS (
+      SELECT DISTINCT doc_id, source,
+             tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS gram
+      FROM (
+        SELECT doc_id, source,
+               unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+               generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+        FROM documents
+      )
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY lead(tok, 2) OVER w IS NOT NULL
+    ), grams AS (
+      SELECT doc_id, source, gram FROM grams_all
+      QUALIFY count(*) OVER (PARTITION BY source, gram) <= {NGRAM_DF_CAP}
+    ), sized AS (
+      SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1
+    ), pair_overlap AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM grams a JOIN grams b
+        ON a.gram = b.gram AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT p.doc_a, p.doc_b
+      FROM pair_overlap p
+      JOIN sized sa ON sa.doc_id = p.doc_a
+      JOIN sized sb ON sb.doc_id = p.doc_b
+      WHERE p.n_common / (sa.n_grams + sb.n_grams - p.n_common) >= 0.5
     ), edges AS (
       SELECT doc_a AS a, doc_b AS b FROM pairs
       UNION
