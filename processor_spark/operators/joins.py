@@ -272,3 +272,90 @@ def q_join_anti_nullaware(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_NAAJ_SQL)
+
+
+# --- bucketed sort-merge-bucket join (the 100 TB fact⋈fact pattern) ---
+
+_N_BUCKETS = 8
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """Materialize orders/lineitem as bucketed+sorted catalog tables
+    (one-time per session/sf_dir; the pre-shuffle is paid at write
+    time, the currency of every later join on the key).
+
+    ``repartition(n, key)`` before the bucketed write uses the same
+    murmur3 hash as the bucket spec, so each task owns exactly one
+    bucket → ONE file per bucket, which is what lets the scan report
+    its sort order and the join skip both the Exchange and (per-file)
+    Sort.  Bucket metadata lives only in the session catalog, so a
+    fresh session (e.g. the driver's) rebuilds the tables on first
+    use; subsequent calls in the same session reuse them.
+    """
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    names: dict[str, str] = {}
+    for tbl, key, cols in (
+        ("orders", "o_orderkey", ["o_orderkey", "o_orderpriority"]),
+        ("lineitem", "l_orderkey", ["l_orderkey", "l_extendedprice", "l_discount"]),
+    ):
+        name = f"{tbl}_bkt_{tag}"
+        if not spark.catalog.tableExists(name):
+            df = load(spark, sf_dir, tbl).select(*cols)
+            (
+                df.repartition(_N_BUCKETS, key)
+                .write.mode("overwrite")
+                .option("path", f"/tmp/processor_spark_bucketed/{tag}/{name}")
+                .bucketBy(_N_BUCKETS, key)
+                .sortBy(key)
+                .saveAsTable(name)
+            )
+        names[tbl] = name
+    return names
+
+
+@register(
+    "q_bucketed_join",
+    sql="""
+    SELECT o.o_orderkey,
+           min(o.o_orderpriority) AS priority,
+           count(*) AS n_items,
+           CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT)
+             AS revenue_e4
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey
+    """,
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact⋈fact join via bucketed tables: orders and
+    lineitem are bucketed+sorted on the order key, so the sort-merge
+    join AND the per-order aggregate both reuse the write-time
+    partitioning — the final plan contains ZERO Exchange (asserted in
+    tests/test_plans.py).  This is the single most common 100 TB join
+    pattern: pay the shuffle once when the table lands, never again.
+
+    Revenue is computed in exact integer 1e-4-dollar units
+    (floor(x*100+0.5) cents × (100 - discount%)), so both engines sum
+    identical integers and no float round can straddle a half-even /
+    half-up boundary (CLAUDE.md integer-micro-unit rule).
+    """
+    names = _bucketed_tables(spark, sf_dir)
+    # merge hint: at fixture scale Catalyst would broadcast the small
+    # orders side, hiding the thing this key demonstrates; at 100 TB
+    # neither fact side broadcasts and SMB is what the planner picks
+    # unaided.
+    o = spark.table(names["orders"]).hint("merge")
+    li = spark.table(names["lineitem"])
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    dpct = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.min("o_orderpriority").alias("priority"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(cents * (F.lit(100) - dpct)).alias("revenue_e4"),
+        )
+    )

@@ -234,3 +234,14 @@ def test_join_5way_never_broadcasts_the_fact_side(spark):
     import re
     for m in re.finditer(r"BroadcastExchange[^\n]*\n(?:[^\n]*\n){0,4}", plan):
         assert "lineitem.parquet" not in m.group(0), m.group(0)
+
+
+def test_bucketed_join_has_zero_exchange(spark):
+    """The SMB fact⋈fact pattern: both sides bucketed+sorted on the
+    order key → SortMergeJoin AND the per-order aggregate reuse the
+    write-time partitioning; the plan contains no Exchange of any
+    kind (not even a broadcast)."""
+    plan = explain_str(_df(spark, "q_bucketed_join"))
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "Bucketed: true" in plan, plan
