@@ -183,6 +183,21 @@ def test_ann_lsh_recall_floor(spark):
     assert recall >= 0.3, f"LSH recall collapsed: {recall:.2f}"
 
 
+def test_ann_ml_recall_floor(spark):
+    """The ml BucketedRandomProjectionLSH path is graded on answer
+    quality, not just row count: its top-5 per query must recover >=80%
+    of the exact cosine top-5 (measured 0.94 at sf0.001, 0.98 at
+    sf0.01 — the 1.35 radius / 4 hash tables keep candidate recall
+    high on the near-orthogonal synthetic embeddings)."""
+    from processor_spark import registry
+    from tests.conftest import SF_SMALL
+
+    knn = {(r.q_id, r.neighbor_id) for r in registry.get("q_knn_join").fn(spark, SF_SMALL).collect()}
+    ann = {(r.q_id, r.neighbor_id) for r in registry.get("q_ann_ml").fn(spark, SF_SMALL).collect()}
+    recall = len(knn & ann) / len(knn)
+    assert recall >= 0.8, f"ml LSH recall below floor: {recall:.2f}"
+
+
 def test_minhash_catches_all_exact_near_dups(spark):
     """Every pair the exact n-gram Jaccard finds (J >= 0.5) must appear
     among the MinHash banding candidates (8 bands × 2 rows S-curve
