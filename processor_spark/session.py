@@ -64,6 +64,17 @@ def build_session(
         # incremental pipelines overwrite only the partitions present in
         # the written batch, not the whole table (100 TB backfill safety)
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # streaming state on RocksDB, not the default in-heap HDFS-backed
+        # map: at 100 TB/day the session/dedup/join state exceeds executor
+        # heap — RocksDB spills to local SSD and bounds GC pressure, and
+        # changelog checkpointing uploads per-batch deltas instead of full
+        # snapshots.  All streaming tests (incl. cross-run restarts) run
+        # under this provider.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
     )
     return builder.getOrCreate()
 

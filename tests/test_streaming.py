@@ -320,3 +320,87 @@ def test_streaming_ohlc_matches_batch_resample(spark, events_chunks_dir):
     # only the bars still open at EOF (≤ event_types x 1 bucket) plus
     # the late tail may be unemitted
     assert len(got_rows) >= len(want_rows) - 10
+
+
+def _mk_events(rows):
+    import pandas as pd
+
+    us = lambda s: int(pd.Timestamp(s).value // 1000)
+    return pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [us(r[1]) for r in rows],
+            "user_id": [r[2] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    )
+
+
+def test_session_window_state_survives_restart(spark, tmp_path):
+    """A session OPEN at the end of run 1 must merge with run-2 events
+    after a checkpointed restart: the session-window state (RocksDB
+    provider, set engine-wide in build_session) is part of the
+    checkpoint, not the JVM.  If state were lost, user 1 would emit two
+    fragment sessions (2 + 1 events) instead of one merged 3-event
+    session."""
+    assert "RocksDB" in spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    data = tmp_path / "inbox"
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    data.mkdir()
+
+    def run_once():
+        stream = P.read_events_stream(spark, str(data))
+        P.write_parquet_stream(P.session_counts(stream, watermark="30 minutes"), out, ckpt)
+
+    # run 1: user 1 has an open 2-event session; user 2 a 1-event session
+    _mk_events(
+        [(1, "2024-01-01 00:00:00", 1, "click"),
+         (2, "2024-01-01 00:10:00", 1, "click"),
+         (3, "2024-01-01 00:05:00", 2, "view")]
+    ).to_parquet(data / "c1.parquet", index=False)
+    run_once()
+    # run 2: event 4 EXTENDS user 1's restored session (gap < 30 min from
+    # 00:10); event 5 advances the watermark to 04:30, closing both
+    _mk_events(
+        [(4, "2024-01-01 00:20:00", 1, "click"),
+         (5, "2024-01-01 05:00:00", 3, "view")]
+    ).to_parquet(data / "c2.parquet", index=False)
+    run_once()
+
+    got = {
+        (r.user_id, r.session_start.isoformat(), r.session_end.isoformat()): r.n_events
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got.get((1, "2024-01-01T00:00:00", "2024-01-01T00:50:00")) == 3, got
+    assert got.get((2, "2024-01-01T00:05:00", "2024-01-01T00:35:00")) == 1, got
+
+
+def test_stream_stream_join_state_survives_restart(spark, tmp_path):
+    """A click buffered in stream-stream join state during run 1 must
+    join a purchase that only arrives in run 2: the RocksDB-backed join
+    buffers are restored from the checkpoint on restart."""
+    data = tmp_path / "inbox"
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    data.mkdir()
+
+    def run_once():
+        stream = P.read_events_stream(spark, str(data))
+        P.write_parquet_stream(P.purchases_with_recent_clicks(stream), out, ckpt)
+
+    # run 1: a click only — no output, but the click enters join state
+    _mk_events([(1, "2024-01-01 00:00:00", 1, "click")]).to_parquet(
+        data / "c1.parquet", index=False
+    )
+    run_once()
+    # run 2: the matching purchase 30 min later (inside the 1 h bound)
+    _mk_events([(2, "2024-01-01 00:30:00", 1, "purchase")]).to_parquet(
+        data / "c2.parquet", index=False
+    )
+    run_once()
+
+    rows = spark.read.parquet(out).collect()
+    assert [(r.purchase_id, r.click_id) for r in rows] == [(2, 1)], rows
