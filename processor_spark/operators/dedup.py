@@ -483,58 +483,24 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the iterative step real dedup pipelines need (pairs alone
     over-remove: A~B, B~C must keep exactly one of {A,B,C}).
 
-    Spark side: min-label propagation — labels(doc)=doc, then repeat
-    'label = min(label, min over neighbors)' until fixpoint.  Converges
-    in O(diameter) DataFrame iterations (large-star/small-star is the
-    O(log n) refinement); each round is one join + one agg, both on
-    doc_id — the standard Pregel-style loop done relationally.  The
-    oracle replays it as a recursive CTE, so even the engine's one
-    iterative operator is hash-checked.
+    Spark side: large-star/small-star alternation
+    (graph.connected_components) — O(log n) rounds where the r1/r2
+    min-label propagation needed O(diameter) (a 100 TB dup CHAIN can
+    be thousands of hops; at 100× data that is the difference between
+    ~5 shuffles and ~20+).  The oracle replays the same reachability
+    closure as a recursive CTE, so even the engine's one iterative
+    operator is hash-checked.
     """
-    # materialize the (expensive) candidate-pair pipeline ONCE — the
-    # union references `pairs` twice and would compute it twice
+    from processor_spark.operators.graph import connected_components
+
+    # materialize the (expensive) candidate-pair pipeline ONCE before
+    # the iterative loop re-reads it every round
     pairs = (
         q_dedup_ngram(spark, sf_dir)
-        .select("doc_a", "doc_b")
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .localCheckpoint(eager=True)
     )
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).distinct()
-    edges.persist()
-    labels = edges.select(F.col("doc_a").alias("doc_id")).distinct().withColumn(
-        "cluster_id", F.col("doc_id")
-    )
-    for _ in range(20):  # diameter bound; fixture components are tiny
-        neighbor_min = (
-            edges.join(labels, edges.doc_b == labels.doc_id)
-            .groupBy(F.col("doc_a").alias("doc_id"))
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        # localCheckpoint breaks the lineage each round: without it the
-        # plan references the previous labels twice per iteration
-        # (2^k growth) and every round recomputes all prior rounds
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
-                ).alias("cluster_id"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    edges.unpersist()
-    return labels
+    return connected_components(pairs)
 
 
 @register(

@@ -179,3 +179,94 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
     )
     return tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+
+
+def connected_components(
+    edges: DataFrame, max_rounds: int = 12, stats: dict | None = None
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    O(log n)-round replacement for min-label propagation, whose round
+    count is the component DIAMETER (a 100 TB dup-chain can be long).
+
+    Input: undirected edges as any (src, dst) pairs.  Output: one row
+    per vertex, ``(doc_id, cluster_id)`` with cluster_id = component
+    minimum.
+
+    Each round is two relational steps over the edge list:
+    - large-star: every node u links its LARGER neighbors to
+      m = min(N(u) ∪ {u}) — applied over the symmetrized adjacency;
+    - small-star: with edges directed larger→smaller, every node u
+      links its smaller neighbors (and itself) to the minimum.
+    Both are groupBy(min) + equi-join — no windows, no global
+    structures; edge count never grows beyond the input (plus roots),
+    and the graph collapses to a star of each component's minimum in
+    O(log n) alternations.  Per-round ``localCheckpoint(eager=True)``
+    keeps lineage O(1) (CLAUDE.md iterative-loop rule); convergence is
+    detected by an order-invariant edge-set checksum, so the loop costs
+    one small agg action per round instead of a subtract/count.
+    """
+    e = (
+        edges.select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("u").alias("doc_id"))
+        .union(e.select("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def checksum(df):
+        # order-invariant set digest; the hash is shifted to its high 32
+        # bits before summing so the ANSI-mode long sum cannot overflow
+        # below ~2^31 edges (sum(xxhash64) raises ARITHMETIC_OVERFLOW)
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.shiftright(F.xxhash64("u", "v"), 32)).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = checksum(e)
+    rounds = 0
+    for _ in range(max_rounds):
+        rounds += 1
+        # --- large-star ---
+        adj = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = adj.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("mn", "u").alias("m"))
+        ls = (
+            adj.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(e.join(mins, "u").select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # --- small-star (edges now point larger→smaller) ---
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            ls.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(ls.join(mins2, "u").select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        e = ss.localCheckpoint(eager=True)
+        cur = checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    import logging
+
+    logging.getLogger(__name__).info("connected_components converged in %d rounds", rounds)
+    if stats is not None:
+        stats["rounds"] = rounds
+    # star graph: non-roots point at their component minimum
+    labels = e.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+    roots = nodes.join(labels.select("doc_id"), "doc_id", "left_anti")
+    return labels.union(roots.select("doc_id", F.col("doc_id").alias("cluster_id")))

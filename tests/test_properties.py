@@ -242,3 +242,24 @@ def test_transition_matrix_rows_are_distributions(spark):
     tm = get("q_transition_matrix").fn(spark, SF_SMALL)
     sums = tm.groupBy("event_type").agg(F.sum("p").alias("total")).collect()
     assert all(abs(r.total - 1.0) < 0.01 for r in sums), sums
+
+
+def test_connected_components_long_chain_logarithmic_rounds(spark):
+    """Large-star/small-star must collapse a 256-node PATH (diameter
+    255) in O(log n) rounds — the case where the old min-label
+    propagation needed a round per hop and its 20-round bound would
+    have returned WRONG labels.  Also checks a disjoint triangle and a
+    singleton-free vertex set for exact labels."""
+    from processor_spark.operators.graph import connected_components
+
+    chain = [(i, i + 1) for i in range(1000, 1255)]          # one 256-node path
+    tri = [(1, 2), (2, 3), (3, 1)]                           # separate component
+    edges = spark.createDataFrame(chain + tri, ["src", "dst"])
+    stats = {}
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(edges, stats=stats).collect()
+    }
+    want = {(i, 1000) for i in range(1000, 1256)} | {(i, 1) for i in (1, 2, 3)}
+    assert got == want
+    assert stats["rounds"] <= 10, f"expected O(log n) rounds, took {stats['rounds']}"
