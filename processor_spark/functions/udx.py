@@ -229,3 +229,75 @@ def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     out = d.lateralJoin(Chunker(F.col("text").outer()))
     return out.select("doc_id", "chunk_idx", "piece")
+
+
+# ---------------------------------------------------------------- GROUPED_AGG pandas UDF
+# (type OBJECT, not the DDL string "long": parsing a DDL return type at
+# import time requires an active session, and operator modules import
+# session-free)
+@F.pandas_udf(T.LongType())
+def trimmed_mean_cc(v: pd.Series) -> int:
+    """GROUPED_AGG pandas UDF: 10%-per-tail rank-trimmed mean, in exact
+    integer centi-cents ((sum_of_kept_cents * 100) // n_kept).
+
+    The fourth UDF shape §2.11 names (scalar / grouped-map / UDTF are
+    above): a Series→scalar aggregate usable in groupBy().agg() AND
+    over a Window — which grouped-map applyInPandas is not.  Exists as
+    a UDF because Spark has no trimmed/robust mean built-in; the
+    arithmetic is integer-exact end-to-end (floor(x*100+0.5) cents,
+    Python bigint sum, floor division), so the SQL oracle re-derives
+    the identical value with row_number trimming — no float rounding
+    can diverge (CLAUDE.md integer-micro-unit rule).
+    """
+    import numpy as np
+
+    cents = np.floor(v.to_numpy(dtype="float64") * 100 + 0.5).astype("int64")
+    cents.sort()
+    k = len(cents) // 10
+    kept = cents[k : len(cents) - k]
+    return int(kept.sum()) * 100 // len(kept)
+
+
+# Spark refuses to mix a GROUPED_AGG pandas UDF with built-in aggregate
+# functions in one agg() (INVALID_PANDAS_UDF_PLACEMENT), so the row
+# count rides as a second pandas aggregate.
+@F.pandas_udf(T.LongType())
+def count_rows(v: pd.Series) -> int:  # noqa: D103
+    return len(v)
+
+
+@register(
+    "q_udaf_trimmed",
+    sql="""
+    WITH ranked AS (
+      SELECT o_orderpriority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(sum(cents) FILTER (WHERE rn > n // 10 AND rn <= n - n // 10) * 100
+                // count(*) FILTER (WHERE rn > n // 10 AND rn <= n - n // 10)
+                AS BIGINT) AS trimmed_mean_cc,
+           count(*) AS n_orders
+    FROM ranked
+    GROUP BY o_orderpriority
+    """,
+)
+def q_udaf_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (10%-trimmed) mean order value per priority via the
+    GROUPED_AGG pandas UDF — the window-compatible custom-aggregate
+    shape (tests/test_api.py proves the same UDF runs `.over(Window)`).
+    Full SQL oracle: DuckDB trims by row_number rank and repeats the
+    exact integer arithmetic, hash-verifying the Arrow
+    grouped-aggregate boundary itself."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderpriority", "o_totalprice")
+        .groupBy("o_orderpriority")
+        .agg(
+            trimmed_mean_cc("o_totalprice").alias("trimmed_mean_cc"),
+            count_rows("o_totalprice").alias("n_orders"),
+        )
+    )

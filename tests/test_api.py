@@ -42,3 +42,30 @@ def test_unbound_engine_raises(spark):
 def test_events_view_is_time_ordered(eng):
     ts = [r.ts for r in eng.events().select("ts").limit(100).collect()]
     assert ts == sorted(ts)
+
+
+def test_grouped_agg_udf_is_window_compatible(spark):
+    """The GROUPED_AGG pandas UDF must run .over(Window) — the property
+    that distinguishes it from grouped-map applyInPandas (which cannot).
+    Every row must carry its partition's trimmed mean, agreeing exactly
+    with the groupBy aggregation of the same UDF."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from processor_spark.functions.udx import trimmed_mean_cc
+    from processor_spark.sources import load
+    from tests.conftest import SF_SMALL
+
+    o = load(spark, SF_SMALL, "orders")
+    w = Window.partitionBy("o_orderpriority")
+    per_row = o.select(
+        "o_orderpriority", trimmed_mean_cc("o_totalprice").over(w).alias("tm")
+    ).distinct()
+    via_window = {(r.o_orderpriority, r.tm) for r in per_row.collect()}
+    via_group = {
+        (r.o_orderpriority, r.trimmed_mean_cc)
+        for r in o.groupBy("o_orderpriority")
+        .agg(trimmed_mean_cc("o_totalprice").alias("trimmed_mean_cc"))
+        .collect()
+    }
+    assert via_window == via_group and len(via_window) == 5
