@@ -130,8 +130,14 @@ def q_udaf_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit output schema.  DuckDB's native mad() oracles it — a
     Python-boundary operator still under the full SQL hash check.
     Scale note: whole-group-in-memory is the applyInPandas contract;
-    groups here are ~5 — for high-cardinality groups prefer sketch
-    aggregates (q_percentiles).
+    with ~5 priority groups one group ≈ 1/5 of the table, so at 100 TB
+    this exact formulation does NOT fly — the scale path is two passes
+    of approx_percentile (median, then median of |x − med|, both
+    Greenwald–Khanna sketches, fully mergeable), or the GROUPED_AGG
+    shape of q_udaf_trimmed when a bounded-error rank statistic is
+    acceptable.  This key exists to demonstrate the exact-UDAF
+    boundary under the hash check; q_percentiles carries the sketch
+    path.
     """
     o = load(spark, sf_dir, "orders")
     return o.select("o_orderpriority", "o_totalprice").groupBy("o_orderpriority").applyInPandas(

@@ -469,3 +469,70 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     for piece in [bad_discount, nonpos_qty, bad_props, empty_docs, orphan_lineitems]:
         out = out.crossJoin(F.broadcast(piece))
     return out
+
+
+@register(
+    "q_corpus_mixture",
+    sql="""
+    WITH counts AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(floor(sqrt(count(*)) * 1000000 + 0.5) AS BIGINT) AS w_micro
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(w_micro) AS BIGINT) AS tot_micro FROM counts
+    ), shares AS (
+      SELECT source, (500 * w_micro) // tot_micro AS share
+      FROM counts CROSS JOIN tot
+    ), ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT),
+                        doc_id
+             ) AS pick_rank
+      FROM documents
+    )
+    SELECT r.source, r.doc_id, r.pick_rank
+    FROM ranked r JOIN shares s ON r.source = s.source
+    WHERE r.pick_rank <= s.share
+    """,
+)
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (α = 0.5): the standard
+    LLM-pretraining reweighting that upsamples small sources —
+    sampling weight ∝ n_docs^α — then draws each source's share of a
+    fixed 500-doc budget deterministically by content-independent
+    hash rank.
+
+    Exactness: weights are integer micro-units (floor(sqrt(n)·1e6 +
+    0.5) — sqrt of the same integer is the same IEEE double on both
+    engines), shares use INTEGER division (`div` / `//`), and
+    selection ranks the portable 48-bit md5 of doc_id with a doc_id
+    tie-break — every step replayed bit-for-bit by the oracle.
+
+    Scale: per-source counts are one mergeable agg; shares are a
+    ~#sources-row broadcast; selection is one row_number window per
+    source partition (at 100 TB swap the exact rank for a hash
+    THRESHOLD — keep h < share/n·2^48 — which needs no window at all;
+    the rank form is kept here because it makes the budget exact).
+    """
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    counts = counts.withColumn(
+        "w_micro", F.floor(F.sqrt(F.col("n_docs")) * 1000000 + F.lit(0.5)).cast("long")
+    )
+    tot = counts.agg(F.sum("w_micro").cast("long").alias("tot_micro"))
+    shares = counts.crossJoin(F.broadcast(tot)).select(
+        "source", F.expr("(500 * w_micro) div tot_micro").alias("share")
+    )
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 12), 16, 10)
+        .cast("long")
+    )
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    ranked = d.select("doc_id", "source").withColumn("pick_rank", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(shares), "source")
+        .where(F.col("pick_rank") <= F.col("share"))
+        .select("source", "doc_id", "pick_rank")
+    )

@@ -425,3 +425,59 @@ def ohlc_bars(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
             "n_events",
         )
     )
+
+
+def _has_tws_deps() -> bool:
+    """transformWithState's Python worker speaks protobuf to the JVM
+    state server; the google.protobuf package is not in this container
+    (no installs), so the API is gated like the Kafka source."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running totals on the transformWithStateInPandas API —
+    the Spark 4 successor to applyInPandasWithState (running_totals
+    above is the production path in this container): typed state
+    variables (ValueState/ListState/MapState) requested from a handle
+    instead of one monolithic state tuple, explicit timers, and
+    initial-state bootstrap.  Requires the RocksDB state store
+    (build_session sets it engine-wide) and the protobuf Python
+    package (_has_tws_deps gates tests).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    state_schema = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("total", T.DoubleType())]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.state = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, total = self.state.get() if self.state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self.state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 3)]}
+            )
+
+        def close(self) -> None:
+            return
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=RUNNING_TOTAL_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

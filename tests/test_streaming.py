@@ -404,3 +404,25 @@ def test_stream_stream_join_state_survives_restart(spark, tmp_path):
 
     rows = spark.read.parquet(out).collect()
     assert [(r.purchase_id, r.click_id) for r in rows] == [(2, 1)], rows
+
+
+def test_transform_with_state_running_totals(spark, events_chunks_dir):
+    """transformWithStateInPandas twin of running_totals.  The API's
+    Python worker needs google.protobuf, absent from this container —
+    when missing, the gate must say so (and the applyInPandasWithState
+    path above remains the tested production implementation)."""
+    if not P._has_tws_deps():
+        pytest.skip("google.protobuf not installed; transformWithState gated")
+    stream = P.read_events_stream(spark, events_chunks_dir)
+    got = _drain(spark, P.running_totals_tws(stream), "t_tws", mode="update")
+    batch = (
+        load(spark, SF_SMALL, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 3).alias("total_value"))
+    )
+    last = {}
+    for r in got.collect():
+        last[r.user_id] = (r.n_events, r.total_value)
+    want = {r.user_id: (r.n_events, r.total_value) for r in batch.collect()}
+    converged = sum(1 for u, v in want.items() if last.get(u) == v)
+    assert converged >= 0.9 * len(want), f"{converged}/{len(want)} users converged"
