@@ -263,3 +263,65 @@ def test_connected_components_long_chain_logarithmic_rounds(spark):
     want = {(i, 1000) for i in range(1000, 1256)} | {(i, 1) for i in (1, 2, 3)}
     assert got == want
     assert stats["rounds"] <= 10, f"expected O(log n) rounds, took {stats['rounds']}"
+
+
+def test_approx_count_distinct_within_declared_error(spark):
+    """q_agg_approx is rows-only by contract (HLL sketches differ
+    between engines) — so grade it on ACCURACY instead: every group's
+    estimate must sit within 3x the declared 2% relative standard
+    deviation of the exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from processor_spark import registry
+    from processor_spark.sources import load
+    from tests.conftest import SF_SMALL
+
+    got = {
+        r.l_returnflag: (r.approx_parts, r.approx_suppliers)
+        for r in registry.get("q_agg_approx").fn(spark, SF_SMALL).collect()
+    }
+    exact = {
+        r.l_returnflag: (r.parts, r.supps)
+        for r in load(spark, SF_SMALL, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("parts"),
+            F.countDistinct("l_suppkey").alias("supps"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for flag, (ap, asup) in got.items():
+        ep, esup = exact[flag]
+        assert abs(ap - ep) <= 0.06 * ep, (flag, ap, ep)
+        assert abs(asup - esup) <= 0.06 * esup, (flag, asup, esup)
+
+
+def test_approx_percentiles_bracket_exact_ranks(spark):
+    """q_percentiles (rows-only by contract): each sketch quantile must
+    fall between the exact values at rank floor((p-eps)*n) and
+    ceil((p+eps)*n) — the Greenwald-Khanna accuracy contract with
+    eps = 1/10000 (plus one rank of slack for boundary ties)."""
+    import math
+
+    from processor_spark import registry
+    from processor_spark.sources import load
+    from tests.conftest import SF_SMALL
+
+    got = {
+        r.o_orderpriority: {"0.5": r.p50, "0.9": r.p90, "0.99": r.p99}
+        for r in registry.get("q_percentiles").fn(spark, SF_SMALL).collect()
+    }
+    rows = load(spark, SF_SMALL, "orders").select("o_orderpriority", "o_totalprice").collect()
+    by_prio = {}
+    for r in rows:
+        by_prio.setdefault(r.o_orderpriority, []).append(r.o_totalprice)
+    eps = 1.0 / 10000
+    for prio, vals in by_prio.items():
+        vals.sort()
+        n = len(vals)
+        for p in (0.5, 0.9, 0.99):
+            lo = vals[max(0, math.floor((p - eps) * n) - 1)]
+            hi = vals[min(n - 1, math.ceil((p + eps) * n))]
+            est = got[prio][str(p)]
+            assert lo <= est <= round(hi, 2) + 0.01, (prio, p, est, lo, hi)
