@@ -575,7 +575,10 @@ def q_map_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     which makes this a true semantic check of Spark's map functions,
     not an echo of the same implementation.
     """
-    o = load(spark, sf_dir, "orders")
+    # spread=True: five higher-order map serializations per row are
+    # compute-dense, and the single-file fixture scan would otherwise
+    # run them on one core (same fix as q_try_funcs, CLAUDE.md)
+    o = load(spark, sf_dir, "orders", spread=True)
     kv = F.col("o_orderkey") % 100
     pv = F.split_part(F.col("o_orderpriority"), F.lit("-"), F.lit(1)).cast("long")
     m = F.create_map(F.lit("key"), kv, F.lit("pri"), pv)
