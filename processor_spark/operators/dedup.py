@@ -602,3 +602,72 @@ def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("fingerprint")
     )
+
+
+@register(
+    "q_dedup_substring",
+    sql="""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, u.pos,
+             array_to_string(toks[u.pos : u.pos + 9], ' ') AS shingle
+      FROM base, unnest(range(1, len(toks) - 8)) AS u(pos)
+      WHERE len(toks) >= 10
+    ), sh AS (
+      SELECT shingle, count(DISTINCT doc_id) AS ndocs
+      FROM pos GROUP BY shingle
+    )
+    SELECT p.doc_id,
+           count(*) AS n_windows,
+           CAST(sum(CASE WHEN s.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           CAST((1000 * sum(CASE WHEN s.ndocs >= 2 THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+             AS dup_permille
+    FROM pos p JOIN sh s ON p.shingle = s.shingle
+    GROUP BY p.doc_id
+    """,
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplicate coverage — the tier of the dedup
+    ladder BELOW document granularity: for each document, the fraction
+    of its sliding 10-token windows that occur verbatim in at least
+    one OTHER document (the repeated-substring measure behind
+    span-level training-data dedup; doc-level MinHash misses a unique
+    page that embeds a duplicated paragraph).
+
+    Shape: one explode to (doc, pos, shingle), one agg for cross-doc
+    shingle df, one equi-join back on the shingle, one per-doc agg —
+    all hash-partitioned on the shingle/doc key, no pair space at all
+    (coverage needs no doc×doc join, which is what keeps this tier
+    cheap at 100 TB; flagged docs then feed the pairwise verifiers).
+    The permille ratio uses integer division, so the oracle replays
+    every value exactly.
+    """
+    d = load(spark, sf_dir, "documents", spread=True)
+    base = d.select("doc_id", _tokens(F.col("text")).alias("toks")).withColumn(
+        "n", F.size("toks")
+    ).where(F.col("n") >= 10)
+    pos = base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.col("n") - 9)).alias("pos"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.array_join(F.slice("toks", F.col("pos"), F.lit(10)), " ").alias("shingle"),
+    )
+    # shared subplan: df agg + join probe both read the shingle stream
+    pos = pos.persist()
+    sh = pos.groupBy("shingle").agg(F.countDistinct("doc_id").alias("ndocs"))
+    dup = F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0)).cast("long")
+    return (
+        pos.join(sh, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            dup.alias("n_dup"),
+            F.expr(
+                "CAST((1000 * sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)) div count(*) AS BIGINT)"
+            ).alias("dup_permille"),
+        )
+    )
