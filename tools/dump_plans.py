@@ -11,6 +11,9 @@ from processor_spark.plans import explain_str
 HEADLINE = [
     "q_pricing_summary", "q_join_5way", "q_window_rank", "q_tumbling_window",
     "q_sessionization", "q_topk_similarity", "q_text_tokens", "q_grouping_sets",
+    # not in the bench suite, dumped for the scale story: the SMB
+    # fact⋈fact join whose whole point is the plan shape (zero Exchange)
+    "q_bucketed_join",
 ]
 
 INTRO = """Post-execution (AQE-final) plans captured from `.explain("formatted")`
