@@ -29,6 +29,13 @@ HOSTILE_KEYS = [
     "q_cumulative_distinct",
     "q_resample_ohlc",
     "q_join_asof",
+    # round-3 keys with session-state surface beyond confs: catalog
+    # tables (bucketed join), pandas-UDF registration, window ranking
+    # over hashes — proven insensitive to a hostile driver session
+    "q_bucketed_join",
+    "q_corpus_mixture",
+    "q_udaf_trimmed",
+    "q_dedup_substring",
 ]
 
 
