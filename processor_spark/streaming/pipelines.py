@@ -481,3 +481,48 @@ def running_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def purchases_with_recent_clicks_outer(events: DataFrame) -> DataFrame:
+    """LEFT OUTER stream-stream join: every purchase emits — joined to
+    clicks of the preceding hour when they exist, with NULL click
+    columns otherwise.  The outer semantics are the hard part of
+    stream-stream joins: an unmatched purchase can only be emitted
+    once the watermark proves no matching click can still arrive, so
+    null rows surface one watermark delay late (and state eviction =
+    correctness, not just memory hygiene).
+    """
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select("purchase_id", "p_user", "purchase_ts", "click_id", "click_ts")
+
+
+def dedup_events_within_watermark(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """dropDuplicatesWithinWatermark: dedup state for an event_id is
+    dropped once the watermark passes it — unlike dropDuplicates,
+    whose per-key state lives forever when keys are unbounded (the
+    100 TB/day case: event ids never repeat far apart, so bounded
+    dedup state is the only viable form)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])

@@ -426,3 +426,58 @@ def test_transform_with_state_running_totals(spark, events_chunks_dir):
     want = {r.user_id: (r.n_events, r.total_value) for r in batch.collect()}
     converged = sum(1 for u, v in want.items() if last.get(u) == v)
     assert converged >= 0.9 * len(want), f"{converged}/{len(want)} users converged"
+
+
+def test_outer_stream_stream_join_emits_unmatched_after_watermark(spark, tmp_path):
+    """Left-outer stream-stream join: a purchase with no click inside
+    its hour must STILL emit (null click columns) — but only after the
+    watermark proves no match can arrive, i.e. in the follow-up run."""
+    data = tmp_path / "inbox"
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    data.mkdir()
+
+    def run_once():
+        stream = P.read_events_stream(spark, str(data))
+        P.write_parquet_stream(P.purchases_with_recent_clicks_outer(stream), out, ckpt)
+
+    # user 1: click then purchase 30 min later (matched pair)
+    # user 2: purchase with NO click at all (must emit with nulls)
+    _mk_events(
+        [(1, "2024-01-01 00:00:00", 1, "click"),
+         (2, "2024-01-01 00:30:00", 1, "purchase"),
+         (3, "2024-01-01 00:30:00", 2, "purchase")]
+    ).to_parquet(data / "c1.parquet", index=False)
+    run_once()
+    # advance the watermark well past 00:30 + 1 h so the unmatched
+    # purchase's state can expire — the advancing events must be a
+    # click AND a purchase: each branch's watermark column sits AFTER
+    # its event-type filter, so other event types never move it (and
+    # the global watermark is the min of the two branches)...
+    _mk_events(
+        [(4, "2024-01-01 05:00:00", 8, "click"),
+         (5, "2024-01-01 05:00:00", 9, "purchase")]
+    ).to_parquet(data / "c2.parquet", index=False)
+    run_once()
+    # ...and run once more: the watermark computed from run 2's data
+    # only takes effect at the NEXT batch (same availableNow semantics
+    # as the late-data test), which is when the null row flushes
+    _mk_events(
+        [(6, "2024-01-01 06:00:00", 8, "click"),
+         (7, "2024-01-01 06:00:00", 9, "purchase")]
+    ).to_parquet(data / "c3.parquet", index=False)
+    run_once()
+
+    rows = {r.purchase_id: r.click_id for r in spark.read.parquet(out).collect()}
+    assert rows.get(2) == 1, rows       # matched purchase joined its click
+    assert 3 in rows and rows[3] is None, rows  # unmatched purchase emitted with NULL
+
+
+def test_dedup_within_watermark_bounds_state(spark, events_chunks_dir):
+    """dropDuplicatesWithinWatermark must agree with unbounded-state
+    dedup on the fixture (no cross-chunk duplicate is older than the
+    watermark) while keeping per-key state bounded."""
+    stream = P.read_events_stream(spark, events_chunks_dir)
+    got = _drain(spark, P.dedup_events_within_watermark(stream), "t_dedup_wm")
+    batch = load(spark, SF_SMALL, "events")
+    assert got.count() == batch.select("event_id").distinct().count()
