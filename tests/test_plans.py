@@ -245,3 +245,23 @@ def test_bucketed_join_has_zero_exchange(spark):
     assert "SortMergeJoin" in plan, plan
     assert "Exchange" not in plan, plan
     assert "Bucketed: true" in plan, plan
+
+
+def test_dedup_family_never_plans_pair_explosion(spark):
+    """Every dedup tier must be equi-join/agg shaped — a NestedLoop or
+    CartesianProduct anywhere means the candidate space went O(n²),
+    invisible at fixture scale and fatal at 100 TB."""
+    for key in [
+        "q_dedup_exact",
+        "q_dedup_ngram",
+        "q_dedup_minhash_md5",
+        "q_dedup_canonical",
+        "q_dedup_substring",
+        "q_corpus_mixture",
+    ]:
+        plan = explain_str(_df(spark, key))
+        assert "CartesianProduct" not in plan, (key, plan)
+        assert "BroadcastNestedLoopJoin" not in plan or key == "q_corpus_mixture", (
+            key,
+            plan,
+        )
