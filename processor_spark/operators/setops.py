@@ -67,3 +67,46 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT (set semantics): nations with customers but no suppliers."""
     c, s = _buyers_sellers(spark, sf_dir)
     return c.subtract(s)
+
+
+@register(
+    "q_except_all",
+    sql="""
+    SELECT nationkey, count(*) AS surplus
+    FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT ALL
+      SELECT s_nationkey AS nationkey FROM supplier
+    )
+    GROUP BY nationkey
+    """,
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics): per nation, how many MORE customers
+    than suppliers — multiplicity is the answer, which set-EXCEPT
+    destroys.  Catalyst plans ExceptAll as a count-difference
+    aggregate + replicate, not a pairwise anti join, so it stays one
+    shuffle at scale; the per-key count output keeps the oracle
+    comparison compact."""
+    c, s = _buyers_sellers(spark, sf_dir)
+    return c.exceptAll(s).groupBy("nationkey").agg(F.count(F.lit(1)).alias("surplus"))
+
+
+@register(
+    "q_intersect_all",
+    sql="""
+    SELECT nationkey, count(*) AS n_matched
+    FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT ALL
+      SELECT s_nationkey AS nationkey FROM supplier
+    )
+    GROUP BY nationkey
+    """,
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics): per nation, min(customer count,
+    supplier count) occurrences survive — the multiplicity-aware
+    intersection."""
+    c, s = _buyers_sellers(spark, sf_dir)
+    return c.intersectAll(s).groupBy("nationkey").agg(F.count(F.lit(1)).alias("n_matched"))
