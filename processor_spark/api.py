@@ -83,3 +83,24 @@ class Engine:
     def describe(key: str) -> str:
         q = registry.get(key)
         return f"{q.key}: {q.doc.strip().splitlines()[0] if q.doc else '(no doc)'}"
+
+
+def run_observed(df: DataFrame, name: str = "metrics", **metric_exprs) -> tuple[list, dict]:
+    """Execute ``df`` with inline pipeline metrics via ``df.observe()``
+    — Spark's zero-cost observability hook: the metric aggregates ride
+    the SAME job (evaluated inside the existing plan, no second scan),
+    and are read from the Observation after the action completes.
+
+    At 100 TB this is how a pipeline audits itself without paying for
+    audit queries: row counts, null counts, value bounds computed as a
+    side effect of the write it was already doing.
+
+    ``metric_exprs`` maps metric name -> aggregate Column.  Returns
+    (collected rows, metrics dict).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    observed = df.observe(obs, *[c.alias(n) for n, c in metric_exprs.items()])
+    rows = observed.collect()
+    return rows, obs.get

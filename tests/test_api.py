@@ -69,3 +69,25 @@ def test_grouped_agg_udf_is_window_compatible(spark):
         .collect()
     }
     assert via_window == via_group and len(via_window) == 5
+
+
+def test_run_observed_metrics_ride_the_same_job(spark):
+    """df.observe(): audit metrics (row count, null count, max) must be
+    computed as a side effect of the one action, and agree with
+    explicitly-computed values."""
+    from pyspark.sql import functions as F
+
+    from processor_spark.api import run_observed
+    from processor_spark.sources import load
+    from tests.conftest import SF_SMALL
+
+    o = load(spark, SF_SMALL, "orders").select("o_orderkey", "o_totalprice")
+    rows, metrics = run_observed(
+        o,
+        n_rows=F.count(F.lit(1)),
+        n_null_price=F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)),
+        max_price=F.max("o_totalprice"),
+    )
+    assert metrics["n_rows"] == len(rows) == o.count()
+    assert metrics["n_null_price"] == 0
+    assert metrics["max_price"] == o.agg(F.max("o_totalprice")).first()[0]
