@@ -285,3 +285,28 @@ def test_binaryfile_source_feeds_multimodal_pipeline(spark, tmp_path):
     # length-only projection must not require content (columnar prune):
     small = df.where("length < 104").select("length").collect()
     assert sorted(r.length for r in small) == [100, 101, 102, 103]
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """Schema evolution (the 100 TB lake reality: columns get added
+    over time): files written before a column existed must read as
+    NULL for it under mergeSchema, values must survive unchanged, and
+    the default non-merging read must still serve the old schema
+    cheaply (schema from one footer, no per-file merge)."""
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path / "evolving")
+    spark.range(3).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    ).write.parquet(base + "/batch=1")
+    spark.range(3, 5).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("v"),
+        F.lit("added-later").alias("note"),
+    ).write.parquet(base + "/batch=2")
+
+    merged = spark.read.option("mergeSchema", True).parquet(base)
+    assert set(merged.columns) == {"k", "v", "note", "batch"}
+    rows = {r.k: (r.v, r.note) for r in merged.collect()}
+    assert rows[0] == (0, None) and rows[4] == (40, "added-later")
+    assert sum(1 for v, n in rows.values() if n is None) == 3
