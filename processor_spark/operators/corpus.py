@@ -536,3 +536,53 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("pick_rank") <= F.col("share"))
         .select("source", "doc_id", "pick_rank")
     )
+
+
+@register(
+    "q_sample_weighted",
+    sql="""
+    WITH pri AS (
+      SELECT doc_id, source, n_chars,
+             (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+              * 10000) // n_chars AS priority
+      FROM documents
+      WHERE n_chars > 0
+    )
+    SELECT doc_id, source, n_chars, priority
+    FROM pri
+    ORDER BY priority, doc_id
+    LIMIT 200
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample (hash-priority variant of the
+    A-ES exponential-jitter scheme): each doc draws priority
+    h·1e4 // weight with h the portable 48-bit md5 of doc_id and
+    weight = n_chars, and the 200 LOWEST priorities win — so heavier
+    (longer) documents are proportionally more likely, yet the draw is
+    a pure function of the ids (reproducible on any cluster, any row
+    order).  Priorities are exact integers (no float pow/ln whose
+    last-bit behavior differs between libm implementations — the
+    cross-engine hazard), so the oracle replays the selection
+    bit-for-bit; doc_id breaks priority ties totally.  Plan shape:
+    narrow map + TakeOrderedAndProject — per-partition heaps of 200,
+    no shuffle of the full table, no window.
+    """
+    d = load(spark, sf_dir, "documents")
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 12), 16, 10)
+        .cast("long")
+    )
+    return (
+        d.where(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.expr(
+                "(CAST(conv(substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 12), 16, 10) AS BIGINT) * 10000) div n_chars"
+            ).alias("priority"),
+        )
+        .orderBy(F.asc("priority"), F.asc("doc_id"))
+        .limit(200)
+    )
