@@ -479,3 +479,100 @@ def q_late_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(late, 1).otherwise(0)).alias("n_late"),
         F.sum(F.when(very_late, 1).otherwise(0)).alias("n_very_late"),
     )
+
+
+@register(
+    "q_pattern_negation",
+    sql="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, 0 AS kind, ts AS click_ts, NULL::TIMESTAMP AS err_ts,
+             NULL::BIGINT AS purchase_id
+      FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, ts, event_id, 1 AS kind, NULL AS click_ts, ts AS err_ts,
+             NULL AS purchase_id
+      FROM events WHERE event_type = 'error'
+      UNION ALL
+      SELECT user_id, ts, event_id, 2 AS kind, NULL AS click_ts, NULL AS err_ts,
+             event_id AS purchase_id
+      FROM events WHERE event_type = 'purchase'
+    ), carried AS (
+      SELECT user_id, ts, purchase_id,
+             max(click_ts) OVER w AS last_click_ts,
+             max(err_ts)   OVER w AS last_err_ts
+      FROM tagged
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, kind, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT purchase_id, user_id, ts AS purchase_ts, last_click_ts
+    FROM carried
+    WHERE purchase_id IS NOT NULL
+      AND last_click_ts IS NOT NULL
+      AND last_click_ts >= ts - INTERVAL 1 HOUR
+      AND (last_err_ts IS NULL OR last_err_ts <= last_click_ts)
+    """,
+)
+def q_pattern_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP negation pattern: purchases preceded by a click within one
+    hour with NO error event in between (click → purchase, ¬error) —
+    the sequence-with-absence match every funnel/alerting engine needs,
+    where the ABSENCE is the hard part (a join can prove presence;
+    proving a gap needs ordered state).
+
+    Same scalable shape as q_join_asof: tag clicks/errors/purchases,
+    union, carry running max click-ts and error-ts per user in ONE
+    window pass — an error "between" exists iff the carried error ts
+    exceeds the carried click ts at the purchase row.  One shuffle on
+    user_id, zero joins, no pair space.  Kind order (click 0, error 1,
+    purchase 2) fixes same-timestamp semantics deterministically: an
+    error at the click's exact ts does not disqualify, one at the
+    purchase's exact ts does.
+    """
+    e = load(spark, sf_dir, "events")
+    base = ["user_id", "ts", "event_id"]
+    clicks = e.where(F.col("event_type") == "click").select(
+        *base,
+        F.lit(0).alias("kind"),
+        F.col("ts").alias("click_ts"),
+        F.lit(None).cast("timestamp").alias("err_ts"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    errors = e.where(F.col("event_type") == "error").select(
+        *base,
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.col("ts").alias("err_ts"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        *base,
+        F.lit(2).alias("kind"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.lit(None).cast("timestamp").alias("err_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        clicks.unionByName(errors)
+        .unionByName(purchases)
+        .select(
+            "user_id",
+            "ts",
+            "purchase_id",
+            F.max("click_ts").over(w).alias("last_click_ts"),
+            F.max("err_ts").over(w).alias("last_err_ts"),
+        )
+    )
+    return (
+        carried.where(
+            F.col("purchase_id").isNotNull()
+            & F.col("last_click_ts").isNotNull()
+            & (F.col("last_click_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("last_err_ts").isNull() | (F.col("last_err_ts") <= F.col("last_click_ts")))
+        )
+        .select("purchase_id", "user_id", F.col("ts").alias("purchase_ts"), "last_click_ts")
+    )
