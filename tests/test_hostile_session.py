@@ -36,6 +36,7 @@ HOSTILE_KEYS = [
     "q_corpus_mixture",
     "q_udaf_trimmed",
     "q_dedup_substring",
+    "q_pattern_negation",
 ]
 
 
