@@ -265,3 +265,12 @@ def test_dedup_family_never_plans_pair_explosion(spark):
             key,
             plan,
         )
+
+
+def test_sample_weighted_is_take_ordered_no_shuffle_no_window(spark):
+    """The weighted sampler must plan per-partition top-k heaps
+    (TakeOrderedAndProject) over a narrow map — a Window or full-table
+    Exchange here would mean a global sort of the corpus."""
+    plan = explain_str(_df(spark, "q_sample_weighted"))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
