@@ -96,11 +96,12 @@ def run_observed(df: DataFrame, name: str = "metrics", **metric_exprs) -> tuple[
     side effect of the write it was already doing.
 
     ``metric_exprs`` maps metric name -> aggregate Column.  Returns
-    (collected rows, metrics dict).
+    (result as a pandas DataFrame — Arrow-batched, the same
+    materialization rule bench.py follows, metrics dict).
     """
     from pyspark.sql import Observation
 
     obs = Observation(name)
     observed = df.observe(obs, *[c.alias(n) for n, c in metric_exprs.items()])
-    rows = observed.collect()
+    rows = observed.toPandas()
     return rows, obs.get

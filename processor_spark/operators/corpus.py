@@ -569,10 +569,6 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle of the full table, no window.
     """
     d = load(spark, sf_dir, "documents")
-    h = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 12), 16, 10)
-        .cast("long")
-    )
     return (
         d.where(F.col("n_chars") > 0)
         .select(

@@ -152,9 +152,12 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", "gram")
         # referenced three times below (both self-join sides + the size
-        # agg)
-        .persist()
+        # agg); eager localCheckpoint truncates lineage so grams_all can
+        # be unpersisted NOW instead of leaking cached blocks across
+        # repeated invocations (parity suite, q_dedup_clusters)
+        .localCheckpoint(eager=True)
     )
+    grams_all.unpersist()
     sized = grams.groupBy("doc_id", "source").agg(F.count(F.lit(1)).alias("n_grams"))
     a = grams.alias("a")
     b = grams.alias("b")
@@ -361,9 +364,10 @@ def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_key", *mh_cols)
     # both sides of the candidate self-join reference the signature
-    # pipeline (tokenize → window 3-grams → 8 md5 min-aggs) — persist or
-    # it is computed twice (CLAUDE.md shared-subplan rule)
-    bands = bands.persist()
+    # pipeline (tokenize → window 3-grams → 8 md5 min-aggs) — materialize
+    # or it is computed twice (CLAUDE.md shared-subplan rule);
+    # localCheckpoint so the blocks don't pin the cache across calls
+    bands = bands.localCheckpoint(eager=True)
     a = bands.alias("a")
     b = bands.alias("b")
     agree = sum(
@@ -656,8 +660,10 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_join(F.slice("toks", F.col("pos"), F.lit(10)), " ").alias("shingle"),
     )
-    # shared subplan: df agg + join probe both read the shingle stream
-    pos = pos.persist()
+    # shared subplan: df agg + join probe both read the shingle stream;
+    # localCheckpoint (not persist) so the blocks are context-cleaned
+    # when the result is released instead of pinning the cache forever
+    pos = pos.localCheckpoint(eager=True)
     sh = pos.groupBy("shingle").agg(F.countDistinct("doc_id").alias("ndocs"))
     dup = F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0)).cast("long")
     return (

@@ -233,6 +233,7 @@ def connected_components(
 
     prev = checksum(e)
     rounds = 0
+    converged = False
     for _ in range(max_rounds):
         rounds += 1
         # --- large-star ---
@@ -259,6 +260,7 @@ def connected_components(
         e = ss.localCheckpoint(eager=True)
         cur = checksum(e)
         if cur == prev:
+            converged = True
             break
         prev = cur
     import logging
@@ -266,6 +268,17 @@ def connected_components(
     logging.getLogger(__name__).info("connected_components converged in %d rounds", rounds)
     if stats is not None:
         stats["rounds"] = rounds
+        stats["converged"] = converged
+    if not converged:
+        # an unconverged edge set is not a star graph: a vertex could
+        # emit conflicting / non-minimum labels — fail loudly instead of
+        # returning silently-wrong clusters
+        raise RuntimeError(
+            f"connected_components: edge set did not stabilize within "
+            f"{max_rounds} rounds — raise max_rounds (O(log n) rounds "
+            f"suffice for n vertices, so this indicates a pathological "
+            f"or adversarial graph)"
+        )
     # star graph: non-roots point at their component minimum
     labels = e.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
     roots = nodes.join(labels.select("doc_id"), "doc_id", "left_anti")

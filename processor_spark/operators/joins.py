@@ -293,6 +293,7 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     use; subsequent calls in the same session reuse them.
     """
     import hashlib
+    import os
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     names: dict[str, str] = {}
@@ -301,12 +302,20 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         ("lineitem", "l_orderkey", ["l_orderkey", "l_extendedprice", "l_discount"]),
     ):
         name = f"{tbl}_bkt_{tag}"
-        if not spark.catalog.tableExists(name):
+        path = f"/tmp/processor_spark_bucketed/{tag}/{name}"
+        # trust the catalog entry only if the data files still exist (the
+        # path is under /tmp — same _SUCCESS guard as _orc_copy); a stale
+        # catalog entry over deleted files would otherwise scan nothing
+        if not (
+            spark.catalog.tableExists(name)
+            and os.path.exists(os.path.join(path, "_SUCCESS"))
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
             df = load(spark, sf_dir, tbl).select(*cols)
             (
                 df.repartition(_N_BUCKETS, key)
                 .write.mode("overwrite")
-                .option("path", f"/tmp/processor_spark_bucketed/{tag}/{name}")
+                .option("path", path)
                 .bucketBy(_N_BUCKETS, key)
                 .sortBy(key)
                 .saveAsTable(name)
