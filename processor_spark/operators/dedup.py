@@ -47,6 +47,18 @@ JACCARD_THRESHOLD = 0.5
 # provably inert; the oracle SQL applies the identical cap.
 NGRAM_DF_CAP = 64
 
+# Array-native token-3-gram construction: slide over the token array
+# with transform(sequence(...)) instead of posexplode + a lead() window
+# — the window form shuffles and sorts the ENTIRE token stream by
+# doc_id before the grams even exist (at 100 TB that is a corpus-sized
+# exchange); this form is a per-row projection, zero shuffle, and
+# yields the identical gram set.  Callers must filter size(toks) >= 3:
+# sequence(0, -1) would COUNT DOWN, producing negative indices.
+_GRAM3_EXPR = (
+    "transform(sequence(0, size(toks) - 3),"
+    " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+)
+
 
 @register(
     "q_dedup_exact",
@@ -122,22 +134,11 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     same capped gram space on both numerator and denominator (and
     identically in the oracle SQL).
     """
-    d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", "source", F.posexplode(_tokens(F.col("text"))).alias("pos", "tok"))
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("doc_id").orderBy("pos")
+    d = load(spark, sf_dir, "documents", spread=True)
     grams_all = (
-        toks.select(
-            "doc_id",
-            "source",
-            F.concat_ws(
-                " ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
-            ).alias("gram"),
-            F.lead("tok", 2).over(w).alias("_has3"),
-        )
-        .where(F.col("_has3").isNotNull())
-        .select("doc_id", "source", "gram")
+        d.select("doc_id", "source", _tokens(F.col("text")).alias("toks"))
+        .where(F.size("toks") >= 3)
+        .select("doc_id", "source", F.explode(F.expr(_GRAM3_EXPR)).alias("gram"))
         .distinct()
         # referenced twice (df pre-agg + semi-join probe side) — persist
         # so the tokenize/window/distinct pipeline runs once
@@ -152,11 +153,15 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", "gram")
         # referenced three times below (both self-join sides + the size
-        # agg); eager localCheckpoint truncates lineage so grams_all can
-        # be unpersisted NOW instead of leaking cached blocks across
-        # repeated invocations (parity suite, q_dedup_clusters)
-        .localCheckpoint(eager=True)
+        # agg); persist (not localCheckpoint) so CacheManager gives an
+        # identical later invocation a plan-cache HIT — and clearCache()
+        # can drop it.  The count() materializes it eagerly, which lets
+        # the big raw gram stream (grams_all) be released immediately
+        # instead of leaking across repeated invocations (parity suite,
+        # q_dedup_clusters).
+        .persist()
     )
+    grams.count()
     grams_all.unpersist()
     sized = grams.groupBy("doc_id", "source").agg(F.count(F.lit(1)).alias("n_grams"))
     a = grams.alias("a")
@@ -195,21 +200,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Never materializes all pairs; candidate volume is controlled by the
     band/row trade-off (8 bands × 2 rows → catches J >= ~0.5 w.h.p.).
     """
-    d = load(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "tok")
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("doc_id").orderBy("pos")
+    d = load(spark, sf_dir, "documents", spread=True)
     grams = (
-        toks.select(
-            "doc_id",
-            F.concat_ws(" ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)).alias("gram"),
-            F.lead("tok", 2).over(w).alias("_has3"),
-        )
-        .where(F.col("_has3").isNotNull())
-        .select("doc_id", "gram")
+        d.select("doc_id", _tokens(F.col("text")).alias("toks"))
+        .where(F.size("toks") >= 3)
+        .select("doc_id", F.explode(F.expr(_GRAM3_EXPR)).alias("gram"))
         .distinct()
     )
     # one min-hash per permutation, all in a single hash-agg pass
@@ -322,19 +317,11 @@ def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band-bucket equi-join); the oracle's OR-of-bands nested-loop join
     is fine at oracle scale only.
     """
-    from pyspark.sql import Window
-
-    d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
+    d = load(spark, sf_dir, "documents", spread=True)
     grams = (
-        toks.select(
-            "doc_id",
-            F.concat_ws(" ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)).alias("gram"),
-            F.lead("tok", 2).over(w).alias("_has3"),
-        )
-        .where(F.col("_has3").isNotNull())
-        .select("doc_id", "gram")
+        d.select("doc_id", _tokens(F.col("text")).alias("toks"))
+        .where(F.size("toks") >= 3)
+        .select("doc_id", F.explode(F.expr(_GRAM3_EXPR)).alias("gram"))
         .distinct()
     )
 
@@ -364,10 +351,10 @@ def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_key", *mh_cols)
     # both sides of the candidate self-join reference the signature
-    # pipeline (tokenize → window 3-grams → 8 md5 min-aggs) — materialize
-    # or it is computed twice (CLAUDE.md shared-subplan rule);
-    # localCheckpoint so the blocks don't pin the cache across calls
-    bands = bands.localCheckpoint(eager=True)
+    # pipeline (tokenize → window 3-grams → 8 md5 min-aggs) — persist or
+    # it is computed twice (CLAUDE.md shared-subplan rule); persist also
+    # buys plan-cache reuse across invocations and stays clearCache-able
+    bands = bands.persist()
     a = bands.alias("a")
     b = bands.alias("b")
     agree = sum(
@@ -615,20 +602,21 @@ def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
       FROM documents
     ), pos AS (
-      SELECT doc_id, u.pos,
-             array_to_string(toks[u.pos : u.pos + 9], ' ') AS shingle
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(array_to_string(toks[u.pos : u.pos + 9], ' ')), 1, 12))
+                  AS BIGINT) AS sh_h
       FROM base, unnest(range(1, len(toks) - 8)) AS u(pos)
       WHERE len(toks) >= 10
     ), sh AS (
-      SELECT shingle, count(DISTINCT doc_id) AS ndocs
-      FROM pos GROUP BY shingle
+      SELECT sh_h, count(DISTINCT doc_id) AS ndocs
+      FROM pos GROUP BY sh_h
     )
     SELECT p.doc_id,
            count(*) AS n_windows,
            CAST(sum(CASE WHEN s.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
            CAST((1000 * sum(CASE WHEN s.ndocs >= 2 THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
              AS dup_permille
-    FROM pos p JOIN sh s ON p.shingle = s.shingle
+    FROM pos p JOIN sh s ON p.sh_h = s.sh_h
     GROUP BY p.doc_id
     """,
 )
@@ -640,13 +628,18 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     span-level training-data dedup; doc-level MinHash misses a unique
     page that embeds a duplicated paragraph).
 
-    Shape: one explode to (doc, pos, shingle), one agg for cross-doc
-    shingle df, one equi-join back on the shingle, one per-doc agg —
-    all hash-partitioned on the shingle/doc key, no pair space at all
-    (coverage needs no doc×doc join, which is what keeps this tier
-    cheap at 100 TB; flagged docs then feed the pairwise verifiers).
-    The permille ratio uses integer division, so the oracle replays
-    every value exactly.
+    Shape: one explode to (doc, shingle-fingerprint), one agg for
+    cross-doc shingle df, one equi-join back on the fingerprint, one
+    per-doc agg — all hash-partitioned on the fingerprint/doc key, no
+    pair space at all (coverage needs no doc×doc join, which is what
+    keeps this tier cheap at 100 TB; flagged docs then feed the
+    pairwise verifiers).  Shingles travel as 48-bit md5 fingerprints,
+    not 60-80-byte strings — an ~8× smaller shuffle/join payload, and
+    because the ORACLE applies the identical md5-48 mapping, any
+    fingerprint collision (P ≈ n²/2⁴⁹) affects both engines
+    identically, so parity is exact by construction.  The permille
+    ratio uses integer division, so the oracle replays every value
+    exactly.
     """
     d = load(spark, sf_dir, "documents", spread=True)
     base = d.select("doc_id", _tokens(F.col("text")).alias("toks")).withColumn(
@@ -658,22 +651,39 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         "toks",
     ).select(
         "doc_id",
-        F.array_join(F.slice("toks", F.col("pos"), F.lit(10)), " ").alias("shingle"),
-    )
-    # shared subplan: df agg + join probe both read the shingle stream;
-    # localCheckpoint (not persist) so the blocks are context-cleaned
-    # when the result is released instead of pinning the cache forever
-    pos = pos.localCheckpoint(eager=True)
-    sh = pos.groupBy("shingle").agg(F.countDistinct("doc_id").alias("ndocs"))
-    dup = F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0)).cast("long")
-    return (
-        pos.join(sh, "shingle")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_windows"),
-            dup.alias("n_dup"),
-            F.expr(
-                "CAST((1000 * sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)) div count(*) AS BIGINT)"
-            ).alias("dup_permille"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.array_join(F.slice("toks", F.col("pos"), F.lit(10)), " ").cast(
+                        "binary"
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
         )
+        .cast("long")
+        .alias("sh_h"),
+    )
+    # "shingle occurs in >= 2 docs" ⟺ min(doc_id) != max(doc_id) within
+    # the shingle's partition — a single window over ONE shuffle by
+    # sh_h, instead of countDistinct-agg + join-back (3 shuffles + a
+    # persisted double scan of the shingle stream)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("sh_h")
+    flagged = pos.select(
+        "doc_id",
+        (F.min("doc_id").over(w) != F.max("doc_id").over(w))
+        .cast("int")
+        .alias("is_dup"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("is_dup").cast("long").alias("n_dup"),
+        F.expr("CAST((1000 * sum(is_dup)) div count(*) AS BIGINT)").alias(
+            "dup_permille"
+        ),
     )
