@@ -54,6 +54,84 @@ def q_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_orderkey", "l_linenumber", "l_extendedprice")
 
 
+def _partitioned_copy(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize events as a Hive-style date-partitioned layout (once
+    per sf_dir; _SUCCESS marker makes re-use cheap across sessions) —
+    the 100 TB lake layout whose static + dynamic partition pruning
+    q_scan_partitioned demonstrates."""
+    import hashlib
+    import os
+
+    from processor_spark.sources.sinks import write_parquet_partitioned
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/processor_spark_part/{tag}/events"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        ev = load(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+        write_parquet_partitioned(ev, path, ["event_date"])
+    return path
+
+
+@register(
+    "q_scan_partitioned",
+    sql="""
+    WITH ev AS (
+      SELECT CAST(ts AS DATE) AS event_date, event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ), hot AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS event_date
+      FROM events
+      WHERE event_type = 'purchase' AND value > 300.0
+    )
+    SELECT strftime(e.event_date, '%Y-%m-%d') AS day,
+           e.event_type,
+           count(*) AS n_events,
+           CAST(sum(e.cents) AS BIGINT) AS value_cents
+    FROM ev e JOIN hot h USING (event_date)
+    WHERE e.event_date >= DATE '2024-01-05' AND e.event_date < DATE '2024-01-20'
+    GROUP BY 1, 2
+    """,
+)
+def q_scan_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static + dynamic partition pruning over a date-partitioned lake
+    layout — the #1 cost lever on a 100 TB date-partitioned fact table.
+
+    events is written once per sf as a Hive-style layout partitioned by
+    event_date; the query filters a literal date range (STATIC pruning:
+    the listing never touches partitions outside [05, 20)) and joins a
+    small filtered dim of "hot" purchase dates (DYNAMIC pruning: the
+    broadcasted dim's dates are pushed into the partition listing as a
+    runtime IN-subquery).  Both appear in the scan's PartitionFilters —
+    asserted in tests/test_plans.py.  The oracle replays the identical
+    rows from the original un-partitioned table (same data by
+    construction); values are exact integer cents.
+    """
+    path = _partitioned_copy(spark, sf_dir)
+    fact = spark.read.parquet(path)
+    hot = (
+        load(spark, sf_dir, "events")
+        .where((F.col("event_type") == "purchase") & (F.col("value") > 300.0))
+        .select(F.to_date("ts").alias("event_date"))
+        .distinct()
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return (
+        fact.where(
+            (F.col("event_date") >= F.lit("2024-01-05").cast("date"))
+            & (F.col("event_date") < F.lit("2024-01-20").cast("date"))
+        )
+        .join(hot, "event_date")
+        .groupBy(
+            F.date_format("event_date", "yyyy-MM-dd").alias("day"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents).alias("value_cents"),
+        )
+    )
+
+
 def _orc_copy(spark: SparkSession, sf_dir: str) -> str:
     """Materialize a 2-column lineitem projection as ORC (once per
     sf_dir; _SUCCESS marker makes re-use cheap across sessions) so the

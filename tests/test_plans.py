@@ -274,3 +274,16 @@ def test_sample_weighted_is_take_ordered_no_shuffle_no_window(spark):
     plan = explain_str(_df(spark, "q_sample_weighted"))
     assert "TakeOrderedAndProject" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_scan_partitioned_prunes_statically_and_dynamically(spark):
+    """q_scan_partitioned's fact scan must carry BOTH pruning forms in
+    PartitionFilters: the literal date range (static — partitions
+    outside [05, 20) are never listed) and a dynamicpruning expression
+    fed by the broadcasted hot-dates dim (DPP).  At 100 TB this is the
+    difference between reading 15 days and reading the whole lake."""
+    plan = explain_str(_df(spark, "q_scan_partitioned"))
+    assert "PartitionFilters: [" in plan, plan
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "event_date" in pf, plan
+    assert "dynamicpruning" in plan.lower(), plan
