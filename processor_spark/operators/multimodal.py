@@ -10,12 +10,15 @@ multimodal pipeline needs:
   that column-pruning can skip entirely when a query only touches
   metadata;
 - decode / feature-extraction as an Arrow-batched ``mapInPandas``
-  stage with an explicit output schema — the decode itself is STUBBED
-  (this container has no image/audio codecs) behind
-  ``decode_stub_features``, which computes deterministic fake features
-  (byte-length, first-byte, simple byte checksum) so the pipeline
-  shape, schema, batching, and partitioning are all executed and
-  testable;
+  stage with an explicit output schema.  The format-codec tier is REAL
+  where a fixed-layout format allows it without codec libraries:
+  q_media_decode / q_media_resize generate genuine 24-bit BMP payloads
+  and decode them with pure ``struct`` byte-walking (header parse, BGR
+  channels, 4-byte row stride), value-verified by a DuckDB oracle that
+  replays the generator's closed-form pixel formula.  Only the
+  compressed-codec paths (video frame extraction) remain honest stubs
+  (``frame_sample_stub``) — no ffmpeg/PIL in this container — with the
+  Arrow plumbing executed and tested;
 - a pure-SQL twin (q_multimodal) over the struct/binary columns so the
   oracle can verify the relational plumbing (nested field projection,
   binary length/hash) even though real decoding is out of scope.
@@ -151,35 +154,187 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flat.mapInPandas(decode_stub_features, FEATURE_SCHEMA)
 
 
-RESIZE_SCHEMA = T.StructType(
+# ---------------------------------------------------------------------------
+# Real image decode (r4): the container has no codec libraries, but BMP
+# is a fixed-layout format decodable with pure ``struct`` byte-walking —
+# so the decode tier is REAL here, not a stub.  Payload generation is
+# deterministic from (doc_id, n_chars): W×H 24-bit BMPs, all channels
+# v(x, y) = (doc_id + 11x + 23y) % 256, rows stride-padded to 4 bytes.
+# The DuckDB oracle re-derives every decoded stat from that closed-form
+# formula WITHOUT seeing the bytes — a decoder that misparses the
+# header, the BGR layout, or the row padding diverges immediately.
+# ---------------------------------------------------------------------------
+
+
+def _encode_bmp(doc_id: int, n_chars: int) -> bytes:
+    import struct
+
+    w = 4 + doc_id % 5
+    h = 4 + n_chars % 7
+    stride = (w * 3 + 3) // 4 * 4
+    img_size = stride * h
+    header = b"BM" + struct.pack("<IHHI", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = bytearray()
+    for y in range(h):
+        for x in range(w):
+            v = (doc_id + 11 * x + 23 * y) % 256
+            rows += bytes((v, v, v))
+        rows += b"\x00" * (stride - w * 3)
+    return bytes(header + info + rows)
+
+
+def bmp_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → deterministic real-BMP payload column (binary)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        _encode_bmp(int(d), int(n))
+                        for d, n in zip(pdf["doc_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    d = load(spark, sf_dir, "documents", spread=True).select("doc_id", "n_chars")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return d.mapInPandas(gen, schema)
+
+
+DECODE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
-        T.StructField("thumb", T.BinaryType()),
-        T.StructField("decoded", T.BooleanType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("mean_milli", T.LongType()),
+        T.StructField("wsum", T.LongType()),
     ]
 )
 
 
-def resize_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """STUB resize: a real implementation decodes the image and emits a
-    WxH thumbnail (PIL not in this container).  The fake derives a
-    deterministic "resolution" from payload length and returns the
-    payload head as the thumb bytes — schema and batching are real.
-    """
+def decode_bmp_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL BMP decode: parse the file+info headers with ``struct``,
+    walk the stride-padded pixel rows, and emit per-image stats.  No
+    knowledge of the generator's formula is used — width/height/data
+    offset come from the header bytes."""
+    import struct
+
     for pdf in batches:
-        payloads = pdf["payload"]
-        n = payloads.map(len)
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "width": (n % 640 + 16).astype("int32"),
-                "height": (n % 480 + 16).astype("int32"),
-                "thumb": payloads.map(lambda b: bytes(b[:16])),
-                "decoded": False,
-            }
-        )
+        out = {k.name: [] for k in DECODE_SCHEMA.fields}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            if b[:2] != b"BM":
+                raise ValueError(f"doc {doc_id}: not a BMP payload")
+            data_off = struct.unpack_from("<I", b, 10)[0]
+            w = struct.unpack_from("<i", b, 18)[0]
+            h = struct.unpack_from("<i", b, 22)[0]
+            bpp = struct.unpack_from("<H", b, 28)[0]
+            if bpp != 24:
+                raise ValueError(f"doc {doc_id}: expected 24bpp, got {bpp}")
+            stride = (w * 3 + 3) // 4 * 4
+            sum_v = 0
+            wsum = 0
+            i = 0
+            for y in range(h):
+                base = data_off + y * stride
+                for x in range(w):
+                    v = b[base + 3 * x]  # blue channel (channels equal)
+                    sum_v += v
+                    i += 1
+                    wsum += i * v
+            out["doc_id"].append(doc_id)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["n_pixels"].append(w * h)
+            out["mean_milli"].append((1000 * sum_v) // (w * h))
+            out["wsum"].append(wsum)
+        yield pd.DataFrame(out)
+
+
+@register(
+    "q_media_decode",
+    sql="""
+    WITH dims AS (
+      SELECT doc_id, n_chars,
+             4 + doc_id % 5 AS w,
+             4 + n_chars % 7 AS h
+      FROM documents
+    ), px AS (
+      SELECT doc_id, w, h,
+             list_sum(list_transform(range(0, w * h),
+               i -> (doc_id + 11 * (i % w) + 23 * (i // w)) % 256)) AS sum_v,
+             list_sum(list_transform(range(0, w * h),
+               i -> (i + 1) * ((doc_id + 11 * (i % w) + 23 * (i // w)) % 256))) AS ws
+      FROM dims
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST((1000 * sum_v) // (w * h) AS BIGINT) AS mean_milli,
+           CAST(ws AS BIGINT) AS wsum
+    FROM px
+    """,
+)
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode real BMP payloads (pure-struct byte walk over Arrow
+    batches) and emit per-image stats — the value-verified decode tier:
+    the oracle recomputes width/height/mean/weighted-checksum from the
+    generator's closed-form pixel formula, so header parsing, BGR
+    layout, and 4-byte row padding are all hash-checked."""
+    return bmp_table(spark, sf_dir).mapInPandas(decode_bmp_stats, DECODE_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("thumb_w", T.IntegerType()),
+        T.StructField("thumb_h", T.IntegerType()),
+        T.StructField("thumb_wsum", T.LongType()),
+    ]
+)
+
+
+def resize_bmp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL resize: decode the BMP (header + stride walk) and 2×
+    nearest-neighbor downsample — thumbnail pixel (x, y) samples source
+    pixel (2x, 2y).  Emits the thumb dimensions and an order-weighted
+    checksum of the sampled pixels so the oracle can verify the exact
+    sampling grid."""
+    import struct
+
+    for pdf in batches:
+        out = {"doc_id": [], "thumb_w": [], "thumb_h": [], "thumb_wsum": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            if b[:2] != b"BM":
+                raise ValueError(f"doc {doc_id}: not a BMP payload")
+            data_off = struct.unpack_from("<I", b, 10)[0]
+            w = struct.unpack_from("<i", b, 18)[0]
+            h = struct.unpack_from("<i", b, 22)[0]
+            stride = (w * 3 + 3) // 4 * 4
+            tw, th = (w + 1) // 2, (h + 1) // 2
+            wsum = 0
+            j = 0
+            for y in range(th):
+                base = data_off + (2 * y) * stride
+                for x in range(tw):
+                    j += 1
+                    wsum += j * b[base + 3 * (2 * x)]
+            out["doc_id"].append(doc_id)
+            out["thumb_w"].append(tw)
+            out["thumb_h"].append(th)
+            out["thumb_wsum"].append(wsum)
+        yield pd.DataFrame(out)
 
 
 FRAME_SCHEMA = T.StructType(
@@ -208,12 +363,36 @@ def frame_sample_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         yield pd.DataFrame(rows)
 
 
-@register("q_media_resize", sql=None)  # pandas-UDF path → rows-only
+@register(
+    "q_media_resize",
+    sql="""
+    WITH dims AS (
+      SELECT doc_id,
+             4 + doc_id % 5 AS w,
+             4 + n_chars % 7 AS h
+      FROM documents
+    ), t AS (
+      SELECT doc_id, w, h,
+             (w + 1) // 2 AS tw,
+             (h + 1) // 2 AS th
+      FROM dims
+    )
+    SELECT doc_id,
+           CAST(tw AS INTEGER) AS thumb_w,
+           CAST(th AS INTEGER) AS thumb_h,
+           CAST(list_sum(list_transform(range(0, tw * th),
+             j -> (j + 1) * ((doc_id + 11 * (2 * (j % tw)) + 23 * (2 * (j // tw))) % 256)))
+             AS BIGINT) AS thumb_wsum
+    FROM t
+    """,
+)
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stubbed decode+resize stage over binary payloads (mapInPandas)."""
-    m = media_table(spark, sf_dir)
-    flat = m.repartition(8, "doc_id").select("doc_id", F.col("media.payload").alias("payload"))
-    return flat.mapInPandas(resize_stub, RESIZE_SCHEMA)
+    """Real decode + 2× nearest-neighbor resize over BMP payloads
+    (mapInPandas, pure-struct).  SQL-oracled: DuckDB replays the exact
+    sampling grid (source pixel (2x, 2y)) from the generator formula,
+    so a resize that samples the wrong pixels or mis-walks the stride
+    fails the value hash."""
+    return bmp_table(spark, sf_dir).mapInPandas(resize_bmp, RESIZE_SCHEMA)
 
 
 @register("q_media_frames", sql=None)  # pandas-UDF path → rows-only
