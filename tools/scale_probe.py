@@ -35,6 +35,13 @@ HEADLINE = [
     "q_sessionization",
     "q_text_tokens",
     "q_grouping_sets",
+    # LLM-pipeline tier (r4): end-to-end wall-clock at N× docs — the
+    # ngram_cap_probe covers candidate-set growth only
+    "q_dedup_ngram",
+    "q_dedup_minhash_md5",
+    "q_dedup_substring",
+    "q_dedup_clusters",
+    "q_corpus_mixture",
 ]
 
 # per-table key columns to shift per replica so keys stay unique and
@@ -43,6 +50,7 @@ _SHIFTS = {
     "lineitem": {"l_orderkey": 10_000_000},
     "orders": {"o_orderkey": 10_000_000, "o_custkey": 0},
     "events": {"event_id": 10_000_000, "user_id": 100_000},
+    "documents": {"doc_id": 10_000_000},
 }
 
 
@@ -63,6 +71,24 @@ def build_layout(spark) -> None:
                 for col, step in _SHIFTS[t].items():
                     if step:
                         rep = rep.withColumn(col, F.col(col) + F.lit(i * step))
+                if t == "documents" and i > 0:
+                    # salt every token with the replica id: replica i of a
+                    # doc shares NO n-grams/shingles with replica j, so the
+                    # corpus scales like a real N×-larger corpus (dup
+                    # structure replicated WITHIN each replica) instead of
+                    # every doc acquiring N-1 verbatim near-dups (which
+                    # would grow the pair space N², an adversarial layout
+                    # no real corpus has)
+                    rep = rep.withColumn(
+                        "text",
+                        F.array_join(
+                            F.expr(
+                                f"transform(split(trim(text), '\\\\s+'),"
+                                f" t -> concat('r{i}', t))"
+                            ),
+                            " ",
+                        ),
+                    )
                 parts.append(rep)
             out = parts[0]
             for p in parts[1:]:
@@ -85,6 +111,9 @@ def main() -> None:
         row: dict[str, float] = {}
         for tag, sf_dir in (("base", SRC), (f"{REPL}x", DST)):
             qs[key](spark, sf_dir).toPandas()  # warm (plan+codegen)
+            # drop persisted subplans so the timed run measures a full
+            # recompute, not a cached-block read
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             qs[key](spark, sf_dir).toPandas()
             row[tag] = round(time.perf_counter() - t0, 3)
