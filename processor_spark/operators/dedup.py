@@ -272,6 +272,47 @@ def _minhash_sig_sql(n: int) -> str:
     return cols
 
 
+def _md5_sig(d: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh{n}) portable md5-48 minhash signatures."""
+    grams = (
+        d.select("doc_id", _tokens(F.col("text")).alias("toks"))
+        .where(F.size("toks") >= 3)
+        .select("doc_id", F.explode(F.expr(_GRAM3_EXPR)).alias("gram"))
+        .distinct()
+    )
+
+    def mh(i: int):
+        digest = F.md5(F.concat(F.lit(f"{i}:"), F.col("gram")).cast("binary"))
+        return F.min(F.conv(F.substring(digest, 1, 12), 16, 10).cast("long")).alias(f"mh{i}")
+
+    return grams.groupBy("doc_id").agg(*[mh(i) for i in range(_MD5_PERMS)])
+
+
+def _md5_bands(sig: DataFrame) -> DataFrame:
+    """Explode a signature into (doc_id, band_id, band_key, mh*) — the
+    LSH bucket index rows a candidate equi-join runs on."""
+    mh_cols = [f"mh{i}" for i in range(_MD5_PERMS)]
+    return sig.select(
+        "doc_id",
+        *mh_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "_",
+                            F.col(f"mh{2 * b}").cast("string"),
+                            F.col(f"mh{2 * b + 1}").cast("string"),
+                        ).alias("band_key"),
+                    )
+                    for b in range(_MD5_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key", *mh_cols)
+
+
 @register(
     "q_dedup_minhash_md5",
     sql=f"""
@@ -318,43 +359,11 @@ def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     is fine at oracle scale only.
     """
     d = load(spark, sf_dir, "documents", spread=True)
-    grams = (
-        d.select("doc_id", _tokens(F.col("text")).alias("toks"))
-        .where(F.size("toks") >= 3)
-        .select("doc_id", F.explode(F.expr(_GRAM3_EXPR)).alias("gram"))
-        .distinct()
-    )
-
-    def mh(i: int):
-        digest = F.md5(F.concat(F.lit(f"{i}:"), F.col("gram")).cast("binary"))
-        return F.min(F.conv(F.substring(digest, 1, 12), 16, 10).cast("long")).alias(f"mh{i}")
-
-    sig = grams.groupBy("doc_id").agg(*[mh(i) for i in range(_MD5_PERMS)])
-    mh_cols = [f"mh{i}" for i in range(_MD5_PERMS)]
-    bands = sig.select(
-        "doc_id",
-        *mh_cols,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.concat_ws(
-                            "_",
-                            F.col(f"mh{2 * b}").cast("string"),
-                            F.col(f"mh{2 * b + 1}").cast("string"),
-                        ).alias("band_key"),
-                    )
-                    for b in range(_MD5_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_key", *mh_cols)
     # both sides of the candidate self-join reference the signature
-    # pipeline (tokenize → window 3-grams → 8 md5 min-aggs) — persist or
-    # it is computed twice (CLAUDE.md shared-subplan rule); persist also
-    # buys plan-cache reuse across invocations and stays clearCache-able
-    bands = bands.persist()
+    # pipeline (tokenize → 3-grams → 8 md5 min-aggs) — persist or it is
+    # computed twice (CLAUDE.md shared-subplan rule); persist also buys
+    # plan-cache reuse across invocations and stays clearCache-able
+    bands = _md5_bands(_md5_sig(d)).persist()
     a = bands.alias("a")
     b = bands.alias("b")
     agree = sum(
@@ -372,6 +381,79 @@ def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.round(agree / F.lit(float(_MD5_PERMS)), 4).alias("est_jaccard"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "q_dedup_incremental",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+             generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id,
+             tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS gram
+      FROM toks
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY lead(tok, 2) OVER w IS NOT NULL
+    ), hashed AS (
+      SELECT doc_id, s.seed,
+             min(CAST(('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' || gram), 1, 12)) AS BIGINT)) AS mh
+      FROM grams CROSS JOIN (SELECT unnest(range({_MD5_PERMS})) AS seed) s
+      GROUP BY doc_id, s.seed
+    ), sig AS (
+      SELECT doc_id,
+             {_minhash_sig_sql(_MD5_PERMS)}
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS match_doc,
+           round(({" + ".join(f"CAST(a.mh{i} = b.mh{i} AS INTEGER)" for i in range(_MD5_PERMS))}) / {_MD5_PERMS}.0, 4) AS est_jaccard,
+           (({" + ".join(f"CAST(a.mh{i} = b.mh{i} AS INTEGER)" for i in range(_MD5_PERMS))}) / {_MD5_PERMS}.0) >= 0.5 AS is_dup
+    FROM sig a JOIN sig b ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0 AND (
+      {" OR ".join(f"(a.mh{2 * b} = b.mh{2 * b} AND a.mh{2 * b + 1} = b.mh{2 * b + 1})" for b in range(_MD5_BANDS))}
+    )
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the production daily-ingest shape: a NEW
+    batch of documents (here: doc_id % 10 == 0) is checked against the
+    EXISTING corpus without ever re-comparing corpus×corpus.
+
+    The corpus's band rows are exactly the LSH index a 100 TB pipeline
+    materializes once (pay the signature pass when a doc lands, store
+    (band_id, band_key, doc_id, sig)); each ingest then joins only
+    new-side bands against that index — cost O(|new| × bands), not
+    O(|corpus|²).  Both sides here derive from one signature pass over
+    documents (the fixture stands in for index + batch); the equi-join
+    on (band_id, band_key) is the identical scalable shape.  Emits every
+    candidate with its estimated Jaccard and an is_dup verdict at the
+    0.5 S-curve threshold; full md5-48 SQL oracle replays pairs,
+    estimates, and verdicts bit-for-bit.
+    """
+    d = load(spark, sf_dir, "documents", spread=True)
+    bands = _md5_bands(_md5_sig(d)).persist()
+    new_b = bands.where(F.col("doc_id") % 10 == 0).alias("a")
+    corp_b = bands.where(F.col("doc_id") % 10 != 0).alias("b")
+    agree = sum(
+        F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
+        for i in range(_MD5_PERMS)
+    )
+    est = agree / F.lit(float(_MD5_PERMS))
+    return (
+        new_b.join(
+            corp_b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .select(
+            F.col("a.doc_id").alias("new_doc"),
+            F.col("b.doc_id").alias("match_doc"),
+            F.round(est, 4).alias("est_jaccard"),
+            (est >= F.lit(0.5)).alias("is_dup"),
         )
         .distinct()
     )

@@ -355,3 +355,59 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.sampleBy("o_orderstatus", fractions, seed=42).select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
+
+
+@register(
+    "q_table_checksum",
+    sql="""
+    WITH canon AS (
+      SELECT CAST(('0x' || substr(md5(
+               CAST(l_orderkey AS VARCHAR) || '|' ||
+               CAST(l_linenumber AS VARCHAR) || '|' ||
+               l_returnflag || '|' ||
+               CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS VARCHAR) || '|' ||
+               CAST(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS VARCHAR) || '|' ||
+               strftime(l_shipdate, '%Y-%m-%d %H:%M:%S')
+             ), 1, 12)) AS BIGINT) AS h
+      FROM lineitem
+    )
+    SELECT count(*) AS n_rows,
+           CAST(bit_xor(h) AS BIGINT) AS xor_sig,
+           CAST(sum(h >> 16) AS BIGINT) AS sum_sig
+    FROM canon
+    """,
+)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-invariant table fingerprint — the anti-entropy check a
+    100 TB migration/replication runs to prove two copies of a table
+    are identical without moving the data: each row is canonically
+    serialized (exact integer cents for doubles, fixed timestamp
+    format), digested to a portable 48-bit md5 int, and folded with
+    order-invariant combiners (count + bit_xor + a shifted sum, so a
+    dropped row, a flipped value, and a duplicated row are each
+    detectable).  One map-side-combinable agg over a pruned scan —
+    no shuffle beyond the 1-row final combine; run it on both sides
+    of a copy and compare three numbers.
+
+    The shifted sum keeps every partial in 32-bit range (overflow-safe
+    to ~4e9 rows under ANSI mode; DuckDB's HUGEINT sum is bridged with
+    CAST); xor never overflows and catches what the truncated sum
+    might miss.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    cents = lambda c: F.floor(F.col(c) * 100 + F.lit(0.5)).cast("long").cast("string")  # noqa: E731
+    canon = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_returnflag"),
+        cents("l_extendedprice"),
+        cents("l_quantity"),
+        F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss"),
+    )
+    h = F.conv(F.substring(F.md5(canon.cast("binary")), 1, 12), 16, 10).cast("long")
+    return li.select(h.alias("h")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(h)").cast("long").alias("xor_sig"),
+        F.sum(F.shiftright(F.col("h"), 16)).cast("long").alias("sum_sig"),
+    )

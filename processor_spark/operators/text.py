@@ -642,3 +642,44 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(surprisal), 6).alias("avg_surprisal"),
         )
     )
+
+
+@register(
+    "q_text_redact",
+    sql=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\b(customer|key|vector)\b')) AS BIGINT)
+             AS n_redactions,
+           md5(regexp_replace(text, '\b(customer|key|vector)\b', '<REDACTED>', 'g'))
+             AS redacted_md5,
+           CAST(length(regexp_replace(text, '\b(customer|key|vector)\b', '<REDACTED>', 'g'))
+             AS BIGINT) AS redacted_len
+    FROM documents
+    """,
+)
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denylist redaction — the sensitive-content masking pass every
+    training pipeline runs before a corpus ships (PII patterns, secrets,
+    blocked terms).  The synthetic corpus has no digits/emails, so a
+    term denylist stands in for the PII regexes; the mechanics are
+    identical: one JVM-side regexp_replace over the text, no Python
+    boundary, embarrassingly parallel — at 100 TB this is a pure
+    map stage that fuses into the scan.
+
+    Verification is total: the oracle re-derives the redaction COUNT,
+    the md5 of the REDACTED text, and its length, so a divergent regex
+    engine behavior (word boundaries, global replace) would hash-fail.
+    Spark replaces all matches by default; DuckDB needs the 'g' flag —
+    encoded in the oracle, per the cross-engine bridge rules.
+    """
+    d = load(spark, sf_dir, "documents")
+    pat = r"\b(customer|key|vector)\b"
+    red = F.regexp_replace("text", pat, "<REDACTED>")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(pat), 0))
+        .cast("long")
+        .alias("n_redactions"),
+        F.md5(red.cast("binary")).alias("redacted_md5"),
+        F.length(red).cast("long").alias("redacted_len"),
+    )
