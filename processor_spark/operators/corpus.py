@@ -101,23 +101,16 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
     survivors = quality.join(exact_kept, "doc_id")
 
-    tok_pos = survivors.select(
-        "doc_id", "source", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
+    from processor_spark.operators.dedup import _GRAM3_EXPR
+
     grams = (
-        tok_pos.select(
-            "doc_id",
-            "source",
-            F.concat_ws(" ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)).alias("gram"),
-            F.lead("tok", 2).over(w).alias("_has3"),
-        )
-        .where(F.col("_has3").isNotNull())
-        .select("doc_id", "source", "gram")
+        survivors.select("doc_id", "source", tokens(F.col("text")).alias("toks"))
+        .where(F.size("toks") >= 3)
+        .select("doc_id", "source", F.explode(F.expr(_GRAM3_EXPR)).alias("gram"))
         .distinct()
         # referenced three times (size agg + both self-join sides) —
-        # persist so the quality→dedup→tokenize→window pipeline runs
-        # once (CLAUDE.md shared-subplan rule; measured 4.2 s → ~1.5 s)
+        # persist so the quality→dedup→tokenize pipeline runs once
+        # (CLAUDE.md shared-subplan rule; measured 4.2 s → ~1.5 s)
         .persist()
     )
     sized = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))

@@ -620,14 +620,23 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     hazard (stop-bigrams), mitigated by AQE skew-split exactly as in
     q_dedup_ngram.
     """
-    from pyspark.sql import Window
-
-    d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
+    d = load(spark, sf_dir, "documents", spread=True)
+    # array-native bigrams (transform over the token array) — the old
+    # posexplode + lead() window shuffled and sorted the whole token
+    # stream by doc_id before a single bigram existed
     bigrams = (
-        toks.select("doc_id", F.col("tok").alias("w1"), F.lead("tok").over(w).alias("w2"))
-        .where(F.col("w2").isNotNull())
+        d.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .where(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2),"
+                    " i -> struct(toks[i] AS w1, toks[i+1] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
         .persist()
     )
     bg = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
