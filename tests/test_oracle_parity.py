@@ -37,8 +37,6 @@ _MUST_BE_NONEMPTY = {
     "q_dedup_near",
     "q_simhash",
     "q_media_features",
-    "q_media_resize",
-    "q_media_frames",
     "q_udf_normalize",
     "q_udtf_ngrams",
     "q_ann_ml",
