@@ -692,3 +692,96 @@ def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(red.cast("binary")).alias("redacted_md5"),
         F.length(red).cast("long").alias("redacted_len"),
     )
+
+
+@register(
+    "q_pii_scan",
+    sql=r"""
+    WITH lines AS (
+      SELECT doc_id,
+        text
+        || CASE WHEN doc_id % 3 = 0 THEN ' mail=u' || CAST(doc_id AS VARCHAR)
+                || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.com' ELSE '' END
+        || CASE WHEN doc_id % 5 = 0 THEN ' tel=555-'
+                || CAST(1000 + (doc_id * 7) % 9000 AS VARCHAR) ELSE '' END
+        || CASE WHEN doc_id % 7 = 0 THEN ' ip=10.' || CAST(doc_id % 256 AS VARCHAR)
+                || '.' || CAST((doc_id * 3) % 256 AS VARCHAR)
+                || '.' || CAST((doc_id * 5) % 256 AS VARCHAR) ELSE '' END
+        AS line
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+        regexp_extract_all(line, '[a-z0-9]+@[a-z0-9]+\.com') AS em,
+        regexp_extract_all(line, '555-[0-9]{4}') AS ph,
+        regexp_extract_all(line, '10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}') AS ip
+      FROM lines
+    )
+    SELECT doc_id,
+      CAST(len(em) AS BIGINT) AS n_emails,
+      CAST(len(ph) AS BIGINT) AS n_phones,
+      CAST(len(ip) AS BIGINT) AS n_ips,
+      COALESCE(array_to_string(list_concat(list_concat(em, ph), ip), '|'), '') AS pii_all
+    FROM m
+    WHERE len(em) + len(ph) + len(ip) > 0
+    """,
+)
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection scan — the compliance pass that inventories (not
+    masks; see q_text_redact for masking) emails, phone numbers, and IP
+    addresses per document.  The synthetic corpus carries none, so a
+    deterministic log-line synthesis step plants them (same fixture
+    convention as the multimodal payload generators); the DETECTION
+    layer — three regex families extracted JVM-side in one codegen
+    stage, no Python boundary — is then value-verified: the oracle
+    re-plants and re-extracts independently, so a regex-engine
+    divergence (greediness, character-class semantics) hash-fails.
+    Matches are serialized to one '|'-joined string (driver hashing
+    takes no list cells; empty-list NULL bridged with COALESCE)."""
+    d = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    line = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" mail=u"),
+                did.cast("string"),
+                F.lit("@ex"),
+                (did % 7).cast("string"),
+                F.lit(".com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" tel=555-"), (F.lit(1000) + (did * 7) % 9000).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" ip=10."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                ((did * 3) % 256).cast("string"),
+                F.lit("."),
+                ((did * 5) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    m = d.select(
+        "doc_id",
+        F.regexp_extract_all(line, F.lit(r"[a-z0-9]+@[a-z0-9]+\.com"), 0).alias("em"),
+        F.regexp_extract_all(line, F.lit(r"555-[0-9]{4}"), 0).alias("ph"),
+        F.regexp_extract_all(
+            line, F.lit(r"10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"), 0
+        ).alias("ip"),
+    )
+    return (
+        m.select(
+            "doc_id",
+            F.size("em").cast("long").alias("n_emails"),
+            F.size("ph").cast("long").alias("n_phones"),
+            F.size("ip").cast("long").alias("n_ips"),
+            F.array_join(F.concat("em", "ph", "ip"), "|").alias("pii_all"),
+        )
+        .where(F.col("n_emails") + F.col("n_phones") + F.col("n_ips") > 0)
+    )

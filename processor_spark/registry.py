@@ -54,6 +54,7 @@ _MODULES = [
     "processor_spark.operators.similarity",
     "processor_spark.operators.text",
     "processor_spark.operators.multimodal",
+    "processor_spark.operators.layout",
     "processor_spark.functions.families",
     "processor_spark.functions.udx",
 ]

@@ -37,6 +37,10 @@ HOSTILE_KEYS = [
     "q_udaf_trimmed",
     "q_dedup_substring",
     "q_pattern_negation",
+    # round-4 keys whose date truncation/diff runs on the timestamp
+    # column under whatever timezone the caller's session carries
+    "q_zorder_layout",
+    "q_compaction_plan",
 ]
 
 

@@ -287,3 +287,26 @@ def test_scan_partitioned_prunes_statically_and_dynamically(spark):
     pf = plan.split("PartitionFilters")[1].split("]")[0]
     assert "event_date" in pf, plan
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_zorder_layout_single_agg_no_sort(spark):
+    # the Morton interleave must fold into the scan's codegen stage and
+    # feed ONE two-phase hash aggregate — a z-order rewrite never needs
+    # a sort just to compute bucket stats
+    import re
+
+    plan = explain_str(_df(spark, "q_zorder_layout"))
+    assert "HashAggregate" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 0, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_compaction_plan_window_is_partition_local(spark):
+    # the greedy pack's running sum must sort WITHIN month partitions
+    # only — a global sort (Sort Arguments ending ", true, 0") would
+    # serialize a million-partition table through one range exchange
+    plan = explain_str(_df(spark, "q_compaction_plan"))
+    assert "Window" in plan
+    assert ", true, 0" not in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
