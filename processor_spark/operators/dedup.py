@@ -20,7 +20,7 @@ token-set-hash) payloads, not full text.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from processor_spark.registry import register
@@ -135,47 +135,46 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically in the oracle SQL).
     """
     d = load(spark, sf_dir, "documents", spread=True)
-    grams_all = (
+    # distinct FIRST (partial hash-agg dedups map-side, so the shuffle
+    # carries the distinct stream, not the raw one — on a near-dup
+    # corpus raw >> distinct); then the df cap is ONE window count over
+    # (source, gram), riding one more exchange of the distinct stream.
+    # (A lag()-based fused dedup+cap saves that exchange but sorts the
+    # RAW stream — measured slower at scale-relevant dup ratios.)
+    rows = (
         d.select("doc_id", "source", _tokens(F.col("text")).alias("toks"))
         .where(F.size("toks") >= 3)
         .select("doc_id", "source", F.explode(F.expr(_GRAM3_EXPR)).alias("gram"))
         .distinct()
-        # referenced twice (df pre-agg + semi-join probe side) — persist
-        # so the tokenize/window/distinct pipeline runs once
-        .persist()
     )
-    gram_df = grams_all.groupBy("source", "gram").agg(F.count(F.lit(1)).alias("df"))
+    wf = Window.partitionBy("source", "gram")
     grams = (
-        grams_all.join(
-            gram_df.where(F.col("df") <= NGRAM_DF_CAP).select("source", "gram"),
-            ["source", "gram"],
-            "left_semi",
-        )
+        rows.withColumn("df", F.count(F.lit(1)).over(wf))
+        .where(F.col("df") <= NGRAM_DF_CAP)
         .select("doc_id", "source", "gram")
-        # referenced three times below (both self-join sides + the size
-        # agg); persist (not localCheckpoint) so CacheManager gives an
-        # identical later invocation a plan-cache HIT — and clearCache()
-        # can drop it.  The count() materializes it eagerly, which lets
-        # the big raw gram stream (grams_all) be released immediately
-        # instead of leaking across repeated invocations (parity suite,
-        # q_dedup_clusters).
+        # referenced twice (size agg + posting agg); persist (not
+        # localCheckpoint) so CacheManager gives an identical later
+        # invocation a plan-cache HIT — and clearCache() can drop it
         .persist()
     )
-    grams.count()
-    grams_all.unpersist()
     sized = grams.groupBy("doc_id", "source").agg(F.count(F.lit(1)).alias("n_grams"))
-    a = grams.alias("a")
-    b = grams.alias("b")
-    overlap = (
-        a.join(
-            b,
-            (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # pairs are generated LOCALLY from each gram's posting list (arrays
+    # bounded by the df cap, so collect_list is ≤ cap elements — no
+    # skew hazard and no gram×gram self-join shuffle; posting agg rides
+    # the window's (source, gram) partitioning with no new exchange)
+    posting = grams.groupBy("source", "gram").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
     )
+    pairs = posting.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) ->"
+                " transform(slice(ds, i + 2, size(ds)),"
+                " y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    overlap = pairs.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_common"))
     sa = sized.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("grams_a"))
     sb = sized.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("grams_b"))
     jac = F.col("n_common") / (F.col("grams_a") + F.col("grams_b") - F.col("n_common"))

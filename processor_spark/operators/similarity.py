@@ -632,3 +632,122 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("dist"), 6).alias("min_dist"),
         F.round(F.max("dist"), 6).alias("max_dist"),
     )
+
+
+# Product-quantization parameters: 64-dim vectors → 4 subspaces of 16
+# dims, 16 centroids per subspace (codebook = the 16 lowest vec_ids —
+# a deterministic stand-in for a trained k-means codebook; the
+# ENCODE/ADC machinery is what the operator demonstrates)
+PQ_M = 4
+PQ_DS = 16
+PQ_K = 16
+PQ_QUERY = 1
+PQ_TOP = 10
+
+
+@register(
+    "q_ann_pq",
+    sql=f"""
+    WITH cb AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings WHERE vec_id < {PQ_K}
+    ), corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS evec FROM embeddings
+    ), sub AS (
+      SELECT c.vec_id, b.cid, m.m,
+        CAST(floor(list_reduce(list_transform(range(m.m * {PQ_DS}, m.m * {PQ_DS} + {PQ_DS}),
+               j -> (c.evec[j + 1] - b.cvec[j + 1]) * (c.evec[j + 1] - b.cvec[j + 1])),
+             (a, x) -> a + x) * 1000000 + 0.5) AS BIGINT) AS dmicro
+      FROM corpus c
+      CROSS JOIN cb b
+      CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m) m
+    ), codes AS (
+      SELECT vec_id, m, cid, dmicro FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dmicro, cid) AS rn
+        FROM sub
+      ) WHERE rn = 1
+    ), qtab AS (
+      SELECT m, cid, dmicro AS qdmicro FROM sub WHERE vec_id = {PQ_QUERY}
+    )
+    SELECT c.vec_id,
+           CAST(sum(q.qdmicro) AS BIGINT) AS adc_micro,
+           string_agg(CAST(c.cid AS VARCHAR), '-' ORDER BY c.m) AS pq_code
+    FROM codes c JOIN qtab q ON c.m = q.m AND c.cid = q.cid
+    WHERE c.vec_id <> {PQ_QUERY}
+    GROUP BY c.vec_id
+    ORDER BY adc_micro, c.vec_id
+    LIMIT {PQ_TOP}
+    """,
+)
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (IVF-PQ's compression half): encode
+    every vector as 4 centroid codes (argmin L2 per 16-dim subspace
+    against a 16-entry codebook), build the query's asymmetric-distance
+    table (query-subvector → centroid distances), and rank the corpus
+    by ADC — the table-lookup sum that replaces full-vector math at
+    serve time.  At 100 TB the corpus travels as 4 bytes/vector of
+    codes (not 256 bytes of floats) and scoring is a broadcast-join of
+    a 64-entry table against the code column: no shuffle of vectors.
+
+    Cross-engine exactness: subspace distances fold left-to-right in
+    index order starting at 0.0 (IEEE-identical on both engines — no
+    libm), then quantize to integer micro-units BEFORE the argmin; the
+    argmin and the final top-10 both tie-break on ids, and the ADC sum
+    is an INTEGER sum — so the oracle replays encode, table, and
+    ranking bit-for-bit."""
+    e = load(spark, sf_dir, "embeddings")
+    ev = e.select("vec_id", _as_double("embedding").alias("evec"))
+    cb = F.broadcast(
+        ev.where(F.col("vec_id") < PQ_K).select(
+            F.col("vec_id").alias("cid"), F.col("evec").alias("cvec")
+        )
+    )
+
+    def _dmicro(m: int) -> Column:
+        d = F.aggregate(
+            F.sequence(F.lit(m * PQ_DS), F.lit(m * PQ_DS + PQ_DS - 1)),
+            F.lit(0.0),
+            lambda acc, j: acc
+            + (F.element_at(F.col("evec"), j + 1) - F.element_at(F.col("cvec"), j + 1))
+            * (F.element_at(F.col("evec"), j + 1) - F.element_at(F.col("cvec"), j + 1)),
+        )
+        return F.floor(d * 1000000 + F.lit(0.5)).cast("long")
+
+    sub = (
+        ev.crossJoin(cb)
+        .select(
+            "vec_id",
+            "cid",
+            F.posexplode(F.array(*[_dmicro(m) for m in range(PQ_M)])).alias("m", "dmicro"),
+        )
+    )
+    # argmin per (vector, subspace) as min(struct) — a two-phase hash
+    # aggregate with map-side partials, not a window (a window can't
+    # partial-combine, and at 100 TB this agg runs over corpus×K rows)
+    codes = (
+        sub.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("dmicro", "cid")).alias("mc"))
+        .select("vec_id", "m", F.col("mc.cid").alias("cid"))
+    )
+    qtab = F.broadcast(
+        sub.where(F.col("vec_id") == PQ_QUERY).select(
+            "m", "cid", F.col("dmicro").alias("qdmicro")
+        )
+    )
+    return (
+        codes.where(F.col("vec_id") != PQ_QUERY)
+        .join(qtab, ["m", "cid"])
+        .groupBy("vec_id")
+        .agg(
+            F.sum("qdmicro").cast("long").alias("adc_micro"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("m", "cid"))),
+                    lambda s: s["cid"].cast("string"),
+                ),
+                "-",
+            ).alias("pq_code"),
+        )
+        .orderBy(F.asc("adc_micro"), F.asc("vec_id"))
+        .limit(PQ_TOP)
+    )

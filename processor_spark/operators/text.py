@@ -785,3 +785,108 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_emails") + F.col("n_phones") + F.col("n_ips") > 0)
     )
+
+
+# BM25 query terms: common corpus words with distinct frequencies
+BM25_TERMS = ("spark", "table", "query")
+
+
+@register(
+    "q_bm25",
+    sql=r"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ), feat AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS dl,
+             CAST(len(list_filter(toks, x -> x = 'spark')) AS BIGINT) AS tf1,
+             CAST(len(list_filter(toks, x -> x = 'table')) AS BIGINT) AS tf2,
+             CAST(len(list_filter(toks, x -> x = 'query')) AS BIGINT) AS tf3
+      FROM docs
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS tot_toks,
+             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+             CAST(sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
+      FROM feat
+    ), scored AS (
+      SELECT doc_id, dl, tf1, tf2, tf3,
+        ((n_docs - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2)
+          / (tf1 + 1.2 * (0.25 + 0.75 * (dl / (CAST(tot_toks AS DOUBLE) / n_docs))))
+        + ((n_docs - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.2)
+          / (tf2 + 1.2 * (0.25 + 0.75 * (dl / (CAST(tot_toks AS DOUBLE) / n_docs))))
+        + ((n_docs - df3 + 0.5) / (df3 + 0.5)) * (tf3 * 2.2)
+          / (tf3 + 1.2 * (0.25 + 0.75 * (dl / (CAST(tot_toks AS DOUBLE) / n_docs))))
+        AS score
+      FROM feat, stats
+    )
+    SELECT doc_id, dl, tf1, tf2, tf3,
+           CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_tenthmilli
+    FROM scored
+    WHERE tf1 + tf2 + tf3 > 0
+    ORDER BY score_tenthmilli DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval ranking (k1=1.2, b=0.75) for a 3-term query — the
+    scoring pass a RAG/data-curation retrieval index runs.  Uses the
+    log-free rational idf variant idf = (N - df + 0.5)/(df + 0.5):
+    monotone in df like the classic log form, but built ONLY from IEEE
+    + * / in a fixed evaluation order, so Spark and DuckDB produce
+    bit-identical doubles (libm log is the one float op whose last bit
+    differs between engines — CLAUDE.md float rules).  Scores ship as
+    integer tenth-milli units via floor(x*1e4+0.5); the top-20 cut
+    selects on the INTEGER score with doc_id tie-break on both sides.
+
+    Plan shape: tokenize + per-term tf are one narrow codegen map
+    (array filter, no explode — the token stream is never shuffled);
+    corpus stats are a 1-row aggregate broadcast back; the top-20 is
+    TakeOrderedAndProject.  At 100 TB: map + tiny broadcast + per-
+    partition heaps, no global sort."""
+    d = load(spark, sf_dir, "documents")
+
+    def _tf(term: str):
+        # NB: the lambda must take exactly one arg — a second (even
+        # defaulted) parameter makes pyspark pass the element INDEX
+        return F.size(F.filter(tokens(F.col("text")), lambda x: x == F.lit(term)))
+
+    feat = d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("dl"),
+        *[
+            _tf(t).cast("long").alias(f"tf{i}")
+            for i, t in enumerate(BM25_TERMS, 1)
+        ],
+    )
+    stats = feat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("tot_toks"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).cast("long").alias(f"df{i}")
+            for i in range(1, 4)
+        ],
+    )
+    term = (
+        "(({n} - df{i} + 0.5) / (df{i} + 0.5)) * (tf{i} * 2.2)"
+        " / (tf{i} + 1.2 * (0.25 + 0.75 * (dl / (CAST(tot_toks AS DOUBLE) / {n}))))"
+    )
+    score = " + ".join(term.format(i=i, n="n_docs") for i in range(1, 4))
+    return (
+        feat.crossJoin(F.broadcast(stats))
+        .where(F.col("tf1") + F.col("tf2") + F.col("tf3") > 0)
+        .select(
+            "doc_id",
+            "dl",
+            "tf1",
+            "tf2",
+            "tf3",
+            F.expr(f"CAST(floor(({score}) * 10000 + 0.5) AS BIGINT)").alias(
+                "score_tenthmilli"
+            ),
+        )
+        .orderBy(F.desc("score_tenthmilli"), F.asc("doc_id"))
+        .limit(20)
+    )
