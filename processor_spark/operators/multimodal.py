@@ -173,17 +173,23 @@ def _encode_bmp(doc_id: int, n_chars: int) -> bytes:
 
     w = 4 + doc_id % 5
     h = 4 + n_chars % 7
+    import numpy as np
+
     stride = (w * 3 + 3) // 4 * 4
     img_size = stride * h
     header = b"BM" + struct.pack("<IHHI", 54 + img_size, 0, 0, 54)
     info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
-    rows = bytearray()
-    for y in range(h):
-        for x in range(w):
-            v = (doc_id + 11 * x + 23 * y) % 256
-            rows += bytes((v, v, v))
-        rows += b"\x00" * (stride - w * 3)
-    return bytes(header + info + rows)
+    px = (
+        (
+            doc_id
+            + 23 * np.arange(h, dtype=np.int64)[:, None]
+            + 11 * np.arange(w, dtype=np.int64)[None, :]
+        )
+        % 256
+    ).astype(np.uint8)
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = np.repeat(px, 3, axis=1)
+    return header + info + rows.tobytes()
 
 
 def bmp_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -230,6 +236,8 @@ def decode_bmp_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     offset come from the header bytes."""
     import struct
 
+    import numpy as np
+
     for pdf in batches:
         out = {k.name: [] for k in DECODE_SCHEMA.fields}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
@@ -243,16 +251,11 @@ def decode_bmp_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             if bpp != 24:
                 raise ValueError(f"doc {doc_id}: expected 24bpp, got {bpp}")
             stride = (w * 3 + 3) // 4 * 4
-            sum_v = 0
-            wsum = 0
-            i = 0
-            for y in range(h):
-                base = data_off + y * stride
-                for x in range(w):
-                    v = b[base + 3 * x]  # blue channel (channels equal)
-                    sum_v += v
-                    i += 1
-                    wsum += i * v
+            rows = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=data_off)
+            # blue channel of each pixel (channels equal), row-major
+            px = rows.reshape(h, stride)[:, : w * 3 : 3].astype(np.int64).ravel()
+            sum_v = int(px.sum())
+            wsum = int(np.arange(1, w * h + 1, dtype=np.int64) @ px)
             out["doc_id"].append(doc_id)
             out["width"].append(w)
             out["height"].append(h)
@@ -314,6 +317,8 @@ def resize_bmp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     sampling grid."""
     import struct
 
+    import numpy as np
+
     for pdf in batches:
         out = {"doc_id": [], "thumb_w": [], "thumb_h": [], "thumb_wsum": []}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
@@ -325,13 +330,12 @@ def resize_bmp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             h = struct.unpack_from("<i", b, 22)[0]
             stride = (w * 3 + 3) // 4 * 4
             tw, th = (w + 1) // 2, (h + 1) // 2
-            wsum = 0
-            j = 0
-            for y in range(th):
-                base = data_off + (2 * y) * stride
-                for x in range(tw):
-                    j += 1
-                    wsum += j * b[base + 3 * (2 * x)]
+            rows = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=data_off)
+            # nearest-neighbor grid: source pixel (2x, 2y), blue channel
+            thumb = (
+                rows.reshape(h, stride)[::2, : w * 3 : 6].astype(np.int64).ravel()
+            )
+            wsum = int(np.arange(1, tw * th + 1, dtype=np.int64) @ thumb)
             out["doc_id"].append(doc_id)
             out["thumb_w"].append(tw)
             out["thumb_h"].append(th)
@@ -354,14 +358,20 @@ def resize_bmp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def _encode_svf(doc_id: int, n_chars: int) -> bytes:
     import struct
 
+    import numpy as np
+
     n_frames = 3 + doc_id % 6
     w = 4 + n_chars % 5
     h = 3 + doc_id % 4
-    frames = bytearray()
-    for f in range(n_frames):
-        for i in range(w * h):
-            frames.append((doc_id + 7 * f + 13 * i) % 256)
-    return b"SVF1" + struct.pack("<HHH", n_frames, w, h) + bytes(frames)
+    frames = (
+        (
+            doc_id
+            + 7 * np.arange(n_frames, dtype=np.int64)[:, None]
+            + 13 * np.arange(w * h, dtype=np.int64)[None, :]
+        )
+        % 256
+    ).astype(np.uint8)
+    return b"SVF1" + struct.pack("<HHH", n_frames, w, h) + frames.tobytes()
 
 
 def svf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -512,11 +522,13 @@ _WAV_RATE = 8000
 def _encode_wav(doc_id: int) -> bytes:
     import struct
 
+    import numpy as np
+
     n = 64 + (doc_id * 7) % 97
-    samples = bytes(
-        b
-        for t in range(n)
-        for b in struct.pack("<h", ((doc_id * 31 + t * 17) % 4001) - 2000)
+    samples = (
+        ((doc_id * 31 + 17 * np.arange(n, dtype=np.int64)) % 4001 - 2000)
+        .astype("<i2")
+        .tobytes()
     )
     fmt = struct.pack("<HHIIHH", 1, 1, _WAV_RATE, _WAV_RATE * 2, 2, 16)
     # a JUNK chunk before data forces decoders to walk chunks, not
