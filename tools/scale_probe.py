@@ -42,6 +42,13 @@ HEADLINE = [
     "q_dedup_substring",
     "q_dedup_clusters",
     "q_corpus_mixture",
+    # r4 additions: data-layout tier (orders-based), retrieval scoring
+    # and media decode (documents-based)
+    "q_zorder_layout",
+    "q_compaction_plan",
+    "q_bm25",
+    "q_pii_scan",
+    "q_media_audio",
 ]
 
 # per-table key columns to shift per replica so keys stay unique and
