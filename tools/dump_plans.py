@@ -14,6 +14,14 @@ HEADLINE = [
     # not in the bench suite, dumped for the scale story: the SMB
     # fact⋈fact join whose whole point is the plan shape (zero Exchange)
     "q_bucketed_join",
+    # LLM-pipeline + layout tier (driver-tracked since r4): the dedup
+    # posting-array pipeline, partition pruning, and the z-order audit
+    "q_dedup_ngram",
+    "q_dedup_minhash_md5",
+    "q_scan_partitioned",
+    "q_zorder_layout",
+    "q_compaction_plan",
+    "q_bm25",
 ]
 
 INTRO = """Post-execution (AQE-final) plans captured from `.explain("formatted")`
