@@ -411,3 +411,63 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bit_xor(h)").cast("long").alias("xor_sig"),
         F.sum(F.shiftright(F.col("h"), 16)).cast("long").alias("sum_sig"),
     )
+
+
+@register(
+    "q_skyline",
+    sql="""
+    WITH pts AS (
+      SELECT p_partkey,
+             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c,
+             p_size
+      FROM part
+    ), flags AS (
+      SELECT p_partkey, price_c, p_size,
+             min(p_size) OVER (ORDER BY price_c
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS min_s_cheaper,
+             min(p_size) OVER (PARTITION BY price_c) AS min_s_same
+      FROM pts
+    )
+    SELECT p_partkey, price_c, CAST(p_size AS INTEGER) AS p_size
+    FROM flags
+    WHERE (min_s_cheaper IS NULL OR min_s_cheaper > p_size)
+      AND min_s_same = p_size
+    ORDER BY price_c, p_partkey
+    """,
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts not dominated on
+    (retail price, size) — a part is dominated iff some other part is
+    <= on both dims and strictly < on at least one.  The naive form is
+    an O(n²) anti self-join; the 2-D-special form used here is ONE
+    range window: sort by integer-cent price, a part survives iff no
+    strictly-cheaper part has size <= its size (running min over the
+    price RANGE frame — the range frame, not rows, handles price ties
+    correctly) and no same-price part has a strictly smaller size.
+    Scale shape: the fact table never sees a global window — per-price
+    minima are ONE map-side-combinable agg (output ≤ #distinct prices,
+    dim-sized), the prefix-min runs over THAT small table (its global
+    window is a dim-table sort, not a fact sort), and the verdict joins
+    back as a broadcast.  Exact integer cents; total ORDER for the
+    hash."""
+    p = load(spark, sf_dir, "part")
+    pts = p.select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("long").alias("price_c"),
+        "p_size",
+    )
+    mins = pts.groupBy("price_c").agg(F.min("p_size").alias("min_s_same"))
+    # price_c is unique here, so a ROWS frame == the RANGE frame over
+    # the raw points; this window runs over the aggregated (small)
+    # price table only
+    wg = Window.orderBy("price_c").rowsBetween(Window.unboundedPreceding, -1)
+    mins = mins.withColumn("min_s_cheaper", F.min("min_s_same").over(wg))
+    return (
+        pts.join(F.broadcast(mins), "price_c")
+        .where(
+            (F.col("min_s_cheaper").isNull() | (F.col("min_s_cheaper") > F.col("p_size")))
+            & (F.col("min_s_same") == F.col("p_size"))
+        )
+        .select("p_partkey", "price_c", F.col("p_size").cast("int").alias("p_size"))
+        .orderBy("price_c", "p_partkey")
+    )
