@@ -325,3 +325,114 @@ def test_approx_percentiles_bracket_exact_ranks(spark):
             hi = vals[min(n - 1, math.ceil((p + eps) * n))]
             est = got[prio][str(p)]
             assert lo <= est <= round(hi, 2) + 0.01, (prio, p, est, lo, hi)
+
+
+def test_pq_adc_ranking_correlates_with_exact_l2(spark):
+    """q_ann_pq is graded on answer quality: the ADC top-10 must
+    recover a healthy share of the EXACT L2 top-10 (computed here by
+    brute force over the same vectors).  PQ with a 16-entry codebook
+    per subspace is a coarse quantizer, so the floor is deliberately
+    moderate (measured 0.4 at sf0.001, 0.6 at sf0.01) — the point is
+    that ADC ranking tracks true distance, not that it equals it."""
+    import numpy as np
+
+    from processor_spark import registry
+    from processor_spark.operators.similarity import PQ_QUERY, PQ_TOP
+    from processor_spark.sources import load
+    from tests.conftest import SF_SMALL
+
+    emb = load(spark, SF_SMALL, "embeddings").select("vec_id", "embedding").toPandas()
+    vecs = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64) for r in emb.itertuples()}
+    q = vecs[PQ_QUERY]
+    exact = sorted(
+        ((np.sum((v - q) ** 2), vid) for vid, v in vecs.items() if vid != PQ_QUERY)
+    )[:PQ_TOP]
+    exact_ids = {vid for _, vid in exact}
+    adc_ids = {int(r.vec_id) for r in registry.get("q_ann_pq").fn(spark, SF_SMALL).collect()}
+    recall = len(exact_ids & adc_ids) / PQ_TOP
+    assert recall >= 0.4, f"PQ ADC recall collapsed: {recall:.2f}"
+
+
+def test_skyline_is_exactly_the_undominated_set(spark):
+    """Brute-force check of the skyline definition: every returned
+    point is undominated, and every omitted point is dominated by
+    some other point — the window formulation must equal the O(n^2)
+    definition exactly."""
+    from processor_spark import registry
+    from processor_spark.sources import load
+    from tests.conftest import SF_SMALL
+    from pyspark.sql import functions as F
+
+    pts = [
+        (int(r.p_partkey), int(r.price_c), int(r.p_size))
+        for r in load(spark, SF_SMALL, "part")
+        .select(
+            "p_partkey",
+            F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("long").alias("price_c"),
+            "p_size",
+        )
+        .collect()
+    ]
+
+    def dominated(me):
+        k, p, s = me
+        return any(
+            (p2 <= p and s2 <= s and (p2 < p or s2 < s)) for k2, p2, s2 in pts if k2 != k
+        )
+
+    expect = {k for k, p, s in pts if not dominated((k, p, s))}
+    got = {int(r.p_partkey) for r in registry.get("q_skyline").fn(spark, SF_SMALL).collect()}
+    assert got == expect
+
+
+def test_zorder_interleave_is_bijective_and_monotone_in_bits(spark):
+    """The Morton code must be invertible: de-interleaving the odd and
+    even bits of zval recovers (zx, zy) exactly for every row."""
+    from processor_spark.operators.layout import _Z_EXPR
+    from processor_spark.sources import load
+    from tests.conftest import SF_SMALL
+    from pyspark.sql import functions as F
+
+    o = load(spark, SF_SMALL, "orders")
+    pts = o.select(
+        (F.col("o_custkey") % 65536).alias("zx"),
+        (
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+            % 65536
+        ).alias("zy"),
+    ).withColumn("zval", F.expr(_Z_EXPR))
+    decode_x = (
+        "aggregate(sequence(0, 15), 0L, (acc, b) ->"
+        " acc + shiftleft(shiftright(zval, 2 * b) & 1, b))"
+    )
+    decode_y = (
+        "aggregate(sequence(0, 15), 0L, (acc, b) ->"
+        " acc + shiftleft(shiftright(zval, 2 * b + 1) & 1, b))"
+    )
+    bad = pts.where(
+        (F.expr(decode_x) != F.col("zx")) | (F.expr(decode_y) != F.col("zy"))
+    ).count()
+    assert bad == 0
+
+
+def test_bm25_score_monotone_in_tf_and_df(spark):
+    """Sanity laws of the rational-idf BM25 on the real output: every
+    scored doc has positive score; and among docs with identical
+    (dl, tf2, tf3), a strictly larger tf1 never yields a smaller
+    score (monotonicity in term frequency)."""
+    from collections import defaultdict
+
+    from processor_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.get("q_bm25").fn(spark, SF_SMALL).collect()
+    assert rows, "bm25 returned nothing"
+    assert all(r.score_tenthmilli > 0 for r in rows)
+    groups = defaultdict(list)
+    for r in rows:
+        groups[(r.dl, r.tf2, r.tf3)].append((r.tf1, r.score_tenthmilli))
+    for g in groups.values():
+        for tf_a, s_a in g:
+            for tf_b, s_b in g:
+                if tf_a < tf_b:
+                    assert s_a <= s_b
