@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from processor_spark.registry import register
-from processor_spark.operators.dedup import JACCARD_THRESHOLD
+from processor_spark.operators.dedup import JACCARD_THRESHOLD, NGRAM_DF_CAP
 from processor_spark.operators.text import STOPWORDS, tokens
 from processor_spark.sources import load
 
@@ -56,11 +56,14 @@ _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
       )
       WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
       QUALIFY lead(tok, 2) OVER w IS NOT NULL
+    ), grams_capped AS (
+      SELECT doc_id, source, gram FROM grams
+      QUALIFY count(*) OVER (PARTITION BY source, gram) <= {NGRAM_DF_CAP}
     ), sized AS (
-      SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+      SELECT doc_id, count(*) AS n_grams FROM grams_capped GROUP BY doc_id
     ), near_pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-      FROM grams a JOIN grams b
+      FROM grams_capped a JOIN grams_capped b
         ON a.gram = b.gram AND a.source = b.source AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ), near_dropped AS (
@@ -103,26 +106,40 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from processor_spark.operators.dedup import _GRAM3_EXPR
 
+    # same near-dup tier shape as q_dedup_ngram (r4): df-capped gram
+    # stream (one window count — bounds every posting list, the 100 TB
+    # skew guard), pairs generated locally from the cap-bounded posting
+    # arrays (no gram×gram self-join shuffle).  The cap is provably
+    # inert at fixture scale (max df 6), mirrored in the oracle SQL.
+    wf = Window.partitionBy("source", "gram")
     grams = (
         survivors.select("doc_id", "source", tokens(F.col("text")).alias("toks"))
         .where(F.size("toks") >= 3)
         .select("doc_id", "source", F.explode(F.expr(_GRAM3_EXPR)).alias("gram"))
         .distinct()
-        # referenced three times (size agg + both self-join sides) —
-        # persist so the quality→dedup→tokenize pipeline runs once
-        # (CLAUDE.md shared-subplan rule; measured 4.2 s → ~1.5 s)
+        .withColumn("df", F.count(F.lit(1)).over(wf))
+        .where(F.col("df") <= NGRAM_DF_CAP)
+        .select("doc_id", "source", "gram")
+        # referenced twice (size agg + posting agg) — persist so the
+        # quality→dedup→tokenize pipeline runs once (CLAUDE.md rule)
         .persist()
     )
     sized = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    a, b = grams.alias("a"), grams.alias("b")
+    posting = grams.groupBy("source", "gram").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        posting.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) ->"
+                    " transform(slice(ds, i + 2, size(ds)),"
+                    " y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sized.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("ga"))
@@ -574,4 +591,74 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("priority"), F.asc("doc_id"))
         .limit(200)
+    )
+
+
+@register(
+    "q_ngram_novelty",
+    sql=r"""
+    WITH grams AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id,
+               tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS gram
+        FROM (
+          SELECT doc_id,
+                 unnest(string_split_regex(trim(text), '\s+')) AS tok,
+                 generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+          FROM documents
+        )
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(tok, 2) OVER w IS NOT NULL
+      )
+    ), first_seen AS (
+      SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram
+    )
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           CAST((1000 * sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS novelty_permille
+    FROM grams g JOIN first_seen f ON g.gram = f.gram
+    GROUP BY g.doc_id
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty per document: the fraction of a doc's distinct
+    token 3-grams whose FIRST occurrence (by doc_id order — the
+    ingestion order) is in that doc.  The standard freshness metric a
+    streaming corpus-curation pipeline tracks: novelty collapsing
+    toward 0 means the crawl is re-reading what it already has.
+
+    Shape: gram stream → min(doc_id) per gram (ONE map-side-combinable
+    agg over the inverted index — this is the same posting-list
+    partitioning the dedup tier uses) → join back on gram → per-doc
+    counts.  Exact integer permille (floor), so the oracle replays the
+    division bit-free.  At 100 TB the min-agg output is vocabulary-
+    sized and the join is gram-partitioned — no skew beyond natural
+    stop-gram frequency, and those only inflate one posting's join
+    fan-out linearly (no pair explosion: this operator never builds
+    doc×doc pairs)."""
+    d = load(spark, sf_dir, "documents", spread=True)
+    from processor_spark.operators.dedup import _GRAM3_EXPR
+
+    grams = (
+        d.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .where(F.size("toks") >= 3)
+        .select("doc_id", F.explode(F.expr(_GRAM3_EXPR)).alias("gram"))
+        .distinct()
+        .persist()
+    )
+    first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
+    return (
+        grams.join(first_seen, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(novel).alias("n_novel"),
+            F.expr("CAST((1000 * sum(CAST(first_doc = doc_id AS BIGINT))) div count(1) AS BIGINT)").alias(
+                "novelty_permille"
+            ),
+        )
     )
