@@ -310,3 +310,22 @@ def test_compaction_plan_window_is_partition_local(spark):
     assert "Window" in plan
     assert ", true, 0" not in plan, plan
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_bm25_is_take_ordered_with_broadcast_stats(spark):
+    # corpus stats must reach the scorer as a broadcast (1-row agg),
+    # and the top-20 must be per-partition heaps, not a global sort
+    plan = explain_str(_df(spark, "q_bm25"))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ann_pq_broadcasts_codebook_and_adc_table(spark):
+    # both the 16-entry codebook and the 64-entry query ADC table must
+    # broadcast; the corpus vectors must never be the build side of a
+    # shuffle join, and nothing may plan a cartesian product
+    plan = explain_str(_df(spark, "q_ann_pq"))
+    assert plan.count("BroadcastNestedLoopJoin") + plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
