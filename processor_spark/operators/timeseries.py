@@ -810,3 +810,48 @@ def q_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("purchases", "clicks_prev"), 6).alias("corr_lag1"),
         F.count(F.lit(1)).alias("n_hours"),
     )
+
+
+@register(
+    "q_sliding_distinct",
+    sql="""
+    WITH ud AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), contrib AS (
+      SELECT DISTINCT day + CAST(u.i AS INTEGER) AS w_day, user_id
+      FROM ud, unnest(range(0, 7)) AS u(i)
+    ), days AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS w_day FROM events
+    )
+    SELECT strftime(c.w_day, '%Y-%m-%d') AS w_day,
+           CAST(count(*) AS BIGINT) AS n_active_7d
+    FROM contrib c JOIN days d USING (w_day)
+    GROUP BY 1
+    """,
+)
+def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window COUNT DISTINCT — trailing-7-day active users per
+    day, the retention metric no SQL window function can express
+    (COUNT(DISTINCT) OVER a frame is unsupported in both engines).
+    The scalable rewrite: dedup to (day, user) once, EXPLODE each pair
+    into the 7 window-end days it contributes to, dedup again, count.
+    Every stage is a hash-aggregate with map-side partials — no window
+    operator, no per-day self-join fan-out; the blow-up factor is the
+    window length (constant), not the data.  Days outside the observed
+    range are dropped by a semi-join against the (tiny, broadcast)
+    distinct-days table, mirrored in the oracle."""
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    contrib = (
+        ud.select(
+            F.explode(F.expr("sequence(day, date_add(day, 6))")).alias("w_day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    days = ev.select(F.to_date("ts").alias("w_day")).distinct()
+    return (
+        contrib.join(F.broadcast(days), "w_day")
+        .groupBy(F.date_format("w_day", "yyyy-MM-dd").alias("w_day"))
+        .agg(F.count(F.lit(1)).alias("n_active_7d"))
+    )

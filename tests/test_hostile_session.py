@@ -41,6 +41,7 @@ HOSTILE_KEYS = [
     # column under whatever timezone the caller's session carries
     "q_zorder_layout",
     "q_compaction_plan",
+    "q_sliding_distinct",
 ]
 
 
