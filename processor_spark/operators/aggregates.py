@@ -504,3 +504,67 @@ def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.groupBy("o_orderpriority").agg(
         pick(0.50, "p50_disc"), pick(0.90, "p90_disc"), pick(0.99, "p99_disc")
     )
+
+
+@register(
+    "q_weighted_median",
+    sql="""
+    WITH g AS (
+      SELECT l_returnflag AS flag,
+             CAST(floor(l_quantity) AS BIGINT) AS qty,
+             SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS w
+      FROM lineitem
+      GROUP BY 1, 2
+    ), c AS (
+      SELECT flag, qty, w,
+             SUM(w) OVER (PARTITION BY flag ORDER BY qty) AS cum,
+             SUM(w) OVER (PARTITION BY flag) AS total
+      FROM g
+    )
+    SELECT flag,
+           CAST(min(qty) AS BIGINT) AS wmedian_qty,
+           CAST(min(total) AS BIGINT) AS total_w_cents
+    FROM c
+    WHERE 2 * cum >= total
+    GROUP BY flag
+    """,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median (lower) of quantity per return flag,
+    weighted by integer revenue cents — the robust-statistics twin of
+    q_median that percentile_approx cannot answer exactly.
+
+    Scale shape: the fact table collapses FIRST into (flag, quantity)
+    cells via one map-side-combinable agg (the value domain, ~50 rows
+    per flag — this is the trick: weighted median over 100 TB needs a
+    window over the DOMAIN, not the data), then a partition-local
+    cumulative sum finds the smallest value whose cumulative weight
+    reaches half the total.  All-integer arithmetic end-to-end, so the
+    oracle replays the cut bit-free."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    g = (
+        li.groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.floor(F.col("l_quantity")).cast("long").alias("qty"),
+        )
+        .agg(F.sum(cents).alias("w"))
+    )
+    wc = Window.partitionBy("flag").orderBy("qty").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy("flag")
+    c = g.select(
+        "flag",
+        "qty",
+        F.sum("w").over(wc).alias("cum"),
+        F.sum("w").over(wt).alias("total"),
+    )
+    return (
+        c.where(2 * F.col("cum") >= F.col("total"))
+        .groupBy("flag")
+        .agg(
+            F.min("qty").alias("wmedian_qty"),
+            F.min("total").alias("total_w_cents"),
+        )
+    )
