@@ -214,12 +214,10 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    nodes = (
-        e.select(F.col("u").alias("doc_id"))
-        .union(e.select("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # NB: lazy on purpose — it reads the already-checkpointed initial
+    # edge set, is only referenced in the final returned plan, and an
+    # eager materialization here would cost one extra action
+    nodes = e.select(F.col("u").alias("doc_id")).union(e.select("v")).distinct()
 
     def checksum(df):
         # order-invariant set digest; the hash is shifted to its high 32
@@ -231,7 +229,9 @@ def connected_components(
         ).collect()[0]
         return (row["n"], row["h"])
 
-    prev = checksum(e)
+    # no pre-loop checksum: the first round's digest can't equal None,
+    # so the comparison degenerates correctly and we save one action
+    prev = None
     rounds = 0
     converged = False
     for _ in range(max_rounds):
