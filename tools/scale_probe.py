@@ -49,6 +49,10 @@ HEADLINE = [
     "q_bm25",
     "q_pii_scan",
     "q_media_audio",
+    "q_sliding_distinct",
+    "q_ngram_novelty",
+    "q_weighted_median",
+    "q_skyline",
 ]
 
 # per-table key columns to shift per replica so keys stay unique and
@@ -58,6 +62,7 @@ _SHIFTS = {
     "orders": {"o_orderkey": 10_000_000, "o_custkey": 0},
     "events": {"event_id": 10_000_000, "user_id": 100_000},
     "documents": {"doc_id": 10_000_000},
+    "part": {"p_partkey": 10_000_000},
 }
 
 
