@@ -368,3 +368,89 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents * (F.lit(100) - dpct)).alias("revenue_e4"),
         )
     )
+
+
+# spatial-join parameters: synthetic integer coordinates in a
+# 10000x10000 space, radius 400, grid cell 512 (>= radius, so a 3x3
+# neighborhood of cells is a complete candidate cover)
+GEO_R = 400
+GEO_CELL = 512
+
+
+@register(
+    "q_join_spatial",
+    sql=f"""
+    WITH a AS (
+      SELECT c_custkey AS a_id,
+             (c_custkey * 37) % 10000 AS ax,
+             (c_custkey * 73) % 10000 AS ay
+      FROM customer
+    ), b AS (
+      SELECT s_suppkey AS b_id,
+             (s_suppkey * 41) % 10000 AS bx,
+             (s_suppkey * 97) % 10000 AS by
+      FROM supplier
+    )
+    SELECT a.a_id, b.b_id,
+           CAST((ax - bx) * (ax - bx) + (ay - by) * (ay - by) AS BIGINT) AS d2
+    FROM a JOIN b
+      ON (ax - bx) * (ax - bx) + (ay - by) * (ay - by) <= {GEO_R * GEO_R}
+    ORDER BY d2, a_id, b_id
+    """,
+)
+def q_join_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance (spatial) join via grid bucketing — all point pairs
+    within radius {GEO_R} of each other in a synthetic integer
+    coordinate space (points derived from customer/supplier keys).
+
+    The naive form is a cross join with a distance predicate — O(n·m)
+    and planned as a nested loop.  The scalable form used here is the
+    standard grid trick: snap each point to a {GEO_CELL}-sized cell,
+    EXPLODE one side into its 3×3 neighboring cells (a constant ×9
+    blow-up of the SMALLER side), equi-join on the cell id, then
+    filter by exact squared distance — all-integer, so the oracle (a
+    brute-force theta join, deliberately the naive form) replays it
+    bit-free.  At 100 TB the shuffle key is the cell: candidate pairs
+    are O(points per neighborhood), never all-pairs, and skew maps to
+    spatial density (handled the same way as any hot key — salting —
+    if a cell overflows).  Plan-guarded: no CartesianProduct.
+    """
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    a = c.select(
+        F.col("c_custkey").alias("a_id"),
+        ((F.col("c_custkey") * 37) % 10000).alias("ax"),
+        ((F.col("c_custkey") * 73) % 10000).alias("ay"),
+    ).withColumn(
+        "cell",
+        F.concat_ws(",", F.expr(f"ax div {GEO_CELL}"), F.expr(f"ay div {GEO_CELL}")),
+    )
+    # expand the smaller side into its 3x3 cell neighborhood
+    b = (
+        s.select(
+            F.col("s_suppkey").alias("b_id"),
+            ((F.col("s_suppkey") * 41) % 10000).alias("bx"),
+            ((F.col("s_suppkey") * 97) % 10000).alias("by"),
+        )
+        .select(
+            "b_id",
+            "bx",
+            "by",
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(-1, 1), dx ->"
+                    f" transform(sequence(-1, 1), dy ->"
+                    f" concat_ws(',', bx div {GEO_CELL} + dx, by div {GEO_CELL} + dy))))"
+                )
+            ).alias("cell"),
+        )
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    return (
+        a.join(b, "cell")
+        .where(d2 <= GEO_R * GEO_R)
+        .select("a_id", "b_id", d2.cast("long").alias("d2"))
+        .orderBy("d2", "a_id", "b_id")
+    )

@@ -329,3 +329,11 @@ def test_ann_pq_broadcasts_codebook_and_adc_table(spark):
     assert plan.count("BroadcastNestedLoopJoin") + plan.count("BroadcastHashJoin") >= 2, plan
     assert "CartesianProduct" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_spatial_join_is_equi_join_on_cell_not_cartesian(spark):
+    # the grid trick's whole point: candidate generation must be an
+    # equi join on the cell id, never a nested loop over all pairs
+    plan = explain_str(_df(spark, "q_join_spatial"))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
