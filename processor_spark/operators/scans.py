@@ -175,3 +175,66 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(cents).alias("revenue_cents"),
     )
+
+
+def _csv_copy(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize a 3-column lineitem projection as headered CSV (once
+    per sf_dir; _SUCCESS marker makes re-use cheap across sessions) so
+    the text-format ingest path is exercised against real data."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/processor_spark_csv/{tag}/lineitem"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            load(spark, sf_dir, "lineitem")
+            .select(
+                "l_orderkey",
+                "l_returnflag",
+                # ship cents as an integer COLUMN: CSV is text, and a
+                # double printed/reparsed is the classic silent-drift
+                # channel — integer cents round-trip exactly
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+                .cast("long")
+                .alias("price_cents"),
+            )
+            .write.mode("overwrite")
+            .option("header", "true")
+            .csv(path)
+        )
+    return path
+
+
+@register(
+    "q_scan_csv",
+    sql="""
+    SELECT l_returnflag, count(*) AS n_rows,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           CAST(min(l_orderkey) AS BIGINT) AS min_order,
+           CAST(max(l_orderkey) AS BIGINT) AS max_order
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingest path (SURVEY.md §2.1's text-format source — the
+    format every landing zone still receives): lineitem round-trips
+    through a headered CSV layout with an EXPLICIT schema (schema
+    inference is a dev-only convenience; production text ingest always
+    declares types) and is aggregated from the text scan.  Values ride
+    as integer cents because a double printed to text and re-parsed is
+    the classic silent-drift channel — the oracle replays the same
+    aggregate from the original parquet, so the text round-trip is
+    value-verified bit-free."""
+    path = _csv_copy(spark, sf_dir)
+    df = spark.read.schema(
+        "l_orderkey BIGINT, l_returnflag STRING, price_cents BIGINT"
+    ).option("header", "true").csv(path)
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("price_cents").alias("revenue_cents"),
+        F.min("l_orderkey").alias("min_order"),
+        F.max("l_orderkey").alias("max_order"),
+    )
