@@ -471,3 +471,107 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "price_c", F.col("p_size").cast("int").alias("p_size"))
         .orderBy("price_c", "p_partkey")
     )
+
+
+@register(
+    "q_k_anonymity",
+    sql="""
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+             count(*) AS class_size
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment, bal_band
+    )
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(min(class_size) AS BIGINT) AS k_anonymity,
+           CAST(sum(class_size) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+                AS BIGINT) AS rows_at_risk
+    FROM classes
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit — the privacy gate run before a dataset with
+    quasi-identifiers ships: rows are grouped into equivalence classes
+    on (nation, market segment, account-balance band), and each
+    (nation, segment) stratum reports its class count, its k-anonymity
+    level (the SMALLEST class size — an attacker can narrow any member
+    of that class to k candidates), and how many rows sit in classes
+    below the k=5 re-identification floor.  Companion to q_pii_scan
+    (value detection) — this measures LINKAGE risk, which survives PII
+    masking.
+
+    Scale shape: agg-of-agg, both map-side combinable hash aggregates
+    keyed on low-cardinality columns; no window, no join, one scan.
+    The balance band uses floor(x/1000.0) — identical IEEE division on
+    both engines — so class boundaries replay exactly."""
+    c = load(spark, sf_dir, "customer")
+    classes = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("class_size"))
+    return classes.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("class_size").alias("k_anonymity"),
+        F.sum("class_size").alias("n_rows"),
+        F.sum(
+            F.when(F.col("class_size") < 5, F.col("class_size")).otherwise(F.lit(0))
+        ).alias("rows_at_risk"),
+    )
+
+
+BASKET_TOP = 20
+
+
+@register(
+    "q_basket_pairs",
+    sql=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT p1, p2, count(*) AS support
+    FROM pairs GROUP BY p1, p2
+    ORDER BY support DESC, p1, p2
+    LIMIT {BASKET_TOP}
+    """,
+)
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: the {BASKET_TOP} part pairs most often
+    bought together in one order (frequent-itemset support counting, the
+    k=2 Apriori step).  The oracle is the naive self-join definition;
+    the engine instead collects each order's DISTINCT parts into ONE
+    sorted array and emits pairs locally with nested array transforms —
+    no items×items join, no second shuffle of the fact table.  Baskets
+    are naturally bounded (an order has ≤7 lineitems here; retail
+    baskets are dozens), so local pair generation is constant work per
+    order — the same bounded-posting-list trick as q_dedup_ngram.
+    Support ties are totally ordered by (p1, p2) on both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (p, i) ->"
+                " transform(slice(parts, i + 2, size(parts)),"
+                " q -> struct(p AS p1, q AS p2))))"
+            )
+        ).alias("pr")
+    ).select("pr.p1", "pr.p2")
+    return (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.desc("support"), F.asc("p1"), F.asc("p2"))
+        .limit(BASKET_TOP)
+    )

@@ -634,6 +634,114 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q_kmeans_update: elements are shifted by +2 before integerizing so
+# every micro value is positive — Spark `div` truncates toward zero
+# while DuckDB `//` floors, and the two only agree on non-negative
+# operands.  The shift cancels in the |new - old| drift terms.
+_KMEANS_UPDATE_SQL = f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings WHERE vec_id < {_KMEANS_K}
+    ), vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ), dists AS (
+      SELECT v.vec_id, c.cent_id,
+             list_reduce(list_transform(range(1, len(v.vec) + 1),
+                  i -> (v.vec[i] - c.cvec[i]) * (v.vec[i] - c.cvec[i])),
+               (a, x) -> a + x) AS sqdist
+      FROM vecs v CROSS JOIN cents c
+    ), assigned AS (
+      SELECT vec_id, cent_id FROM dists
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sqdist, cent_id) = 1
+    ), elems AS (
+      SELECT a.cent_id,
+             unnest(range(1, len(v.vec) + 1)) AS pos,
+             unnest(list_transform(v.vec,
+                    x -> CAST(floor((x + 2.0) * 1000000 + 0.5) AS BIGINT))) AS micro
+      FROM assigned a JOIN vecs v USING (vec_id)
+    ), means AS (
+      SELECT cent_id, pos, CAST(sum(micro) AS BIGINT) // count(*) AS new_micro
+      FROM elems GROUP BY cent_id, pos
+    ), old AS (
+      SELECT cent_id, unnest(range(1, len(cvec) + 1)) AS pos,
+             unnest(list_transform(cvec,
+                    x -> CAST(floor((x + 2.0) * 1000000 + 0.5) AS BIGINT))) AS old_micro
+      FROM cents
+    ), sizes AS (
+      SELECT cent_id, count(*) AS n_assigned FROM assigned GROUP BY cent_id
+    )
+    SELECT m.cent_id, CAST(s.n_assigned AS BIGINT) AS n_assigned,
+           CAST(sum(abs(m.new_micro - o.old_micro)) AS BIGINT) AS drift_micro
+    FROM means m
+    JOIN old o USING (cent_id, pos)
+    JOIN sizes s USING (cent_id)
+    GROUP BY m.cent_id, s.n_assigned
+"""
+
+
+@register("q_kmeans_update", sql=_KMEANS_UPDATE_SQL)
+def q_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One FULL Lloyd iteration — assignment plus centroid re-averaging
+    — with the new centroids compared against the old ones (per-cluster
+    L1 drift), i.e. the convergence measure an iterative training loop
+    would test each round.  Everything the oracle must replay is exact
+    integer math: each element is integerized to positive micro-units
+    (floor((x+2)·1e6+0.5) — the +2 shift keeps Spark's truncating `div`
+    and DuckDB's flooring `//` in agreement), per-dimension means are
+    exact integer sums divided by exact counts, and the drift is a sum
+    of absolute integer differences — no float mean ever crosses the
+    engine boundary, so sum-order cannot perturb parity.
+
+    Scale shape: centroids broadcast; assignment is a narrow map over
+    the corpus (no shuffle); the per-dimension mean is ONE map-side-
+    combinable hash agg keyed on (centroid, dim) — k·d cells, tiny for
+    any real k, d — and the old-centroid join is k·d rows broadcast.
+    Integer headroom: micro ≤ 3e6, so the per-cell sum overflows long
+    only past ~3e12 assigned vectors per centroid.
+    """
+    e = load(spark, sf_dir, "embeddings", spread=True)
+    vecs = e.select("vec_id", _as_double("embedding").alias("vec"))
+    cents = (
+        e.where(F.col("vec_id") < _KMEANS_K)
+        .select(F.col("vec_id").alias("cent_id"), _as_double("embedding").alias("cvec"))
+    )
+
+    def _micro(arr: Column) -> Column:
+        return F.transform(
+            arr, lambda x: F.floor((x + F.lit(2.0)) * F.lit(1000000.0) + F.lit(0.5))
+        )
+
+    sqdist = F.aggregate(
+        F.zip_with(F.col("vec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dists = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "vec", "cent_id", sqdist.alias("sqdist")
+    )
+    w = Window.partitionBy("vec_id").orderBy("sqdist", "cent_id")
+    assigned = dists.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    elems = assigned.select(
+        "cent_id", F.posexplode(_micro(F.col("vec"))).alias("pos", "micro")
+    )
+    means = (
+        elems.groupBy("cent_id", "pos")
+        .agg(F.sum("micro").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("cent_id", "pos", F.expr("s div n").alias("new_micro"))
+    )
+    old = cents.select(
+        "cent_id", F.posexplode(_micro(F.col("cvec"))).alias("pos", "old_micro")
+    )
+    sizes = assigned.groupBy("cent_id").agg(F.count(F.lit(1)).alias("n_assigned"))
+    return (
+        means.join(F.broadcast(old), ["cent_id", "pos"])
+        .groupBy("cent_id")
+        .agg(F.sum(F.abs(F.col("new_micro") - F.col("old_micro"))).alias("drift_micro"))
+        .join(F.broadcast(sizes), "cent_id")
+        .select("cent_id", "n_assigned", "drift_micro")
+    )
+
+
 # Product-quantization parameters: 64-dim vectors → 4 subspaces of 16
 # dims, 16 centroids per subspace (codebook = the 16 lowest vec_ids —
 # a deterministic stand-in for a trained k-means codebook; the

@@ -890,3 +890,64 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_tenthmilli"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+VOCAB_TOP = 100
+
+
+@register(
+    "q_vocab_coverage",
+    sql=rf"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents
+    ), counts AS (
+      SELECT token, count(*) AS freq FROM toks GROUP BY token
+    ), tot AS (
+      SELECT CAST(sum(freq) AS BIGINT) AS total FROM counts
+    ), ranked AS (
+      SELECT token, freq,
+             row_number() OVER (ORDER BY freq DESC, token) AS rank,
+             CAST(sum(freq) OVER (ORDER BY freq DESC, token
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+      FROM counts
+    )
+    SELECT rank, token, freq,
+           (cum * 1000) // (SELECT total FROM tot) AS cov_permille
+    FROM ranked WHERE rank <= {VOCAB_TOP}
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build + corpus coverage: the top-{VOCAB_TOP} tokens by
+    frequency with each prefix's cumulative share of ALL token
+    occurrences (exact integer permille) — the curve a tokenizer team
+    reads to pick a vocab size / estimate the OOV rate.  Coverage is
+    (cumulative count · 1000) div total, both exact integers, so the
+    Zipf curve replays bit-for-bit on the oracle.
+
+    Scale shape: token counts are ONE map-side-combinable hash agg; the
+    top-{VOCAB_TOP} cut is TakeOrdered (per-partition heaps — the raw
+    token stream is never globally sorted); the unpartitioned running
+    window then runs over {VOCAB_TOP} rows only, and the grand total
+    rides in as a broadcast scalar."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    total = counts.agg(F.sum("freq").alias("total"))
+    top = counts.orderBy(F.desc("freq"), F.asc("token")).limit(VOCAB_TOP)
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .withColumn("cum", F.sum("freq").over(wcum))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            "token",
+            "freq",
+            F.expr("(cum * 1000) div total").alias("cov_permille"),
+        )
+    )
