@@ -575,3 +575,102 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("support"), F.asc("p1"), F.asc("p2"))
         .limit(BASKET_TOP)
     )
+
+
+@register(
+    "q_snapshot_diff",
+    sql="""
+    WITH a AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c,
+             o_orderpriority AS pri
+      FROM orders
+    ), b AS (
+      SELECT k, st,
+             CASE WHEN pri = '1-URGENT' THEN price_c + 100 ELSE price_c END AS price_c,
+             pri
+      FROM a WHERE k % 97 <> 0
+      UNION ALL
+      SELECT -k, st, price_c, pri FROM a WHERE k % 89 = 0
+    ), d AS (
+      SELECT CASE WHEN a.k IS NULL THEN 'added'
+                  WHEN b.k IS NULL THEN 'removed'
+                  WHEN a.st = b.st AND a.price_c = b.price_c AND a.pri = b.pri
+                    THEN 'unchanged'
+                  ELSE 'changed' END AS change_class,
+             COALESCE(a.k, b.k) AS key
+      FROM a FULL OUTER JOIN b ON a.k = b.k
+    )
+    SELECT change_class, count(*) AS n, CAST(bit_xor(key) AS BIGINT) AS key_xor
+    FROM d GROUP BY change_class
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation — the per-class breakdown a replication
+    / migration check needs once q_table_checksum says two copies
+    differ: a FULL OUTER join on the primary key classifies every row
+    as added / removed / changed / unchanged and folds each class to a
+    count plus an order-invariant key signature (bit_xor), so the two
+    sides can be reconciled without shipping rows.  The 'later'
+    snapshot is derived deterministically (every 97th key dropped,
+    urgent orders repriced by +1.00, every 89th key re-added under a
+    new negative key), so the oracle replays the whole diff exactly —
+    exact integer cents make the payload comparison bit-stable.
+
+    Scale shape: both sides hash-partition on the join key (the B
+    derivation is key-preserving, so AQE plans ONE co-partitioned
+    sort-merge join); classification is a narrow map over the joined
+    stream and the final agg is 4 groups, map-side combinable.  No
+    broadcast of anything fact-sized, no window."""
+    o = load(spark, sf_dir, "orders")
+    a = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("price_c"),
+        F.col("o_orderpriority").alias("pri"),
+    )
+    b = (
+        a.where(F.col("k") % 97 != 0)
+        .select(
+            "k",
+            "st",
+            F.when(F.col("pri") == "1-URGENT", F.col("price_c") + 100)
+            .otherwise(F.col("price_c"))
+            .alias("price_c"),
+            "pri",
+        )
+        .unionAll(
+            a.where(F.col("k") % 89 == 0).select(
+                (-F.col("k")).alias("k"), "st", "price_c", "pri"
+            )
+        )
+    )
+    aa = a.select(
+        F.col("k").alias("ak"),
+        F.col("st").alias("ast"),
+        F.col("price_c").alias("aprice"),
+        F.col("pri").alias("apri"),
+    )
+    bb = b.select(
+        F.col("k").alias("bk"),
+        F.col("st").alias("bst"),
+        F.col("price_c").alias("bprice"),
+        F.col("pri").alias("bpri"),
+    )
+    d = aa.join(bb, aa.ak == bb.bk, "full_outer").select(
+        F.when(F.col("ak").isNull(), F.lit("added"))
+        .when(F.col("bk").isNull(), F.lit("removed"))
+        .when(
+            (F.col("ast") == F.col("bst"))
+            & (F.col("aprice") == F.col("bprice"))
+            & (F.col("apri") == F.col("bpri")),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("changed"))
+        .alias("change_class"),
+        F.coalesce(F.col("ak"), F.col("bk")).alias("key"),
+    )
+    return d.groupBy("change_class").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(key)").cast("long").alias("key_xor"),
+    )

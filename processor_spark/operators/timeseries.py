@@ -855,3 +855,88 @@ def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_format("w_day", "yyyy-MM-dd").alias("w_day"))
         .agg(F.count(F.lit(1)).alias("n_active_7d"))
     )
+
+
+@register(
+    "q_cusum_changepoint",
+    sql="""
+    WITH daily AS (
+      SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS day_epoch,
+             event_type,
+             CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS d_cents
+      FROM events
+      GROUP BY 1, 2
+    ), cum AS (
+      SELECT day_epoch, event_type,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days,
+             CAST(sum(d_cents) OVER (PARTITION BY event_type) AS BIGINT) AS tot,
+             CAST(sum(d_cents) OVER (PARTITION BY event_type ORDER BY day_epoch
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS prefix,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY day_epoch)
+                  AS BIGINT) AS k
+      FROM daily
+    ), scored AS (
+      SELECT event_type, day_epoch, n_days,
+             n_days * prefix - k * tot AS cusum_scaled,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(n_days * prefix - k * tot) DESC,
+                                         day_epoch) AS rn
+      FROM cum
+    )
+    SELECT event_type, day_epoch AS change_day_epoch, cusum_scaled, n_days
+    FROM scored WHERE rn = 1
+    """,
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per event-type series: the day
+    where the cumulative deviation of daily revenue from the series
+    mean peaks — the classic mean-shift detector (Page's CUSUM with
+    the argmax read out, as in binary-segmentation's first split).
+    The mean never materializes as a float: with S_k the prefix sum,
+    T the total and n the day count, n·CUSUM_k = n·S_k − k·T, so the
+    statistic is scaled by n and stays an exact 64-bit integer —
+    argmax is invariant to the positive scaling, and parity is exact
+    (no division anywhere; |cusum| ties broken by earliest day).
+
+    Scale shape: the fact table collapses in ONE map-side-combinable
+    daily agg; every window after that runs over the per-day table
+    (~series·days rows — dim-sized), partitioned by series so the sort
+    is local and parallel.  Integer headroom: n·S fits long until
+    n_days·total_cents ~ 9e18 per series (≫ any daily series length).
+    """
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")
+    daily = e.groupBy(
+        (F.floor(F.unix_timestamp("ts") / 86400) * 86400).cast("bigint").alias("day_epoch"),
+        "event_type",
+    ).agg(F.sum(cents).cast("bigint").alias("d_cents"))
+    wall = Window.partitionBy("event_type")
+    word = wall.orderBy("day_epoch")
+    wcum = word.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = daily.select(
+        "day_epoch",
+        "event_type",
+        F.count(F.lit(1)).over(wall).alias("n_days"),
+        F.sum("d_cents").over(wall).alias("tot"),
+        F.sum("d_cents").over(wcum).alias("prefix"),
+        F.row_number().over(word).cast("bigint").alias("k"),
+    )
+    cusum = (F.col("n_days") * F.col("prefix") - F.col("k") * F.col("tot")).alias(
+        "cusum_scaled"
+    )
+    scored = cum.select("event_type", "day_epoch", "n_days", cusum)
+    warg = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum_scaled")).desc(), F.asc("day_epoch")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(warg))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day_epoch").alias("change_day_epoch"),
+            "cusum_scaled",
+            "n_days",
+        )
+    )

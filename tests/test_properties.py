@@ -436,3 +436,34 @@ def test_bm25_score_monotone_in_tf_and_df(spark):
             for tf_b, s_b in g:
                 if tf_a < tf_b:
                     assert s_a <= s_b
+
+
+def test_hll_union_of_partials_equals_direct_sketch(spark):
+    """The 100 TB sketch contract: HLL union must be LOSSLESS — a
+    per-region sketch built by unioning per-nation partial sketches
+    (q_hll_sketch's rollup path) must yield the IDENTICAL estimate to
+    a sketch built directly over the region's raw keys, because union
+    is a register-wise max over sketches with the same lgK.  This is
+    what makes store-fine-grain / union-at-query-time pre-aggregation
+    exact with respect to the sketch itself (no re-scan, no extra
+    error) — if this breaks, every rollup dashboard silently drifts."""
+    from pyspark.sql import functions as F
+
+    from processor_spark import registry
+    from processor_spark.sources import load
+    from tests.conftest import SF_SMALL
+
+    merged = {
+        r.n_regionkey: r.approx_customers
+        for r in registry.get("q_hll_sketch").fn(spark, SF_SMALL).collect()
+    }
+    c = load(spark, SF_SMALL, "customer")
+    n = load(spark, SF_SMALL, "nation")
+    direct = {
+        r.n_regionkey: r.direct
+        for r in c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("c_custkey")).alias("direct"))
+        .collect()
+    }
+    assert merged == direct
