@@ -768,3 +768,92 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_permille"
         ),
     )
+
+
+@register(
+    "q_source_jaccard",
+    sql=r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             unnest(string_split_regex(trim(text), '\s+')) AS tok,
+             generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+      FROM documents
+    ), grams_raw AS (
+      SELECT DISTINCT source,
+             tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS gram
+      FROM toks
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY lead(tok, 2) OVER w IS NOT NULL
+    ), g AS (
+      SELECT DISTINCT source,
+             CAST(('0x' || substr(md5(gram), 1, 12)) AS BIGINT) AS gh
+      FROM grams_raw
+    ), sizes AS (
+      SELECT source, count(*) AS n FROM g GROUP BY source
+    ), inter AS (
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+      FROM g a JOIN g b ON a.gh = b.gh AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           CAST(i.n_common AS BIGINT) AS n_common,
+           (CAST(i.n_common AS BIGINT) * 1000) // (sa.n + sb.n - i.n_common)
+             AS jaccard_permille
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    """,
+)
+def q_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-level 3-gram Jaccard between source pairs — the overlap
+    audit run before mixing corpora (is 'web' a superset of 'wiki'?
+    did two crawls ingest the same site?), one granularity above the
+    per-document dedup ladder.  Gram sets travel as portable 48-bit
+    md5 ints (never strings); the pairwise intersection is an
+    equi-join on the gram hash where the fan-out per gram is bounded
+    by the SOURCE count (≤ C(|sources|,2) pairs per gram — |sources|
+    is a dim cardinality, so unlike the document-level join no df cap
+    is needed); set sizes are dim-sized and broadcast back.  Exact
+    integer permille, inclusion-exclusion union.
+
+    Plan: distinct (source, gh) → one hash-agg; self-join co-
+    partitioned on gh (the distinct already shuffled on it); final
+    joins are 5-row broadcasts."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("source", _tokens(F.col("text")).alias("toks")).where(
+        F.size("toks") >= 3
+    )
+    gh = F.conv(F.substring(F.md5(F.col("gram").cast("binary")), 1, 12), 16, 10).cast(
+        "long"
+    )
+    g = (
+        toks.select("source", F.explode(F.expr(_GRAM3_EXPR)).alias("gram"))
+        .select("source", gh.alias("gh"))
+        .distinct()
+    )
+    sizes = g.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = g.select(F.col("source").alias("source_a"), "gh")
+    b = g.select(F.col("source").alias("source_b"), "gh")
+    inter = (
+        a.join(b, "gh")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.expr("(n_common * 1000) div (n_a + n_b - n_common)").alias(
+                "jaccard_permille"
+            ),
+        )
+    )

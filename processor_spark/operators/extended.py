@@ -674,3 +674,48 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.expr("bit_xor(key)").cast("long").alias("key_xor"),
     )
+
+
+@register(
+    "q_recursive_cte",
+    sql="""
+    WITH RECURSIVE walk AS (
+      SELECT p_partkey, p_partkey AS cur, 0 AS depth FROM part
+      UNION ALL
+      SELECT p_partkey, cur // 7 AS cur, depth + 1 AS depth
+      FROM walk WHERE cur // 7 > 0
+    )
+    SELECT p_partkey, CAST(cur AS BIGINT) AS root, CAST(depth AS BIGINT) AS depth
+    FROM walk WHERE cur // 7 = 0
+    """,
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE traversal (Spark 4's WITH RECURSIVE — the BOM /
+    org-chart walk batch SQL engines historically lacked): every part
+    climbs a synthetic 7-ary hierarchy (parent = child div 7) to its
+    root, reporting the root id and the climb depth.  The hierarchy is
+    derived deterministically from the key, so the oracle replays the
+    identical recursion; integer division is exact on both engines for
+    the non-negative keys.
+
+    Scale shape: each recursion round is one narrow projection + filter
+    over the frontier (no join — the parent is computed, not looked
+    up), and the frontier only shrinks; depth is logarithmic in the
+    key domain (~7 rounds at sf1), so the unrolled plan stays small.
+    With a real edge TABLE each round becomes a frontier⋈edges
+    hash-join keyed on the child — the same shape q_dedup_clusters
+    hand-rolls with localCheckpoint, which remains the right tool once
+    rounds must checkpoint lineage."""
+    load(spark, sf_dir, "part").createOrReplaceTempView("part_rc")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk AS (
+          SELECT p_partkey, p_partkey AS cur, 0 AS depth FROM part_rc
+          UNION ALL
+          SELECT p_partkey, cur div 7 AS cur, depth + 1 AS depth
+          FROM walk WHERE cur div 7 > 0
+        )
+        SELECT p_partkey, CAST(cur AS BIGINT) AS root, CAST(depth AS BIGINT) AS depth
+        FROM walk WHERE cur div 7 = 0
+        """
+    )

@@ -454,3 +454,46 @@ def q_join_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", d2.cast("long").alias("d2"))
         .orderBy("d2", "a_id", "b_id")
     )
+
+
+@register(
+    "q_join_lateral",
+    sql="""
+    SELECT c.c_custkey, l.o_orderkey, l.price_c
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+      FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY price_c DESC, o_orderkey
+      LIMIT 2
+    ) l
+    """,
+)
+def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery — each customer's 2 most expensive
+    orders, written as the per-row subquery a SQL user reaches for.
+    The engine must NOT execute it per-row: Catalyst decorrelates the
+    lateral ORDER BY ... LIMIT into a window/aggregate over ONE join,
+    so the plan is a single co-partitioned pass over orders rather
+    than |customer| point lookups — the difference between a 100 TB
+    plan and a driver loop.  Exact integer cents; (price, orderkey)
+    totally orders each customer's slice so the top-2 cut is
+    deterministic on both engines."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("cust_lat")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("ord_lat")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, l.o_orderkey, l.price_c
+        FROM cust_lat c,
+        LATERAL (
+          SELECT o_orderkey,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+          FROM ord_lat o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY price_c DESC, o_orderkey
+          LIMIT 2
+        ) l
+        """
+    )

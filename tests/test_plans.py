@@ -337,3 +337,22 @@ def test_spatial_join_is_equi_join_on_cell_not_cartesian(spark):
     plan = explain_str(_df(spark, "q_join_spatial"))
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_lateral_join_decorrelates_to_group_limit_not_per_row(spark):
+    """q_join_lateral's per-customer ORDER BY ... LIMIT 2 subquery must
+    decorrelate into a windowed group-limit over ONE join — never a
+    nested loop (per-row subquery execution) — and the top-2 cut must
+    run map-side (partial WindowGroupLimit) before the shuffle."""
+    plan = explain_str(_df(spark, "q_join_lateral"))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan.split("WindowGroupLimit")[-1].splitlines()[0] or \
+        plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_source_jaccard_join_is_equi_on_gram_hash(spark):
+    """The source-pair intersection must be an equi-join on the 48-bit
+    gram hash (bounded fan-out), not a cartesian of gram sets."""
+    plan = explain_str(_df(spark, "q_source_jaccard"))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
