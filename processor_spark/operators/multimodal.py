@@ -637,3 +637,84 @@ def q_media_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the closed-form sample stream, so chunk framing, endianness
     and the amplitude math are hash-checked."""
     return wav_table(spark, sf_dir).mapInPandas(decode_wav_stats, AUDIO_SCHEMA)
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("dhash48", T.LongType()),
+    ]
+)
+
+
+def dhash_bmp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL perceptual difference-hash over decoded BMP pixels: one bit
+    per horizontally adjacent pixel pair (right > left), row-major,
+    truncated to the portable 48-bit width.  Pure header-driven byte
+    walk — no generator knowledge."""
+    import struct
+
+    import numpy as np
+
+    for pdf in batches:
+        ids: list[int] = []
+        hs: list[int] = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            if b[:2] != b"BM":
+                raise ValueError(f"doc {doc_id}: not a BMP payload")
+            data_off = struct.unpack_from("<I", b, 10)[0]
+            w = struct.unpack_from("<i", b, 18)[0]
+            h = struct.unpack_from("<i", b, 22)[0]
+            stride = (w * 3 + 3) // 4 * 4
+            rows = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=data_off)
+            px = rows.reshape(h, stride)[:, : w * 3 : 3].astype(np.int64)
+            bits = (px[:, 1:] > px[:, :-1]).ravel()[:48].astype(np.int64)
+            ids.append(int(doc_id))
+            hs.append(int((bits << np.arange(bits.size, dtype=np.int64)).sum()))
+        yield pd.DataFrame({"doc_id": ids, "dhash48": hs})
+
+
+@register(
+    "q_media_phash",
+    sql="""
+    WITH dims AS (
+      SELECT doc_id, 4 + doc_id % 5 AS w, 4 + n_chars % 7 AS h
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, least((w - 1) * h, 48)),
+               k -> CASE WHEN (doc_id + 23 * (k // (w - 1)) + 11 * ((k % (w - 1)) + 1)) % 256
+                            > (doc_id + 23 * (k // (w - 1)) + 11 * (k % (w - 1))) % 256
+                    THEN CAST(1 AS BIGINT) << k ELSE CAST(0 AS BIGINT) END))
+               AS BIGINT) AS dhash48
+      FROM dims
+    )
+    SELECT dhash48, min(doc_id) AS keeper_doc_id, count(*) AS n_images
+    FROM hashed GROUP BY dhash48
+    """,
+)
+def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup — the multimodal rung of the dedup
+    ladder: every BMP payload is REALLY decoded (header byte-walk) and
+    difference-hashed (one bit per horizontal neighbor comparison —
+    brightness-shift invariant, the property that makes dHash find
+    re-encoded/re-exposed copies byte-identical hashing misses), then
+    images dedup by hash exactly like q_dedup_exact dedups text.  The
+    synthetic corpus genuinely contains such near-dups (images whose
+    pixels differ by a constant offset collide unless the offset wraps
+    mod 256), so n_images > 1 groups are real, and the oracle replays
+    hash AND grouping from the generator's closed-form pixel formula —
+    a decoder or bit-packing bug hash-fails.
+
+    Scale shape: decode+hash is one Arrow-batched mapInPandas
+    projection (embarrassingly parallel, no shuffle); the dedup agg is
+    a single map-side-combinable hash-agg on the 48-bit key.  At 100 TB
+    the Hamming-radius>0 variant buckets by hash BANDS (same LSH
+    algebra as q_dedup_minhash_md5) — exact-collision grouping is the
+    radius-0 case and needs no pair join at all."""
+    ph = bmp_table(spark, sf_dir).mapInPandas(dhash_bmp, PHASH_SCHEMA)
+    return ph.groupBy("dhash48").agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_images"),
+    )
