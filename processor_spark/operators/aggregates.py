@@ -568,3 +568,67 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("total").alias("total_w_cents"),
         )
     )
+
+
+@register(
+    "q_iqr_outliers",
+    sql="""
+    WITH c AS (
+      SELECT c_nationkey,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      FROM customer
+    ), q AS (
+      SELECT c_nationkey,
+             CAST(floor(quantile_cont(cents, 0.25) * 4 + 0.5) AS BIGINT) AS q1_qc,
+             CAST(floor(quantile_cont(cents, 0.75) * 4 + 0.5) AS BIGINT) AS q3_qc,
+             count(*) AS n
+      FROM c GROUP BY c_nationkey
+    )
+    SELECT c.c_nationkey, CAST(q.n AS BIGINT) AS n, q.q1_qc, q.q3_qc,
+           CAST(count_if(8 * c.cents < 2 * q.q1_qc - 3 * (q.q3_qc - q.q1_qc))
+                AS BIGINT) AS n_low,
+           CAST(count_if(8 * c.cents > 2 * q.q3_qc + 3 * (q.q3_qc - q.q1_qc))
+                AS BIGINT) AS n_high
+    FROM c JOIN q USING (c_nationkey)
+    GROUP BY c.c_nationkey, q.n, q.q1_qc, q.q3_qc
+    """,
+)
+def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence (1.5·IQR) outlier census per nation — the robust
+    outlier detector (q_anomaly_zscore's mean/stddev version breaks
+    when the outliers themselves inflate sigma; quartiles don't care).
+    The whole test is EXACT integer arithmetic: balances become cents,
+    type-7 quartiles of integers are quarter-cent rationals recovered
+    exactly via floor(x·4+0.5) (the true value IS a quarter-integer,
+    so the nearest-integer snap absorbs any last-bit implementation
+    difference), and the fence comparison is cross-multiplied to
+    eighth-cents — 8·x < 2·q1 − 3·(q3−q1) — so no float fence ever
+    crosses the engine boundary.
+
+    Scale shape: two passes over the fact column (exact quantiles per
+    group, then the fence count) with the quartile table — one row per
+    nation — broadcast back; at 100 TB swap pass 1 to approx_percentile
+    (q_percentiles' sketch path) and keep pass 2 unchanged."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    q = c.groupBy("c_nationkey").agg(
+        F.floor(F.expr("percentile(cents, 0.25)") * 4 + F.lit(0.5))
+        .cast("long")
+        .alias("q1_qc"),
+        F.floor(F.expr("percentile(cents, 0.75)") * 4 + F.lit(0.5))
+        .cast("long")
+        .alias("q3_qc"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    iqr = F.col("q3_qc") - F.col("q1_qc")
+    return (
+        c.join(F.broadcast(q), "c_nationkey")
+        .groupBy("c_nationkey", "n", "q1_qc", "q3_qc")
+        .agg(
+            F.count_if(8 * F.col("cents") < 2 * F.col("q1_qc") - 3 * iqr).alias("n_low"),
+            F.count_if(8 * F.col("cents") > 2 * F.col("q3_qc") + 3 * iqr).alias("n_high"),
+        )
+        .select("c_nationkey", "n", "q1_qc", "q3_qc", "n_low", "n_high")
+    )

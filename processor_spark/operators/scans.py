@@ -238,3 +238,69 @@ def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_orderkey").alias("min_order"),
         F.max("l_orderkey").alias("max_order"),
     )
+
+
+def _json_copy(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize orders as JSONL with a NESTED customer struct (once
+    per sf_dir; _SUCCESS marker makes re-use cheap across sessions) so
+    the semi-structured ingest path — including nested-field
+    projection — is exercised against real data."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/processor_spark_json/{tag}/orders"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            load(spark, sf_dir, "orders")
+            .select(
+                "o_orderkey",
+                F.struct(
+                    F.col("o_custkey").alias("key"),
+                    F.col("o_orderstatus").alias("status"),
+                ).alias("customer"),
+                # integer cents: a double printed to text and re-parsed
+                # is the classic silent-drift channel
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                .cast("long")
+                .alias("price_cents"),
+            )
+            .write.mode("overwrite")
+            .json(path)
+        )
+    return path
+
+
+@register(
+    "q_scan_json",
+    sql="""
+    SELECT o_orderstatus, count(*) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingest path (SURVEY.md §2.1's semi-structured source —
+    event buses and API exports land this shape): orders round-trip
+    through line-delimited JSON with a NESTED struct column and an
+    EXPLICIT schema (inference is dev-only; production declares types,
+    which also lets the reader skip unreferenced keys), then aggregate
+    from the text scan with a nested-field projection
+    (customer.status / customer.key).  Values ride as integer cents;
+    the oracle replays the same aggregate from the original parquet,
+    so the JSON round-trip is value-verified drift-free."""
+    path = _json_copy(spark, sf_dir)
+    df = (
+        spark.read.schema(
+            "o_orderkey BIGINT, customer STRUCT<key: BIGINT, status: STRING>,"
+            " price_cents BIGINT"
+        ).json(path)
+    )
+    return df.groupBy(F.col("customer.status").alias("o_orderstatus")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("price_cents").alias("revenue_cents"),
+        F.countDistinct(F.col("customer.key")).alias("n_custs"),
+    )
