@@ -719,3 +719,73 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM walk WHERE cur div 7 = 0
         """
     )
+
+
+@register(
+    "q_regression_slope",
+    sql="""
+    WITH pts AS (
+      SELECT o_orderpriority,
+             datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS x,
+             CAST(floor(o_totalprice + 0.5) AS BIGINT) AS y
+      FROM orders
+    ), s AS (
+      SELECT o_orderpriority,
+             count(*) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM pts GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+           n * sxy - sx * sy AS num,
+           n * sxx - sx * sx AS den,
+           CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000 + 0.5)
+                AS BIGINT) AS slope_micro
+    FROM s
+    """,
+)
+def q_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped OLS trend: the least-squares slope of order value
+    (dollars) over time (days) per priority class — the feature/drift
+    primitive behind "is spend trending up?".  The closed form
+    n·Σxy − Σx·Σy over n·Σx² − (Σx)² is computed from EXACT integer
+    sums (days and whole dollars), so partition sum-order cannot move
+    a bit; the only float op is ONE division of two identical exact
+    integers — IEEE-identical on both engines — snapped to integer
+    micro-units.  Numerator/denominator are also emitted raw so a
+    consumer can re-derive the slope at any precision.
+
+    Scale shape: one map-side-combinable hash agg over a 3-column
+    projection (x·y products fold into the scan stage); no window, no
+    join.  Integer headroom: n·Σxy stays under 2^63 to ~30k
+    rows/group at these value ranges — at larger scale center x and
+    rescale y (the slope is invariant), or widen to DECIMAL(38)."""
+    o = load(spark, sf_dir, "orders")
+    pts = o.select(
+        "o_orderpriority",
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01")).cast("long").alias("x"),
+        F.floor(F.col("o_totalprice") + F.lit(0.5)).cast("long").alias("y"),
+    )
+    s = pts.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    withnd = s.select(
+        "o_orderpriority",
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den"),
+    )
+    return withnd.withColumn(
+        "slope_micro",
+        F.floor(
+            F.col("num").cast("double") / F.col("den").cast("double") * 1000000
+            + F.lit(0.5)
+        ).cast("long"),
+    )

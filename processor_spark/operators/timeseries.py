@@ -940,3 +940,81 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_days",
         )
     )
+
+
+@register(
+    "q_ab_test",
+    sql="""
+    WITH buckets AS (
+      SELECT user_id % 2 AS bucket,
+             count(*) AS n,
+             CAST(count_if(event_type = 'purchase') AS BIGINT) AS conv
+      FROM events GROUP BY bucket
+    ), wide AS (
+      SELECT
+        max(CASE WHEN bucket = 0 THEN n END) AS n_a,
+        max(CASE WHEN bucket = 1 THEN n END) AS n_b,
+        max(CASE WHEN bucket = 0 THEN conv END) AS conv_a,
+        max(CASE WHEN bucket = 1 THEN conv END) AS conv_b
+      FROM buckets
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           conv_a, conv_b,
+           CAST(floor(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) * 1000000 + 0.5)
+                AS BIGINT) AS p_a_micro,
+           CAST(floor(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) * 1000000 + 0.5)
+                AS BIGINT) AS p_b_micro,
+           CAST(floor(
+             (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+              - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             / sqrt(CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+                    * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                    * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+             * 1000000 + 0.5) AS BIGINT) AS z_micro
+    FROM wide
+    """,
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test — the experiment-analysis primitive: users
+    hash-split into arms A/B (user_id parity stands in for the
+    assignment hash), conversion = purchase events, pooled-variance z
+    statistic.  Every input is an exact integer count, and the float
+    tail (two divisions, one sqrt, one subtraction — all correctly-
+    rounded IEEE ops on identical operands written in the identical
+    tree shape) is snapped to integer micro-units, so the statistic
+    replays bit-for-bit cross-engine with NO rounding hazard.
+
+    Scale shape: one map-side-combinable conditional agg over the
+    event stream (two groups), then a 2-row pivot — the z arithmetic
+    runs on a single row.  At 100 TB nothing changes: the reduction
+    is the whole job."""
+    e = load(spark, sf_dir, "events")
+    buckets = e.groupBy((F.col("user_id") % 2).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("event_type") == "purchase").alias("conv"),
+    )
+    wide = buckets.agg(
+        F.max(F.when(F.col("bucket") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("bucket") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("bucket") == 0, F.col("conv"))).alias("conv_a"),
+        F.max(F.when(F.col("bucket") == 1, F.col("conv"))).alias("conv_b"),
+    )
+    da = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+    db = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    pp = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        pp
+        * (F.lit(1.0) - pp)
+        * (F.lit(1.0) / F.col("n_a").cast("double") + F.lit(1.0) / F.col("n_b").cast("double"))
+    )
+    return wide.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.floor(da * 1000000 + F.lit(0.5)).cast("long").alias("p_a_micro"),
+        F.floor(db * 1000000 + F.lit(0.5)).cast("long").alias("p_b_micro"),
+        F.floor((da - db) / se * 1000000 + F.lit(0.5)).cast("long").alias("z_micro"),
+    )
