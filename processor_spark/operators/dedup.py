@@ -820,25 +820,45 @@ def q_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: distinct (source, gh) → one hash-agg; self-join co-
     partitioned on gh (the distinct already shuffled on it); final
     joins are 5-row broadcasts."""
-    d = load(spark, sf_dir, "documents")
+    # spread: the gram+md5 stage is compute-dense and runs BEFORE the
+    # first exchange — a single-file scan would pin it to one core
+    d = load(spark, sf_dir, "documents", spread=True)
     toks = d.select("source", _tokens(F.col("text")).alias("toks")).where(
         F.size("toks") >= 3
     )
     gh = F.conv(F.substring(F.md5(F.col("gram").cast("binary")), 1, 12), 16, 10).cast(
         "long"
     )
-    g = (
+    # ONE wide shuffle total: the raw gram stream reduces straight to
+    # gh → sorted source-set (collect_set dedups map-side), and both
+    # set sizes and pairwise intersections derive LOCALLY from that
+    # persisted per-gram array (≤ |sources| elements) — no distinct
+    # pre-pass, no gram×gram self-join re-shuffle (the posting-array
+    # trick from q_dedup_ngram; measured 2.5 s → ~1 s at sf0.1)
+    bysrc = (
         toks.select("source", F.explode(F.expr(_GRAM3_EXPR)).alias("gram"))
         .select("source", gh.alias("gh"))
-        .distinct()
+        .groupBy("gh")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .persist()
     )
-    sizes = g.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    a = g.select(F.col("source").alias("source_a"), "gh")
-    b = g.select(F.col("source").alias("source_b"), "gh")
+    sizes = (
+        bysrc.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     inter = (
-        a.join(b, "gh")
-        .where(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
+        bysrc.where(F.size("srcs") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(srcs, (s, i) ->"
+                    " transform(slice(srcs, i + 2, size(srcs)),"
+                    " t -> struct(s AS source_a, t AS source_b))))"
+                )
+            ).alias("pr")
+        )
+        .groupBy("pr.source_a", "pr.source_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
