@@ -632,3 +632,40 @@ def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("c_nationkey", "n", "q1_qc", "q3_qc", "n_low", "n_high")
     )
+
+
+@register(
+    "q_decimal_money",
+    sql="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS total_str,
+           CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS min_str,
+           CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS max_str
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL money arithmetic — the fixed-point type path
+    (SURVEY.md §1.2) that the engine's integer-cents convention
+    otherwise sidesteps: prices become DECIMAL(18,2) and are summed
+    EXACTLY (Spark widens to DECIMAL(28,2) partials, DuckDB to
+    DECIMAL(38,2) — both lossless, any partition order), then
+    stringified so the driver hashes the canonical decimal rendering
+    on both engines.  The double→decimal snap is unambiguous because
+    the stored doubles sit within 1e-10 of 2-dp values, far from any
+    half-cent boundary.
+
+    Scale shape: one map-side-combinable hash agg; decimal partials
+    are 128-bit adds — the exactness costs no extra pass.  This is
+    what a finance-grade pipeline uses where floats are inadmissible
+    evidence."""
+    o = load(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("string").alias("total_str"),
+        F.min(dec).cast("string").alias("min_str"),
+        F.max(dec).cast("string").alias("max_str"),
+    )

@@ -739,11 +739,10 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pts GROUP BY o_orderpriority
     )
     SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
-           n * sxy - sx * sy AS num,
-           n * sxx - sx * sx AS den,
-           CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
-                      / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000 + 0.5)
-                AS BIGINT) AS slope_micro
+           CAST(floor(
+             CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+             * 1000000 + 0.5) AS BIGINT) AS slope_micro
     FROM s
     """,
 )
@@ -755,14 +754,17 @@ def q_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums (days and whole dollars), so partition sum-order cannot move
     a bit; the only float op is ONE division of two identical exact
     integers — IEEE-identical on both engines — snapped to integer
-    micro-units.  Numerator/denominator are also emitted raw so a
-    consumer can re-derive the slope at any precision.
+    micro-units.
 
     Scale shape: one map-side-combinable hash agg over a 3-column
     projection (x·y products fold into the scan stage); no window, no
-    join.  Integer headroom: n·Σxy stays under 2^63 to ~30k
-    rows/group at these value ranges — at larger scale center x and
-    rescale y (the slope is invariant), or widen to DECIMAL(38)."""
+    join.  The per-row sums stay int64 (x·y ≤ ~1.2e9); the FINAL
+    n·Σxy − Σx·Σy combine runs in 128-bit (Spark DECIMAL(20,0)
+    widening, DuckDB HUGEINT) because it overflows int64 past ~30k
+    rows/group — the 8× scale probe caught exactly that, and the
+    128-bit exact value rounds to the identical double on both
+    engines.  Good to ~1e9 rows/group; past that, center x per group
+    first (the slope is shift-invariant)."""
     o = load(spark, sf_dir, "orders")
     pts = o.select(
         "o_orderpriority",
@@ -776,16 +778,16 @@ def q_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
-    withnd = s.select(
+    # 128-bit intermediates (DECIMAL(38,0) ↔ DuckDB HUGEINT): n·Σxy
+    # overflows int64 past ~30k rows/group at these value ranges — the
+    # 8× scale probe caught exactly that — and the exact 128-bit
+    # integer rounds to the IDENTICAL double on both engines before
+    # the one float division
+    big = lambda c: F.col(c).cast("decimal(20,0)")  # noqa: E731
+    num = (big("n") * big("sxy") - big("sx") * big("sy")).cast("double")
+    den = (big("n") * big("sxx") - big("sx") * big("sx")).cast("double")
+    return s.select(
         "o_orderpriority",
         "n",
-        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den"),
-    )
-    return withnd.withColumn(
-        "slope_micro",
-        F.floor(
-            F.col("num").cast("double") / F.col("den").cast("double") * 1000000
-            + F.lit(0.5)
-        ).cast("long"),
+        F.floor(num / den * 1000000 + F.lit(0.5)).cast("long").alias("slope_micro"),
     )

@@ -53,6 +53,16 @@ HEADLINE = [
     "q_ngram_novelty",
     "q_weighted_median",
     "q_skyline",
+    # continued-session additions: local-pair mining, corpus-pair
+    # jaccard, iterative ML step, perceptual image dedup, diff/trend
+    "q_basket_pairs",
+    "q_source_jaccard",
+    "q_kmeans_update",
+    "q_media_phash",
+    "q_snapshot_diff",
+    "q_cusum_changepoint",
+    "q_regression_slope",
+    "q_vocab_coverage",
 ]
 
 # per-table key columns to shift per replica so keys stay unique and
@@ -63,6 +73,10 @@ _SHIFTS = {
     "events": {"event_id": 10_000_000, "user_id": 100_000},
     "documents": {"doc_id": 10_000_000},
     "part": {"p_partkey": 10_000_000},
+    # embeddings replicate too (vec_id shift keeps the 4 seed
+    # centroids vec_id<4 in replica 0 only — assignment work scales,
+    # the codebook stays fixed, as a real corpus grows)
+    "embeddings": {"vec_id": 10_000_000},
 }
 
 
