@@ -791,3 +791,76 @@ def q_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.floor(num / den * 1000000 + F.lit(0.5)).cast("long").alias("slope_micro"),
     )
+
+
+@register(
+    "q_gini",
+    sql="""
+    WITH pts AS (
+      SELECT o_orderpriority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             o_orderkey
+      FROM orders
+    ), ranked AS (
+      SELECT o_orderpriority, cents,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY cents, o_orderkey) AS i
+      FROM pts
+    ), s AS (
+      SELECT o_orderpriority,
+             count(*) AS n,
+             CAST(sum(cents) AS HUGEINT) AS sy,
+             CAST(sum(CAST(i AS HUGEINT) * cents) AS HUGEINT) AS s1
+      FROM ranked GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+           CAST(floor(
+             CAST(2 * s1 - (n + 1) * sy AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * sy AS DOUBLE)
+             * 1000000 + 0.5) AS BIGINT) AS gini_micro
+    FROM s
+    """,
+)
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration coefficient of order value per priority class
+    — the inequality/concentration metric behind "is revenue dominated
+    by a few whales?" (and, in a training-data pipeline, "is the corpus
+    dominated by a few domains?").  The rank form
+    G = (2·Σi·yᵢ − (n+1)·Σy) / (n·Σy) over ascending-sorted values is
+    exact integer arithmetic end-to-end: cents, ranks, and the rank-
+    weighted sum in 128-bit (Σi·y overflows int64 past ~30k
+    rows/group), with ONE final division of identical exact integers.
+    Rank ties on equal cents are broken by order key, which cannot
+    change Σi·y (equal values commute), so the statistic is
+    order-independent.
+
+    Scale shape: one per-group sort window over the fact (the honest
+    cost of an exact rank statistic — same shape as q_window_rank)
+    then a map-side-combinable agg; at 100 TB compute G from a
+    quantile-binned Lorenz curve instead (error ≤ bin width, no
+    row-level sort)."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    pts = o.select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    ranked = pts.withColumn("i", F.row_number().over(w))
+    s = ranked.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("decimal(20,0)").alias("sy"),
+        F.sum(F.col("i").cast("decimal(20,0)") * F.col("cents").cast("decimal(20,0)"))
+        .alias("s1"),
+    )
+    num = (
+        2 * F.col("s1") - (F.col("n") + 1).cast("decimal(20,0)") * F.col("sy")
+    ).cast("double")
+    den = (F.col("n").cast("decimal(20,0)") * F.col("sy")).cast("double")
+    return s.select(
+        "o_orderpriority",
+        "n",
+        F.floor(num / den * 1000000 + F.lit(0.5)).cast("long").alias("gini_micro"),
+    )

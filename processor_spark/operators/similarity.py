@@ -859,3 +859,92 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("adc_micro"), F.asc("vec_id"))
         .limit(PQ_TOP)
     )
+
+
+@register(
+    "q_auc_ranksum",
+    sql="""
+    WITH vecs AS (
+      SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), scored AS (
+      SELECT label,
+             CAST(floor(list_reduce(list_transform(v, x -> x * x),
+                                    (a, b) -> a + b) * 1000000 + 0.5)
+                  AS BIGINT) AS score
+      FROM vecs
+    ), by_score AS (
+      SELECT score, count(*) AS cnt,
+             CAST(count_if(label = 0) AS BIGINT) AS pos_cnt
+      FROM scored GROUP BY score
+    ), ranked AS (
+      SELECT score, cnt, pos_cnt,
+             1 + COALESCE(CAST(sum(cnt) OVER (ORDER BY score
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+               AS min_rank
+      FROM by_score
+    ), agg AS (
+      SELECT CAST(sum(CAST(pos_cnt AS HUGEINT) * (2 * min_rank + cnt - 1))
+                  AS HUGEINT) AS r1_2x,
+             CAST(sum(pos_cnt) AS BIGINT) AS n_pos,
+             CAST(sum(cnt) AS BIGINT) AS n_all
+      FROM ranked
+    )
+    SELECT n_pos, n_all - n_pos AS n_neg,
+           CAST(floor(
+             CAST(r1_2x - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE)
+             / CAST(2 * CAST(n_pos AS HUGEINT) * (n_all - n_pos) AS DOUBLE)
+             * 1000000 + 0.5) AS BIGINT) AS auc_micro
+    FROM agg
+    """,
+)
+def q_auc_ranksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC via the Mann-Whitney rank-sum identity — the
+    threshold-free classifier eval (here: does squared embedding norm
+    separate label 0 from the rest?).  AUC is invariant under monotone
+    score transforms, so the sqrt is designed out (squared norm as the
+    score); scores snap to integer micro-units, tied scores get exact
+    midranks DOUBLED so every rank quantity stays an integer
+    (2·midrank = 2·minrank + cnt − 1), and the single float op is one
+    division of two identical 128-bit-exact integers.
+
+    Scale shape: per-row scoring is a narrow map; ranking happens over
+    the DISTINCT-SCORE table (one hash agg, then a window over that
+    dim-sized agg — never a row-level global sort), and the final
+    reduce is one row.  The rank-sum products run in HUGEINT/DECIMAL
+    because pos_cnt·rank sums overflow int64 past ~1e9 rows."""
+    e = load(spark, sf_dir, "embeddings", spread=True)
+    ss = F.aggregate(
+        _as_double("embedding"), F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    scored = e.select(
+        F.floor(ss * 1000000 + F.lit(0.5)).cast("long").alias("score"),
+        (F.col("label") == 0).alias("pos"),
+    )
+    by_score = scored.groupBy("score").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count_if(F.col("pos")).alias("pos_cnt"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = by_score.withColumn(
+        "min_rank", F.lit(1) + F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    )
+    agg = ranked.agg(
+        F.sum(
+            F.col("pos_cnt").cast("decimal(20,0)")
+            * (2 * F.col("min_rank") + F.col("cnt") - 1).cast("decimal(20,0)")
+        ).alias("r1_2x"),
+        F.sum("pos_cnt").alias("n_pos"),
+        F.sum("cnt").alias("n_all"),
+    )
+    np_ = F.col("n_pos").cast("decimal(20,0)")
+    u_2x = (F.col("r1_2x") - np_ * (F.col("n_pos") + 1).cast("decimal(20,0)")).cast(
+        "double"
+    )
+    den = (2 * np_ * (F.col("n_all") - F.col("n_pos")).cast("decimal(20,0)")).cast(
+        "double"
+    )
+    return agg.select(
+        "n_pos",
+        (F.col("n_all") - F.col("n_pos")).alias("n_neg"),
+        F.floor(u_2x / den * 1000000 + F.lit(0.5)).cast("long").alias("auc_micro"),
+    )

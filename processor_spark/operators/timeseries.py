@@ -1018,3 +1018,77 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(db * 1000000 + F.lit(0.5)).cast("long").alias("p_b_micro"),
         F.floor((da - db) / se * 1000000 + F.lit(0.5)).cast("long").alias("z_micro"),
     )
+
+
+@register(
+    "q_chi2_drift",
+    sql="""
+    WITH split AS (
+      SELECT event_type,
+             CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS in_a
+      FROM events
+    ), per_type AS (
+      SELECT event_type,
+             CAST(sum(in_a) AS BIGINT) AS a_cnt,
+             CAST(sum(1 - in_a) AS BIGINT) AS b_cnt
+      FROM split GROUP BY event_type
+    ), tot AS (
+      SELECT CAST(sum(a_cnt) AS BIGINT) AS n_a, CAST(sum(b_cnt) AS BIGINT) AS n_b
+      FROM per_type
+    )
+    SELECT p.event_type, p.a_cnt, p.b_cnt,
+           p.b_cnt * t.n_a - t.n_b * p.a_cnt AS delta_scaled,
+           CAST(floor(
+             CAST(CAST(p.b_cnt * t.n_a - t.n_b * p.a_cnt AS HUGEINT)
+                  * (p.b_cnt * t.n_a - t.n_b * p.a_cnt) AS DOUBLE)
+             / CAST(CAST(t.n_a AS HUGEINT) * t.n_b * p.a_cnt AS DOUBLE)
+             * 1000000 + 0.5) AS BIGINT) AS contrib_micro
+    FROM per_type p CROSS JOIN tot t
+    """,
+)
+def q_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square distribution-drift test between two time periods —
+    the monitoring primitive behind "did the event mix shift after the
+    deploy?": expected counts for period B come from period A's
+    proportions and each type reports its χ² contribution.  The
+    rational expected value never materializes: (o−e)²/e is
+    cross-multiplied to (o·n_a − n_b·a)² / (n_a·n_b·a) with the
+    numerator squared in 128-bit, and each type's contribution is
+    snapped to integer micro-units in its OWN row — no float ever
+    sums ACROSS rows, so there is no order hazard anywhere (the total
+    χ² is the exact integer sum of the per-type micros).  PSI-style
+    drift scores need log — designed out by using the χ² statistic,
+    which carries the same decision signal.
+
+    Scale shape: one conditional map-side-combinable agg over the
+    event stream, then a 1-row broadcast of the totals; the χ²
+    arithmetic runs over one row per category."""
+    e = load(spark, sf_dir, "events")
+    split = e.select(
+        "event_type",
+        F.when(F.col("ts") < "2024-01-16", F.lit(1)).otherwise(F.lit(0)).alias("in_a"),
+    )
+    per_type = split.groupBy("event_type").agg(
+        F.sum("in_a").cast("long").alias("a_cnt"),
+        F.sum(1 - F.col("in_a")).cast("long").alias("b_cnt"),
+    )
+    tot = per_type.agg(
+        F.sum("a_cnt").cast("long").alias("n_a"),
+        F.sum("b_cnt").cast("long").alias("n_b"),
+    )
+    j = per_type.crossJoin(F.broadcast(tot))
+    delta = F.col("b_cnt") * F.col("n_a") - F.col("n_b") * F.col("a_cnt")
+    dd = delta.cast("decimal(19,0)")
+    num = (dd * dd).cast("double")
+    den = (
+        F.col("n_a").cast("decimal(19,0)")
+        * F.col("n_b").cast("decimal(19,0)")
+        * F.col("a_cnt").cast("decimal(19,0)")
+    ).cast("double")
+    return j.select(
+        "event_type",
+        "a_cnt",
+        "b_cnt",
+        delta.alias("delta_scaled"),
+        F.floor(num / den * 1000000 + F.lit(0.5)).cast("long").alias("contrib_micro"),
+    )
