@@ -864,3 +864,67 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.floor(num / den * 1000000 + F.lit(0.5)).cast("long").alias("gini_micro"),
     )
+
+
+@register(
+    "q_rfm_segmentation",
+    sql="""
+    WITH cust AS (
+      SELECT o_custkey,
+             datediff('day', max(o_orderdate), TIMESTAMP '2001-09-01 00:00:00')
+               AS recency_days,
+             count(*) AS frequency,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT o_custkey, monetary_cents,
+             ntile(5) OVER (ORDER BY recency_days, o_custkey)        AS r_score,
+             ntile(5) OVER (ORDER BY frequency DESC, o_custkey)      AS f_score,
+             ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey) AS m_score
+      FROM cust
+    )
+    SELECT r_score, f_score, m_score,
+           count(*) AS n_customers,
+           CAST(sum(monetary_cents) AS BIGINT) AS segment_cents
+    FROM scored GROUP BY r_score, f_score, m_score
+    """,
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic marketing-analytics
+    cube: per customer, Recency (days since last order at a fixed
+    reference date), Frequency (order count), Monetary (lifetime
+    cents), each quintile-scored 1-5 with a deterministic total order
+    (metric, then customer key — ntile is only reproducible under a
+    total order), then segment-level counts and value.  Best customers
+    score (1,1,1): recent, frequent, high-spend.
+
+    Scale shape: the fact table collapses in ONE map-side-combinable
+    per-customer agg; the three ntile windows run over the CUSTOMER
+    table (dim-sized relative to orders), and the final cube is a
+    ≤125-group agg.  At 100 TB replace ntile with approx_percentile
+    thresholds (q_percentiles' sketch) — same scores, no global
+    sort."""
+    o = load(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.datediff(F.lit("2001-09-01"), F.max("o_orderdate"))
+        .cast("long")
+        .alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias(
+            "monetary_cents"
+        ),
+    )
+    wr = Window.orderBy("recency_days", "o_custkey")
+    wf = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    wm = Window.orderBy(F.desc("monetary_cents"), F.asc("o_custkey"))
+    scored = cust.select(
+        "monetary_cents",
+        F.ntile(5).over(wr).alias("r_score"),
+        F.ntile(5).over(wf).alias("f_score"),
+        F.ntile(5).over(wm).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("monetary_cents").alias("segment_cents"),
+    )

@@ -1092,3 +1092,58 @@ def q_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         delta.alias("delta_scaled"),
         F.floor(num / den * 1000000 + F.lit(0.5)).cast("long").alias("contrib_micro"),
     )
+
+
+@register(
+    "q_gaps_islands",
+    sql="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_num
+      FROM events
+    ), grp AS (
+      SELECT user_id, day_num,
+             day_num - row_number() OVER (PARTITION BY user_id ORDER BY day_num)
+               AS island
+      FROM days
+    ), islands AS (
+      SELECT user_id, island, count(*) AS streak_len
+      FROM grp GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(sum(streak_len) AS BIGINT) AS n_active_days,
+           count(*) AS n_islands,
+           CAST(max(streak_len) AS BIGINT) AS max_streak
+    FROM islands GROUP BY user_id
+    """,
+)
+def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's consecutive-day activity runs —
+    the streak/retention primitive ("longest daily streak", "how many
+    separate activity bursts").  The classic row_number-difference
+    idiom: within a user, day_num − row_number() is CONSTANT exactly
+    across a run of consecutive days, so consecutive runs fall out of
+    one window + one agg with no self-join and no iteration.
+
+    Scale shape: the event stream first collapses to distinct
+    (user, day) — a map-side-combinable dedup agg that shrinks the
+    window's input by the events-per-day factor; the window sorts
+    per-user day lists (bounded by the calendar, not by event volume);
+    the island aggs are tiny.  All integers, no tie hazard (day_num is
+    unique per user after the dedup)."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day_num")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day_num")
+    grp = days.withColumn("island", F.col("day_num") - F.row_number().over(w))
+    islands = grp.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    return islands.groupBy("user_id").agg(
+        F.sum("streak_len").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_islands"),
+        F.max("streak_len").alias("max_streak"),
+    )
