@@ -304,3 +304,66 @@ def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("price_cents").alias("revenue_cents"),
         F.countDistinct(F.col("customer.key")).alias("n_custs"),
     )
+
+
+def _evolved_copy(spark: SparkSession, sf_dir: str) -> str:
+    """Two-generation parquet layout (once per sf_dir): generation 1
+    lacks the o_orderpriority column, generation 2 carries it — the
+    schema-evolution shape every long-lived lake table has."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/processor_spark_evolve/{tag}/orders"
+    if not os.path.exists(os.path.join(path, "gen2", "_SUCCESS")):
+        o = load(spark, sf_dir, "orders")
+        cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        (
+            o.where(F.col("o_orderdate") < "1998-01-01")
+            .select("o_orderkey", cents.alias("price_cents"))
+            .write.mode("overwrite")
+            .parquet(f"{path}/gen1")
+        )
+        (
+            o.where(F.col("o_orderdate") >= "1998-01-01")
+            .select("o_orderkey", cents.alias("price_cents"), "o_orderpriority")
+            .write.mode("overwrite")
+            .parquet(f"{path}/gen2")
+        )
+    return path
+
+
+@register(
+    "q_schema_evolution",
+    sql="""
+    SELECT CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+                THEN o_orderpriority ELSE 'LEGACY' END AS priority,
+           count(*) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders
+    GROUP BY priority
+    """,
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read (SURVEY.md §1.3): the table's first
+    generation predates the o_orderpriority column; mergeSchema unions
+    the two file schemas and back-fills the missing column with NULL,
+    which the query maps to a 'LEGACY' bucket.  This is the append-only
+    lake reality — columns arrive mid-life and historical files are
+    never rewritten — and the oracle replays the null-vs-present split
+    from the original table, so both the merge AND the back-fill
+    semantics are value-verified.
+
+    Scale shape: schema merge is a footer-only planning step (file
+    listing + two footers here; at 100 TB set the merged schema
+    explicitly or via the metastore — mergeSchema footer-samples every
+    file); the query itself is one pruned-scan hash agg."""
+    path = _evolved_copy(spark, sf_dir)
+    df = spark.read.option("mergeSchema", "true").parquet(f"{path}/gen1", f"{path}/gen2")
+    return df.groupBy(
+        F.coalesce(F.col("o_orderpriority"), F.lit("LEGACY")).alias("priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("price_cents").alias("revenue_cents"),
+    )

@@ -1147,3 +1147,68 @@ def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_islands"),
         F.max("streak_len").alias("max_streak"),
     )
+
+
+@register(
+    "q_user_features",
+    sql="""
+    WITH base AS (
+      SELECT user_id,
+             count(*) AS n_events,
+             CAST(count_if(event_type = 'purchase') AS BIGINT) AS n_purchases,
+             CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+             CAST(min(epoch_us(ts)) AS BIGINT) AS first_us,
+             CAST(max(epoch_us(ts)) AS BIGINT) AS last_us,
+             CAST(count(DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT))
+                  AS BIGINT) AS active_days
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events, n_purchases, total_cents, active_days,
+           last_us - first_us AS span_us,
+           CASE WHEN n_events > 1
+                THEN (last_us - first_us) // (n_events - 1) ELSE -1 END
+             AS mean_gap_us
+    FROM base
+    """,
+)
+def q_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user feature engineering — the wide-table build feeding a
+    churn/LTV model: event volume, purchase count, monetary total,
+    active-day count, observation span, and mean inter-event gap.  The
+    gap avoids materializing per-event deltas entirely: the mean of
+    successive differences telescopes to (last − first)/(n−1), so one
+    min/max pair replaces a lag() window over the whole stream —
+    exact integer microseconds with the positive-integer-division
+    bridge (-1 sentinel for single-event users).
+
+    Scale shape: ONE map-side-combinable agg over the event stream
+    (count-distinct of days is the only expansion, bounded by the
+    calendar); no window, no join, no second pass."""
+    e = load(spark, sf_dir, "events")
+    base = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_if(F.col("event_type") == "purchase").alias("n_purchases"),
+        F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")).alias(
+            "total_cents"
+        ),
+        F.min(F.unix_micros("ts")).alias("first_us"),
+        F.max(F.unix_micros("ts")).alias("last_us"),
+        F.countDistinct(
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+        ).alias("active_days"),
+    )
+    return base.select(
+        "user_id",
+        "n_events",
+        "n_purchases",
+        "total_cents",
+        "active_days",
+        (F.col("last_us") - F.col("first_us")).alias("span_us"),
+        F.when(
+            F.col("n_events") > 1,
+            F.expr("(last_us - first_us) div (n_events - 1)"),
+        )
+        .otherwise(F.lit(-1))
+        .alias("mean_gap_us"),
+    )
