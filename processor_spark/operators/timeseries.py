@@ -1212,3 +1212,63 @@ def q_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(-1))
         .alias("mean_gap_us"),
     )
+
+
+@register(
+    "q_max_concurrency",
+    sql="""
+    WITH marks AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t, 1 AS delta FROM events
+      UNION ALL
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) + 300 AS t, -1 AS delta FROM events
+    ), swept AS (
+      SELECT t, delta,
+             CAST(floor(t / 86400) AS BIGINT) AS day_num,
+             CAST(sum(delta) OVER (
+               PARTITION BY CAST(floor(t / 86400) AS BIGINT)
+               ORDER BY t, delta
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS concurrent
+      FROM marks
+    )
+    SELECT day_num,
+           CAST(max(concurrent) AS BIGINT) AS max_concurrent,
+           CAST(count_if(delta = 1) AS BIGINT) AS n_sessions
+    FROM swept GROUP BY day_num
+    """,
+)
+def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency via the sweep line — "how many 5-minute
+    activity sessions were simultaneously live?", the capacity-planning
+    question no groupBy can answer: every session emits +1 at its
+    start and −1 at its end, and the running sum of deltas in time
+    order IS the live count; its max per day is the peak.  Ordering
+    ties as (t, delta) puts the −1 before the +1 at the same second, so
+    back-to-back sessions don't inflate the peak.  Day boundaries reset
+    the sweep (sessions here are ≪ a day; a cross-boundary carry would
+    add one broadcast of per-day closing counts — the same prefix
+    pattern as q_global_shuffle's offsets).
+
+    Scale shape: the mark stream is a 2× projection (no join); the
+    sweep is a window PARTITIONED by day, so each day's sort is local
+    and days parallelize — the global-sort trap this operator usually
+    falls into is designed out.  Exact integers throughout."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    secs = F.floor(F.unix_timestamp("ts")).cast("long")
+    starts = e.select(secs.alias("t"), F.lit(1).alias("delta"))
+    ends = e.select((secs + 300).alias("t"), F.lit(-1).alias("delta"))
+    marks = starts.unionAll(ends).withColumn(
+        "day_num", F.floor(F.col("t") / 86400).cast("long")
+    )
+    w = (
+        Window.partitionBy("day_num")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = marks.withColumn("concurrent", F.sum("delta").over(w))
+    return swept.groupBy("day_num").agg(
+        F.max("concurrent").cast("long").alias("max_concurrent"),
+        F.count_if(F.col("delta") == 1).alias("n_sessions"),
+    )
