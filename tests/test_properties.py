@@ -467,3 +467,75 @@ def test_hll_union_of_partials_equals_direct_sketch(spark):
         .collect()
     }
     assert merged == direct
+
+
+def test_auc_ranksum_equals_pair_counting_definition(spark):
+    """q_auc_ranksum's midrank algebra must equal the probabilistic
+    DEFINITION of AUC — P(score_pos > score_neg) + ½·P(equal) counted
+    over every (pos, neg) pair brute-force — not just DuckDB's replay
+    of the same formula."""
+    from pyspark.sql import functions as F
+
+    from processor_spark import registry
+    from processor_spark.sources import load
+    from tests.conftest import SF_SMALL
+
+    row = registry.get("q_auc_ranksum").fn(spark, SF_SMALL).collect()[0]
+
+    e = load(spark, SF_SMALL, "embeddings")
+    ss = F.aggregate(
+        F.col("embedding").cast("array<double>"), F.lit(0.0), lambda a, x: a + x * x
+    )
+    scored = [
+        (r.score, r.pos)
+        for r in e.select(
+            F.floor(ss * 1000000 + F.lit(0.5)).cast("long").alias("score"),
+            (F.col("label") == 0).alias("pos"),
+        ).collect()
+    ]
+    pos = sorted(s for s, p in scored if p)
+    neg = sorted(s for s, p in scored if not p)
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert row.n_pos == len(pos) and row.n_neg == len(neg)
+    assert row.auc_micro == int(auc * 1_000_000 + 0.5), (row.auc_micro, auc)
+
+
+def test_gaps_islands_matches_bruteforce_streaks(spark):
+    """Every user's island count and longest streak must equal a
+    directly-computed consecutive-run scan over their sorted active
+    days."""
+    from pyspark.sql import functions as F
+
+    from processor_spark import registry
+    from processor_spark.sources import load
+    from tests.conftest import SF_SMALL
+
+    got = {
+        r.user_id: (r.n_active_days, r.n_islands, r.max_streak)
+        for r in registry.get("q_gaps_islands").fn(spark, SF_SMALL).collect()
+    }
+    e = load(spark, SF_SMALL, "events")
+    days = (
+        e.select(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("d"),
+        )
+        .distinct()
+        .collect()
+    )
+    by_user: dict[int, list[int]] = {}
+    for r in days:
+        by_user.setdefault(r.user_id, []).append(r.d)
+    for uid, ds in by_user.items():
+        ds.sort()
+        islands, streak, best = 1, 1, 1
+        for a, b in zip(ds, ds[1:]):
+            if b == a + 1:
+                streak += 1
+            else:
+                islands += 1
+                streak = 1
+            best = max(best, streak)
+        assert got[uid] == (len(ds), islands, best), (uid, got[uid], (len(ds), islands, best))
