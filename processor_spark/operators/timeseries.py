@@ -1272,3 +1272,88 @@ def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("concurrent").cast("long").alias("max_concurrent"),
         F.count_if(F.col("delta") == 1).alias("n_sessions"),
     )
+
+
+@register(
+    "q_null_imputation",
+    sql="""
+    WITH vals AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 11 = 0 THEN NULL
+                  ELSE CAST(floor(value * 100.0 + 0.5) AS BIGINT) END AS cents
+      FROM events
+    ), ranked AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cents, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM vals WHERE cents IS NOT NULL
+    ), med AS (
+      SELECT event_type,
+             min(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN cents END)
+               AS median_cents
+      FROM ranked GROUP BY event_type
+    )
+    SELECT v.event_type,
+           count(*) AS n_rows,
+           CAST(count_if(v.cents IS NULL) AS BIGINT) AS n_filled,
+           m.median_cents,
+           CAST(sum(COALESCE(v.cents, m.median_cents)) AS BIGINT)
+             AS sum_cents_after
+    FROM vals v JOIN med m USING (event_type)
+    GROUP BY v.event_type, m.median_cents
+    """,
+)
+def q_null_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median imputation — the data-cleaning pass before a model sees
+    the table: deterministically-planted missing values (every 11th
+    event, the fixture convention) are filled with their group's
+    DISCRETE median (the value AT position ceil(n/2), spelled out as a
+    rank selection so no engine's percentile convention is involved,
+    and a real data value — the statistically safe fill for skewed
+    distributions where the mean chases outliers).  Exact integer
+    cents end-to-end: the fill value, the fill count, and the post-fill
+    checksum all hash-replay.
+
+    Scale shape: one per-group sort window over the non-null subset
+    for the median (rank-statistic cost, same as q_percentile_disc —
+    sketch-swap at 100 TB), then the medians broadcast back for a
+    map-side fill + one final agg."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    vals = e.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 11 == 0, F.lit(None))
+        .otherwise(F.floor(F.col("value") * 100.0 + 0.5).cast("bigint"))
+        .alias("cents"),
+    )
+    nn = vals.where(F.col("cents").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wall = Window.partitionBy("event_type")
+    ranked = nn.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    med = (
+        ranked.where(F.col("rn") == F.ceil(0.50 * F.col("n")).cast("long"))
+        .groupBy("event_type")
+        .agg(F.min("cents").alias("median_cents"))
+    )
+    return (
+        vals.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "median_cents")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_if(F.col("cents").isNull()).alias("n_filled"),
+            F.sum(F.coalesce(F.col("cents"), F.col("median_cents"))).alias(
+                "sum_cents_after"
+            ),
+        )
+        .select(
+            "event_type", "n_rows", "n_filled", "median_cents", "sum_cents_after"
+        )
+    )
