@@ -22,6 +22,12 @@ HEADLINE = [
     "q_zorder_layout",
     "q_compaction_plan",
     "q_bm25",
+    # continued-session tier: decorrelated lateral (WindowGroupLimit),
+    # local pair mining, distinct-score AUC, sweep-line concurrency
+    "q_join_lateral",
+    "q_basket_pairs",
+    "q_auc_ranksum",
+    "q_max_concurrency",
 ]
 
 INTRO = """Post-execution (AQE-final) plans captured from `.explain("formatted")`
