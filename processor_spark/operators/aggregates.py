@@ -669,3 +669,91 @@ def q_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(dec).cast("string").alias("min_str"),
         F.max(dec).cast("string").alias("max_str"),
     )
+
+
+@register(
+    "q_winsorize",
+    sql="""
+    WITH c AS (
+      SELECT c_nationkey,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      FROM customer
+    ), q AS (
+      SELECT c_nationkey,
+             CAST(floor(quantile_cont(cents, 0.05) * 4 + 0.5) AS BIGINT) AS p05_qc,
+             CAST(floor(quantile_cont(cents, 0.95) * 4 + 0.5) AS BIGINT) AS p95_qc
+      FROM c GROUP BY c_nationkey
+    ), clamped AS (
+      SELECT c.c_nationkey, q.p05_qc, q.p95_qc,
+             CASE WHEN 4 * c.cents < q.p05_qc THEN q.p05_qc
+                  WHEN 4 * c.cents > q.p95_qc THEN q.p95_qc
+                  ELSE 4 * c.cents END AS w_qc,
+             CASE WHEN 4 * c.cents < q.p05_qc OR 4 * c.cents > q.p95_qc
+                  THEN 1 ELSE 0 END AS clipped
+      FROM c JOIN q USING (c_nationkey)
+    )
+    SELECT c_nationkey,
+           count(*) AS n,
+           CAST(sum(clipped) AS BIGINT) AS n_clipped,
+           CAST(sum(w_qc) AS BIGINT) AS wsum_qc,
+           CAST(floor(CAST(sum(w_qc) AS DOUBLE) / count(*) * 250.0 + 0.5) AS BIGINT)
+             AS winsor_mean_milli
+    FROM clamped
+    GROUP BY c_nationkey
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (5%/95%-clamped) mean per nation — the robust
+    location estimate that keeps every row but caps outlier LEVERAGE,
+    the standard treatment before averaging heavy-tailed metrics.
+    Same exact-integer machinery as q_iqr_outliers: type-7 quantiles
+    of integer cents recovered exactly as quarter-cent integers, the
+    clamp comparison cross-multiplied (4·cents vs p_qc) so no float
+    boundary exists, the clamped sum exact, and the mean emitted in
+    milli-cents via one division (×250 = ×1000/4 undoes the
+    quarter-cent scale).
+
+    Scale shape: quantile pass + broadcast-back clamp pass — two scans,
+    both map-side-combinable; sketch-swap the quantiles at 100 TB."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    q = c.groupBy("c_nationkey").agg(
+        F.floor(F.expr("percentile(cents, 0.05)") * 4 + F.lit(0.5))
+        .cast("long")
+        .alias("p05_qc"),
+        F.floor(F.expr("percentile(cents, 0.95)") * 4 + F.lit(0.5))
+        .cast("long")
+        .alias("p95_qc"),
+    )
+    qc = 4 * F.col("cents")
+    clamped = c.join(F.broadcast(q), "c_nationkey").select(
+        "c_nationkey",
+        F.when(qc < F.col("p05_qc"), F.col("p05_qc"))
+        .when(qc > F.col("p95_qc"), F.col("p95_qc"))
+        .otherwise(qc)
+        .alias("w_qc"),
+        F.when((qc < F.col("p05_qc")) | (qc > F.col("p95_qc")), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("clipped"),
+    )
+    return (
+        clamped.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("clipped").alias("n_clipped"),
+            F.sum("w_qc").alias("wsum_qc"),
+        )
+        .select(
+            "c_nationkey",
+            "n",
+            "n_clipped",
+            "wsum_qc",
+            F.floor(
+                F.col("wsum_qc").cast("double") / F.col("n") * 250.0 + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("winsor_mean_milli"),
+        )
+    )

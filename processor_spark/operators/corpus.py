@@ -662,3 +662,46 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+N_SHARDS = 64
+
+
+@register(
+    "q_shard_balance",
+    sql=f"""
+    SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+             % {N_SHARDS} AS shard,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars_sum,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id
+    FROM documents
+    GROUP BY shard
+    """,
+)
+def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-assignment balance audit — before a 100 TB corpus is
+    hash-partitioned into {N_SHARDS} output shards (for tokenizer
+    workers, distributed training readers, or bucketed storage), this
+    verifies the partitioner spreads BOTH document count and byte
+    volume evenly: each doc routes by its portable 48-bit md5 (the
+    engine-stable hash family — xxhash64 differs between engines, md5
+    does not), and the per-shard row/char totals expose hot shards
+    before they become stragglers.  An uneven n_chars_sum with even
+    n_docs is the classic long-document skew a row-count-only check
+    misses.
+
+    Scale shape: one map-side-combinable hash agg keyed on the shard
+    id ({N_SHARDS} groups); the audit costs one scan regardless of
+    corpus size."""
+    d = load(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 12), 16, 10)
+        .cast("long")
+        % N_SHARDS
+    )
+    return d.groupBy(shard.alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars_sum"),
+        F.min("doc_id").alias("min_doc_id"),
+    )

@@ -1357,3 +1357,82 @@ def q_null_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "n_rows", "n_filled", "median_cents", "sum_cents_after"
         )
     )
+
+
+@register(
+    "q_twap",
+    sql="""
+    WITH pts AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) AS BIGINT) AS t_us,
+             event_id,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ), seg AS (
+      SELECT event_type, cents,
+             lead(t_us, 1) OVER (PARTITION BY event_type
+                                 ORDER BY t_us, event_id) - t_us AS dur_us
+      FROM pts
+    ), s AS (
+      SELECT event_type,
+             CAST(sum(CAST(cents AS HUGEINT) * dur_us) AS HUGEINT) AS wsum,
+             CAST(sum(dur_us) AS BIGINT) AS total_us,
+             count(*) AS n_segments
+      FROM seg WHERE dur_us IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT event_type, CAST(n_segments AS BIGINT) AS n_segments, total_us,
+           CAST(floor(CAST(wsum AS DOUBLE) / CAST(total_us AS DOUBLE) * 100.0 + 0.5)
+                AS BIGINT) AS twap_tenthmilli
+    FROM s
+    """,
+)
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price — the financial/telemetry mean that
+    q_ewma and plain averages both get wrong when readings are
+    irregular: each reading is weighted by how long it REMAINED the
+    current value (until the next reading), so a price that held for
+    an hour counts 3600× one that held a second.  Durations are exact
+    integer microseconds from a lead() window; the value·duration
+    products sum in 128-bit (cents·µs overflows int64 within ~a day of
+    data); one final division of identical exact integers yields
+    tenth-milli-cent units.
+
+    Scale shape: one shuffle on the series key, per-series local sort
+    for lead(), then a map-side-combinable agg — identical cost
+    envelope to q_window_lag.  The open last segment is excluded
+    (no successor), matching the standard TWAP-to-now convention of
+    pricing only closed intervals."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    pts = e.select(
+        "event_type",
+        F.unix_micros("ts").alias("t_us"),
+        "event_id",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("t_us", "event_id")
+    seg = pts.select(
+        "event_type",
+        "cents",
+        (F.lead("t_us", 1).over(w) - F.col("t_us")).alias("dur_us"),
+    ).where(F.col("dur_us").isNotNull())
+    s = seg.groupBy("event_type").agg(
+        F.sum(
+            F.col("cents").cast("decimal(20,0)") * F.col("dur_us").cast("decimal(20,0)")
+        ).alias("wsum"),
+        F.sum("dur_us").alias("total_us"),
+        F.count(F.lit(1)).alias("n_segments"),
+    )
+    return s.select(
+        "event_type",
+        "n_segments",
+        "total_us",
+        F.floor(
+            F.col("wsum").cast("double") / F.col("total_us").cast("double") * 100.0
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("twap_tenthmilli"),
+    )
