@@ -928,3 +928,154 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("monetary_cents").alias("segment_cents"),
     )
+
+
+@register(
+    "q_fk_integrity",
+    sql="""
+    SELECT 'orders->customer' AS relationship,
+           (SELECT count(*) FROM orders) AS n_child_rows,
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem->orders',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'lineitem->part',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'customer->nation',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey))
+    """,
+)
+def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — the conformance check a lake runs
+    before trusting joins: orphan counts for every declared
+    foreign-key edge (child rows whose parent key does not exist).
+    Complements q_data_quality (value-level) and q_table_checksum
+    (content-level) with RELATIONSHIP-level quality; a non-zero orphan
+    count is exactly the row set an inner join silently drops.
+
+    Scale shape: each edge is one LEFT ANTI join counted — Spark plans
+    the dim-parent edges as broadcast anti joins and the
+    lineitem→orders edge as a co-partitioned shuffle anti join; counts
+    are 1-row aggs unioned.  No row data moves to the driver."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    p = load(spark, sf_dir, "part")
+    n = load(spark, sf_dir, "nation")
+
+    def edge(name, child, child_key, parent, parent_key):
+        orphans = child.join(
+            parent, child[child_key] == parent[parent_key], "left_anti"
+        )
+        return (
+            child.agg(F.count(F.lit(1)).alias("n_child_rows"))
+            .crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+            .select(
+                F.lit(name).alias("relationship"), "n_child_rows", "n_orphans"
+            )
+        )
+
+    return (
+        edge("orders->customer", o, "o_custkey", c, "c_custkey")
+        .unionAll(edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey"))
+        .unionAll(edge("lineitem->part", li, "l_partkey", p, "p_partkey"))
+        .unionAll(edge("customer->nation", c, "c_nationkey", n, "n_nationkey"))
+    )
+
+
+# Benford first-digit probabilities log10(1+1/d), computed ONCE in
+# Python and embedded as identical double literals in BOTH engines'
+# expression text — the log never runs inside either engine, so the
+# no-libm-divergence rule holds.
+import math as _math
+
+_BENFORD_P = {d: _math.log10(1 + 1 / d) for d in range(1, 10)}
+_BENFORD_SQL_P = " ".join(
+    # CAST: DuckDB otherwise parses the literal as DECIMAL and keeps
+    # the whole chi-square tree in decimal arithmetic (overflows and
+    # diverges from Spark's double tree)
+    f"WHEN {d} THEN CAST({p!r} AS DOUBLE)" for d, p in _BENFORD_P.items()
+)
+
+
+@register(
+    "q_benford",
+    sql=f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS d
+      FROM orders WHERE o_totalprice >= 1
+    ), counts AS (
+      SELECT d, count(*) AS observed FROM digits GROUP BY d
+    ), tot AS (
+      SELECT CAST(sum(observed) AS BIGINT) AS n FROM counts
+    )
+    SELECT c.d, c.observed,
+           CAST(floor((CASE c.d {_BENFORD_SQL_P} END) * t.n + 0.5) AS BIGINT)
+             AS expected,
+           CAST(floor(
+             (c.observed - (CASE c.d {_BENFORD_SQL_P} END) * t.n)
+             * (c.observed - (CASE c.d {_BENFORD_SQL_P} END) * t.n)
+             / ((CASE c.d {_BENFORD_SQL_P} END) * t.n)
+             * 1000000 + 0.5) AS BIGINT) AS chi2_contrib_micro
+    FROM counts c CROSS JOIN tot t
+    """,
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen — the forensic-accounting audit
+    for fabricated numbers: the leading digit of each order total is
+    compared against the log-distribution P(d)=log10(1+1/d).  The nine
+    probabilities are computed ONCE in Python and embedded as the SAME
+    double literals in both engines' expression text, so no log
+    evaluates inside either engine (the libm-divergence rule); each
+    digit's χ² contribution is then a fixed tree of IEEE ops on an
+    exact count and an identical literal — bit-stable, snapped to
+    micro-units per row with no cross-row float sum.
+
+    Scale shape: leading-digit extraction is a narrow projection (no
+    regex), counts are one 9-group map-side-combinable agg, and the
+    comparison runs over nine rows."""
+    o = load(spark, sf_dir, "orders")
+    digits = o.where(F.col("o_totalprice") >= 1).select(
+        F.substring(F.floor("o_totalprice").cast("long").cast("string"), 1, 1)
+        .cast("long")
+        .alias("d")
+    )
+    counts = digits.groupBy("d").agg(F.count(F.lit(1)).alias("observed"))
+    tot = counts.agg(F.sum("observed").cast("long").alias("n"))
+    p = None
+    for d, prob in _BENFORD_P.items():
+        p = F.when(F.col("d") == d, F.lit(prob)) if p is None else p.when(
+            F.col("d") == d, F.lit(prob)
+        )
+    exp_d = p * F.col("n")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            "observed",
+            F.floor(exp_d + F.lit(0.5)).cast("long").alias("expected"),
+            F.floor(
+                (F.col("observed") - exp_d)
+                * (F.col("observed") - exp_d)
+                / exp_d
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("chi2_contrib_micro"),
+        )
+    )
