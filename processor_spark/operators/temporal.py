@@ -576,3 +576,76 @@ def q_pattern_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("purchase_id", "user_id", F.col("ts").alias("purchase_ts"), "last_click_ts")
     )
+
+
+@register(
+    "q_join_asof_forward",
+    sql="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, 0 AS kind, event_id AS purchase_id,
+             NULL::TIMESTAMP AS click_ts
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, ts, event_id, 1 AS kind, NULL AS purchase_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ), carried AS (
+      SELECT user_id, ts, purchase_id,
+             min(click_ts) OVER (
+               PARTITION BY user_id ORDER BY ts, kind, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_click_ts
+      FROM tagged
+    )
+    SELECT purchase_id, user_id, ts AS purchase_ts, next_click_ts,
+           COALESCE(CAST(epoch_us(next_click_ts) - epoch_us(ts) AS BIGINT), -1)
+             AS time_to_next_us
+    FROM carried
+    WHERE purchase_id IS NOT NULL
+    """,
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join — q_join_asof's mirror direction: for each
+    purchase, the EARLIEST click at-or-after it, plus the time-to-next
+    latency in exact microseconds (-1 when no later click exists).
+    "What did the user do next?" is the other half of the as-of API
+    (pandas merge_asof direction='forward'); same union-and-carry
+    shape with the running max swapped for a running min over a
+    FOLLOWING frame.  At equal timestamps the purchase (kind 0) sorts
+    before the click (kind 1), so same-instant clicks count as
+    "after" — symmetric with the backward key's inclusive tie rule.
+
+    Scale shape: identical to q_join_asof — ONE shuffle on user_id,
+    no inequality-join pair explosion."""
+    e = load(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(0).alias("kind"),
+        F.col("event_id").alias("purchase_id"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("bigint").alias("purchase_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = purchases.unionByName(clicks).withColumn(
+        "next_click_ts", F.min("click_ts").over(w)
+    )
+    return carried.where(F.col("purchase_id").isNotNull()).select(
+        "purchase_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "next_click_ts",
+        F.coalesce(
+            F.unix_micros("next_click_ts") - F.unix_micros("ts"), F.lit(-1)
+        ).alias("time_to_next_us"),
+    )
