@@ -649,3 +649,78 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("next_click_ts") - F.unix_micros("ts"), F.lit(-1)
         ).alias("time_to_next_us"),
     )
+
+
+@register(
+    "q_session_dynamic_gap",
+    sql="""
+    WITH pts AS (
+      SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t, event_id,
+             CASE event_type WHEN 'click' THEN 300000000
+                             WHEN 'view' THEN 600000000
+                             WHEN 'purchase' THEN 1800000000
+                             ELSE 900000000 END AS gap_us,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ), flagged AS (
+      SELECT user_id, t, gap_us, cents, event_id,
+             CASE WHEN t >= COALESCE(max(t + gap_us) OVER (
+                    PARTITION BY user_id ORDER BY t, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -9223372036854775807)
+                  THEN 1 ELSE 0 END AS is_new
+      FROM pts
+    ), numbered AS (
+      SELECT user_id, t, gap_us, cents,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(min(t) AS BIGINT) AS start_us,
+           CAST(max(t + gap_us) AS BIGINT) AS end_us,
+           count(*) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS session_cents
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
+def q_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-gap sessionization — the native F.session_window with a
+    PER-EVENT timeout (a purchase holds a session open 30 min, a click
+    only 5): the behavioral reality fixed-gap sessions flatten.  The
+    oracle replays Spark's interval-merge semantics from first
+    principles — an event starts a new session iff its time is at or
+    past the running max of every earlier event's (time + its own
+    gap), i.e. windows merge while they overlap and the merged end is
+    the max end — so this key VALIDATES the native operator's merge
+    rule against an independent formulation, exactly like
+    q_session_window does for the fixed-gap case.  Exact microsecond
+    integers and integer cents end-to-end.
+
+    Scale shape: one shuffle on user_id (native operator and oracle
+    alike); the same code streams with a watermark (pipelines.py's
+    session twin), which is the point of using session_window rather
+    than the islands idiom when the pipeline must run both modes."""
+    e = load(spark, sf_dir, "events")
+    gap_col = (
+        F.when(F.col("event_type") == "click", F.lit("5 minutes"))
+        .when(F.col("event_type") == "view", F.lit("10 minutes"))
+        .when(F.col("event_type") == "purchase", F.lit("30 minutes"))
+        .otherwise(F.lit("15 minutes"))
+    )
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")
+    return (
+        e.groupBy(F.session_window("ts", gap_col).alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents).alias("session_cents"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("sw.start").alias("start_us"),
+            F.unix_micros("sw.end").alias("end_us"),
+            "n_events",
+            "session_cents",
+        )
+    )
