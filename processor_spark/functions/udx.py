@@ -307,3 +307,70 @@ def q_udaf_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
             count_rows("o_totalprice").alias("n_orders"),
         )
     )
+
+
+N_SPLIT_COLS = 4
+
+
+def split_fixed_udtf():
+    """Polymorphic UDTF (Spark 4 `analyze()` static method): the output
+    schema is COMPUTED AT PLAN TIME from the constant column-count
+    argument — the API surface behind pivot-like / parser UDTFs whose
+    shape depends on configuration, not a hard-coded returnType."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    class SplitFixed:
+        @staticmethod
+        def analyze(doc_id, text, n):
+            from pyspark.sql.udtf import AnalyzeResult
+
+            width = int(n.value)
+            return AnalyzeResult(
+                schema=StructType(
+                    [StructField("doc_id", LongType())]
+                    + [StructField(f"tok{i}", StringType()) for i in range(width)]
+                )
+            )
+
+        def eval(self, doc_id, text, n):
+            toks = (text or "").split()
+            if len(toks) >= n:
+                yield tuple([doc_id] + toks[:n])
+
+    return udtf(SplitFixed)
+
+
+@register(
+    "q_udtf_analyze",
+    sql=rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           {", ".join(f"t[{i + 1}] AS tok{i}" for i in range(N_SPLIT_COLS))}
+    FROM toks WHERE len(t) >= {N_SPLIT_COLS}
+    """,
+)
+def q_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-polymorphic UDTF — `analyze()` derives the output columns
+    (tok0..tok{N_SPLIT_COLS - 1}) from the constant width argument at
+    PLAN time, so one UDTF class serves any configuration without
+    string-typed escape hatches; rows with fewer tokens are filtered
+    inside eval, matching the oracle's length predicate.  The oracle
+    byte-matches the Python tokenizer against DuckDB's relational
+    split, proving the Arrow boundary AND the dynamic schema.
+
+    Scale shape: lateral UDTF over a pruned 2-column scan; Python-side
+    work is a whitespace split per row (the sanctioned escape-hatch
+    tier — a built-in split does this job at scale, as with
+    q_udtf_chunks)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    fn = split_fixed_udtf()
+    out = d.lateralJoin(
+        fn(F.col("doc_id").outer(), F.col("text").outer(), F.lit(N_SPLIT_COLS))
+    )
+    return out.select(
+        d.doc_id, *[F.col(f"tok{i}") for i in range(N_SPLIT_COLS)]
+    )
