@@ -28,8 +28,15 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 _SCHEMA = "event_id bigint, user_id bigint, event_type string, value double"
@@ -59,19 +66,53 @@ class SynthEventsSource(DataSource):
 
 
 class SynthEventsReader(DataSourceReader):
+    """Batch reader WITH filter pushdown: range predicates on event_id
+    shrink the generated row range itself (the custom-source analogue
+    of parquet row-group skipping), and partitions covering an empty
+    slice are never even created — pushdown reaches ALL the way into
+    partition planning, which is the 100 TB point of the API."""
+
     def __init__(self, options) -> None:
         self.n = int(options.get("rows", 1000))
         self.parts = int(options.get("partitions", 4))
+        self.lo = 0            # inclusive event_id bound after pushdown
+        self.hi = self.n       # exclusive
+
+    def pushFilters(self, filters):
+        for f in filters:
+            if getattr(f, "attribute", None) == ("event_id",):
+                if isinstance(f, EqualTo):
+                    self.lo = max(self.lo, int(f.value))
+                    self.hi = min(self.hi, int(f.value) + 1)
+                    continue
+                if isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, int(f.value) + 1)
+                    continue
+                if isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, int(f.value))
+                    continue
+                if isinstance(f, LessThan):
+                    self.hi = min(self.hi, int(f.value))
+                    continue
+                if isinstance(f, LessThanOrEqual):
+                    self.hi = min(self.hi, int(f.value) + 1)
+                    continue
+            yield f  # unsupported → Spark re-applies it above the scan
 
     def partitions(self):
-        return [InputPartition(i) for i in range(self.parts)]
+        span = max(0, self.hi - self.lo)
+        base = span // self.parts
+        extra = span % self.parts
+        out = []
+        for i in range(self.parts):
+            start = self.lo + i * base + min(i, extra)
+            end = start + base + (1 if i < extra else 0)
+            if end > start:  # empty slices never become tasks
+                out.append(InputPartition((start, end)))
+        return out
 
     def read(self, partition):
-        base = self.n // self.parts
-        extra = self.n % self.parts
-        i = partition.value
-        start = i * base + min(i, extra)
-        end = start + base + (1 if i < extra else 0)
+        start, end = partition.value
         for j in range(start, end):
             yield _row(j)
 
@@ -101,6 +142,78 @@ class SynthEventsStreamReader(SimpleDataSourceStreamReader):
         return
 
 
+class JsonlCommit(WriterCommitMessage):
+    def __init__(self, file: str, count: int) -> None:
+        self.file = file
+        self.count = count
+
+
+class JsonlSinkWriter(DataSourceWriter):
+    """Executor-side write + driver-side commit: each task writes one
+    JSONL file and reports (file, count); commit() publishes the
+    _MANIFEST only after EVERY task succeeded — the two-phase protocol
+    that makes a custom sink exactly-once at the job level (readers
+    trust only manifested files; an aborted job leaves no manifest)."""
+
+    def __init__(self, options, overwrite: bool) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_sink requires option 'path'")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import json
+        import os
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        file = os.path.join(self.path, f"part-{pid:05d}.jsonl")
+        n = 0
+        with open(file, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return JsonlCommit(file, n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        manifest = {
+            "files": sorted(m.file for m in messages),
+            "total_rows": sum(m.count for m in messages),
+        }
+        with open(os.path.join(self.path, "_MANIFEST"), "w") as fh:
+            json.dump(manifest, fh)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.file):
+                os.remove(m.file)
+
+
+class JsonlSinkSource(DataSource):
+    """``jsonl_sink``: a custom batch WRITER (option path) with a
+    manifest-based commit protocol."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite: bool) -> JsonlSinkWriter:
+        return JsonlSinkWriter(self.options, overwrite)
+
+
 def register_custom_sources(spark) -> None:
-    """Register the Python data sources on a session (idempotent)."""
+    """Register the Python data sources on a session (idempotent).
+
+    Runtime conf, not build_session: the driver runs queries under its
+    OWN SparkSession (CLAUDE.md hostile-session rule), so the pushdown
+    enable must ride with the registration call."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SynthEventsSource)
+    spark.dataSource.register(JsonlSinkSource)

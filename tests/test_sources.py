@@ -368,3 +368,72 @@ def test_python_datasource_stream_resumes_from_checkpoint(spark, tmp_path):
             break
     got = sorted(ids)
     assert got == list(range(250)), (len(got), got[:5], got[-5:])
+
+
+def test_custom_source_filter_pushdown_prunes_partitions(spark, tmp_path):
+    """Range predicates on event_id must reach the custom reader's
+    PARTITION PLANNING: a pushed range generates only covering slices
+    (empty ones never become tasks), and the query result is identical
+    to the unfiltered read filtered above the scan."""
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    from processor_spark.sources.custom import SynthEventsReader, register_custom_sources
+
+    # unit level: the pushed range shrinks partitions
+    r = SynthEventsReader({"rows": "1000", "partitions": "4"})
+    leftover = list(
+        r.pushFilters(
+            [GreaterThanOrEqual(("event_id",), 990), LessThan(("event_id",), 995)]
+        )
+    )
+    assert leftover == [], "range filters on event_id must be fully absorbed"
+    parts = r.partitions()
+    total = sum(e - s for (s, e) in (p.value for p in parts))
+    assert total == 5, parts
+    # unsupported filters are handed back for Spark to re-apply
+    r2 = SynthEventsReader({"rows": "100"})
+    from pyspark.sql.datasource import EqualTo
+
+    back = list(r2.pushFilters([EqualTo(("user_id",), 3)]))
+    assert len(back) == 1
+
+    # end to end: pushed read == unpushed read + filter
+    register_custom_sources(spark)
+    base = spark.read.format("synth_events").option("rows", 1000)
+    got = sorted(
+        r.event_id
+        for r in base.load().where("event_id >= 990 AND event_id < 995").collect()
+    )
+    assert got == [990, 991, 992, 993, 994]
+
+
+def test_custom_sink_writer_manifest_commit(spark, tmp_path):
+    """The custom JSONL sink must write one file per task, publish a
+    _MANIFEST only on commit, and round-trip every row."""
+    import json
+    import os
+
+    from processor_spark.sources.custom import register_custom_sources
+    from processor_spark.sources import load
+    from tests.conftest import SF_SMALL
+
+    register_custom_sources(spark)
+    out = str(tmp_path / "jsonl_out")
+    df = (
+        load(spark, SF_SMALL, "orders")
+        .select("o_orderkey", "o_orderstatus")
+        .where("o_orderkey <= 200")
+        .repartition(3)
+    )
+    expected = {(r.o_orderkey, r.o_orderstatus) for r in df.collect()}
+    df.write.format("jsonl_sink").option("path", out).mode("append").save()
+
+    manifest = json.load(open(os.path.join(out, "_MANIFEST")))
+    assert manifest["total_rows"] == len(expected)
+    got = set()
+    for f in manifest["files"]:
+        with open(f) as fh:
+            for line in fh:
+                d = json.loads(line)
+                got.add((d["o_orderkey"], d["o_orderstatus"]))
+    assert got == expected
