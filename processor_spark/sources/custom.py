@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     GreaterThan,
@@ -196,6 +197,66 @@ class JsonlSinkWriter(DataSourceWriter):
                 os.remove(m.file)
 
 
+class JsonlStreamSinkWriter(DataSourceStreamWriter):
+    """Streaming flavor: one JSONL file per (batch, task); commit()
+    receives (messages, batchId) and appends one line to a manifest
+    LOG — idempotently, so a replayed micro-batch (failure between
+    sink commit and checkpoint write) overwrites its own entry instead
+    of double-counting.  Readers sum the log for the exactly-once
+    row count."""
+
+    def __init__(self, options) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_sink requires option 'path'")
+
+    def write(self, iterator):
+        import json
+        import os
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        os.makedirs(self.path, exist_ok=True)
+        # stage under a task-unique name; commit publishes via manifest
+        file = os.path.join(
+            self.path, f"stream-{ctx.stageId()}-{ctx.partitionId():05d}.jsonl"
+        )
+        n = 0
+        with open(file, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return JsonlCommit(file, n)
+
+    def commit(self, messages, batchId) -> None:
+        import json
+        import os
+
+        log = os.path.join(self.path, "_MANIFEST_LOG")
+        entries = {}
+        if os.path.exists(log):
+            with open(log) as fh:
+                for line in fh:
+                    e = json.loads(line)
+                    entries[e["batch"]] = e
+        entries[batchId] = {
+            "batch": batchId,
+            "files": sorted(m.file for m in messages),
+            "rows": sum(m.count for m in messages),
+        }
+        with open(log, "w") as fh:
+            for b in sorted(entries):
+                fh.write(json.dumps(entries[b]) + "\n")
+
+    def abort(self, messages, batchId) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.file):
+                os.remove(m.file)
+
+
 class JsonlSinkSource(DataSource):
     """``jsonl_sink``: a custom batch WRITER (option path) with a
     manifest-based commit protocol."""
@@ -206,6 +267,9 @@ class JsonlSinkSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> JsonlSinkWriter:
         return JsonlSinkWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> JsonlStreamSinkWriter:
+        return JsonlStreamSinkWriter(self.options)
 
 
 def register_custom_sources(spark) -> None:

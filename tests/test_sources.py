@@ -437,3 +437,49 @@ def test_custom_sink_writer_manifest_commit(spark, tmp_path):
                 d = json.loads(line)
                 got.add((d["o_orderkey"], d["o_orderstatus"]))
     assert got == expected
+
+
+def test_custom_stream_sink_manifest_log_exactly_once(spark, tmp_path):
+    """End-to-end custom stream: the Python stream READER feeds the
+    Python stream WRITER; every emitted row lands in exactly one
+    manifested file, and the per-batch manifest log sums to the total
+    row count (replayed batches would overwrite, not double-count)."""
+    import json
+    import os
+
+    from processor_spark.sources.custom import register_custom_sources
+
+    register_custom_sources(spark)
+    out = str(tmp_path / "stream_jsonl")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.format("synth_events")
+            .option("rows", 120)
+            .option("batch_rows", 50)
+            .load()
+            .writeStream.format("jsonl_sink")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    ids: list[int] = []
+    for _ in range(5):
+        run_once()
+        ids = []
+        log = os.path.join(out, "_MANIFEST_LOG")
+        with open(log) as fh:
+            entries = [json.loads(line) for line in fh]
+        for e in entries:
+            for f in e["files"]:
+                with open(f) as fh2:
+                    ids += [json.loads(line)["event_id"] for line in fh2]
+        assert sum(e["rows"] for e in entries) == len(ids)
+        assert len(ids) == len(set(ids)), "a replayed batch double-counted"
+        if len(ids) == 120:
+            break
+    assert sorted(ids) == list(range(120))
