@@ -72,6 +72,30 @@ def session_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def dynamic_session_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of q_session_dynamic_gap (native session_window
+    with a PER-EVENT gap + watermark) — same gap map as the batch key,
+    so the batch-equivalence test proves the dynamic-gap merge rule
+    survives incremental execution."""
+    gap_col = (
+        F.when(F.col("event_type") == "click", F.lit("5 minutes"))
+        .when(F.col("event_type") == "view", F.lit("10 minutes"))
+        .when(F.col("event_type") == "purchase", F.lit("30 minutes"))
+        .otherwise(F.lit("15 minutes"))
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap_col).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming dedup on event_id; watermark bounds the dedup state."""
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])

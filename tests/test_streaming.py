@@ -481,3 +481,16 @@ def test_dedup_within_watermark_bounds_state(spark, events_chunks_dir):
     got = _drain(spark, P.dedup_events_within_watermark(stream), "t_dedup_wm")
     batch = load(spark, SF_SMALL, "events")
     assert got.count() == batch.select("event_id").distinct().count()
+
+
+def test_stream_dynamic_gap_sessions_equal_batch_prefix(spark, events_chunks_dir):
+    """The PER-EVENT-gap session operator must produce, incrementally,
+    a subset of the batch answer over the same data — proving the
+    dynamic interval-merge rule survives micro-batched execution and
+    watermark-driven state eviction."""
+    stream = P.read_events_stream(spark, events_chunks_dir)
+    got = _drain(spark, P.dynamic_session_counts(stream), "t_dyn_sessions")
+    want = P.dynamic_session_counts(load(spark, SF_SMALL, "events"))
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    assert set(_sorted_rows(got, cols)) <= set(_sorted_rows(want, cols))
+    assert got.count() > 0
