@@ -948,3 +948,70 @@ def q_auc_ranksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_all") - F.col("n_pos")).alias("n_neg"),
         F.floor(u_2x / den * 1000000 + F.lit(0.5)).cast("long").alias("auc_micro"),
     )
+
+
+HARDNEG_K = 3
+
+
+@register(
+    "q_hard_negatives",
+    sql=f"""
+    SELECT q_id, vec_id AS negative_id, cos_sim, rn AS rank
+    FROM (
+      SELECT q.vec_id AS q_id, e.vec_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(q.embedding AS DOUBLE[])), 6) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                               CAST(q.embedding AS DOUBLE[])) DESC,
+                        e.vec_id
+             ) AS rn
+      FROM embeddings q
+      JOIN embeddings e ON e.vec_id <> q.vec_id AND e.label <> q.label
+      WHERE q.vec_id <= {KNN_QUERIES}
+    )
+    WHERE rn <= {HARDNEG_K}
+    """,
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining — the contrastive-training data op: for
+    each anchor vector, the {HARDNEG_K} most-similar vectors with a
+    DIFFERENT label (near the anchor in embedding space but
+    semantically wrong — the negatives that actually teach the model,
+    versus random negatives that are trivially far).  Same broadcast +
+    windowed top-k machinery as q_knn_join with the label-mismatch
+    predicate fused into the pair stage, so no candidate is scored
+    twice.
+
+    Scale shape: anchors broadcast (small query set), similarity is
+    one corpus pass, per-anchor top-k via window.  For corpus×corpus
+    mining at 100 TB, block by the LSH buckets of q_ann_lsh and mine
+    within buckets — same swap as k-NN."""
+    e = load(spark, sf_dir, "embeddings", spread=True)
+    corpus = e.select(
+        "vec_id", "label", _as_double("embedding").alias("emb")
+    ).withColumn("nrm", l2norm(F.col("emb")))
+    q = corpus.where(F.col("vec_id") <= KNN_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("emb").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    sim = (
+        corpus.crossJoin(F.broadcast(q))
+        .where((F.col("vec_id") != F.col("q_id")) & (F.col("label") != F.col("q_label")))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(
+                dot(F.col("emb"), F.col("qvec")) / (F.col("nrm") * F.col("qnrm")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= HARDNEG_K)
+        .select("q_id", F.col("vec_id").alias("negative_id"), "cos_sim", "rank")
+    )
