@@ -951,3 +951,62 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(cum * 1000) div total").alias("cov_permille"),
         )
     )
+
+
+@register(
+    "q_oov_rate",
+    sql=rf"""
+    WITH toks AS (
+      SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents
+    ), counts AS (
+      SELECT token, count(*) AS freq FROM toks GROUP BY token
+    ), vocab AS (
+      SELECT token FROM counts ORDER BY freq DESC, token LIMIT {VOCAB_TOP}
+    )
+    SELECT source,
+           count(*) AS n_tokens,
+           CAST(count_if(token NOT IN (SELECT token FROM vocab)) AS BIGINT)
+             AS n_oov,
+           (CAST(count_if(token NOT IN (SELECT token FROM vocab)) AS BIGINT)
+            * 1000) // count(*) AS oov_permille
+    FROM toks GROUP BY source
+    """,
+)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per source against the top-{VOCAB_TOP}
+    corpus vocabulary (q_vocab_coverage's cut, same deterministic
+    ordering) — the tokenizer-eval twin of the coverage curve: coverage
+    says how much of the corpus the vocab explains overall, OOV-per-
+    source says WHICH corpora it fails (the number that decides
+    whether a domain needs its own vocab extension).
+
+    Scale shape: the vocab is a {VOCAB_TOP}-row TakeOrdered result
+    broadcast into a left anti-flag join against the token stream —
+    one token-counts agg + one per-source agg; the raw stream is
+    never sorted."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(VOCAB_TOP)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    flagged = toks.join(F.broadcast(vocab), "token", "left")
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_if(F.col("in_vocab").isNull()).alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.expr("(n_oov * 1000) div n_tokens").alias("oov_permille"),
+        )
+    )
