@@ -539,3 +539,77 @@ def test_gaps_islands_matches_bruteforce_streaks(spark):
                 streak = 1
             best = max(best, streak)
         assert got[uid] == (len(ds), islands, best), (uid, got[uid], (len(ds), islands, best))
+
+
+def test_twap_equals_bruteforce_integral(spark):
+    """q_twap's windowed formulation must equal the direct per-series
+    integral: sum(value_i * (t_{i+1} - t_i)) / (t_last - t_first)
+    computed in plain Python over the sorted readings."""
+    from pyspark.sql import functions as F
+
+    from processor_spark import registry
+    from processor_spark.sources import load
+    from tests.conftest import SF_SMALL
+
+    got = {
+        r.event_type: (r.n_segments, r.total_us, r.twap_tenthmilli)
+        for r in registry.get("q_twap").fn(spark, SF_SMALL).collect()
+    }
+    rows = (
+        load(spark, SF_SMALL, "events")
+        .select(
+            "event_type",
+            F.unix_micros("ts").alias("t"),
+            "event_id",
+            F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("cents"),
+        )
+        .collect()
+    )
+    series: dict[str, list[tuple[int, int, int]]] = {}
+    for r in rows:
+        series.setdefault(r.event_type, []).append((r.t, r.event_id, r.cents))
+    for etype, pts in series.items():
+        pts.sort()
+        wsum = sum(c * (pts[i + 1][0] - t) for i, (t, _e, c) in enumerate(pts[:-1]))
+        total = pts[-1][0] - pts[0][0]
+        import math
+
+        expect = (
+            len(pts) - 1,
+            total,
+            math.floor(wsum / total * 100.0 + 0.5),
+        )
+        assert got[etype] == expect, (etype, got[etype], expect)
+
+
+def test_max_concurrency_equals_bruteforce_sweep(spark):
+    """q_max_concurrency must equal a plain-Python sweep over the same
+    +1/-1 marks per day."""
+    from pyspark.sql import functions as F
+
+    from processor_spark import registry
+    from processor_spark.sources import load
+    from tests.conftest import SF_SMALL
+
+    got = {
+        r.day_num: (r.max_concurrent, r.n_sessions)
+        for r in registry.get("q_max_concurrency").fn(spark, SF_SMALL).collect()
+    }
+    secs = [
+        r.s
+        for r in load(spark, SF_SMALL, "events")
+        .select(F.floor(F.unix_timestamp("ts")).cast("long").alias("s"))
+        .collect()
+    ]
+    by_day: dict[int, list[tuple[int, int]]] = {}
+    for s in secs:
+        for t, d in ((s, 1), (s + 300, -1)):
+            by_day.setdefault(t // 86400, []).append((t, d))
+    for day, marks in by_day.items():
+        marks.sort()  # ties: (t, -1) sorts before (t, +1) — matches the key
+        cur = peak = 0
+        for _t, d in marks:
+            cur += d
+            peak = max(peak, cur)
+        n_starts = sum(1 for _t, d in marks if d == 1)
+        assert got[day] == (peak, n_starts), (day, got[day], (peak, n_starts))
