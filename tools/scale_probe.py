@@ -63,6 +63,11 @@ HEADLINE = [
     "q_cusum_changepoint",
     "q_regression_slope",
     "q_vocab_coverage",
+    "q_dataset_card",
+    "q_oov_rate",
+    "q_hard_negatives",
+    "q_session_dynamic_gap",
+    "q_max_concurrency",
 ]
 
 # per-table key columns to shift per replica so keys stay unique and
