@@ -367,3 +367,80 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("price_cents").alias("revenue_cents"),
     )
+
+
+def _csv_bad_copy(spark: SparkSession, sf_dir: str) -> str:
+    """Headered CSV with DETERMINISTICALLY planted malformed rows
+    (every 13th line ships a non-numeric price) — the landing-zone
+    reality the clean _csv_copy fixture skips."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/processor_spark_csv_bad/{tag}/lineitem"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        li = load(spark, sf_dir, "lineitem")
+        cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+        bad = (F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 13 == 0
+        (
+            li.select(
+                "l_orderkey",
+                "l_linenumber",
+                "l_returnflag",
+                F.when(bad, F.lit("corrupt")).otherwise(cents.cast("string")).alias(
+                    "price_cents"
+                ),
+            )
+            .write.mode("overwrite")
+            .option("header", "true")
+            .csv(path)
+        )
+    return path
+
+
+@register(
+    "q_scan_csv_malformed",
+    sql="""
+    SELECT l_returnflag,
+           CAST(count_if((l_orderkey * 7 + l_linenumber) % 13 <> 0) AS BIGINT)
+             AS n_good,
+           CAST(count_if((l_orderkey * 7 + l_linenumber) % 13 = 0) AS BIGINT)
+             AS n_corrupt,
+           CAST(sum(CASE WHEN (l_orderkey * 7 + l_linenumber) % 13 <> 0
+                         THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS good_cents
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record handling on text ingest — PERMISSIVE mode with
+    a corrupt-record column: every 13th planted bad row must land in
+    _corrupt (typed columns NULL), every clean row must parse, and the
+    good-row aggregate must equal the oracle's replay of the planting
+    rule against the original parquet.  This is the quarantine
+    split every landing zone needs (count the rejects, don't abort the
+    job, don't silently coerce) — DROPMALFORMED/FAILFAST are the same
+    reader one option away.
+
+    Scale shape: parse + quarantine classification happen inside the
+    scan stage (no extra pass); the aggregate is the usual two-phase
+    hash agg."""
+    path = _csv_bad_copy(spark, sf_dir)
+    df = (
+        spark.read.schema(
+            "l_orderkey BIGINT, l_linenumber BIGINT, l_returnflag STRING,"
+            " price_cents BIGINT, _corrupt STRING"
+        )
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    return df.groupBy("l_returnflag").agg(
+        F.count_if(F.col("_corrupt").isNull()).alias("n_good"),
+        F.count_if(F.col("_corrupt").isNotNull()).alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt").isNull(), F.col("price_cents")).otherwise(0))
+        .cast("long")
+        .alias("good_cents"),
+    )
