@@ -334,7 +334,12 @@ def split_fixed_udtf():
             )
 
         def eval(self, doc_id, text, n):
-            toks = (text or "").split()
+            import re
+
+            # ASCII whitespace ONLY: str.split() also splits on Unicode
+            # whitespace (U+00A0 etc.) that DuckDB's \s does not match —
+            # keep the one tokenizer definition the whole repo uses
+            toks = [t for t in re.split("[ \t\n\r\f\v]+", text or "") if t]
             if len(toks) >= n:
                 yield tuple([doc_id] + toks[:n])
 

@@ -977,12 +977,19 @@ def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
 
     def edge(name, child, child_key, parent, parent_key):
-        orphans = child.join(
-            parent, child[child_key] == parent[parent_key], "left_anti"
-        )
+        # ONE pass per edge: left join the distinct parent keys and
+        # count total + unmatched in the same agg (a count + a separate
+        # anti-join would scan the child twice per edge — CLAUDE.md
+        # shared-subplan rule)
+        pk = parent.select(
+            parent[parent_key].alias("__pk"), F.lit(1).alias("__hit")
+        ).distinct()
         return (
-            child.agg(F.count(F.lit(1)).alias("n_child_rows"))
-            .crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+            child.join(pk, child[child_key] == pk["__pk"], "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_child_rows"),
+                F.count_if(F.col("__hit").isNull()).alias("n_orphans"),
+            )
             .select(
                 F.lit(name).alias("relationship"), "n_child_rows", "n_orphans"
             )

@@ -720,7 +720,13 @@ def q_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "vec", "cent_id", sqdist.alias("sqdist")
     )
     w = Window.partitionBy("vec_id").orderBy("sqdist", "cent_id")
-    assigned = dists.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    # persist: BOTH the per-dim mean agg and the size agg read the
+    # assignment, and the crossJoin + k·d distance evaluation + window
+    # is the compute-dense heart of the step (CLAUDE.md shared-subplan
+    # rule — without this the assignment runs twice)
+    assigned = (
+        dists.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).persist()
+    )
     elems = assigned.select(
         "cent_id", F.posexplode(_micro(F.col("vec"))).alias("pos", "micro")
     )
@@ -908,9 +914,11 @@ def q_auc_ranksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     division of two identical 128-bit-exact integers.
 
     Scale shape: per-row scoring is a narrow map; ranking happens over
-    the DISTINCT-SCORE table (one hash agg, then a window over that
-    dim-sized agg — never a row-level global sort), and the final
-    reduce is one row.  The rank-sum products run in HUGEINT/DECIMAL
+    the DISTINCT-SCORE table via a TWO-LEVEL rank (coarse-bucket
+    offsets broadcast back + a bucket-partitioned fine window — scores
+    are near-unique, so a single unpartitioned window would globally
+    sort ~|rows| entries on one task), and the final reduce is one
+    row.  The rank-sum products run in HUGEINT/DECIMAL
     because pos_cnt·rank sums overflow int64 past ~1e9 rows."""
     e = load(spark, sf_dir, "embeddings", spread=True)
     ss = F.aggregate(
@@ -924,9 +932,31 @@ def q_auc_ranksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.count_if(F.col("pos")).alias("pos_cnt"),
     )
-    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = by_score.withColumn(
-        "min_rank", F.lit(1) + F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    # distributed ranking: scores are near-unique, so a single global
+    # window here would sort ~|rows| distinct scores on ONE partition.
+    # Standard two-level rank instead: coarse 2^20-wide buckets carry a
+    # running offset (window over the ~bucket-count table, broadcast
+    # back) and the fine window is PARTITIONED by bucket — both sorts
+    # stay small/parallel and min_rank is identical.
+    bucketed = by_score.withColumn("b", F.expr("score div 1048576"))
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    boff = (
+        bucketed.groupBy("b")
+        .agg(F.sum("cnt").alias("bn"))
+        .withColumn("b_off", F.coalesce(F.sum("bn").over(wb), F.lit(0)))
+        .select("b", "b_off")
+    )
+    wloc = Window.partitionBy("b").orderBy("score").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = (
+        bucketed.join(F.broadcast(boff), "b")
+        .withColumn(
+            "min_rank",
+            F.lit(1)
+            + F.col("b_off")
+            + F.coalesce(F.sum("cnt").over(wloc), F.lit(0)),
+        )
     )
     agg = ranked.agg(
         F.sum(
@@ -963,8 +993,11 @@ HARDNEG_K = 3
                                           CAST(q.embedding AS DOUBLE[])), 6) AS cos_sim,
              row_number() OVER (
                PARTITION BY q.vec_id
-               ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                               CAST(q.embedding AS DOUBLE[])) DESC,
+               -- ROUNDED selection key (CLAUDE.md arg-max rule): Spark
+               -- ranks by round(cos,6), so the oracle must too — raw
+               -- last-bit order could flip a 6-dp tie
+               ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                     CAST(q.embedding AS DOUBLE[])), 6) DESC,
                         e.vec_id
              ) AS rn
       FROM embeddings q

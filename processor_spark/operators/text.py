@@ -933,9 +933,11 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     rides in as a broadcast scalar."""
     from pyspark.sql import Window
 
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     toks = d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
-    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    # counts feeds both the grand total and the top-V cut — persist the
+    # (vocabulary-sized) agg so the tokenize pass runs once
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq")).persist()
     total = counts.agg(F.sum("freq").alias("total"))
     top = counts.orderBy(F.desc("freq"), F.asc("token")).limit(VOCAB_TOP)
     w = Window.orderBy(F.desc("freq"), F.asc("token"))
@@ -985,23 +987,34 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast into a left anti-flag join against the token stream —
     one token-counts agg + one per-source agg; the raw stream is
     never sorted."""
-    d = load(spark, sf_dir, "documents")
-    toks = d.select(
-        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    d = load(spark, sf_dir, "documents", spread=True)
+    # ONE tokenize pass: reduce the raw stream to (source, token)
+    # counts first (map-side combinable, output bounded by
+    # |sources|·|vocabulary| — tiny next to the token stream), then
+    # derive BOTH the global vocab and the per-source OOV sums from
+    # that persisted agg (CLAUDE.md shared-subplan rule; the explode
+    # otherwise runs twice)
+    st = (
+        d.select("source", F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .persist()
     )
     vocab = (
-        toks.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("freq"))
+        st.groupBy("token")
+        .agg(F.sum("freq").alias("freq"))
         .orderBy(F.desc("freq"), F.asc("token"))
         .limit(VOCAB_TOP)
         .select("token", F.lit(1).alias("in_vocab"))
     )
-    flagged = toks.join(F.broadcast(vocab), "token", "left")
+    flagged = st.join(F.broadcast(vocab), "token", "left")
     return (
         flagged.groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.count_if(F.col("in_vocab").isNull()).alias("n_oov"),
+            F.sum("freq").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), F.col("freq")).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
         )
         .select(
             "source",

@@ -1038,11 +1038,11 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT p.event_type, p.a_cnt, p.b_cnt,
            p.b_cnt * t.n_a - t.n_b * p.a_cnt AS delta_scaled,
-           CAST(floor(
+           CASE WHEN p.a_cnt = 0 THEN -1 ELSE CAST(floor(
              CAST(CAST(p.b_cnt * t.n_a - t.n_b * p.a_cnt AS HUGEINT)
                   * (p.b_cnt * t.n_a - t.n_b * p.a_cnt) AS DOUBLE)
              / CAST(CAST(t.n_a AS HUGEINT) * t.n_b * p.a_cnt AS DOUBLE)
-             * 1000000 + 0.5) AS BIGINT) AS contrib_micro
+             * 1000000 + 0.5) AS BIGINT) END AS contrib_micro
     FROM per_type p CROSS JOIN tot t
     """,
 )
@@ -1090,7 +1090,13 @@ def q_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a_cnt",
         "b_cnt",
         delta.alias("delta_scaled"),
-        F.floor(num / den * 1000000 + F.lit(0.5)).cast("long").alias("contrib_micro"),
+        # a category absent from the baseline period has expected
+        # count 0 (chi-square undefined; the statistic would divide by
+        # zero — a drift monitor must flag new categories, not abort):
+        # -1 sentinel on both engines
+        F.when(F.col("a_cnt") == 0, F.lit(-1))
+        .otherwise(F.floor(num / den * 1000000 + F.lit(0.5)).cast("long"))
+        .alias("contrib_micro"),
     )
 
 

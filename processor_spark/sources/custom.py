@@ -81,7 +81,11 @@ class SynthEventsReader(DataSourceReader):
 
     def pushFilters(self, filters):
         for f in filters:
-            if getattr(f, "attribute", None) == ("event_id",):
+            # absorb only genuine int comparison values: int(4.5) would
+            # silently truncate the bound AND report the filter absorbed
+            if getattr(f, "attribute", None) == ("event_id",) and isinstance(
+                getattr(f, "value", None), int
+            ) and not isinstance(f.value, bool):
                 if isinstance(f, EqualTo):
                     self.lo = max(self.lo, int(f.value))
                     self.hi = min(self.hi, int(f.value) + 1)
@@ -168,9 +172,17 @@ class JsonlSinkWriter(DataSourceWriter):
 
         from pyspark import TaskContext
 
+        import uuid
+
         pid = TaskContext.get().partitionId()
         os.makedirs(self.path, exist_ok=True)
-        file = os.path.join(self.path, f"part-{pid:05d}.jsonl")
+        # attempt-unique name: a retried/speculative attempt of this
+        # partition must never write the same file in place — the
+        # manifest publishes exactly one attempt's file; orphans from
+        # lost attempts stay unmanifested and are ignored by readers
+        file = os.path.join(
+            self.path, f"part-{pid:05d}-{uuid.uuid4().hex[:12]}.jsonl"
+        )
         n = 0
         with open(file, "w") as fh:
             for row in iterator:
@@ -186,8 +198,11 @@ class JsonlSinkWriter(DataSourceWriter):
             "files": sorted(m.file for m in messages),
             "total_rows": sum(m.count for m in messages),
         }
-        with open(os.path.join(self.path, "_MANIFEST"), "w") as fh:
+        target = os.path.join(self.path, "_MANIFEST")
+        tmp = target + ".tmp"
+        with open(tmp, "w") as fh:
             json.dump(manifest, fh)
+        os.replace(tmp, target)
 
     def abort(self, messages):
         import os
@@ -216,11 +231,16 @@ class JsonlStreamSinkWriter(DataSourceStreamWriter):
 
         from pyspark import TaskContext
 
+        import uuid
+
         ctx = TaskContext.get()
         os.makedirs(self.path, exist_ok=True)
-        # stage under a task-unique name; commit publishes via manifest
+        # attempt-unique name (stage+partition repeat on retries);
+        # commit publishes exactly one attempt per task via the manifest
         file = os.path.join(
-            self.path, f"stream-{ctx.stageId()}-{ctx.partitionId():05d}.jsonl"
+            self.path,
+            f"stream-{ctx.stageId()}-{ctx.partitionId():05d}-"
+            f"{uuid.uuid4().hex[:12]}.jsonl",
         )
         n = 0
         with open(file, "w") as fh:
@@ -245,9 +265,13 @@ class JsonlStreamSinkWriter(DataSourceStreamWriter):
             "files": sorted(m.file for m in messages),
             "rows": sum(m.count for m in messages),
         }
-        with open(log, "w") as fh:
+        # write-temp + atomic replace: a crash mid-commit must never
+        # truncate the log and orphan every earlier batch's entry
+        tmp = log + ".tmp"
+        with open(tmp, "w") as fh:
             for b in sorted(entries):
                 fh.write(json.dumps(entries[b]) + "\n")
+        os.replace(tmp, log)
 
     def abort(self, messages, batchId) -> None:
         import os
