@@ -98,8 +98,8 @@ def q_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
                                           CAST(q.embedding AS DOUBLE[])), 6) AS cos_sim,
              row_number() OVER (
                PARTITION BY q.vec_id
-               ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                               CAST(q.embedding AS DOUBLE[])) DESC,
+               ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                     CAST(q.embedding AS DOUBLE[])), 6) DESC,
                         e.vec_id
              ) AS rn
       FROM embeddings q
@@ -193,7 +193,7 @@ _ANN_SQL = f"""
              list_cosine_similarity(emb, qvec) AS cos_raw,
              row_number() OVER (
                PARTITION BY q_id
-               ORDER BY list_cosine_similarity(emb, qvec) DESC, vec_id
+               ORDER BY round(list_cosine_similarity(emb, qvec), 6) DESC, vec_id
              ) AS rn
       FROM cands
     ) t
@@ -287,7 +287,7 @@ _IVF_SQL = f"""
       SELECT p.q_id, a.vec_id,
              list_cosine_similarity(a.emb, qv.qvec) AS cos_raw,
              row_number() OVER (PARTITION BY p.q_id
-               ORDER BY list_cosine_similarity(a.emb, qv.qvec) DESC, a.vec_id) AS rn
+               ORDER BY round(list_cosine_similarity(a.emb, qv.qvec), 6) DESC, a.vec_id) AS rn
       FROM probes p JOIN assign a ON a.cell = p.cell JOIN qv ON qv.q_id = p.q_id
       WHERE a.vec_id <> p.q_id
     ) WHERE rn <= {KNN_K}
@@ -518,8 +518,8 @@ def q_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT q.vec_id AS q_id, e.vec_id,
                row_number() OVER (
                  PARTITION BY q.vec_id
-                 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                                 CAST(q.embedding AS DOUBLE[])) DESC,
+                 ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                       CAST(q.embedding AS DOUBLE[])), 6) DESC,
                           e.vec_id
                ) AS rn
         FROM embeddings q
