@@ -757,3 +757,64 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("winsor_mean_milli"),
         )
     )
+
+
+@register(
+    "q_feature_scale",
+    sql="""
+    WITH c AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      FROM customer
+    ), s AS (
+      SELECT c_nationkey, count(*) AS n,
+             CAST(sum(cents) AS BIGINT) AS sx,
+             CAST(sum(cents * cents) AS BIGINT) AS sxx
+      FROM c GROUP BY c_nationkey
+    )
+    SELECT c.c_custkey, c.c_nationkey,
+           CAST(floor(
+             CAST(s.n * c.cents - s.sx AS DOUBLE)
+             / sqrt(CAST(CAST(s.n AS HUGEINT) * s.sxx
+                         - CAST(s.sx AS HUGEINT) * s.sx AS DOUBLE))
+             * 1000000 + 0.5) AS BIGINT) AS z_micro
+    FROM c JOIN s USING (c_nationkey)
+    """,
+)
+def q_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score standardization (StandardScaler) as a PER-ROW
+    transform — the feature-prep step before any distance-based model,
+    and a representative of the transform-shaped keys (most of the
+    registry aggregates; this one emits a scaled fact table).  The
+    mean and population σ never materialize: z = (x−μ)/σ rewrites to
+    (n·x − Σx) / √(n·Σx² − (Σx)²), every term an exact integer (the
+    σ-term product in 128-bit), so the only float ops are one sqrt and
+    one division of identical exact integers — IEEE-identical on both
+    engines, snapped to micro-units.
+
+    Scale shape: one map-side-combinable moments agg per group, stats
+    broadcast back, then a narrow map over the fact — two scans, no
+    window, no sort; the transform pipelines into whatever consumes
+    it."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    s = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sx"),
+        F.sum(F.col("cents") * F.col("cents")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("cents") - F.col("sx")).cast("double")
+    var_scaled = (
+        F.col("n").cast("decimal(20,0)") * F.col("sxx").cast("decimal(20,0)")
+        - F.col("sx").cast("decimal(20,0)") * F.col("sx").cast("decimal(20,0)")
+    ).cast("double")
+    return c.join(F.broadcast(s), "c_nationkey").select(
+        "c_custkey",
+        "c_nationkey",
+        F.floor(num / F.sqrt(var_scaled) * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("z_micro"),
+    )
