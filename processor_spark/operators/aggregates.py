@@ -818,3 +818,105 @@ def q_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("z_micro"),
     )
+
+
+@register(
+    "q_robust_scale",
+    sql="""
+    WITH c AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      FROM customer
+    ), q AS (
+      SELECT c_nationkey,
+             CAST(floor(quantile_cont(cents, 0.50) * 4 + 0.5) AS BIGINT) AS med_qc,
+             CAST(floor(quantile_cont(cents, 0.75) * 4 + 0.5) AS BIGINT)
+               - CAST(floor(quantile_cont(cents, 0.25) * 4 + 0.5) AS BIGINT)
+               AS iqr_qc
+      FROM c GROUP BY c_nationkey
+    )
+    SELECT c.c_custkey, c.c_nationkey,
+           CAST(floor(CAST(4 * c.cents - q.med_qc AS DOUBLE)
+                      / CAST(q.iqr_qc AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+             AS robust_micro
+    FROM c JOIN q USING (c_nationkey)
+    """,
+)
+def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/IQR) scaling — q_feature_scale's outlier-immune
+    twin (RobustScaler): z-scores break when the outliers being
+    normalized inflate σ; quartiles don't move.  Same quarter-cent
+    exact-quantile machinery as q_iqr_outliers, cross-multiplied to
+    (4·x − med_qc)/iqr_qc with both terms exact integers; the one
+    float division of identical exact values (numerator can be
+    negative — floor of the identical double is still bit-stable,
+    unlike integer div whose truncation direction differs between
+    engines) snaps to micro-units.
+
+    Scale shape: quantile pass per group + broadcast-back narrow map —
+    identical envelope to q_feature_scale; sketch-swap at 100 TB."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    q = c.groupBy("c_nationkey").agg(
+        F.floor(F.expr("percentile(cents, 0.50)") * 4 + F.lit(0.5))
+        .cast("long")
+        .alias("med_qc"),
+        (
+            F.floor(F.expr("percentile(cents, 0.75)") * 4 + F.lit(0.5)).cast("long")
+            - F.floor(F.expr("percentile(cents, 0.25)") * 4 + F.lit(0.5)).cast("long")
+        ).alias("iqr_qc"),
+    )
+    return c.join(F.broadcast(q), "c_nationkey").select(
+        "c_custkey",
+        "c_nationkey",
+        F.floor(
+            (4 * F.col("cents") - F.col("med_qc")).cast("double")
+            / F.col("iqr_qc").cast("double")
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("robust_micro"),
+    )
+
+
+@register(
+    "q_log_histogram",
+    sql="""
+    SELECT length(printf('%b', CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)))
+             AS bucket_bits,
+           count(*) AS n_orders,
+           CAST(min(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS min_cents,
+           CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS max_cents
+    FROM orders
+    GROUP BY bucket_bits
+    """,
+)
+def q_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-2 (HDR-style) histogram — the latency/value histogram
+    with exponentially growing buckets that covers nine orders of
+    magnitude in ~30 rows, WITHOUT computing a logarithm: the bucket
+    id is the value's BIT LENGTH (length of its binary rendering —
+    floor(log2(x))+1 as pure integer/string ops), so the log-free
+    cross-engine rule holds by construction.  Per-bucket min/max prove
+    each bucket's range [2^(b-1), 2^b).
+
+    Scale shape: one narrow projection + one ~30-group map-side-
+    combinable agg — the histogram every metrics pipeline keeps
+    streaming-mergeable."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    return (
+        o.select(cents.alias("cents"))
+        .groupBy(F.length(F.bin(F.col("cents"))).alias("bucket_bits"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )
