@@ -724,3 +724,76 @@ def q_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_cents",
         )
     )
+
+
+@register(
+    "q_top_paths",
+    sql=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL {SESSION_GAP_MIN} MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM flagged
+    ), paths AS (
+      SELECT user_id, sid,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM numbered GROUP BY user_id, sid
+    )
+    SELECT path, count(*) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 10
+    """,
+)
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey paths — "which exact event sequences happen
+    most?": events sessionize with the same 30-min islands as
+    q_sessionization, each session serializes its ordered event types
+    into a '>'-joined path string, and the 10 most frequent paths win
+    (count DESC, path ASC — a total order).  Order inside a path is
+    pinned by (ts, event_id) on both engines: Spark sorts an array of
+    (ts, event_id, type) structs (lexicographic struct order = the
+    window's order) and projects the types, mirroring the oracle's
+    ordered string_agg.
+
+    Scale shape: one shuffle on user_id for the islands window, one
+    hash agg to paths (collect_list is bounded by session length —
+    human-scale, not data-scale), one TakeOrdered over the path
+    counts.  The path-frequency agg is map-side combinable on the
+    path string."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = e.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap >= SESSION_GAP_MIN * 60 * 1_000_000), 1).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "sid",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    paths = numbered.groupBy("user_id", "sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(10)
+    )
