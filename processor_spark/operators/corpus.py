@@ -779,3 +779,121 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_dup_docs * 1000) div n_docs").alias("dup_permille"),
         )
     )
+
+
+@register(
+    "q_bloom_prefilter",
+    sql="""
+    WITH f AS (
+      SELECT doc_id, source, md5(text) AS h FROM documents
+    ), pos AS (
+      SELECT doc_id, source, h,
+             CAST(('0x' || substr(h, 1 + 4 * u.i, 4)) AS INTEGER) % 1008 AS p
+      FROM f CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) u
+    ), words AS (
+      SELECT p // 63 AS word_idx,
+             bit_or(CAST(1 AS BIGINT) << (p % 63)) AS word
+      FROM pos WHERE source = 'src0' GROUP BY 1
+    ), probe AS (
+      SELECT pos.doc_id, pos.source, pos.h,
+             min(CASE WHEN w.word IS NULL THEN 0
+                      ELSE CAST((w.word >> (pos.p % 63)) & 1 AS INTEGER)
+                 END) AS member
+      FROM pos LEFT JOIN words w ON pos.p // 63 = w.word_idx
+      WHERE pos.source <> 'src0'
+      GROUP BY 1, 2, 3
+    ), eval_h AS (
+      SELECT DISTINCT h FROM f WHERE source = 'src0'
+    ), dochit AS (
+      SELECT pr.source, pr.member,
+             CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END AS exact_hit
+      FROM probe pr LEFT JOIN eval_h e ON pr.h = e.h
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(member) AS BIGINT) AS bloom_hits,
+           CAST(sum(exact_hit) AS BIGINT) AS exact_hits,
+           CAST(sum(member) - sum(exact_hit) AS BIGINT) AS false_pos
+    FROM dochit GROUP BY source
+    """,
+)
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-filter for cross-shard exact-duplicate probing
+    — the compact-bitmap alternative to shuffling a semi-join, the
+    classic 100 TB trick: the blocklist (eval shard src0 content
+    fingerprints) is folded into an m-position / 4-hash Bloom bitmap
+    of m/63 BIGINT words, which BROADCASTS to every executor; the
+    train shards stream through a narrow probe and only bloom-positive
+    docs would ever reach the (expensive) exact verification tier.
+    Reported per source: docs, bloom hits, exact hits, and the
+    false-positive count — the measured precision of the prefilter.
+    m is sized to the blocklist cardinality; here m = 1008 (16 words,
+    ~4 bits/key for the fixture's 250-doc eval shard) so the
+    false-positive path is actually exercised at test scale —
+    production sizing is ~10 bits/key for ~1% fp, and the bitmap stays
+    a broadcastable constant independent of corpus size either way.
+
+    Engine-exact by construction: the 4 hash positions are disjoint
+    16-bit slices of one md5(text) digest (the repo's portable hash
+    family) reduced mod m, bit packing is 63 bits per word (max shift
+    62 — the sign bit is never touched, so DuckDB's ``<<`` and Spark's
+    ``shiftleft`` agree), assembly is ``bit_or`` (no ANSI sum
+    overflow), and every output is an exact integer.  Plan shape:
+    build side is a ≤16-row hash-agg over the small eval shard; probe
+    side is explode(4) → broadcast left join → map-side-combinable
+    min() per doc → tiny per-source agg.  Nothing corpus-sized is ever
+    shuffled wide.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5(F.col("text").cast("binary")).alias("h")
+    )
+    pos = d.select(
+        "doc_id",
+        "source",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    (F.conv(F.substring("h", 1 + 4 * i, 4), 16, 10).cast("int") % 1008)
+                    for i in range(4)
+                ]
+            )
+        ).alias("p"),
+    ).select(
+        "doc_id",
+        "source",
+        "h",
+        F.expr("p div 63").alias("word_idx"),
+        F.expr("p % 63").alias("bit"),
+    )
+    words = (
+        pos.where(F.col("source") == "src0")
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").alias("word"))
+    )
+    probe = (
+        pos.where(F.col("source") != "src0")
+        .join(F.broadcast(words), "word_idx", "left")
+        .select(
+            "doc_id",
+            "source",
+            "h",
+            F.coalesce(
+                F.expr("CAST(shiftright(word, bit) & 1 AS INT)"), F.lit(0)
+            ).alias("hit"),
+        )
+        .groupBy("doc_id", "source", "h")
+        .agg(F.min("hit").alias("member"))
+    )
+    eval_h = d.where(F.col("source") == "src0").select("h").distinct()
+    dochit = probe.join(
+        F.broadcast(eval_h.withColumn("is_eval", F.lit(1))), "h", "left"
+    ).select(
+        "source", "member", F.coalesce("is_eval", F.lit(0)).alias("exact_hit")
+    )
+    return dochit.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("member").alias("bloom_hits"),
+        F.sum("exact_hit").alias("exact_hits"),
+        (F.sum("member") - F.sum("exact_hit")).alias("false_pos"),
+    )

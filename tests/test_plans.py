@@ -356,3 +356,13 @@ def test_source_jaccard_join_is_equi_on_gram_hash(spark):
     gram hash (bounded fan-out), not a cartesian of gram sets."""
     plan = explain_str(_df(spark, "q_source_jaccard"))
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_bloom_prefilter_broadcasts_bitmap_no_sort_merge(spark):
+    """The Bloom bitmap (≤1041 words) and the eval fingerprint set must
+    BROADCAST — a sort-merge join against the corpus-sized probe would
+    defeat the whole point of the prefilter at 100 TB."""
+    plan = explain_str(_df(spark, "q_bloom_prefilter"))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
