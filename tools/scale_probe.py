@@ -68,6 +68,9 @@ HEADLINE = [
     "q_hard_negatives",
     "q_session_dynamic_gap",
     "q_max_concurrency",
+    # session close: broadcast Bloom blocklist probe — constant bitmap,
+    # cost must be linear narrow-map on the probe side
+    "q_bloom_prefilter",
 ]
 
 # per-table key columns to shift per replica so keys stay unique and
@@ -137,8 +140,11 @@ def main() -> None:
     qs = registry.queries()
     build_layout(spark)
 
+    # optional key subset: argv[2:] restricts the probe (fast re-check
+    # of a single new operator against the already-built layout)
+    keys = sys.argv[2:] or HEADLINE
     result: dict[str, dict[str, float]] = {}
-    for key in HEADLINE:
+    for key in keys:
         row: dict[str, float] = {}
         for tag, sf_dir in (("base", SRC), (f"{REPL}x", DST)):
             qs[key](spark, sf_dir).toPandas()  # warm (plan+codegen)
