@@ -28,6 +28,8 @@ HEADLINE = [
     "q_basket_pairs",
     "q_auc_ranksum",
     "q_max_concurrency",
+    # session close: broadcast Bloom-bitmap blocklist probe
+    "q_bloom_prefilter",
 ]
 
 INTRO = """Post-execution (AQE-final) plans captured from `.explain("formatted")`
