@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from processor_spark.caching import scoped_persist
 from processor_spark.registry import register
 from processor_spark.operators.dedup import JACCARD_THRESHOLD, NGRAM_DF_CAP
 from processor_spark.operators.text import STOPWORDS, tokens
@@ -122,7 +123,7 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "gram")
         # referenced twice (size agg + posting agg) — persist so the
         # quality→dedup→tokenize pipeline runs once (CLAUDE.md rule)
-        .persist()
+        .transform(scoped_persist)
     )
     sized = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     posting = grams.groupBy("source", "gram").agg(
@@ -647,7 +648,7 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.size("toks") >= 3)
         .select("doc_id", F.explode(F.expr(_GRAM3_EXPR)).alias("gram"))
         .distinct()
-        .persist()
+        .transform(scoped_persist)
     )
     first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     novel = (F.col("first_doc") == F.col("doc_id")).cast("long")

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from processor_spark.caching import scoped_persist
 from processor_spark.registry import register
 from processor_spark.sources import load
 
@@ -155,7 +156,7 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         # referenced twice (size agg + posting agg); persist (not
         # localCheckpoint) so CacheManager gives an identical later
         # invocation a plan-cache HIT — and clearCache() can drop it
-        .persist()
+        .transform(scoped_persist)
     )
     sized = grams.groupBy("doc_id", "source").agg(F.count(F.lit(1)).alias("n_grams"))
     # pairs are generated LOCALLY from each gram's posting list (arrays
@@ -362,7 +363,7 @@ def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pipeline (tokenize → 3-grams → 8 md5 min-aggs) — persist or it is
     # computed twice (CLAUDE.md shared-subplan rule); persist also buys
     # plan-cache reuse across invocations and stays clearCache-able
-    bands = _md5_bands(_md5_sig(d)).persist()
+    bands = _md5_bands(_md5_sig(d)).transform(scoped_persist)
     a = bands.alias("a")
     b = bands.alias("b")
     agree = sum(
@@ -434,7 +435,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimates, and verdicts bit-for-bit.
     """
     d = load(spark, sf_dir, "documents", spread=True)
-    bands = _md5_bands(_md5_sig(d)).persist()
+    bands = _md5_bands(_md5_sig(d)).transform(scoped_persist)
     new_b = bands.where(F.col("doc_id") % 10 == 0).alias("a")
     corp_b = bands.where(F.col("doc_id") % 10 != 0).alias("b")
     agree = sum(
@@ -840,7 +841,7 @@ def q_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", gh.alias("gh"))
         .groupBy("gh")
         .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
-        .persist()
+        .transform(scoped_persist)
     )
     sizes = (
         bysrc.select(F.explode("srcs").alias("source"))

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from processor_spark.caching import scoped_persist
 from processor_spark.registry import register
 from processor_spark.sources import load
 
@@ -90,16 +91,16 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("dst"))), F.col("c_nationkey") == F.col("ck"))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
-        .persist()
+        .transform(scoped_persist)
     )
-    nodes = n.select(F.col("n_name").alias("node")).persist()
+    nodes = n.select(F.col("n_name").alias("node")).transform(scoped_persist)
     n_count = nodes.count()
     outw = edges.groupBy("src").agg(F.sum("w").cast("double").alias("ow"))
     # contribution edges with normalized weight, reused every iteration
     contrib = (
         edges.join(outw, "src")
         .select("src", "dst", (F.col("w") / F.col("ow")).alias("share"))
-        .persist()
+        .transform(scoped_persist)
     )
     pr = nodes.select("node", F.lit(1.0 / n_count).alias("pr"))
     for _ in range(_ITERS):
@@ -169,7 +170,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         raw.select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
         .distinct()
-        .persist()
+        .transform(scoped_persist)
     )
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from processor_spark.caching import scoped_persist
 from processor_spark.registry import register
 from processor_spark.sources import load
 
@@ -725,7 +726,7 @@ def q_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is the compute-dense heart of the step (CLAUDE.md shared-subplan
     # rule — without this the assignment runs twice)
     assigned = (
-        dists.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).persist()
+        dists.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).transform(scoped_persist)
     )
     elems = assigned.select(
         "cent_id", F.posexplode(_micro(F.col("vec"))).alias("pos", "micro")

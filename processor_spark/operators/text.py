@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from processor_spark.caching import scoped_persist
 from processor_spark.registry import register
 from processor_spark.sources import load
 
@@ -637,7 +638,7 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bg"),
         )
         .select("doc_id", "bg.w1", "bg.w2")
-        .persist()
+        .transform(scoped_persist)
     )
     bg = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     ug = bg.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
@@ -937,7 +938,7 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
     # counts feeds both the grand total and the top-V cut — persist the
     # (vocabulary-sized) agg so the tokenize pass runs once
-    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq")).persist()
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq")).transform(scoped_persist)
     total = counts.agg(F.sum("freq").alias("total"))
     top = counts.orderBy(F.desc("freq"), F.asc("token")).limit(VOCAB_TOP)
     w = Window.orderBy(F.desc("freq"), F.asc("token"))
@@ -998,7 +999,7 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("source", F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
         .groupBy("source", "token")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .persist()
+        .transform(scoped_persist)
     )
     vocab = (
         st.groupBy("token")

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from processor_spark.caching import scoped_persist
 from processor_spark.registry import register
 from processor_spark.sources import load
 
@@ -476,7 +477,7 @@ def q_rollup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
             _epoch("week"),
         )
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 3).alias("total_value"))
-        .persist()
+        .transform(scoped_persist)
     )
     day = (
         hour.groupBy("event_type", F.col("day_epoch").alias("bucket_epoch"))
@@ -485,7 +486,7 @@ def q_rollup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_events").alias("n_events"),
             F.round(F.sum("total_value"), 3).alias("total_value"),
         )
-        .persist()
+        .transform(scoped_persist)
     )
     week = day.groupBy("event_type", F.col("week_epoch").alias("bucket_epoch")).agg(
         F.sum("n_events").alias("n_events"),

@@ -15,6 +15,7 @@ Conventions enforced by tests/test_oracle_parity.py:
 
 from __future__ import annotations
 
+import functools
 import importlib
 from collections.abc import Callable
 from dataclasses import dataclass
@@ -75,8 +76,19 @@ def register(key: str, sql: str | None = None, doc: str = "") -> Callable[[Query
     def deco(fn: QueryFn) -> QueryFn:
         if key in _REGISTRY:
             raise ValueError(f"duplicate query key {key!r}")
-        _REGISTRY[key] = Query(key, fn, sql, doc or (fn.__doc__ or ""))
-        return fn
+
+        # Bracket every top-level invocation so the previous key's
+        # scoped persists are released deterministically (caching.py);
+        # nested registered-fn calls are reentrancy-safe (depth guard).
+        @functools.wraps(fn)
+        def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from processor_spark import caching
+
+            with caching.invocation(key):
+                return fn(spark, sf_dir)
+
+        _REGISTRY[key] = Query(key, wrapper, sql, doc or (fn.__doc__ or ""))
+        return wrapper
 
     return deco
 
