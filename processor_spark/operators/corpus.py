@@ -228,37 +228,13 @@ def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot change the answer. doc_id tie-break keeps the order total
     even under (impossible) digest collisions.
     """
+    from processor_spark.operators.windows import distributed_rank
+
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.md5(F.col("doc_id").cast("string")).alias("dig")
     )
-    nparts = max(2, spark.sparkContext.defaultParallelism // 2)
-    ranged = d.repartitionByRange(nparts, "dig", "doc_id").withColumn(
-        "pid", F.spark_partition_id()
-    )
-    # exclusive prefix sum over ~nparts rows — driver-scale metadata only
-    offsets = (
-        ranged.groupBy("pid")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn(
-            "offset",
-            F.coalesce(
-                F.sum("cnt").over(
-                    Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("pid", "offset")
-    )
-    local = Window.partitionBy("pid").orderBy("dig", "doc_id")
-    return (
-        ranged.withColumn("local_rn", F.row_number().over(local))
-        .join(F.broadcast(offsets), "pid")
-        .select(
-            "doc_id",
-            (F.col("offset") + F.col("local_rn")).cast("int").alias("shuffle_pos"),
-        )
-    )
+    r = distributed_rank(d, [F.asc("dig"), F.asc("doc_id")])
+    return r.select("doc_id", F.col("__rank").cast("int").alias("shuffle_pos"))
 
 
 @register(

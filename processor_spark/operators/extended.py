@@ -900,11 +900,15 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     score (1,1,1): recent, frequent, high-spend.
 
     Scale shape: the fact table collapses in ONE map-side-combinable
-    per-customer agg; the three ntile windows run over the CUSTOMER
-    table (dim-sized relative to orders), and the final cube is a
-    ≤125-group agg.  At 100 TB replace ntile with approx_percentile
-    thresholds (q_percentiles' sketch) — same scores, no global
-    sort."""
+    per-customer agg; each quintile score is then a distributed rank
+    (range-partition + local rank + broadcast offsets — see
+    windows.distributed_rank) over the customer table with the exact
+    ntile(5) bucket arithmetic applied to (rank, n) — customers grow
+    with the lake, so even the dim-sized ntile must never be a
+    single-task global sort (VERDICT r4 #1).  The final cube is a
+    ≤125-group agg."""
+    from processor_spark.operators.windows import distributed_rank, ntile_expr
+
     o = load(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
         F.datediff(F.lit("2001-09-01"), F.max("o_orderdate"))
@@ -915,15 +919,17 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents"
         ),
     )
-    wr = Window.orderBy("recency_days", "o_custkey")
-    wf = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
-    wm = Window.orderBy(F.desc("monetary_cents"), F.asc("o_custkey"))
-    scored = cust.select(
-        "monetary_cents",
-        F.ntile(5).over(wr).alias("r_score"),
-        F.ntile(5).over(wf).alias("f_score"),
-        F.ntile(5).over(wm).alias("m_score"),
-    )
+    scored = cust
+    for score, order in (
+        ("r_score", [F.asc("recency_days"), F.asc("o_custkey")]),
+        ("f_score", [F.desc("frequency"), F.asc("o_custkey")]),
+        ("m_score", [F.desc("monetary_cents"), F.asc("o_custkey")]),
+    ):
+        scored = (
+            distributed_rank(scored, order)
+            .withColumn(score, F.expr(ntile_expr("__rank", "__n", 5)).cast("int"))
+            .drop("__rank", "__n")
+        )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("monetary_cents").alias("segment_cents"),

@@ -13,8 +13,79 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from processor_spark.caching import scoped_persist
 from processor_spark.registry import register
 from processor_spark.sources import load
+
+
+def distributed_rank(df: DataFrame, order_cols: list) -> DataFrame:
+    """Global ``row_number`` under a total order with NO single-task
+    sort — the scale-safe replacement for ``Window.orderBy(...)`` with
+    an empty partition spec (the canonical global-window anti-pattern:
+    every row coalesces into ONE task).
+
+    Range-partition on the order keys (disjoint ordered ranges across
+    tasks), rank locally within each partition in parallel, then add
+    the exclusive prefix sum of per-partition row counts — a
+    partition-count-sized table (bytes) that BROADCASTs back.  The
+    result is identical for ANY range boundaries, so sampling
+    nondeterminism in the range partitioner cannot change the answer;
+    ``order_cols`` must therefore be a TOTAL order (include a unique
+    tie-break key).
+
+    Adds ``__rank`` (1-based global position, bigint) and ``__n``
+    (total row count) to ``df``.  The ranged stream is scoped-persisted
+    because both the offsets agg and the main stream read it.
+    """
+    nparts = max(2, df.sparkSession.sparkContext.defaultParallelism // 2)
+    ranged = scoped_persist(
+        df.repartitionByRange(nparts, *order_cols).withColumn(
+            "pid", F.spark_partition_id()
+        )
+    )
+    w_ord = Window.orderBy("pid")  # over ~nparts aggregated rows — bytes
+    offsets = (
+        ranged.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("cnt").over(w_ord.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "__n",
+            F.sum("cnt").over(
+                w_ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ),
+        )
+        .select("pid", "offset", "__n")
+    )
+    local = Window.partitionBy("pid").orderBy(*order_cols)
+    return (
+        ranged.withColumn("local_rn", F.row_number().over(local))
+        .join(F.broadcast(offsets), "pid")
+        .withColumn("__rank", F.col("offset") + F.col("local_rn"))
+        .drop("pid", "local_rn", "offset")
+    )
+
+
+def ntile_expr(rank: str, n: str, k: int) -> str:
+    """SQL expression computing ``ntile(k)`` from a global 1-based rank
+    under a total order: the first ``n % k`` buckets take
+    ``n div k + 1`` rows, the rest ``n div k`` — exactly the SQL-window
+    ntile semantics, as pure integer arithmetic (engine-exact).  The
+    ELSE branch's ``div`` by ``n div k`` is only reached when
+    ``n >= k`` (when ``n < k`` the cut covers every row), so it never
+    divides by zero."""
+    base = f"({n} div {k})"
+    rem = f"({n} % {k})"
+    cut = f"(({base} + 1) * {rem})"
+    return (
+        f"CASE WHEN {rank} <= {cut} THEN ({rank} - 1) div ({base} + 1) + 1 "
+        f"ELSE {rem} + ({rank} - {cut} - 1) div {base} + 1 END"
+    )
 
 
 @register(
@@ -135,20 +206,30 @@ def q_window_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile / percent_rank / cume_dist over a global ordering.
+    """ntile / percent_rank / cume_dist over a global ordering —
+    computed WITHOUT an unpartitioned window (VERDICT r4 #1: the old
+    ``Window.orderBy`` form pushed the whole table through one task).
 
-    NOTE: unpartitioned window = single-task sort; acceptable for a
-    declared demo query, but at 100 TB this shape must be rewritten as
-    a quantile-sketch bucketing (see q_percentiles) — documented here
-    deliberately.
+    ``distributed_rank`` range-partitions and ranks in parallel; under
+    a total order (price, orderkey) the three analytics are pure
+    functions of (rank, n): ntile(4) is integer bucket arithmetic,
+    percent_rank = (rank-1)/(n-1), cume_dist = rank/n — the exact
+    definitions the window functions evaluate, so the same doubles
+    round to the same outputs on both engines.
     """
-    o = load(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return o.select(
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    r = distributed_rank(o, [F.asc("o_totalprice"), F.asc("o_orderkey")])
+    pct = F.when(
+        F.col("__n") > 1,
+        (F.col("__rank") - 1).cast("double") / (F.col("__n") - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return r.select(
         "o_orderkey",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.expr(ntile_expr("__rank", "__n", 4)).cast("int").alias("quartile"),
+        F.round(pct, 6).alias("pct_rank"),
+        F.round(F.col("__rank").cast("double") / F.col("__n").cast("double"), 6).alias(
+            "cume"
+        ),
     )
 
 

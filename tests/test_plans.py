@@ -366,3 +366,26 @@ def test_bloom_prefilter_broadcasts_bitmap_no_sort_merge(spark):
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_window_ntile_has_no_single_partition_window(spark):
+    """VERDICT r4 #1: the global ntile/percent_rank/cume_dist must be
+    the distributed-rank shape — range-partition, per-partition local
+    rank, broadcast offsets — never a Window over an empty partition
+    spec sorting the whole table in one task."""
+    plan = explain_str(_df(spark, "q_window_ntile"))
+    assert "rangepartitioning" in plan.lower(), plan
+    # no global ORDER BY window over the data stream
+    assert "windowspecdefinition(o_totalprice" not in plan, plan
+    assert "windowspecdefinition(pid" in plan, plan  # local rank only
+
+
+def test_rfm_segmentation_has_no_single_partition_window(spark):
+    """Same contract for the three RFM quintile scores: each is a
+    distributed rank over the customer agg, not an unpartitioned
+    ntile window."""
+    plan = explain_str(_df(spark, "q_rfm_segmentation"))
+    assert "rangepartitioning" in plan.lower(), plan
+    for metric in ("recency_days", "frequency", "monetary_cents"):
+        assert f"windowspecdefinition({metric}" not in plan, plan
+    assert "windowspecdefinition(pid" in plan, plan
