@@ -821,7 +821,10 @@ def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     min() per doc → tiny per-source agg.  Nothing corpus-sized is ever
     shuffled wide.
     """
-    d = load(spark, sf_dir, "documents").select(
+    # spread: the probe side's md5+conv work is compute-dense and sits
+    # before the first exchange — a single-file fixture scan would run
+    # it on 1 core (the r4 rule that cost q_dedup_minhash_md5 2×)
+    d = load(spark, sf_dir, "documents", spread=True).select(
         "doc_id", "source", F.md5(F.col("text").cast("binary")).alias("h")
     )
     pos = d.select(

