@@ -96,8 +96,14 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _tokens(col):
-    return F.split(F.trim(col), r"\s+")
+def _tokens(col, mode: str = "ws"):
+    """Token array; ``mode='unicode'`` enables the codepoint-class
+    segmentation so the n-gram/minhash ladder keeps recall on CJK /
+    mixed-script corpora (functions/tokenize.py; the ws default is the
+    §2.10 oracle convention)."""
+    from processor_spark.functions.tokenize import tokenize
+
+    return tokenize(col, mode)
 
 
 @register(

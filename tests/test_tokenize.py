@@ -1,0 +1,75 @@
+"""Unicode tokenization contract (functions/tokenize.py).
+
+VERDICT r4 missing #2: whitespace tokenization collapses on CJK (no
+word boundaries → one giant token → zero n-gram dedup recall).  These
+tests pin the segmentation behavior and demonstrate the recall the
+unicode mode restores; the cross-engine token-stream parity itself is
+hash-verified by q_token_unicode's oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from processor_spark.functions.tokenize import tokenize
+from processor_spark.operators.dedup import _GRAM3_EXPR, _tokens
+
+# Two CJK near-dups (one trailing clause differs) and one unrelated doc.
+_CJK_DOCS = [
+    (1, "深度学习模型需要大规模高质量的训练数据来提升泛化能力"),
+    (2, "深度学习模型需要大规模高质量的训练数据来改进泛化效果"),
+    (3, "今日の天気は晴れです散歩に行きましょう"),
+]
+
+
+def _gram_sets(spark, mode):
+    df = spark.createDataFrame(_CJK_DOCS, "doc_id long, text string")
+    grams = (
+        df.select("doc_id", tokenize(F.col("text"), mode).alias("toks"))
+        .where(F.size("toks") >= 3)
+        .select("doc_id", F.explode(F.expr(_GRAM3_EXPR)).alias("gram"))
+        .distinct()
+    )
+    out: dict[int, set[str]] = {}
+    for row in grams.collect():
+        out.setdefault(row.doc_id, set()).add(row.gram)
+    return out
+
+
+def test_ws_mode_has_zero_cjk_recall(spark):
+    """Whitespace mode: each CJK doc is ONE token → no 3-grams at all —
+    the failure mode the unicode fallback exists for."""
+    assert _gram_sets(spark, "ws") == {}
+
+
+def test_unicode_mode_restores_cjk_near_dup_recall(spark):
+    gs = _gram_sets(spark, "unicode")
+    assert set(gs) == {1, 2, 3}
+    jac = len(gs[1] & gs[2]) / len(gs[1] | gs[2])
+    assert jac >= 0.5, f"near-dup pair jaccard {jac} below threshold"
+    assert not (gs[1] & gs[3]), "unrelated doc must share no grams"
+
+
+def test_unicode_segmentation_classes(spark):
+    df = spark.createDataFrame(
+        [("Résumé café 深度学习 テスト 한국어 text2024 — ça va?",)], "text string"
+    )
+    toks = df.select(tokenize(F.col("text"), "unicode").alias("t")).collect()[0].t
+    # Han per-char, letter runs intact, digits split from letters,
+    # punctuation/dash never a token
+    assert toks == [
+        "Résumé", "café", "深", "度", "学", "习",
+        "テスト", "한국어", "text", "2024", "ça", "va",
+    ]
+
+
+def test_dedup_tokens_helper_delegates(spark):
+    df = spark.createDataFrame([("a b  c",)], "text string")
+    assert df.select(_tokens(F.col("text")).alias("t")).collect()[0].t == ["a", "b", "c"]
+
+
+def test_unknown_mode_raises():
+    import pytest
+
+    with pytest.raises(ValueError):
+        tokenize(F.lit("x"), "bogus")
