@@ -8,19 +8,29 @@ n-gram/minhash dedup ladder loses ALL recall (VERDICT r4 missing #2).
 
 ``unicode`` mode segments with a codepoint-class pattern:
 
-    \\p{IsHan}  — each Han character is its OWN token (character
-                  unigrams are the standard CJK shingling unit:
-                  contiguous Han text carries no spaces, so letter
-                  runs would glue whole clauses together);
-    \\p{L}+     — maximal letter runs for alphabetic scripts
-                  (accented Latin, Cyrillic, Greek, Hangul, kana …);
-    \\p{N}+     — digit runs.
+    \\p{IsHan}          — each Han character is its OWN token
+                          (character unigrams are the standard CJK
+                          shingling unit: contiguous Han text carries
+                          no spaces, so letter runs would glue whole
+                          clauses together);
+    [^\\P{L}\\p{IsHan}]+ — maximal NON-Han letter runs for alphabetic
+                          scripts (accented Latin, Cyrillic, Greek,
+                          Hangul, kana …).  Han must be EXCLUDED from
+                          the letter class, not just out-prioritized:
+                          plain ``\\p{L}+`` includes Han, and
+                          alternation order only protects runs that
+                          START at a Han char — ``用Python写代码``
+                          would glue ``Python写代码`` into one token
+                          at the Latin→Han boundary (ADVICE r5);
+    \\p{N}+             — digit runs.
 
-Alternation order matters: Han-first keeps \\p{L}+ from swallowing
-Han runs.  Spark (Java regex) spells the Han script class
-``\\p{IsHan}``; DuckDB (RE2) spells it ``\\p{Han}`` — the oracle twin
-below carries the RE2 spelling so both engines produce the identical
-token stream (q_token_unicode hash-verifies this).
+``[^\\P{L}\\p{Han}]`` is the double-negation spelling of "letter AND
+NOT Han" that both regex dialects accept (Java has ``&&`` class
+intersection; RE2 does not — the negated-complement form is the
+portable one).  Spark (Java) spells the Han class ``\\p{IsHan}``;
+DuckDB (RE2) spells it ``\\p{Han}`` — the oracle twin below carries
+the RE2 spelling so both engines produce the identical token stream
+(q_token_unicode hash-verifies this on planted mixed-script rows).
 """
 
 from __future__ import annotations
@@ -29,10 +39,10 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # Java (Spark) spelling of the segmentation pattern.
-UNICODE_TOKEN_PATTERN = r"\p{IsHan}|\p{L}+|\p{N}+"
+UNICODE_TOKEN_PATTERN = r"\p{IsHan}|[^\P{L}\p{IsHan}]+|\p{N}+"
 
 # RE2 (DuckDB oracle) spelling of the SAME pattern.
-UNICODE_TOKEN_PATTERN_RE2 = r"\p{Han}|\p{L}+|\p{N}+"
+UNICODE_TOKEN_PATTERN_RE2 = r"\p{Han}|[^\P{L}\p{Han}]+|\p{N}+"
 
 
 def tokenize(col: Column, mode: str = "ws") -> Column:

@@ -365,7 +365,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     sized = d.select(
-        "doc_id", "source", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens")
+        "doc_id", "source", F.size(tokens(F.col("text"))).alias("n_tokens")
     )
     w = (
         Window.partitionBy("source")
@@ -728,7 +728,7 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     base = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(F.split(F.trim("text"), r"\s+"))).cast("long").alias(
+        F.sum(F.size(tokens("text"))).cast("long").alias(
             "total_tokens"
         ),
         F.sum("n_chars").cast("long").alias("total_chars"),

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from processor_spark.caching import scoped_persist
-from processor_spark.functions.tokenize import tokenize
+from processor_spark.functions.tokenize import UNICODE_TOKEN_PATTERN_RE2, tokenize
 from processor_spark.registry import register
 from processor_spark.sources import load
 
@@ -459,7 +459,7 @@ def q_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     toks = d.select(
-        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+        "source", F.explode(tokens("text")).alias("token")
     )
     counts = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("freq"))
     w = Window.partitionBy("source").orderBy(F.desc("freq"), F.asc("token"))
@@ -939,7 +939,7 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load(spark, sf_dir, "documents", spread=True)
-    toks = d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+    toks = d.select(F.explode(tokens("text")).alias("token"))
     # counts feeds both the grand total and the top-V cut — persist the
     # (vocabulary-sized) agg so the tokenize pass runs once
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq")).transform(scoped_persist)
@@ -1000,7 +1000,7 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # that persisted agg (CLAUDE.md shared-subplan rule; the explode
     # otherwise runs twice)
     st = (
-        d.select("source", F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+        d.select("source", F.explode(tokens("text")).alias("token"))
         .groupBy("source", "token")
         .agg(F.count(F.lit(1)).alias("freq"))
         .transform(scoped_persist)
@@ -1054,7 +1054,7 @@ _PLANT_VALUES_SQL = ", ".join(f"({i}, '{t}')" for i, t in _UNICODE_PLANTS)
       SELECT * FROM (VALUES {_PLANT_VALUES_SQL}) AS v(doc_id, text)
     ), tokd AS (
       SELECT doc_id,
-             regexp_extract_all(text, '\\p{{Han}}|\\p{{L}}+|\\p{{N}}+') AS toks
+             regexp_extract_all(text, '{UNICODE_TOKEN_PATTERN_RE2}') AS toks
       FROM docs
     )
     SELECT doc_id,

@@ -63,6 +63,31 @@ def test_unicode_segmentation_classes(spark):
     ]
 
 
+def test_unicode_letter_run_to_han_boundary(spark):
+    """ADVICE r5: \\p{L}+ includes Han, so an alternation that merely
+    ORDERS Han first still glues a Han char onto a preceding Latin /
+    Hangul / kana run ('用Python写代码' → ['用', 'Python写代码']).
+    The letter-run class must EXCLUDE Han ([^\\P{L}\\p{IsHan}]+) so
+    every script transition — including letter-run→Han — segments."""
+    df = spark.createDataFrame(
+        [
+            (1, "用Python写代码"),
+            (2, "한국어텍스트와中文이섞인경우"),
+            (3, "カタカナ混在漢字テキスト"),
+        ],
+        "i long, text string",
+    )
+    got = {
+        r.i: r.t
+        for r in df.select(
+            "i", tokenize(F.col("text"), "unicode").alias("t")
+        ).collect()
+    }
+    assert got[1] == ["用", "Python", "写", "代", "码"]
+    assert got[2] == ["한국어텍스트와", "中", "文", "이섞인경우"]
+    assert got[3] == ["カタカナ", "混", "在", "漢", "字", "テキスト"]
+
+
 def test_dedup_tokens_helper_delegates(spark):
     df = spark.createDataFrame([("a b  c",)], "text string")
     assert df.select(_tokens(F.col("text")).alias("t")).collect()[0].t == ["a", "b", "c"]
