@@ -375,6 +375,148 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- persist-and-serve
+
+ANN_INDEX_ROOT = "/tmp/processor_spark_ann"
+
+
+def build_ivf_index(
+    spark: SparkSession, sf_dir: str, path: str | None = None, force: bool = False
+) -> str:
+    """Build the IVF index ONCE and persist it (VERDICT r5 next #2):
+    centroids + cell assignments written as parquet, assignments
+    partitioned BY CELL so a serving query's nprobe cells map to
+    directory-pruned scans.  Idempotent: an existing index (atomic
+    _INDEX_META marker) is reused — the whole point vs q_ann_ivf,
+    which re-derives centroids and re-assigns the corpus every call.
+
+    At 100 TB this split is the difference between an offline index
+    build (one corpus-sized job, amortized over every query) and
+    paying that job per query batch; serving reads only
+    ~nprobe/nlist of the assignment files thanks to the cell
+    partitioning."""
+    import json
+    import os
+    import shutil
+
+    if path is None:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        path = os.path.join(ANN_INDEX_ROOT, tag, "ivf")
+    meta = os.path.join(path, "_INDEX_META.json")
+    if os.path.exists(meta) and not force:
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+
+    e = load(spark, sf_dir, "embeddings")
+    # identical index derivation to q_ann_ivf (shared oracle contract):
+    # deterministic per-label mean centroids, 6dp-rounded components
+    cents = (
+        e.select("label", F.posexplode(_as_double("embedding")).alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.avg("v").alias("v"))
+        .groupBy(F.col("label").alias("cid"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "v"))),
+                lambda s: F.round(s["v"], 6),
+            ).alias("cvec")
+        )
+    )
+    corpus = e.select("vec_id", _as_double("embedding").alias("emb")).withColumn(
+        "nrm", l2norm(F.col("emb"))
+    )
+    scored = corpus.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "emb",
+        "nrm",
+        "cid",
+        (dot(F.col("emb"), F.col("cvec")) / (F.col("nrm") * l2norm(F.col("cvec")))).alias(
+            "ccos"
+        ),
+    )
+    assign = scored.groupBy("vec_id").agg(
+        F.max_by("cid", F.struct(F.col("ccos"), -F.col("cid"))).alias("cell"),
+        F.first("emb").alias("emb"),
+        F.first("nrm").alias("nrm"),
+    )
+    cents.write.parquet(os.path.join(path, "centroids"))
+    assign.write.partitionBy("cell").parquet(os.path.join(path, "assignments"))
+    tmp = meta + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"kind": "ivf", "nprobe": IVF_NPROBE, "source": sf_dir}, fh)
+    os.replace(tmp, meta)  # marker last: a crashed build is invisible
+    return path
+
+
+@register("q_ann_ivf_serve", sql=_IVF_SQL)
+def q_ann_ivf_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN *serving* path: load the persisted index
+    (build_ivf_index — built once, reused across invocations) instead
+    of rebuilding centroids and re-assigning the corpus per query.
+    Query-time work is only: score queries against the broadcast
+    centroid table (|Q| × nlist, trivial), read the nprobe probed
+    cells' assignment partitions (directory-pruned — the static
+    IN-filter on the partition column skips every other cell's files
+    at planning time), and rank candidates.  Same oracle as q_ann_ivf:
+    the persisted index is exactly the rebuilt one, so results are
+    bit-identical — the hash check certifies the index round trip
+    through parquet."""
+    import os
+
+    path = build_ivf_index(spark, sf_dir)
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    qv = (
+        load(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") <= KNN_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"), _as_double("embedding").alias("qvec")
+        )
+        .withColumn("qnrm", l2norm(F.col("qvec")))
+    )
+    qscored = qv.crossJoin(F.broadcast(cents)).select(
+        "q_id",
+        "qvec",
+        "qnrm",
+        "cid",
+        (dot(F.col("qvec"), F.col("cvec")) / (F.col("qnrm") * l2norm(F.col("cvec")))).alias(
+            "ccos"
+        ),
+    )
+    probe_w = Window.partitionBy("q_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    probes = (
+        qscored.withColumn("rn", F.row_number().over(probe_w))
+        .where(F.col("rn") <= IVF_NPROBE)
+        .select("q_id", F.col("cid").alias("cell"))
+    )
+    # probed cells are bounded by nlist — collecting them is a
+    # scalar-sized action that buys static partition pruning on the
+    # assignments scan (only those cells' directories are opened)
+    cells = sorted({r.cell for r in probes.select("cell").distinct().collect()})
+    assign = spark.read.parquet(os.path.join(path, "assignments")).where(
+        F.col("cell").isin(cells)
+    )
+    cands = (
+        assign.join(F.broadcast(probes), on="cell")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .join(
+            F.broadcast(qv.select("q_id", "qvec", "qnrm")), on="q_id"
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        cands.select(
+            "q_id",
+            "vec_id",
+            F.round(
+                dot(F.col("emb"), F.col("qvec")) / (F.col("nrm") * F.col("qnrm")), 6
+            ).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= KNN_K)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cos_sim", "rank")
+    )
+
+
 @register(
     "q_dedup_embed",
     sql="""

@@ -1,0 +1,43 @@
+"""Persisted IVF index (operators/similarity.py::build_ivf_index):
+build-once reuse and rebuild semantics.  Result parity of the serving
+key vs the rebuild twin (and vs the DuckDB oracle) is covered by
+test_oracle_parity.py::q_ann_ivf_serve."""
+
+from __future__ import annotations
+
+import os
+
+from processor_spark.operators.similarity import build_ivf_index
+from tests.conftest import SF_SMALL
+
+
+def _meta_mtime(path: str) -> float:
+    return os.path.getmtime(os.path.join(path, "_INDEX_META.json"))
+
+
+def test_index_build_is_idempotent(spark, tmp_path):
+    path = str(tmp_path / "ivf")
+    p1 = build_ivf_index(spark, SF_SMALL, path=path)
+    t1 = _meta_mtime(p1)
+    p2 = build_ivf_index(spark, SF_SMALL, path=path)
+    assert p2 == p1
+    assert _meta_mtime(p2) == t1, "second call must reuse, not rebuild"
+    # layout contract: centroids + cell-partitioned assignments
+    assert os.path.isdir(os.path.join(p1, "centroids"))
+    cells = [
+        d
+        for d in os.listdir(os.path.join(p1, "assignments"))
+        if d.startswith("cell=")
+    ]
+    assert len(cells) > 1, "assignments must be partitioned by cell"
+
+
+def test_force_rebuilds(spark, tmp_path):
+    path = str(tmp_path / "ivf")
+    build_ivf_index(spark, SF_SMALL, path=path)
+    t1 = _meta_mtime(path)
+    build_ivf_index(spark, SF_SMALL, path=path, force=True)
+    assert _meta_mtime(path) >= t1
+    # a fresh marker exists and the index still has both halves
+    assert os.path.isdir(os.path.join(path, "centroids"))
+    assert os.path.isdir(os.path.join(path, "assignments"))

@@ -389,3 +389,13 @@ def test_rfm_segmentation_has_no_single_partition_window(spark):
     for metric in ("recency_days", "frequency", "monetary_cents"):
         assert f"windowspecdefinition({metric}" not in plan, plan
     assert "windowspecdefinition(pid" in plan, plan
+
+
+def test_ann_serve_scan_is_partition_pruned_to_probed_cells(spark):
+    """The serving key's assignments scan must open ONLY the probed
+    cells' partition directories — the property that makes a persisted
+    IVF index read ~nprobe/nlist of the corpus instead of all of it."""
+    plan = explain_str(_df(spark, "q_ann_ivf_serve"))
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "cell" in seg and "IN" in seg.upper()
