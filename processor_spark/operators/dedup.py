@@ -286,18 +286,41 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# md5-derived 48-bit minhash values (md5 is the one digest both engines
-# compute identically; 12 hex chars = 48 bits keeps every intermediate
-# exact in a double, so the DuckDB polynomial/hex-cast parse is lossless).
+# md5-derived minhash values (md5 is the one digest both engines
+# compute identically).  r6: each digest yields FOUR independent 32-bit
+# permutation hashes (hex chars 1-8, 9-16, 17-24, 25-32 — avalanche
+# makes the chunks independent), so the 8-permutation family costs TWO
+# md5 calls per gram instead of eight — the md5 stage was the measured
+# CPU bottleneck of the whole dedup bench tier.  32-bit minhash is the
+# standard production width; within-doc min collisions need ~2^16
+# distinct grams per doc (fixture max is ~hundreds).
 _MD5_PERMS = 8
+_MD5_SEEDS = 2  # digests per gram; 4 chunks each
 _MD5_BANDS = 4  # 4 bands × 2 rows → S-curve threshold (1/4)^(1/2) = 0.5
 
 
-def _minhash_sig_sql(n: int) -> str:
-    cols = ",\n             ".join(
-        f"min(mh) FILTER (WHERE seed = {i}) AS mh{i}" for i in range(n)
+def _md5_sig_ctes() -> str:
+    """Oracle twin of :func:`_md5_sig` (follows a ``grams`` CTE):
+    seeded digests, then per-doc mins of each exact 32-bit chunk —
+    ``CAST('0x'||hex8 AS BIGINT)`` parses losslessly on DuckDB just as
+    ``conv(hex8,16,10)`` does on Spark."""
+    chunk_cols = ",\n             ".join(
+        f"min(CAST(('0x' || substr(d{s}, {1 + 8 * j}, 8)) AS BIGINT)) AS mh{4 * s + j}"
+        for s in range(_MD5_SEEDS)
+        for j in range(4)
     )
-    return cols
+    digest_cols = ", ".join(
+        f"md5('{s}:' || gram) AS d{s}" for s in range(_MD5_SEEDS)
+    )
+    return (
+        f"digests AS (\n"
+        f"      SELECT doc_id, {digest_cols}\n"
+        f"      FROM grams\n"
+        f"    ), sig AS (\n"
+        f"      SELECT doc_id,\n             {chunk_cols}\n"
+        f"      FROM digests GROUP BY doc_id\n"
+        f"    )"
+    )
 
 
 def _band_cte_sql() -> str:
@@ -321,19 +344,31 @@ def _band_cte_sql() -> str:
 
 
 def _md5_sig(d: DataFrame) -> DataFrame:
-    """(doc_id, mh0..mh{n}) portable md5-48 minhash signatures."""
+    """(doc_id, mh0..mh7) portable md5-chunk minhash signatures:
+    _MD5_SEEDS digests per gram, four exact 32-bit chunks per digest
+    (see the family note above — 4× less md5 than digest-per-perm)."""
     grams = (
         d.select("doc_id", _tokens(F.col("text")).alias("toks"))
         .where(F.size("toks") >= 3)
         .select("doc_id", F.explode(F.expr(_GRAM3_EXPR)).alias("gram"))
         .distinct()
     )
+    digs = grams.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{s}:"), F.col("gram")).cast("binary")).alias(f"d{s}")
+            for s in range(_MD5_SEEDS)
+        ],
+    )
 
-    def mh(i: int):
-        digest = F.md5(F.concat(F.lit(f"{i}:"), F.col("gram")).cast("binary"))
-        return F.min(F.conv(F.substring(digest, 1, 12), 16, 10).cast("long")).alias(f"mh{i}")
+    def mh(s: int, j: int):
+        return F.min(
+            F.conv(F.substring(F.col(f"d{s}"), 1 + 8 * j, 8), 16, 10).cast("long")
+        ).alias(f"mh{4 * s + j}")
 
-    return grams.groupBy("doc_id").agg(*[mh(i) for i in range(_MD5_PERMS)])
+    return digs.groupBy("doc_id").agg(
+        *[mh(s, j) for s in range(_MD5_SEEDS) for j in range(4)]
+    )
 
 
 def _md5_bands(sig: DataFrame) -> DataFrame:
@@ -407,16 +442,7 @@ def _md5_buckets(sig: DataFrame) -> DataFrame:
       FROM toks
       WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
       QUALIFY lead(tok, 2) OVER w IS NOT NULL
-    ), hashed AS (
-      SELECT doc_id, s.seed,
-             min(CAST(('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' || gram), 1, 12)) AS BIGINT)) AS mh
-      FROM grams CROSS JOIN (SELECT unnest(range({_MD5_PERMS})) AS seed) s
-      GROUP BY doc_id, s.seed
-    ), sig AS (
-      SELECT doc_id,
-             {_minhash_sig_sql(_MD5_PERMS)}
-      FROM hashed GROUP BY doc_id
-    ), {_band_cte_sql()}
+    ), {_md5_sig_ctes()}, {_band_cte_sql()}
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            round(({" + ".join(f"CAST(a.mh{i} = b.mh{i} AS INTEGER)" for i in range(_MD5_PERMS))}) / {_MD5_PERMS}.0, 4) AS est_jaccard
     FROM bands a JOIN bands b
@@ -428,12 +454,13 @@ def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SQL-verifiable twin of q_dedup_minhash.
 
     Same banding algebra as the xxhash64 path (which stays the
-    production hot path — xxhash64 is JVM-native and ~10× cheaper) but
-    every permutation hash is the first 48 bits of
-    md5("<seed>:<gram>"), which DuckDB reproduces bit-for-bit, so the
-    full candidate-pair set and estimated Jaccards hash-match under the
-    driver's oracle.  8 permutations in 4 bands of 2 rows → candidate
-    threshold (1/4)^(1/2) = 0.5.  The Spark plan is the scalable shape
+    production hot path — xxhash64 is JVM-native and cheaper still)
+    but every permutation hash is an exact 32-bit chunk of
+    md5("<seed>:<gram>") — four chunks per digest, two digests per
+    gram (see the family note above) — which DuckDB reproduces
+    bit-for-bit, so the full candidate-pair set and estimated Jaccards
+    hash-match under the driver's oracle.  8 permutations in 4 bands
+    of 2 rows → candidate threshold (1/4)^(1/2) = 0.5.  The Spark plan is the scalable shape
     (band-bucket equi-join); the oracle's OR-of-bands nested-loop join
     is fine at oracle scale only.
     """
@@ -474,16 +501,7 @@ def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks
       WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
       QUALIFY lead(tok, 2) OVER w IS NOT NULL
-    ), hashed AS (
-      SELECT doc_id, s.seed,
-             min(CAST(('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' || gram), 1, 12)) AS BIGINT)) AS mh
-      FROM grams CROSS JOIN (SELECT unnest(range({_MD5_PERMS})) AS seed) s
-      GROUP BY doc_id, s.seed
-    ), sig AS (
-      SELECT doc_id,
-             {_minhash_sig_sql(_MD5_PERMS)}
-      FROM hashed GROUP BY doc_id
-    ), {_band_cte_sql()}
+    ), {_md5_sig_ctes()}, {_band_cte_sql()}
     SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS match_doc,
            round(({" + ".join(f"CAST(a.mh{i} = b.mh{i} AS INTEGER)" for i in range(_MD5_PERMS))}) / {_MD5_PERMS}.0, 4) AS est_jaccard,
            (({" + ".join(f"CAST(a.mh{i} = b.mh{i} AS INTEGER)" for i in range(_MD5_PERMS))}) / {_MD5_PERMS}.0) >= 0.5 AS is_dup
@@ -505,8 +523,8 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents (the fixture stands in for index + batch); the equi-join
     on (band_id, band_key) is the identical scalable shape.  Emits every
     candidate with its estimated Jaccard and an is_dup verdict at the
-    0.5 S-curve threshold; full md5-48 SQL oracle replays pairs,
-    estimates, and verdicts bit-for-bit.
+    0.5 S-curve threshold; the full md5-chunk SQL oracle replays
+    pairs, estimates, and verdicts bit-for-bit.
     """
     d = load(spark, sf_dir, "documents", spread=True)
     # new×corpus pairs generated LOCALLY inside each cap-bounded bucket
