@@ -28,6 +28,17 @@ tracked entry that was already cleared unpersists as a no-op).
 Reentrancy: registered fns may call other registered fns
 (q_dedup_near → q_dedup_minhash); only the OUTERMOST invocation
 releases, so an outer key's persists are never dropped mid-build.
+
+Assumed driver protocol (ADVICE r5): build-then-immediately-execute,
+single-threaded — release is keyed to the next key's BUILD time, so a
+driver that builds key A, builds key B, then executes A would have
+A's shared subplans silently unpersisted before use (results stay
+correct; the persist's perf win is lost), and the module globals are
+not thread-safe.  Every in-repo driver (the registry wrapper,
+bench.py, the oracle-parity suite, the external driver's per-key
+run-and-collect loop) follows the protocol; if a concurrent driver
+ever enters scope, move _TRACKED/_CURRENT/_DEPTH into
+``threading.local``.
 """
 
 from __future__ import annotations
@@ -46,7 +57,17 @@ def scoped_persist(df: DataFrame, storage_level=None) -> DataFrame:
     """persist() a shared subplan and track it for release at the next
     top-level invocation of a different registry key."""
     df = df.persist() if storage_level is None else df.persist(storage_level)
-    _TRACKED.append((_CURRENT or "<unowned>", df))
+    owner = _CURRENT or "<unowned>"
+    # same-key re-invocations (bench warm loops) rebuild an identical
+    # plan that hits the SAME CacheManager entry — tracking it again
+    # would only grow the list with duplicate refs (ADVICE r5)
+    for t_owner, t_df in _TRACKED:
+        try:
+            if t_owner == owner and df.sameSemantics(t_df):
+                return df
+        except Exception:
+            continue  # stale entry from a stopped session — not a match
+    _TRACKED.append((owner, df))
     return df
 
 
@@ -65,9 +86,9 @@ def release_tracked(keep_owner: str | None = None) -> int:
             continue
         try:
             df.unpersist(blocking=False)
+            released += 1
         except Exception:
             pass  # session gone / entry evicted — release is best-effort
-        released += 1
     _TRACKED[:] = kept
     return released
 

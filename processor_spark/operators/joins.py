@@ -294,35 +294,77 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     """
     import hashlib
     import os
+    import shutil
+    import time
+    import uuid
 
-    # tag includes the Spark application id: bucket tables are
-    # session-catalog-scoped anyway, and a per-session path means two
-    # concurrent sessions can never clobber each other's data files
-    app_id = spark.sparkContext.applicationId
-    tag = hashlib.md5(f"{sf_dir}|{app_id}".encode()).hexdigest()[:8]
+    # ADVICE r5: data files are SHARED per sf_dir (bounded disk — the
+    # r5 per-application path left one copy per session forever), while
+    # catalog isolation stays per session via the table NAME.  The
+    # write race between concurrent sessions is closed by building
+    # under a writer-unique scratch path and publishing with one atomic
+    # os.rename — the loser's rename fails and it adopts the winner's
+    # files (both wrote identical bucket layouts from the same fixture).
+    root = "/tmp/processor_spark_bucketed"
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    app_tag = hashlib.md5(spark.sparkContext.applicationId.encode()).hexdigest()[:6]
+    base = os.path.join(root, tag)
+
+    # best-effort stale-sibling cleanup: published dirs are one-per-
+    # sf_dir now, but pre-r6 per-session dirs (and crashed writers'
+    # scratch dirs) would otherwise live in /tmp forever.  Only dirs
+    # untouched for >6h are removed, so a concurrently LIVE session's
+    # files are never raced.
+    if os.path.isdir(root):
+        cutoff = time.time() - 6 * 3600
+        for sib in os.listdir(root):
+            p = os.path.join(root, sib)
+            if sib != tag:
+                try:
+                    if os.path.getmtime(p) < cutoff:
+                        shutil.rmtree(p, ignore_errors=True)
+                except OSError:
+                    pass
+
     names: dict[str, str] = {}
     for tbl, key, cols in (
         ("orders", "o_orderkey", ["o_orderkey", "o_orderpriority"]),
         ("lineitem", "l_orderkey", ["l_orderkey", "l_extendedprice", "l_discount"]),
     ):
-        name = f"{tbl}_bkt_{tag}"
-        path = f"/tmp/processor_spark_bucketed/{tag}/{name}"
-        # trust the catalog entry only if the data files still exist (the
-        # path is under /tmp — same _SUCCESS guard as _orc_copy); a stale
-        # catalog entry over deleted files would otherwise scan nothing
-        if not (
-            spark.catalog.tableExists(name)
-            and os.path.exists(os.path.join(path, "_SUCCESS"))
-        ):
-            spark.sql(f"DROP TABLE IF EXISTS {name}")
+        name = f"{tbl}_bkt_{tag}_{app_tag}"
+        path = os.path.join(base, tbl)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
             df = load(spark, sf_dir, tbl).select(*cols)
+            scratch_name = f"{name}_scratch"
+            scratch_path = os.path.join(base, f".{tbl}.tmp-{uuid.uuid4().hex[:8]}")
+            spark.sql(f"DROP TABLE IF EXISTS {scratch_name}")
             (
                 df.repartition(_N_BUCKETS, key)
                 .write.mode("overwrite")
-                .option("path", path)
+                .option("path", scratch_path)
                 .bucketBy(_N_BUCKETS, key)
                 .sortBy(key)
-                .saveAsTable(name)
+                .saveAsTable(scratch_name)
+            )
+            spark.sql(f"DROP TABLE IF EXISTS {scratch_name}")  # external: files stay
+            try:
+                os.rename(scratch_path, path)  # atomic publish
+            except OSError:
+                shutil.rmtree(scratch_path, ignore_errors=True)  # lost the race
+        # register THIS session's catalog entry over the published files;
+        # rebuild the entry if it points at since-deleted data (the
+        # /tmp _SUCCESS guard, same as _orc_copy)
+        if spark.catalog.tableExists(name) and not os.path.exists(
+            os.path.join(path, "_SUCCESS")
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+        if not spark.catalog.tableExists(name):
+            df = load(spark, sf_dir, tbl).select(*cols)
+            ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+            spark.sql(
+                f"CREATE TABLE {name} ({ddl}) USING PARQUET "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {_N_BUCKETS} BUCKETS "
+                f"LOCATION '{path}'"
             )
         names[tbl] = name
     return names

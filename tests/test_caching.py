@@ -58,3 +58,17 @@ def test_nested_registered_calls_do_not_release_outer(spark):
 def test_release_tracked_is_idempotent_and_safe(spark):
     caching.release_tracked()
     assert caching.release_tracked() == 0
+
+
+def test_same_key_reinvocation_does_not_grow_tracking(spark):
+    """ADVICE r5: bench's warm loops re-invoke one key many times; the
+    identical rebuilt plan hits the same CacheManager entry, so the
+    tracking list must dedupe instead of appending one ref per run."""
+    qs = registry.queries()
+    caching.release_tracked()
+    qs["q_dedup_ngram"](spark, SF_SMALL).count()
+    n1 = len(caching._TRACKED)
+    assert n1 >= 1
+    for _ in range(3):
+        qs["q_dedup_ngram"](spark, SF_SMALL).count()
+    assert len(caching._TRACKED) == n1, "duplicate refs tracked on re-invocation"
