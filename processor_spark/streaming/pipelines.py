@@ -271,6 +271,38 @@ def sliding_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+KAFKA_EVENT_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def has_kafka_connector(spark: SparkSession) -> bool:
+    """True when the spark-sql-kafka connector is on the classpath.
+    It is NOT bundled in this container (and no broker exists to test
+    against), so the source is gated loudly — the same policy as
+    :func:`_has_tws_deps` for the protobuf-dependent state API."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def parse_kafka_events(raw: DataFrame) -> DataFrame:
+    """Shape Kafka wire records (key/value binary, topic, partition,
+    offset, …) into the events schema: values are JSON payloads; a
+    malformed payload yields an all-NULL row rather than failing the
+    stream (from_json's PERMISSIVE default — poison messages must
+    never kill a 100 TB/day ingest).  Split from the source hookup so
+    the transformation is testable without a broker (the wire frame is
+    just a DataFrame shape)."""
+    parsed = F.from_json(F.col("value").cast("string"), KAFKA_EVENT_SCHEMA)
+    return raw.select(parsed.alias("e")).select("e.*")
+
+
 def read_kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -279,11 +311,21 @@ def read_kafka_stream(
 ) -> DataFrame:
     """Kafka source shaped into the events schema.
 
-    Requires the spark-sql-kafka connector on the classpath (not bundled
-    in this container — there is no broker to test against here; the
-    parquet file source stands in for it in tests, exercising identical
-    downstream pipelines).  Values are JSON event payloads.
+    UNVERIFIED END-TO-END IN THIS CONTAINER: no connector jar, no
+    broker — calling this without the connector raises immediately
+    with this explanation instead of failing deep inside Spark's
+    source resolution.  The value-parsing half (parse_kafka_events) is
+    fully tested on Kafka-wire-shaped frames; the parquet file source
+    stands in for the hookup in the streaming tests, exercising
+    identical downstream pipelines.
     """
+    if not has_kafka_connector(spark):
+        raise RuntimeError(
+            "spark-sql-kafka connector is not on the classpath; the Kafka "
+            "hookup is unverified in this container (no broker). "
+            "parse_kafka_events covers the transformation; add the "
+            "connector jar to use this source."
+        )
     raw = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
@@ -291,12 +333,7 @@ def read_kafka_stream(
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    parsed = F.from_json(
-        F.col("value").cast("string"),
-        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
-        "value DOUBLE, props STRING",
-    )
-    return raw.select(parsed.alias("e")).select("e.*")
+    return parse_kafka_events(raw)
 
 
 ASOF_OUT_SCHEMA = T.StructType(

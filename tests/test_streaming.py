@@ -494,3 +494,53 @@ def test_stream_dynamic_gap_sessions_equal_batch_prefix(spark, events_chunks_dir
     cols = ["user_id", "session_start", "session_end", "n_events"]
     assert set(_sorted_rows(got, cols)) <= set(_sorted_rows(want, cols))
     assert got.count() > 0
+
+
+def test_kafka_gate_is_loud_when_connector_absent(spark):
+    """VERDICT r5 #6: the Kafka hookup cannot be exercised here (no
+    connector jar, no broker) — the gate must say so explicitly
+    instead of failing deep inside source resolution.  If a future
+    environment ships the connector, the gate flips and this test
+    documents that the raise no longer applies."""
+    if P.has_kafka_connector(spark):
+        pytest.skip("connector present in this environment; gate inert")
+    with pytest.raises(RuntimeError, match="unverified in this container"):
+        P.read_kafka_stream(spark, "localhost:9092", "events")
+
+
+def test_kafka_value_parsing_shapes_events(spark):
+    """parse_kafka_events over Kafka-wire-shaped frames: JSON payloads
+    land in the events schema; a malformed payload becomes an all-NULL
+    row (poison messages must not kill the stream)."""
+    import json
+
+    def frame(i, payload):
+        return (
+            bytearray(f"k{i}", "utf8"),
+            bytearray(payload, "utf8"),
+            "events",
+            0,
+            i,
+        )
+
+    good = json.dumps(
+        {
+            "event_id": 1,
+            "ts": "2024-01-01T00:00:05",
+            "user_id": 7,
+            "event_type": "click",
+            "value": 1.5,
+            "props": "{}",
+        }
+    )
+    raw = spark.createDataFrame(
+        [frame(0, good), frame(1, "{not json at all")],
+        "key binary, value binary, topic string, partition int, offset long",
+    )
+    got = P.parse_kafka_events(raw).orderBy(F.col("event_id").asc_nulls_last()).collect()
+    assert [f.name for f in P.parse_kafka_events(raw).schema.fields] == [
+        "event_id", "ts", "user_id", "event_type", "value", "props",
+    ]
+    assert got[0].event_id == 1 and got[0].event_type == "click"
+    assert got[0].value == 1.5 and got[0].user_id == 7
+    assert all(got[1][c] is None for c in ("event_id", "user_id", "event_type", "value"))
