@@ -328,3 +328,120 @@ class LakeTable:
             }
         )
         return version
+
+    # ------------------------------------------------------- maintenance
+
+    def optimize(self, spark: SparkSession) -> int:
+        """Compact multi-file buckets (the small-files debt appends
+        accrue: each append adds one dir per touched bucket, and at
+        ingest cadence a bucket's scan fans into hundreds of tiny
+        files).  Rewrites ONLY buckets referencing >1 data dir into a
+        single fresh dir each; single-dir buckets carry forward — the
+        same bucket-pruned copy-on-write economics as merge.  A
+        row-identical commit: readers pinned to older snapshots are
+        untouched, and the op is recorded in history."""
+        m = self.manifest()
+        multi = {b for b, ps in m["buckets"].items() if len(ps) > 1}
+        if not multi:
+            return m["version"]
+        compacted = self._read_buckets(spark, m, multi)
+        new_buckets, _ = self._write_data(spark, compacted, m["key"], m["num_buckets"])
+        out = {b: ps for b, ps in m["buckets"].items() if b not in multi}
+        out.update(new_buckets)
+        version = m["version"] + 1
+        self._commit(
+            {
+                "version": version,
+                "parent": m["version"],
+                "operation": "optimize",
+                "key": m["key"],
+                "num_buckets": m["num_buckets"],
+                "schema": m["schema"],
+                "buckets": out,
+                "total_rows": m["total_rows"],
+            }
+        )
+        return version
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Expire all but the newest ``keep_last`` snapshots and delete
+        data dirs no retained snapshot references (VACUUM).  Retention
+        is what bounds storage under copy-on-write; the trade is
+        explicit — expired versions are no longer time-travelable.
+        Returns {"removed_snapshots": [...], "removed_dirs": n}."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1 (the current snapshot)")
+        vs = self.versions()
+        keep, drop = vs[-keep_last:], vs[:-keep_last]
+        referenced: set[str] = set()
+        for v in keep:
+            for ps in self.manifest(v)["buckets"].values():
+                referenced.update(os.path.normpath(p) for p in ps)
+        removed_dirs = 0
+        data_root = os.path.join(self.path, _DATA_DIR)
+        if os.path.isdir(data_root):
+            for commit in sorted(os.listdir(data_root)):
+                cdir = os.path.join(data_root, commit)
+                for leaf in sorted(os.listdir(cdir)):
+                    ldir = os.path.join(cdir, leaf)
+                    if leaf.startswith(f"{_BUCKET}=") and os.path.normpath(
+                        ldir
+                    ) not in referenced:
+                        shutil.rmtree(ldir, ignore_errors=True)
+                        removed_dirs += 1
+                if not any(
+                    e.startswith(f"{_BUCKET}=") for e in os.listdir(cdir)
+                ):
+                    shutil.rmtree(cdir, ignore_errors=True)
+        for v in drop:
+            try:
+                os.remove(self._manifest_path(v))
+            except OSError:
+                pass
+        return {"removed_snapshots": drop, "removed_dirs": removed_dirs}
+
+    # --------------------------------------------------------- streaming
+
+    def merge_stream(
+        self,
+        stream_df: DataFrame,
+        checkpoint: str,
+        delete_col: str | None = None,
+        seq_col: str | None = None,
+        timeout_s: int = 120,
+    ) -> None:
+        """CDC stream → ACID table: every micro-batch MERGEs into the
+        table via foreachBatch (the Delta/Iceberg streaming-upsert
+        shape).  ``seq_col`` names a monotonic ordering column used to
+        collapse a batch to its LATEST row per key first — MERGE
+        requires unique source keys, and a CDC feed can carry several
+        updates to one key within a batch.  Idempotent under replay: a
+        micro-batch re-applied after a crash merges identical rows into
+        an identical state, so checkpoint + deterministic merge give
+        exactly-once table effects.  Batches apply sequentially
+        (foreachBatch contract), preserving CDC order."""
+        key = self.manifest()["key"]
+
+        def _apply(batch_df: DataFrame, batch_id: int) -> None:
+            if seq_col is not None:
+                from pyspark.sql import Window
+
+                w = Window.partitionBy(key).orderBy(F.desc(seq_col))
+                batch_df = (
+                    batch_df.withColumn("_rn", F.row_number().over(w))
+                    .where(F.col("_rn") == 1)
+                    .drop("_rn", seq_col)
+                )
+            if batch_df.isEmpty():
+                return
+            self.merge(batch_df.sparkSession, batch_df, delete_col=delete_col)
+
+        q = (
+            stream_df.writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+        if q.isActive:
+            q.stop()

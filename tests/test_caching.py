@@ -23,11 +23,11 @@ def test_next_key_releases_previous_keys_persists(spark):
     qs = registry.queries()
     before = _persistent_ids(spark)
 
-    # q_dedup_ngram persists its capped-gram stream; materialize it.
-    qs["q_dedup_ngram"](spark, SF_SMALL).count()
+    # q_source_jaccard persists its per-gram source-set agg; materialize it.
+    qs["q_source_jaccard"](spark, SF_SMALL).count()
     after_ngram = _persistent_ids(spark)
     new_blocks = after_ngram - before
-    assert new_blocks, "expected q_dedup_ngram to register a scoped persist"
+    assert new_blocks, "expected q_source_jaccard to register a scoped persist"
 
     # A persist-free key runs next: the wrapper must release them.
     qs["q_distinct"](spark, SF_SMALL).count()
@@ -40,9 +40,9 @@ def test_same_key_reinvocation_keeps_its_cache_entry(spark):
     """Plan-cache hit on same-key re-runs is the r4 perf win persist
     buys over localCheckpoint — release must NOT drop it."""
     qs = registry.queries()
-    qs["q_dedup_ngram"](spark, SF_SMALL).count()
+    qs["q_source_jaccard"](spark, SF_SMALL).count()
     first = _persistent_ids(spark)
-    qs["q_dedup_ngram"](spark, SF_SMALL).count()
+    qs["q_source_jaccard"](spark, SF_SMALL).count()
     # the identical plan re-registers as the SAME cache entry (no growth)
     assert _persistent_ids(spark) == first
 
@@ -66,9 +66,9 @@ def test_same_key_reinvocation_does_not_grow_tracking(spark):
     tracking list must dedupe instead of appending one ref per run."""
     qs = registry.queries()
     caching.release_tracked()
-    qs["q_dedup_ngram"](spark, SF_SMALL).count()
+    qs["q_source_jaccard"](spark, SF_SMALL).count()
     n1 = len(caching._TRACKED)
     assert n1 >= 1
     for _ in range(3):
-        qs["q_dedup_ngram"](spark, SF_SMALL).count()
+        qs["q_source_jaccard"](spark, SF_SMALL).count()
     assert len(caching._TRACKED) == n1, "duplicate refs tracked on re-invocation"

@@ -148,3 +148,84 @@ def test_delete_key_absent_from_target_is_noop(table, spark):
     )
     assert table.manifest(v)["total_rows"] == 100
     assert len(_as_dict(table.read(spark))) == 100
+
+
+def test_optimize_compacts_multi_dir_buckets(table, spark):
+    table.append(spark, _mk(spark, [(200 + i, "a") for i in range(8)]))
+    table.append(spark, _mk(spark, [(300 + i, "b") for i in range(8)]))
+    before = table.read(spark)
+    multi = {b for b, ps in table.manifest()["buckets"].items() if len(ps) > 1}
+    assert multi, "appends should have produced multi-dir buckets"
+    v = table.optimize(spark)
+    m = table.manifest(v)
+    assert m["operation"] == "optimize"
+    assert all(len(ps) == 1 for ps in m["buckets"].values())
+    assert m["total_rows"] == 116
+    assert _as_dict(table.read(spark)) == _as_dict(before)
+
+
+def test_optimize_noop_when_all_single_dir(table, spark):
+    assert table.optimize(spark) == 1  # no new snapshot committed
+    assert table.versions() == [1]
+
+
+def test_expire_snapshots_vacuums_unreferenced_dirs(table, spark, tmp_path):
+    import os
+
+    table.merge(spark, _mk(spark, [(5, "U1")]))
+    table.merge(spark, _mk(spark, [(5, "U2")]))
+    res = table.expire_snapshots(keep_last=1)
+    assert res["removed_snapshots"] == [1, 2]
+    assert table.versions() == [3]
+    assert res["removed_dirs"] >= 1
+    # current snapshot still fully readable; expired one is gone
+    got = _as_dict(table.read(spark))
+    assert got[5] == "U2" and len(got) == 100
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        table.manifest(1)
+    # every retained referenced dir still exists on disk
+    for ps in table.manifest()["buckets"].values():
+        for p in ps:
+            assert os.path.isdir(p)
+
+
+def test_merge_stream_applies_cdc_batches_in_order(table, spark, tmp_path):
+    """Chunked CDC feed -> foreachBatch MERGE: later batches win per
+    key, deletes apply, and the final table equals the sequential
+    batch application."""
+    import os
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    schema = "k bigint, v string, del boolean, seq bigint"
+    # chunk 1: update k=1, insert k=500; chunk 2: delete k=1, two
+    # updates to k=2 in ONE batch (seq picks the later), update k=500
+    _mk(spark, [(1, "U1", False, 1), (500, "I1", False, 2)], schema).coalesce(
+        1
+    ).write.mode("overwrite").parquet(feed + "/c1")
+    _mk(
+        spark,
+        [(1, None, True, 3), (2, "U2a", False, 4), (2, "U2b", False, 5), (500, "I2", False, 6)],
+        schema,
+    ).coalesce(1).write.mode("overwrite").parquet(feed + "/c2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed + "/c*")
+    )
+    table.merge_stream(
+        stream,
+        checkpoint=str(tmp_path / "ckpt"),
+        delete_col="del",
+        seq_col="seq",
+    )
+    got = _as_dict(table.read(spark))
+    assert 1 not in got
+    assert got[2] == "U2b"
+    assert got[500] == "I2"
+    assert len(got) == 100  # 100 - {1} + {500}
+    ops = [h["operation"] for h in table.history()]
+    assert ops.count("merge") >= 1

@@ -88,6 +88,16 @@ _SHIFTS = {
 }
 
 
+# Optional: SPARK_GRAFT_PROBE_TABLES="documents,events" replicates only
+# those tables (others copied 1×) — a 64× docs-only probe shouldn't pay
+# for 38M lineitem rows it never reads.  Default: replicate all _SHIFTS.
+_REPL_TABLES = {
+    t.strip()
+    for t in os.environ.get("SPARK_GRAFT_PROBE_TABLES", "").split(",")
+    if t.strip()
+} or set(_SHIFTS)
+
+
 def build_layout(spark) -> None:
     from pyspark.sql import functions as F
 
@@ -98,7 +108,7 @@ def build_layout(spark) -> None:
     os.makedirs(DST)
     for t in TABLES:
         df = load(spark, SRC, t)
-        if t in _SHIFTS:
+        if t in _SHIFTS and t in _REPL_TABLES:
             parts = []
             for i in range(REPL):
                 rep = df
