@@ -902,9 +902,7 @@ PQ_QUERY = 1
 PQ_TOP = 10
 
 
-@register(
-    "q_ann_pq",
-    sql=f"""
+_PQ_SQL = f"""
     WITH cb AS (
       SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
       FROM embeddings WHERE vec_id < {PQ_K}
@@ -934,8 +932,10 @@ PQ_TOP = 10
     GROUP BY c.vec_id
     ORDER BY adc_micro, c.vec_id
     LIMIT {PQ_TOP}
-    """,
-)
+    """
+
+
+@register("q_ann_pq", sql=_PQ_SQL)
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (IVF-PQ's compression half): encode
     every vector as 4 centroid codes (argmin L2 per 16-dim subspace
@@ -960,22 +960,12 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def _dmicro(m: int) -> Column:
-        d = F.aggregate(
-            F.sequence(F.lit(m * PQ_DS), F.lit(m * PQ_DS + PQ_DS - 1)),
-            F.lit(0.0),
-            lambda acc, j: acc
-            + (F.element_at(F.col("evec"), j + 1) - F.element_at(F.col("cvec"), j + 1))
-            * (F.element_at(F.col("evec"), j + 1) - F.element_at(F.col("cvec"), j + 1)),
-        )
-        return F.floor(d * 1000000 + F.lit(0.5)).cast("long")
-
     sub = (
         ev.crossJoin(cb)
         .select(
             "vec_id",
             "cid",
-            F.posexplode(F.array(*[_dmicro(m) for m in range(PQ_M)])).alias("m", "dmicro"),
+            F.posexplode(F.array(*[_pq_dmicro(m) for m in range(PQ_M)])).alias("m", "dmicro"),
         )
     )
     # argmin per (vector, subspace) as min(struct) — a two-phase hash
@@ -990,6 +980,120 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         sub.where(F.col("vec_id") == PQ_QUERY).select(
             "m", "cid", F.col("dmicro").alias("qdmicro")
         )
+    )
+    return (
+        codes.where(F.col("vec_id") != PQ_QUERY)
+        .join(qtab, ["m", "cid"])
+        .groupBy("vec_id")
+        .agg(
+            F.sum("qdmicro").cast("long").alias("adc_micro"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("m", "cid"))),
+                    lambda s: s["cid"].cast("string"),
+                ),
+                "-",
+            ).alias("pq_code"),
+        )
+        .orderBy(F.asc("adc_micro"), F.asc("vec_id"))
+        .limit(PQ_TOP)
+    )
+
+
+def _pq_dmicro(m: int) -> Column:
+    """Quantized subspace-m L2 distance between columns ``evec`` and
+    ``cvec`` — the exact expression tree q_ann_pq encodes with (zero-
+    seeded index-order fold, no libm; floor-to-micro BEFORE argmin), so
+    index build and query-time table build are bit-identical."""
+    d = F.aggregate(
+        F.sequence(F.lit(m * PQ_DS), F.lit(m * PQ_DS + PQ_DS - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + (F.element_at(F.col("evec"), j + 1) - F.element_at(F.col("cvec"), j + 1))
+        * (F.element_at(F.col("evec"), j + 1) - F.element_at(F.col("cvec"), j + 1)),
+    )
+    return F.floor(d * 1000000 + F.lit(0.5)).cast("long")
+
+
+def build_pq_index(
+    spark: SparkSession, sf_dir: str, path: str | None = None, force: bool = False
+) -> str:
+    """Build the PQ index ONCE and persist it: the codebook (16
+    centroid vectors) plus the corpus as 4 subspace codes per vector —
+    the compressed representation that IS product quantization's point
+    (4 small ints per vector instead of 64 floats; at 100 TB the code
+    table is ~1.6% of the raw corpus and the only thing serving ever
+    scans).  Same idempotent build-once contract as build_ivf_index."""
+    import json
+    import os
+    import shutil
+
+    if path is None:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        path = os.path.join(ANN_INDEX_ROOT, tag, "pq")
+    meta = os.path.join(path, "_INDEX_META.json")
+    if os.path.exists(meta) and not force:
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+
+    e = load(spark, sf_dir, "embeddings")
+    ev = e.select("vec_id", _as_double("embedding").alias("evec"))
+    cb = F.broadcast(
+        ev.where(F.col("vec_id") < PQ_K).select(
+            F.col("vec_id").alias("cid"), F.col("evec").alias("cvec")
+        )
+    )
+    sub = ev.crossJoin(cb).select(
+        "vec_id",
+        "cid",
+        F.posexplode(F.array(*[_pq_dmicro(m) for m in range(PQ_M)])).alias("m", "dmicro"),
+    )
+    codes = (
+        sub.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("dmicro", "cid")).alias("mc"))
+        .select("vec_id", "m", F.col("mc.cid").alias("cid"))
+    )
+    ev.where(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("cid"), F.col("evec").alias("cvec")
+    ).write.parquet(os.path.join(path, "codebook"))
+    codes.write.parquet(os.path.join(path, "codes"))
+    tmp = meta + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"kind": "pq", "m": PQ_M, "k": PQ_K, "source": sf_dir}, fh)
+    os.replace(tmp, meta)  # marker last: a crashed build is invisible
+    return path
+
+
+@register("q_ann_pq_serve", sql=_PQ_SQL)
+def q_ann_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN *serving* path: load the persisted codebook + code table
+    (build_pq_index) instead of re-encoding the corpus per query.
+    Query-time work is exactly what PQ promises at 100 TB: build the
+    64-entry asymmetric-distance table from the query vector against
+    the broadcast codebook (the identical _pq_dmicro expression tree,
+    so ADT values are bit-equal to the encode-time distances), then
+    one broadcast join of that table against the 4-ints-per-vector
+    code column and an integer-sum ranking — the raw float corpus is
+    never read.  Shares q_ann_pq's oracle: results are bit-identical,
+    so the hash check certifies the code/codebook round trip through
+    parquet."""
+    import os
+
+    path = build_pq_index(spark, sf_dir)
+    cb = F.broadcast(spark.read.parquet(os.path.join(path, "codebook")))
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    qv = (
+        load(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") == PQ_QUERY)
+        .select(_as_double("embedding").alias("evec"))
+    )
+    qtab = F.broadcast(
+        qv.crossJoin(cb).select(
+            F.posexplode(
+                F.array(*[_pq_dmicro(m) for m in range(PQ_M)])
+            ).alias("m", "qdmicro"),
+            "cid",
+        ).select("m", "cid", "qdmicro")
     )
     return (
         codes.where(F.col("vec_id") != PQ_QUERY)

@@ -41,3 +41,19 @@ def test_force_rebuilds(spark, tmp_path):
     # a fresh marker exists and the index still has both halves
     assert os.path.isdir(os.path.join(path, "centroids"))
     assert os.path.isdir(os.path.join(path, "assignments"))
+
+
+def test_pq_index_layout_and_idempotence(spark, tmp_path):
+    from processor_spark.operators.similarity import build_pq_index
+
+    path = str(tmp_path / "pq")
+    p1 = build_pq_index(spark, SF_SMALL, path=path)
+    t1 = _meta_mtime(p1)
+    assert os.path.isdir(os.path.join(p1, "codebook"))
+    assert os.path.isdir(os.path.join(p1, "codes"))
+    assert build_pq_index(spark, SF_SMALL, path=path) == p1
+    assert _meta_mtime(p1) == t1, "second call must reuse, not rebuild"
+    # the code table is the compressed corpus: PQ_M rows per vector,
+    # 3 small int columns, no float vectors anywhere
+    codes = spark.read.parquet(os.path.join(p1, "codes"))
+    assert set(codes.columns) == {"vec_id", "m", "cid"}
