@@ -154,6 +154,14 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically in the oracle SQL).
     """
     d = load(spark, sf_dir, "documents", spread=True)
+    return _ngram_jaccard_pairs(d)
+
+
+def _ngram_jaccard_pairs(d: DataFrame, mode: str = "ws") -> DataFrame:
+    """Near-dup pairs by exact 3-gram Jaccard over ``d`` (doc_id,
+    source, text) — the q_dedup_ngram pipeline, tokenizer-mode
+    parameterized so the unicode ladder (q_dedup_ngram_unicode) runs
+    the identical scalable shape."""
     # distinct FIRST (partial hash-agg dedups map-side, so the shuffle
     # carries the distinct stream, not the raw one — on a near-dup
     # corpus raw >> distinct); then the df cap is ONE window count over
@@ -161,7 +169,7 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (A lag()-based fused dedup+cap saves that exchange but sorts the
     # RAW stream — measured slower at scale-relevant dup ratios.)
     rows = (
-        d.select("doc_id", "source", _tokens(F.col("text")).alias("toks"))
+        d.select("doc_id", "source", _tokens(F.col("text"), mode).alias("toks"))
         .where(F.size("toks") >= 3)
         .select("doc_id", "source", F.explode(F.expr(_GRAM3_EXPR)).alias("gram"))
         .distinct()
@@ -973,3 +981,89 @@ def q_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# Planted multilingual near-dup rows for q_dedup_ngram_unicode (the
+# fixture corpus is ASCII; negative ids can't collide).  Two planted
+# near-dup pairs: a pure-CJK pair and a mixed-script pair whose
+# Latin→Han boundaries exercise the r6 tokenizer fix.
+_UNI_DEDUP_PLANTS = [
+    (-1, "planted", "深度学习模型需要大规模高质量的训练数据来提升泛化能力"),
+    (-2, "planted", "深度学习模型需要大规模高质量的训练数据来改进泛化效果"),
+    (-3, "planted", "今日の天気は晴れです散歩に行きましょう"),
+    (-4, "planted", "用Python写代码来清洗大规模训练数据的标准流程"),
+    (-5, "planted", "用Python写代码来清洗大规模训练数据的通用方法"),
+    (-6, "planted", "completely unrelated english filler text document"),
+]
+
+_UNI_PLANT_VALUES = ", ".join(
+    f"({i}, '{s}', '{t}')" for i, s, t in _UNI_DEDUP_PLANTS
+)
+
+
+def _uni_ngram_sql() -> str:
+    from processor_spark.functions.tokenize import UNICODE_TOKEN_PATTERN_RE2
+
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, source, text FROM documents WHERE doc_id % 20 = 0
+      UNION ALL
+      SELECT * FROM (VALUES {_UNI_PLANT_VALUES}) AS v(doc_id, source, text)
+    ), toked AS (
+      SELECT doc_id, source,
+             regexp_extract_all(text, '{UNICODE_TOKEN_PATTERN_RE2}') AS toks
+      FROM docs
+    ), grams_all AS (
+      SELECT DISTINCT doc_id, source,
+             tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS gram
+      FROM (
+        SELECT doc_id, source, unnest(toks) AS tok,
+               generate_subscripts(toks, 1) AS pos
+        FROM toked
+      )
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY lead(tok, 2) OVER w IS NOT NULL
+    ), grams AS (
+      SELECT doc_id, source, gram FROM grams_all
+      QUALIFY count(*) OVER (PARTITION BY source, gram) <= {NGRAM_DF_CAP}
+    ), sized AS (
+      SELECT doc_id, source, count(*) AS n_grams FROM grams GROUP BY 1, 2
+    ), pair_overlap AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM grams a JOIN grams b
+        ON a.gram = b.gram AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b,
+           round(p.n_common / (sa.n_grams + sb.n_grams - p.n_common), 6) AS jaccard
+    FROM pair_overlap p
+    JOIN sized sa ON sa.doc_id = p.doc_a
+    JOIN sized sb ON sb.doc_id = p.doc_b
+    WHERE p.n_common / (sa.n_grams + sb.n_grams - p.n_common) >= {JACCARD_THRESHOLD}
+    """
+
+
+@register("q_dedup_ngram_unicode", sql=_uni_ngram_sql())
+def q_dedup_ngram_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The n-gram near-dup ladder under UNICODE tokenization, driven
+    end-to-end through the hash gate: a fixture slice UNIONed with
+    planted CJK / mixed-script near-dup pairs runs the IDENTICAL
+    pipeline as q_dedup_ngram (_ngram_jaccard_pairs, mode='unicode')
+    and must emit the planted pairs — pairs whitespace tokenization
+    cannot see at all (a CJK doc is ONE ws token → zero 3-grams).
+    The oracle replays tokenization (RE2 twin of the Java pattern,
+    functions/tokenize.py), gram construction, df cap, and jaccard
+    bit-for-bit, so the cross-engine contract covers the whole CJK
+    dedup path, not just the token stream (q_token_unicode).
+
+    Scale shape: identical to q_dedup_ngram — the mode flag changes
+    one regexp in the scan projection and nothing downstream."""
+    d = (
+        load(spark, sf_dir, "documents", spread=True)
+        .where(F.col("doc_id") % 20 == 0)
+        .select("doc_id", "source", "text")
+    )
+    planted = spark.createDataFrame(
+        _UNI_DEDUP_PLANTS, "doc_id long, source string, text string"
+    )
+    return _ngram_jaccard_pairs(d.unionByName(planted), mode="unicode")
