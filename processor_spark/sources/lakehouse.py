@@ -80,6 +80,28 @@ def _bucket_expr(df: DataFrame, key: str, num_buckets: int):
     return F.pmod(col, F.lit(num_buckets))
 
 
+def _widen_ddl(spark: SparkSession, old_ddl: str, new_ddl: str) -> str:
+    """Schema evolution rule: keep every existing column (order and
+    type pinned), append columns the new data adds.  A type CHANGE on
+    an existing column raises — silent type drift corrupts every old
+    file's read, and real formats reject it too."""
+    old = spark.createDataFrame([], old_ddl).schema
+    new = spark.createDataFrame([], new_ddl).schema
+    old_types = {f.name: f.dataType.simpleString() for f in old.fields}
+    out = [f"{f.name} {f.dataType.simpleString()}" for f in old.fields]
+    for f in new.fields:
+        t = f.dataType.simpleString()
+        if f.name in old_types:
+            if old_types[f.name] != t:
+                raise ValueError(
+                    f"type change on column {f.name!r}: "
+                    f"{old_types[f.name]} -> {t} (not supported)"
+                )
+        else:
+            out.append(f"{f.name} {t}")
+    return ", ".join(out)
+
+
 class LakeTable:
     """Handle on a lakehouse table directory (cheap; no Spark state)."""
 
@@ -218,6 +240,42 @@ class LakeTable:
         paths = sorted(p for ps in m["buckets"].values() for p in ps)
         return spark.read.schema(m["schema"]).parquet(*paths)
 
+    def read_keys(
+        self, spark: SparkSession, keys: list, version: int | None = None
+    ) -> DataFrame:
+        """Point-lookup read: open ONLY the buckets the given keys hash
+        to (the writer's own bucket function), then filter exactly.  A
+        |keys|-point lookup touches at most |keys| of num_buckets
+        bucket dirs — the manifest plans the scan, not a listing — so
+        at 100 TB a single-key fetch reads ~1/num_buckets of the table
+        in the worst case instead of all of it (plus parquet row-group
+        skipping under the pushed IN-filter inside each bucket)."""
+        m = self.manifest(version)
+        kdf = spark.createDataFrame(
+            [(k,) for k in keys],
+            f"{m['key']} {self._key_type(spark, m)}",
+        )
+        wanted = {
+            str(r.b)
+            for r in kdf.select(
+                _bucket_expr(kdf, m["key"], m["num_buckets"]).alias("b")
+            )
+            .distinct()
+            .collect()
+        }
+        wanted &= set(m["buckets"])
+        if not wanted:
+            return spark.createDataFrame([], m["schema"])
+        return self._read_buckets(spark, m, wanted).where(
+            F.col(m["key"]).isin(list(keys))
+        )
+
+    def _key_type(self, spark: SparkSession, m: dict) -> str:
+        schema = spark.createDataFrame([], m["schema"]).schema
+        return next(
+            f.dataType.simpleString() for f in schema.fields if f.name == m["key"]
+        )
+
     def _read_buckets(self, spark: SparkSession, m: dict, wanted: set[str]) -> DataFrame:
         paths = sorted(p for b, ps in m["buckets"].items() if b in wanted for p in ps)
         return spark.read.schema(m["schema"]).parquet(*paths)
@@ -252,6 +310,14 @@ class LakeTable:
             deletes = None
             upserts = source
 
+        # schema evolution, validated BEFORE the union (unionByName
+        # would silently coerce a type conflict into a runtime CAST):
+        # new source columns append; type changes raise
+        src_ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in upserts.schema.fields
+        )
+        widened_ddl = _widen_ddl(spark, m["schema"], src_ddl)
+
         # touched buckets: bounded by num_buckets, so collecting the
         # distinct list is a scalar-sized action, never data-sized
         touched = {
@@ -266,10 +332,16 @@ class LakeTable:
         )
 
         # MERGE core (same relational identity as operators/cdc.upsert):
-        # source wins on key collision; delete keys vanish entirely
+        # source wins on key collision; delete keys vanish entirely.
+        # allowMissingColumns = schema evolution: a source column the
+        # table lacks WIDENS the table (old rows read as NULL — the
+        # manifest schema is authoritative and parquet fills missing
+        # columns on read, so carried-forward buckets never rewrite);
+        # a target column the source lacks nulls out on updated rows.
         all_source_keys = source.select(key)
         merged = upserts.unionByName(
-            target_touched.join(all_source_keys, key, "left_anti")
+            target_touched.join(all_source_keys, key, "left_anti"),
+            allowMissingColumns=True,
         )
         if deletes is not None:
             merged = merged.join(deletes, key, "left_anti")
@@ -298,7 +370,7 @@ class LakeTable:
                 "operation": "merge",
                 "key": key,
                 "num_buckets": nb,
-                "schema": m["schema"],
+                "schema": widened_ddl,
                 "buckets": out_buckets,
                 "total_rows": int(total),
             }
@@ -309,6 +381,10 @@ class LakeTable:
         """Append-only commit: new data files, every existing bucket
         carried forward (zero rewrite — the fast ingest path)."""
         m = self.manifest()
+        df_ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        widened_ddl = _widen_ddl(spark, m["schema"], df_ddl)  # raises on type change
         new_buckets, _ = self._write_data(spark, df, m["key"], m["num_buckets"])
         out = {b: list(ps) for b, ps in m["buckets"].items()}
         for b, ps in new_buckets.items():
@@ -322,7 +398,7 @@ class LakeTable:
                 "operation": "append",
                 "key": m["key"],
                 "num_buckets": m["num_buckets"],
-                "schema": m["schema"],
+                "schema": widened_ddl,
                 "buckets": out,
                 "total_rows": int(m["total_rows"] + added),
             }

@@ -229,3 +229,43 @@ def test_merge_stream_applies_cdc_batches_in_order(table, spark, tmp_path):
     assert len(got) == 100  # 100 - {1} + {500}
     ops = [h["operation"] for h in table.history()]
     assert ops.count("merge") >= 1
+
+
+def test_merge_schema_evolution_adds_column(table, spark):
+    """A source column the table lacks widens the schema: updated rows
+    carry it, carried-forward rows read it as NULL (manifest schema is
+    authoritative; old parquet files are never rewritten)."""
+    src = _mk(
+        spark, [(5, "UPDATED", "high")], "k bigint, v string, tier string"
+    )
+    table.merge(spark, src)
+    got = {r.k: (r.v, r.tier) for r in table.read(spark).collect()}
+    assert got[5] == ("UPDATED", "high")
+    assert got[6] == ("v6", None)
+    # time travel still serves the ORIGINAL schema
+    assert "tier" not in table.read(spark, version=1).columns
+
+
+def test_merge_type_change_is_rejected(table, spark):
+    src = _mk(spark, [(5, 3.14)], "k bigint, v double")
+    with pytest.raises(ValueError, match="type change"):
+        table.merge(spark, src)
+
+
+def test_append_schema_evolution(table, spark):
+    table.append(spark, _mk(spark, [(900, "a", 1)], "k bigint, v string, extra int"))
+    got = {r.k: r.extra for r in table.read(spark).collect()}
+    assert got[900] == 1 and got[0] is None
+
+
+def test_read_keys_prunes_to_hashed_buckets(table, spark):
+    got = {r.k: r.v for r in table.read_keys(spark, [5, 13, 9999]).collect()}
+    assert got == {5: "v5", 13: "v13"}
+    # plan-level: both keys hash to bucket 5 (5%8 = 13%8 = 5), so no
+    # other bucket dir may appear among the scan's file sources
+    import re
+
+    explained = table.read_keys(spark, [5, 13])._jdf.queryExecution().executedPlan().toString()
+    # both keys hash to bucket 5 — no other bucket dir may be read
+    dirs = set(re.findall(r"_bucket=(\d+)", explained))
+    assert dirs <= {"5"}, f"scan touched extra buckets: {dirs}"
