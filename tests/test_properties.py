@@ -613,3 +613,27 @@ def test_max_concurrency_equals_bruteforce_sweep(spark):
             peak = max(peak, cur)
         n_starts = sum(1 for _t, d in marks if d == 1)
         assert got[day] == (peak, n_starts), (day, got[day], (peak, n_starts))
+
+
+def test_graph_ann_recall_dominates_lsh(spark):
+    """q_ann_graph's candidate set is seeds (= q_ann_lsh's candidates)
+    ∪ one-hop graph neighbors, so its exact-rerank recall vs the true
+    top-k (q_knn_join) must be >= LSH's — the expansion exists to
+    recover neighbors that collide with the query in NO hash table."""
+    from processor_spark import registry
+    from tests.conftest import SF_SMALL
+
+    exact = {}
+    for r in registry.get("q_knn_join").fn(spark, SF_SMALL).collect():
+        exact.setdefault(r.q_id, set()).add(r.neighbor_id)
+
+    def recall(key):
+        got = {}
+        for r in registry.get(key).fn(spark, SF_SMALL).collect():
+            got.setdefault(r.q_id, set()).add(r.neighbor_id)
+        hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
+        return hits / sum(len(v) for v in exact.values())
+
+    r_lsh, r_graph = recall("q_ann_lsh"), recall("q_ann_graph")
+    assert r_graph >= r_lsh, (r_graph, r_lsh)
+    assert r_graph >= 0.5, f"graph ANN recall@{len(next(iter(exact.values())))} = {r_graph}"
