@@ -1475,3 +1475,148 @@ def q_ann_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= KNN_K)
         .select("q_id", F.col("vec_id").alias("neighbor_id"), "cos_sim", "rank")
     )
+
+
+def build_graph_index(
+    spark: SparkSession, sf_dir: str, path: str | None = None, force: bool = False
+) -> str:
+    """Persist the graph-ANN index: the degree-bounded edge list
+    (partitioned by src-bucket for pruned hop reads is unnecessary —
+    edges are 2 ints/row) plus the (table, bucket) -> member posting
+    needed to seed queries without rescanning the corpus, plus the
+    corpus vectors keyed by id for candidate re-ranking.  Build once,
+    serve many — the same contract as build_ivf_index/build_pq_index;
+    at 100 TB the O(n·bucket) pair scoring happens once offline."""
+    import json
+    import os
+    import shutil
+
+    if path is None:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        path = os.path.join(ANN_INDEX_ROOT, tag, "graph")
+    meta = os.path.join(path, "_INDEX_META.json")
+    if os.path.exists(meta) and not force:
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+
+    e = load(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id", _as_double("embedding").alias("emb")
+    ).withColumn("nrm", l2norm(F.col("emb")))
+    for t in range(LSH_TABLES):
+        e = e.withColumn(f"bucket{t}", _table_bucket_expr("emb", t))
+    longf = None
+    for t in range(LSH_TABLES):
+        part = e.select(
+            F.lit(t).alias("tbl"), F.col(f"bucket{t}").alias("bucket"), "vec_id"
+        )
+        longf = part if longf is None else longf.unionByName(part)
+    wcap = Window.partitionBy("tbl", "bucket")
+    capped = (
+        longf.withColumn("bsz", F.count(F.lit(1)).over(wcap))
+        .where(F.col("bsz") <= GRAPH_BUCKET_CAP)
+        .drop("bsz")
+    )
+    pair_ids = (
+        capped.alias("a")
+        .join(
+            capped.alias("c"),
+            on=[
+                F.col("a.tbl") == F.col("c.tbl"),
+                F.col("a.bucket") == F.col("c.bucket"),
+                F.col("a.vec_id") != F.col("c.vec_id"),
+            ],
+        )
+        .select(F.col("a.vec_id").alias("src"), F.col("c.vec_id").alias("dst"))
+        .distinct()
+    )
+    src_e = e.select(
+        F.col("vec_id").alias("src"), F.col("emb").alias("semb"), F.col("nrm").alias("snrm")
+    )
+    dst_e = e.select(
+        F.col("vec_id").alias("dst"), F.col("emb").alias("demb"), F.col("nrm").alias("dnrm")
+    )
+    scored = pair_ids.join(src_e, "src").join(dst_e, "dst").select(
+        "src",
+        "dst",
+        F.round(
+            dot(F.col("semb"), F.col("demb")) / (F.col("snrm") * F.col("dnrm")), 6
+        ).alias("cs"),
+    )
+    we = Window.partitionBy("src").orderBy(F.desc("cs"), F.asc("dst"))
+    edges = (
+        scored.withColumn("rn", F.row_number().over(we))
+        .where(F.col("rn") <= GRAPH_DEGREE)
+        .select("src", "dst")
+    )
+    edges.write.parquet(os.path.join(path, "edges"))
+    longf.write.parquet(os.path.join(path, "buckets"))
+    e.select("vec_id", "emb", "nrm").write.parquet(os.path.join(path, "vectors"))
+    tmp = meta + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {"kind": "graph", "degree": GRAPH_DEGREE, "tables": LSH_TABLES,
+             "source": sf_dir},
+            fh,
+        )
+    os.replace(tmp, meta)  # marker last: a crashed build is invisible
+    return path
+
+
+@register("q_ann_graph_serve", sql=_graph_sql())
+def q_ann_graph_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-ANN *serving* path: the k-NN graph, bucket postings, and
+    id-keyed vectors come from the persisted index (build_graph_index)
+    — query time is only: hash the query vectors into their buckets,
+    equi-join the persisted postings for seeds, one equi-join along
+    the persisted edges for the expansion hop, and an exact re-rank of
+    the (small) candidate union.  The O(corpus·bucket) pair-scoring
+    build never runs at query time.  Shares q_ann_graph's oracle —
+    results are bit-identical, certifying the edge/posting/vector
+    round trip through parquet."""
+    import os
+
+    path = build_graph_index(spark, sf_dir)
+    edges = spark.read.parquet(os.path.join(path, "edges"))
+    postings = spark.read.parquet(os.path.join(path, "buckets"))
+    vectors = spark.read.parquet(os.path.join(path, "vectors"))
+
+    q = load(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") <= KNN_QUERIES
+    ).select(F.col("vec_id").alias("q_id"), _as_double("embedding").alias("qvec"))
+    q = q.withColumn("qnrm", l2norm(F.col("qvec")))
+    for t in range(LSH_TABLES):
+        q = q.withColumn(f"qbucket{t}", _table_bucket_expr("qvec", t))
+    qb = None
+    for t in range(LSH_TABLES):
+        part = q.select(
+            "q_id", F.lit(t).alias("tbl"), F.col(f"qbucket{t}").alias("bucket")
+        )
+        qb = part if qb is None else qb.unionByName(part)
+    seeds = (
+        postings.join(F.broadcast(qb), on=["tbl", "bucket"])
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+    hop = (
+        seeds.join(edges, on=seeds.vec_id == edges.src)
+        .select("q_id", F.col("dst").alias("vec_id"))
+        .where(F.col("vec_id") != F.col("q_id"))
+    )
+    expanded = seeds.unionByName(hop.select("q_id", "vec_id")).distinct()
+    cand = expanded.join(vectors, "vec_id").join(
+        F.broadcast(q.select("q_id", "qvec", "qnrm")), "q_id"
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        cand.select(
+            "q_id",
+            "vec_id",
+            F.round(
+                dot(F.col("emb"), F.col("qvec")) / (F.col("nrm") * F.col("qnrm")), 6
+            ).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= KNN_K)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cos_sim", "rank")
+    )

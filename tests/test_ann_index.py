@@ -57,3 +57,22 @@ def test_pq_index_layout_and_idempotence(spark, tmp_path):
     # 3 small int columns, no float vectors anywhere
     codes = spark.read.parquet(os.path.join(p1, "codes"))
     assert set(codes.columns) == {"vec_id", "m", "cid"}
+
+
+def test_graph_index_layout_and_idempotence(spark, tmp_path):
+    from processor_spark.operators.similarity import build_graph_index
+
+    path = str(tmp_path / "graph")
+    p1 = build_graph_index(spark, SF_SMALL, path=path)
+    t1 = _meta_mtime(p1)
+    for part in ("edges", "buckets", "vectors"):
+        assert os.path.isdir(os.path.join(p1, part))
+    assert build_graph_index(spark, SF_SMALL, path=path) == p1
+    assert _meta_mtime(p1) == t1, "second call must reuse, not rebuild"
+    # degree bound: no src exceeds GRAPH_DEGREE out-edges
+    from processor_spark.operators.similarity import GRAPH_DEGREE
+    from pyspark.sql import functions as F
+
+    edges = spark.read.parquet(os.path.join(p1, "edges"))
+    mx = edges.groupBy("src").count().agg(F.max("count")).collect()[0][0]
+    assert mx <= GRAPH_DEGREE
