@@ -13,6 +13,9 @@ transformations on single events or collections"
     eng.sql("SELECT ...")               # ANSI SQL over bound tables
     eng.run("q_pricing_summary")        # any registered operator
     eng.keys()                          # the full operator inventory
+    eng.table(path)                     # ACID lakehouse table (MERGE,
+                                        #   time travel, OPTIMIZE, VACUUM)
+    eng.build_ann_index("ivf"|"pq"|"graph")  # persisted vector indexes
 
 Everything returns a plain pyspark DataFrame on purpose: the engine's
 transformation vocabulary IS the DataFrame API plus the registered
@@ -83,6 +86,34 @@ class Engine:
     def describe(key: str) -> str:
         q = registry.get(key)
         return f"{q.key}: {q.doc.strip().splitlines()[0] if q.doc else '(no doc)'}"
+
+    # -- lakehouse tables (r6) -------------------------------------------------
+    def table(self, path: str):
+        """ACID lakehouse table handle (sources/lakehouse.py): snapshot
+        manifests, bucket-pruned MERGE, time travel, OPTIMIZE,
+        expire_snapshots, streaming MERGE — create/read/merge all take
+        this engine's SparkSession."""
+        from processor_spark.sources.lakehouse import LakeTable
+
+        return LakeTable(path)
+
+    # -- persisted ANN indexes (r6) --------------------------------------------
+    def build_ann_index(self, kind: str = "ivf", **kwargs) -> str:
+        """Build (or reuse) the persisted ANN index of the given kind
+        over the bound dataset's embeddings; returns the index path.
+        Kinds: 'ivf' (cell-partitioned assignments), 'pq' (codebook +
+        code table), 'graph' (k-NN graph + bucket postings).  The
+        matching q_ann_<kind>_serve operators answer queries from it."""
+        from processor_spark.operators import similarity as S
+
+        builders = {
+            "ivf": S.build_ivf_index,
+            "pq": S.build_pq_index,
+            "graph": S.build_graph_index,
+        }
+        if kind not in builders:
+            raise ValueError(f"unknown index kind {kind!r}; one of {sorted(builders)}")
+        return builders[kind](self.spark, self._require_bound(), **kwargs)
 
 
 def run_observed(df: DataFrame, name: str = "metrics", **metric_exprs) -> tuple[list, dict]:

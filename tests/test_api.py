@@ -91,3 +91,19 @@ def test_run_observed_metrics_ride_the_same_job(spark):
     assert metrics["n_rows"] == len(rows) == o.count()
     assert metrics["n_null_price"] == 0
     assert metrics["max_price"] == o.agg(F.max("o_totalprice")).first()[0]
+
+
+def test_lakehouse_table_via_facade(eng, spark, tmp_path):
+    t = eng.table(str(tmp_path / "lake"))
+    t.create(spark, spark.createDataFrame([(1, "a")], "k bigint, v string"), key="k")
+    t.merge(spark, spark.createDataFrame([(2, "b")], "k bigint, v string"))
+    assert {r.k: r.v for r in t.read(spark).collect()} == {1: "a", 2: "b"}
+
+
+def test_ann_index_via_facade(eng, tmp_path):
+    path = eng.build_ann_index("pq", path=str(tmp_path / "pq"))
+    import os
+
+    assert os.path.exists(os.path.join(path, "_INDEX_META.json"))
+    with pytest.raises(ValueError, match="unknown index kind"):
+        eng.build_ann_index("hnsw")
