@@ -1093,3 +1093,102 @@ def q_token_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct("toks")).alias("n_unique"),
         F.array_join(F.slice("toks", 1, 12), "|").alias("head_tokens"),
     )
+
+
+RRF_K = 60
+RRF_POOL = 50
+RRF_TOP = 20
+
+
+@register(
+    "q_hybrid_rrf",
+    sql=f"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    ), feat AS (
+      SELECT doc_id,
+             len(list_filter(toks, t -> t IN ('spark', 'table', 'query'))) AS tf,
+             least(NULLIF(list_position(toks, 'spark'), 0),
+                   NULLIF(list_position(toks, 'table'), 0),
+                   NULLIF(list_position(toks, 'query'), 0)) AS first_pos
+      FROM docs
+    ), rank_a AS (
+      SELECT doc_id, rn AS r FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY tf DESC, doc_id) AS rn
+        FROM feat WHERE tf > 0
+      ) WHERE rn <= {RRF_POOL}
+    ), rank_b AS (
+      SELECT doc_id, rn AS r FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY first_pos ASC, doc_id) AS rn
+        FROM feat WHERE first_pos IS NOT NULL
+      ) WHERE rn <= {RRF_POOL}
+    )
+    SELECT doc_id,
+           CAST(floor((COALESCE(CAST(1 AS DOUBLE) / CAST({RRF_K} + a.r AS DOUBLE), CAST(0 AS DOUBLE))
+                     + COALESCE(CAST(1 AS DOUBLE) / CAST({RRF_K} + b.r AS DOUBLE), CAST(0 AS DOUBLE)))
+                     * 1000000000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS rrf_nano
+    FROM rank_a a FULL OUTER JOIN rank_b b USING (doc_id)
+    ORDER BY rrf_nano DESC, doc_id
+    LIMIT {RRF_TOP}
+    """,
+)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion — the standard
+    RAG-stack trick for combining rankers with incomparable scores:
+    each ranker contributes 1/(k + rank), summed per doc.  Ranker A is
+    lexical (total query-term frequency, the BM25-ish signal); ranker
+    B is positional (how early the first query term appears — the
+    title/lead-match heuristic).  Both ranks are INTEGERS, each RRF
+    term is one IEEE division of integer-valued doubles and the fusion
+    is one fixed-order sum, so quantizing to nano-units gives a full
+    hash oracle with no float hazard.
+
+    Scale shape: both pools are global top-N — taken as
+    TakeOrderedAndProject (orderBy + limit, distributed partial top-N
+    per partition) and then ranked by a window over the POOL-sized
+    result only, never a data-sized unpartitioned sort (the
+    q_window_ntile scale-killer class).  The fusion join runs over two
+    {RRF_POOL}-row sets."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    terms = ("spark", "table", "query")
+    feat = d.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda t: t.isin(*terms))).alias("tf"),
+        F.least(
+            *[F.nullif(F.array_position(toks, t), F.lit(0)) for t in terms]
+        ).alias("first_pos"),
+    )
+
+    def pooled_rank(df, order_cols, flt):
+        pool = df.where(flt).orderBy(*order_cols).limit(RRF_POOL)
+        w = Window.orderBy(*order_cols)  # POOL-sized set: 50 rows, safe
+        return pool.withColumn("r", F.row_number().over(w)).select("doc_id", "r")
+
+    rank_a = pooled_rank(
+        feat, [F.desc("tf"), F.asc("doc_id")], F.col("tf") > 0
+    )
+    rank_b = pooled_rank(
+        feat,
+        [F.asc("first_pos"), F.asc("doc_id")],
+        F.col("first_pos").isNotNull(),
+    )
+    ra = rank_a.select("doc_id", F.col("r").alias("ra"))
+    rb = rank_b.select("doc_id", F.col("r").alias("rb"))
+    contrib = F.coalesce(
+        F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("ra").cast("double")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("rb").cast("double")), F.lit(0.0)
+    )
+    return (
+        ra.join(rb, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.floor(contrib * 1000000000 + F.lit(0.5)).cast("bigint").alias("rrf_nano"),
+        )
+        .orderBy(F.desc("rrf_nano"), F.asc("doc_id"))
+        .limit(RRF_TOP)
+    )
