@@ -379,6 +379,26 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ANN_INDEX_ROOT = "/tmp/processor_spark_ann"
 
+# Persisted-index format version: indexes live under /tmp and survive
+# across sessions AND code revisions — a format change (new layout,
+# different hash family, changed parameters) must force a rebuild, not
+# serve stale bytes.  Bump when any build_*_index output changes shape.
+ANN_INDEX_FMT = 1
+
+
+def _index_is_current(meta_path: str) -> bool:
+    import json
+    import os
+
+    if not os.path.exists(meta_path):
+        return False
+    try:
+        with open(meta_path) as fh:
+            return json.load(fh).get("fmt") == ANN_INDEX_FMT
+    except (OSError, ValueError):
+        return False
+
+
 
 def build_ivf_index(
     spark: SparkSession, sf_dir: str, path: str | None = None, force: bool = False
@@ -403,7 +423,7 @@ def build_ivf_index(
         tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
         path = os.path.join(ANN_INDEX_ROOT, tag, "ivf")
     meta = os.path.join(path, "_INDEX_META.json")
-    if os.path.exists(meta) and not force:
+    if _index_is_current(meta) and not force:
         return path
     shutil.rmtree(path, ignore_errors=True)
 
@@ -443,7 +463,11 @@ def build_ivf_index(
     assign.write.partitionBy("cell").parquet(os.path.join(path, "assignments"))
     tmp = meta + ".tmp"
     with open(tmp, "w") as fh:
-        json.dump({"kind": "ivf", "nprobe": IVF_NPROBE, "source": sf_dir}, fh)
+        json.dump(
+            {"kind": "ivf", "fmt": ANN_INDEX_FMT, "nprobe": IVF_NPROBE,
+             "source": sf_dir},
+            fh,
+        )
     os.replace(tmp, meta)  # marker last: a crashed build is invisible
     return path
 
@@ -1032,7 +1056,7 @@ def build_pq_index(
         tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
         path = os.path.join(ANN_INDEX_ROOT, tag, "pq")
     meta = os.path.join(path, "_INDEX_META.json")
-    if os.path.exists(meta) and not force:
+    if _index_is_current(meta) and not force:
         return path
     shutil.rmtree(path, ignore_errors=True)
 
@@ -1059,7 +1083,11 @@ def build_pq_index(
     codes.write.parquet(os.path.join(path, "codes"))
     tmp = meta + ".tmp"
     with open(tmp, "w") as fh:
-        json.dump({"kind": "pq", "m": PQ_M, "k": PQ_K, "source": sf_dir}, fh)
+        json.dump(
+            {"kind": "pq", "fmt": ANN_INDEX_FMT, "m": PQ_M, "k": PQ_K,
+             "source": sf_dir},
+            fh,
+        )
     os.replace(tmp, meta)  # marker last: a crashed build is invisible
     return path
 
@@ -1495,7 +1523,7 @@ def build_graph_index(
         tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
         path = os.path.join(ANN_INDEX_ROOT, tag, "graph")
     meta = os.path.join(path, "_INDEX_META.json")
-    if os.path.exists(meta) and not force:
+    if _index_is_current(meta) and not force:
         return path
     shutil.rmtree(path, ignore_errors=True)
 
@@ -1554,8 +1582,8 @@ def build_graph_index(
     tmp = meta + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(
-            {"kind": "graph", "degree": GRAPH_DEGREE, "tables": LSH_TABLES,
-             "source": sf_dir},
+            {"kind": "graph", "fmt": ANN_INDEX_FMT, "degree": GRAPH_DEGREE,
+             "tables": LSH_TABLES, "source": sf_dir},
             fh,
         )
     os.replace(tmp, meta)  # marker last: a crashed build is invisible

@@ -76,3 +76,26 @@ def test_graph_index_layout_and_idempotence(spark, tmp_path):
     edges = spark.read.parquet(os.path.join(p1, "edges"))
     mx = edges.groupBy("src").count().agg(F.max("count")).collect()[0][0]
     assert mx <= GRAPH_DEGREE
+
+
+def test_stale_format_index_is_rebuilt(spark, tmp_path):
+    """Indexes under /tmp survive code revisions; a meta without the
+    current format version (older builder, corrupted file) must force
+    a rebuild instead of serving stale bytes."""
+    import json
+
+    from processor_spark.operators.similarity import build_pq_index
+
+    path = str(tmp_path / "pq")
+    build_pq_index(spark, SF_SMALL, path=path)
+    meta = os.path.join(path, "_INDEX_META.json")
+    with open(meta) as fh:
+        m = json.load(fh)
+    m["fmt"] = -1  # simulate an older builder's output
+    with open(meta, "w") as fh:
+        json.dump(m, fh)
+    t_stale = os.path.getmtime(meta)
+    build_pq_index(spark, SF_SMALL, path=path)
+    assert os.path.getmtime(meta) > t_stale, "stale-format index was reused"
+    with open(meta) as fh:
+        assert json.load(fh)["fmt"] != -1
