@@ -71,6 +71,18 @@ HEADLINE = [
     # session close: broadcast Bloom blocklist probe — constant bitmap,
     # cost must be linear narrow-map on the probe side
     "q_bloom_prefilter",
+    # r6 additions: lakehouse MERGE round trip (storage IO should be
+    # CDC-batch-sized, i.e. linear in the touched slice), persisted
+    # ANN serving (index-shaped, should be near-flat), graph ANN
+    # build+serve, unicode dedup ladder, rank fusion
+    "q_merge_snapshot",
+    "q_time_travel",
+    "q_ann_ivf_serve",
+    "q_ann_pq_serve",
+    "q_ann_graph",
+    "q_ann_graph_serve",
+    "q_dedup_ngram_unicode",
+    "q_hybrid_rrf",
 ]
 
 # per-table key columns to shift per replica so keys stay unique and
