@@ -202,6 +202,11 @@ class LakeTable:
     ) -> int:
         """Create the table as snapshot v1 (``mode='overwrite'`` drops
         any existing table directory first)."""
+        if key not in df.columns:
+            raise ValueError(
+                f"merge key {key!r} is not a column of the table data "
+                f"(columns: {df.columns})"
+            )
         if os.path.isdir(self.snap_dir) and self.versions():
             if mode != "overwrite":
                 raise FileExistsError(f"lakehouse table exists at {self.path}")

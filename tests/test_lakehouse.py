@@ -269,3 +269,25 @@ def test_read_keys_prunes_to_hashed_buckets(table, spark):
     # both keys hash to bucket 5 — no other bucket dir may be read
     dirs = set(re.findall(r"_bucket=(\d+)", explained))
     assert dirs <= {"5"}, f"scan touched extra buckets: {dirs}"
+
+
+def test_create_rejects_missing_key_column(tmp_path, spark):
+    t = LakeTable(str(tmp_path / "bad"))
+    with pytest.raises(ValueError, match="merge key"):
+        t.create(spark, _mk(spark, [(1, "a")]), key="nope")
+
+
+def test_torn_current_pointer_self_heals(table, spark):
+    """A crash between manifest create and CURRENT swap leaves a stale
+    (or garbage) pointer; the manifest LISTING is authoritative, so
+    reads and the next commit must be unaffected."""
+    table.merge(spark, _mk(spark, [(5, "U")]))
+    cur = os.path.join(table.snap_dir, "CURRENT")
+    with open(cur, "w") as fh:
+        fh.write("1")  # stale pointer, as if the swap never happened
+    assert table.current_version() == 2
+    assert _as_dict(table.read(spark))[5] == "U"
+    with open(cur, "w") as fh:
+        fh.write("garbage")  # torn write
+    v = table.merge(spark, _mk(spark, [(6, "W")]))
+    assert v == 3 and _as_dict(table.read(spark))[6] == "W"
