@@ -360,3 +360,42 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_v2", F.lit(0)).cast("bigint").alias("n_v2"),
         F.coalesce("total_v2", F.lit(0.0)).alias("total_v2"),
     )
+
+
+@register(
+    "q_change_feed",
+    sql=f"""
+    SELECT 'changed' AS change_type, o_orderkey,
+           'X' AS o_orderstatus, round(o_totalprice + 1000.0, 2) AS o_totalprice
+    FROM orders WHERE o_orderkey % 10 = 0
+    UNION ALL
+    SELECT 'added', o_orderkey + 10000000, 'N', 100.0
+    FROM orders WHERE o_orderkey % 1000 = 0
+    UNION ALL
+    SELECT 'removed', o_orderkey, o_orderstatus, round(o_totalprice, 2)
+    FROM orders WHERE o_orderkey % 1000 = 501
+    """,
+)
+def q_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed read (lakehouse.read_changes): after the CDC
+    MERGE commit, diff snapshot v2 against v1 and classify every row
+    added / removed / changed — the table-format read that downstream
+    incremental consumers (index refresh, replication, cache
+    invalidation) subscribe to instead of re-reading the table.
+
+    Copy-on-write makes the diff bucket-pruned by construction: only
+    buckets whose manifest references differ are read (identical dir
+    lists = identical immutable files = no changes possible), so the
+    IO is CDC-slice-sized.  The oracle derives the expected feed
+    directly from the CDC batch definition; the hash match proves the
+    storage-level diff reconstructs exactly the logical change set —
+    including NOT flagging rows that were rewritten with identical
+    values (null-safe column comparison)."""
+    t = _orders_lake(spark, sf_dir, "orders_feed")
+    ch = t.read_changes(spark, from_version=1, to_version=2)
+    return ch.select(
+        "change_type",
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )

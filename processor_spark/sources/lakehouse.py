@@ -275,6 +275,66 @@ class LakeTable:
             F.col(m["key"]).isin(list(keys))
         )
 
+    def read_changes(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Change data feed between two snapshots: every row classified
+        ``added`` / ``removed`` / ``changed`` (value columns carry the
+        NEW side for added/changed, the OLD side for removed).
+
+        Copy-on-write makes this bucket-pruned for free: a bucket whose
+        dir list is IDENTICAL in both manifests cannot contain changes
+        (its files are the same immutable objects), so the diff reads
+        only buckets whose references differ — CDC-slice-sized IO, not
+        table-sized.  Within those buckets a full-outer join on the key
+        with null-safe column comparison separates real changes from
+        rewritten-but-identical rows.  Columns are compared on the
+        intersection of the two snapshots' schemas (schema evolution:
+        a column added after ``from_version`` doesn't mark every row
+        changed)."""
+        m1 = self.manifest(from_version)
+        m2 = self.manifest(to_version)
+        key = m2["key"]
+        changed_buckets = {
+            b
+            for b in set(m1["buckets"]) | set(m2["buckets"])
+            if m1["buckets"].get(b) != m2["buckets"].get(b)
+        }
+        old = self._read_buckets(spark, m1, changed_buckets & set(m1["buckets"]))
+        new = self._read_buckets(spark, m2, changed_buckets & set(m2["buckets"]))
+        common = [c for c in new.columns if c in old.columns and c != key]
+        o = old.select(
+            key, *[F.col(c).alias(f"_o_{c}") for c in common]
+        ).withColumn("_in_old", F.lit(True))
+        n = new.select(
+            key, *[F.col(c).alias(f"_n_{c}") for c in common]
+        ).withColumn("_in_new", F.lit(True))
+        j = o.join(n, key, "full_outer")
+        in_old = F.coalesce("_in_old", F.lit(False))
+        in_new = F.coalesce("_in_new", F.lit(False))
+        differs = F.lit(False)
+        for c in common:
+            differs = differs | ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+        change_type = (
+            F.when(in_new & ~in_old, "added")
+            .when(in_old & ~in_new, "removed")
+            .when(differs, "changed")
+        )
+        out_vals = [
+            F.when(change_type == "removed", F.col(f"_o_{c}"))
+            .otherwise(F.col(f"_n_{c}"))
+            .alias(c)
+            for c in common
+        ]
+        return (
+            j.withColumn("change_type", change_type)
+            .where(F.col("change_type").isNotNull())
+            .select("change_type", key, *out_vals)
+        )
+
     def _key_type(self, spark: SparkSession, m: dict) -> str:
         schema = spark.createDataFrame([], m["schema"]).schema
         return next(

@@ -291,3 +291,30 @@ def test_torn_current_pointer_self_heals(table, spark):
         fh.write("garbage")  # torn write
     v = table.merge(spark, _mk(spark, [(6, "W")]))
     assert v == 3 and _as_dict(table.read(spark))[6] == "W"
+
+
+def test_read_changes_classifies_and_skips_identical_rewrites(table, spark):
+    src = _mk(
+        spark,
+        [(5, "UPDATED", False), (6, "v6", False), (500, "NEW", False), (7, None, True)],
+        "k bigint, v string, del boolean",
+    )
+    # k=6 is "updated" to its EXISTING value: its bucket is rewritten,
+    # but the change feed must not flag it
+    table.merge(spark, src, delete_col="del")
+    ch = {
+        r.k: r.change_type
+        for r in table.read_changes(spark, 1, 2).collect()
+    }
+    assert ch == {5: "changed", 500: "added", 7: "removed"}
+
+
+def test_read_changes_is_bucket_pruned(table, spark):
+    import re
+
+    table.merge(spark, _mk(spark, [(16, "U")]))  # touches bucket 0 only
+    df = table.read_changes(spark, 1, 2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    dirs = set(re.findall(r"_bucket=(\d+)", plan))
+    assert dirs <= {"0"}, f"diff scanned untouched buckets: {dirs}"
+    assert {r.k: r.change_type for r in df.collect()} == {16: "changed"}
