@@ -399,3 +399,83 @@ def q_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         F.round("o_totalprice", 2).alias("o_totalprice"),
     )
+
+
+@register(
+    "q_mv_maintain",
+    sql=f"""
+    WITH src AS ({_MERGE_SRC_SQL}),
+    v2 AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM src WHERE NOT del
+      UNION ALL
+      SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice
+      FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = o.o_orderkey)
+    )
+    SELECT o_orderstatus,
+           CAST(o_orderkey % 8 AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM v2
+    GROUP BY o_orderstatus, shard
+    """,
+)
+def q_mv_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance off the change feed: a
+    per-(status, shard) aggregate computed over snapshot v1 is brought
+    up to v2 by applying SIGNED deltas from
+    read_changes(preimage=True) — added/changed rows contribute +1/+x,
+    removed/changed_from rows -1/-x — never re-reading the base table.
+
+    This is the pattern that matters at 100 TB: the full recompute the
+    oracle performs costs a table-sized scan per refresh, while the
+    incremental path reads only the bucket-pruned CDC slice plus the
+    agg-sized prior state.  The hash match against the oracle's full
+    v2 recompute proves the delta algebra is EXACT, not approximate —
+    guaranteed by integer-cents arithmetic (floor(x*100+0.5), exact
+    bigint sums; identical IEEE ops on both engines), since float sums
+    would diverge by accumulation order between the two plans."""
+    t = _orders_lake(spark, sf_dir, "orders_incr")
+
+    def cents(col: str):
+        return F.floor(F.col(col) * 100 + 0.5).cast("bigint")
+
+    def shard(col: str):
+        return F.pmod(F.col(col), F.lit(8)).cast("bigint").alias("shard")
+
+    base = (
+        t.read(spark, version=1)
+        .groupBy("o_orderstatus", shard("o_orderkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n1"),
+            F.sum(cents("o_totalprice")).alias("c1"),
+        )
+    )
+    feed = t.read_changes(spark, from_version=1, to_version=2, preimage=True)
+    sign = F.when(
+        F.col("change_type").isin("added", "changed"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = (
+        feed.groupBy("o_orderstatus", shard("o_orderkey"))
+        .agg(
+            F.sum(sign).alias("dn"),
+            F.sum(sign * cents("o_totalprice")).alias("dc"),
+        )
+    )
+    maintained = (
+        base.join(delta, ["o_orderstatus", "shard"], "full_outer")
+        .select(
+            "o_orderstatus",
+            "shard",
+            (F.coalesce("n1", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+            .cast("bigint")
+            .alias("n_orders"),
+            (F.coalesce("c1", F.lit(0)) + F.coalesce("dc", F.lit(0)))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+        .where(F.col("n_orders") > 0)
+    )
+    return maintained

@@ -280,10 +280,17 @@ class LakeTable:
         spark: SparkSession,
         from_version: int,
         to_version: int | None = None,
+        preimage: bool = False,
     ) -> DataFrame:
         """Change data feed between two snapshots: every row classified
         ``added`` / ``removed`` / ``changed`` (value columns carry the
-        NEW side for added/changed, the OLD side for removed).
+        NEW side for added/changed, the OLD side for removed).  With
+        ``preimage=True`` each changed key emits TWO rows — a
+        ``changed_from`` row carrying the OLD values followed by the
+        ``changed`` row with the new ones (the Delta CDF
+        update_preimage/update_postimage shape) — which is what lets a
+        consumer maintain aggregates or indexes by pure +/- deltas
+        without ever re-reading the base table.
 
         Copy-on-write makes this bucket-pruned for free: a bucket whose
         dir list is IDENTICAL in both manifests cannot contain changes
@@ -291,10 +298,13 @@ class LakeTable:
         only buckets whose references differ — CDC-slice-sized IO, not
         table-sized.  Within those buckets a full-outer join on the key
         with null-safe column comparison separates real changes from
-        rewritten-but-identical rows.  Columns are compared on the
-        intersection of the two snapshots' schemas (schema evolution:
-        a column added after ``from_version`` doesn't mark every row
-        changed)."""
+        rewritten-but-identical rows; the per-row output variants are
+        built as an array and exploded inside the SAME plan, so the
+        join is computed once (a union of two selects would compute it
+        twice — no automatic CTE materialization in Spark).  Columns
+        are compared on the intersection of the two snapshots' schemas
+        (schema evolution: a column added after ``from_version``
+        doesn't mark every row changed)."""
         m1 = self.manifest(from_version)
         m2 = self.manifest(to_version)
         key = m2["key"]
@@ -318,21 +328,28 @@ class LakeTable:
         differs = F.lit(False)
         for c in common:
             differs = differs | ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
-        change_type = (
-            F.when(in_new & ~in_old, "added")
-            .when(in_old & ~in_new, "removed")
-            .when(differs, "changed")
+
+        def _variant(tag: str, side: str):
+            return F.struct(
+                F.lit(tag).alias("change_type"),
+                *[F.col(f"_{side}_{c}").alias(c) for c in common],
+            )
+
+        changed_rows = (
+            F.array(_variant("changed_from", "o"), _variant("changed", "n"))
+            if preimage
+            else F.array(_variant("changed", "n"))
         )
-        out_vals = [
-            F.when(change_type == "removed", F.col(f"_o_{c}"))
-            .otherwise(F.col(f"_n_{c}"))
-            .alias(c)
-            for c in common
-        ]
+        rows = (
+            F.when(in_new & ~in_old, F.array(_variant("added", "n")))
+            .when(in_old & ~in_new, F.array(_variant("removed", "o")))
+            .when(differs, changed_rows)
+        )
         return (
-            j.withColumn("change_type", change_type)
-            .where(F.col("change_type").isNotNull())
-            .select("change_type", key, *out_vals)
+            j.withColumn("_rows", rows)
+            .where(F.col("_rows").isNotNull())
+            .select(key, F.explode("_rows").alias("_r"))
+            .select("_r.change_type", key, *[F.col(f"_r.{c}").alias(c) for c in common])
         )
 
     def _key_type(self, spark: SparkSession, m: dict) -> str:

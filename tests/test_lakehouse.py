@@ -309,6 +309,25 @@ def test_read_changes_classifies_and_skips_identical_rewrites(table, spark):
     assert ch == {5: "changed", 500: "added", 7: "removed"}
 
 
+def test_read_changes_preimage_emits_old_and_new(table, spark):
+    src = _mk(
+        spark,
+        [(5, "UPDATED", False), (6, "v6", False), (500, "NEW", False), (7, None, True)],
+        "k bigint, v string, del boolean",
+    )
+    table.merge(spark, src, delete_col="del")
+    rows = table.read_changes(spark, 1, 2, preimage=True).collect()
+    got = {(r.change_type, r.k): r.v for r in rows}
+    # changed key 5 contributes BOTH sides; identical-rewrite 6 neither
+    assert got == {
+        ("changed_from", 5): "v5",
+        ("changed", 5): "UPDATED",
+        ("added", 500): "NEW",
+        ("removed", 7): "v7",
+    }
+    assert len(rows) == 4
+
+
 def test_read_changes_is_bucket_pruned(table, spark):
     import re
 
