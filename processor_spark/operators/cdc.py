@@ -479,3 +479,42 @@ def q_mv_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_orders") > 0)
     )
     return maintained
+
+
+@register(
+    "q_delete_vectors",
+    sql="""
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+    FROM orders WHERE o_orderkey % 97 <> 11
+    """,
+)
+def q_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE (lakehouse deletion vectors): erase a ~1%
+    key sliver from the orders lake table WITHOUT rewriting any data
+    file — the commit writes only per-bucket deletion-vector files
+    (the deleted keys), and the read folds them back in as a broadcast
+    anti-join against the untouched data scan.
+
+    This is the only viable DELETE shape at 100 TB when the deletion
+    is a sliver (GDPR erasure, bad-batch rollback): copy-on-write
+    would rewrite every touched bucket — here that's ALL of them,
+    since the sliver hits every bucket — while merge-on-read costs
+    O(|deleted keys|) write IO and a hash-probe on read, purged on the
+    next OPTIMIZE.  The oracle replays the delete relationally; the
+    hash match certifies the vector round trip through the manifest,
+    the covers-scoped anti-join, and the snapshot reader.  Storage
+    behaviors the hash can't see (data files untouched, append-after-
+    delete not shadowed, OPTIMIZE purge) are pinned in
+    tests/test_lakehouse.py."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    t = LakeTable(os.path.join("/tmp", "processor_spark_lake", tag, "orders_dv"))
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t.create(spark, o, key="o_orderkey", mode="overwrite")
+    t.delete_keys(
+        spark, o.where(F.col("o_orderkey") % 97 == 11).select("o_orderkey")
+    )
+    return t.read(spark).select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
+    )

@@ -38,11 +38,17 @@ Layout (one directory per table)::
   path: a source row marked in ``delete_col`` removes its target row
   (matched) or is ignored (unmatched).
 - **Time travel** = read any retained manifest by version number.
+- **DELETE, merge-on-read or copy-on-write** (``delete_keys``):
+  merge-on-read writes per-bucket deletion-vector files (just the
+  deleted keys, each recording the data dirs it covers) and leaves
+  every data file in place — O(|deleted|) commit IO at any table
+  size; readers fold vectors in via a broadcast anti-join, and
+  ``optimize`` purges them on its compaction cadence.
 
 What a production format adds on top of this core — column stats for
-file skipping, merge-on-read deletion vectors, manifest compaction,
-a catalog for cross-table transactions — layers onto exactly these
-primitives without changing them.
+file skipping, manifest compaction, a catalog for cross-table
+transactions — layers onto exactly these primitives without changing
+them.
 """
 
 from __future__ import annotations
@@ -229,6 +235,7 @@ class LakeTable:
                 "num_buckets": num_buckets,
                 "schema": ddl,
                 "buckets": buckets,
+                "deletes": {},
                 "total_rows": total,
             }
         )
@@ -242,8 +249,7 @@ class LakeTable:
         manifest's schema pinned (no listing, no inference), so the
         returned DataFrame is isolated from all later commits."""
         m = self.manifest(version)
-        paths = sorted(p for ps in m["buckets"].values() for p in ps)
-        return spark.read.schema(m["schema"]).parquet(*paths)
+        return self._read_buckets(spark, m, set(m["buckets"]))
 
     def read_keys(
         self, spark: SparkSession, keys: list, version: int | None = None
@@ -308,10 +314,12 @@ class LakeTable:
         m1 = self.manifest(from_version)
         m2 = self.manifest(to_version)
         key = m2["key"]
+        d1, d2 = m1.get("deletes", {}), m2.get("deletes", {})
         changed_buckets = {
             b
             for b in set(m1["buckets"]) | set(m2["buckets"])
             if m1["buckets"].get(b) != m2["buckets"].get(b)
+            or d1.get(b, []) != d2.get(b, [])  # MOR delete = change, same files
         }
         old = self._read_buckets(spark, m1, changed_buckets & set(m1["buckets"]))
         new = self._read_buckets(spark, m2, changed_buckets & set(m2["buckets"]))
@@ -359,8 +367,41 @@ class LakeTable:
         )
 
     def _read_buckets(self, spark: SparkSession, m: dict, wanted: set[str]) -> DataFrame:
-        paths = sorted(p for b, ps in m["buckets"].items() if b in wanted for p in ps)
-        return spark.read.schema(m["schema"]).parquet(*paths)
+        """Delete-applied scan of the wanted buckets.
+
+        Data dirs are grouped by the SET of delete files covering them
+        (a delete file covers exactly the dirs that existed in its
+        bucket at delete time, so a key re-appended AFTER the delete is
+        never shadowed — the equality-delete sequencing rule, recorded
+        as an explicit ``covers`` list instead of sequence-number
+        arithmetic).  Each group is one parquet scan, anti-joined
+        against the union of its delete-key files; the delete side is
+        broadcast, so the table side streams through a hash probe — no
+        shuffle of the data, read amplification bounded by the delete
+        files themselves.  With no deletes this degenerates to the
+        single flat scan it always was."""
+        dels = m.get("deletes", {})
+        groups: dict[frozenset, list[str]] = {}
+        for b in wanted:
+            entries = dels.get(b, [])
+            for d in m["buckets"].get(b, []):
+                sig = frozenset(e["path"] for e in entries if d in e["covers"])
+                groups.setdefault(sig, []).append(d)
+        parts = []
+        for sig, dirs in sorted(groups.items(), key=lambda kv: sorted(kv[1])):
+            df = spark.read.schema(m["schema"]).parquet(*sorted(dirs))
+            if sig:
+                dk = spark.read.schema(
+                    f"{m['key']} {self._key_type(spark, m)}"
+                ).parquet(*sorted(sig))
+                df = df.join(F.broadcast(dk), m["key"], "left_anti")
+            parts.append(df)
+        if not parts:
+            return spark.createDataFrame([], m["schema"])
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     # -------------------------------------------------------------- merge
 
@@ -433,6 +474,11 @@ class LakeTable:
             b: ps for b, ps in m["buckets"].items() if b not in touched
         }
         out_buckets.update(new_buckets)
+        # rewritten buckets had their deletion vectors applied by the
+        # delete-aware scan above — clear them; untouched buckets keep theirs
+        out_deletes = {
+            b: es for b, es in m.get("deletes", {}).items() if b not in touched
+        }
 
         # exact new total: carried-forward buckets keep their rows; the
         # touched buckets swap their old count for the merged count
@@ -454,7 +500,94 @@ class LakeTable:
                 "num_buckets": nb,
                 "schema": widened_ddl,
                 "buckets": out_buckets,
+                "deletes": out_deletes,
                 "total_rows": int(total),
+            }
+        )
+        return version
+
+    def delete_keys(self, spark: SparkSession, keys, mode: str = "mor") -> int:
+        """DELETE by key.  ``keys`` is a DataFrame carrying the merge-key
+        column (or a plain Python list).
+
+        ``mode='mor'`` (merge-on-read, the default) writes per-bucket
+        **deletion-vector files** — just the deleted keys — and leaves
+        every data file untouched: the commit costs O(|deleted keys|)
+        IO regardless of table size, which is the only viable shape
+        when the table is 100 TB and the delete is a sliver (GDPR
+        erasure, bad-batch rollback).  Readers apply the vectors as a
+        broadcast anti-join (see :meth:`_read_buckets`); each vector
+        records the data dirs it ``covers`` so later appends of the
+        same key are never shadowed.  :meth:`optimize` purges vectors
+        by rewriting their buckets — the compaction cadence is what
+        bounds read-side anti-join cost.
+
+        ``mode='cow'`` rewrites the touched buckets immediately
+        (delete-free reads, write amplification = touched-bucket
+        fraction) — the right trade when deletes are large or reads
+        dominate.
+
+        Keys absent from the table still leave an (inert) vector in
+        their bucket — equality-delete semantics, no existence check —
+        cleaned up at the next optimize.  Commit WRITES are
+        O(|deleted keys|); exact ``total_rows`` accounting reads the
+        touched buckets once (bucket-fraction-sized, never the table)."""
+        m = self.manifest()
+        key, nb = m["key"], m["num_buckets"]
+        if mode not in ("mor", "cow"):
+            raise ValueError(f"mode must be 'mor' or 'cow', got {mode!r}")
+        if not isinstance(keys, DataFrame):
+            keys = spark.createDataFrame(
+                [(k,) for k in keys], f"{key} {self._key_type(spark, m)}"
+            )
+        keys = keys.select(key).distinct()
+        touched = {
+            str(r.b)
+            for r in keys.select(_bucket_expr(keys, key, nb).alias("b"))
+            .distinct()
+            .collect()
+        }
+        touched &= set(m["buckets"])
+        if not touched:
+            return m["version"]  # nothing the table holds — no-op
+        target = self._read_buckets(spark, m, touched)
+        matched = (
+            target.join(keys, key, "left_semi")
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()[0]
+            .cnt
+        )
+        out_deletes = {b: list(es) for b, es in m.get("deletes", {}).items()}
+        if mode == "mor":
+            del_buckets, _ = self._write_data(spark, keys, key, nb)
+            out_buckets = m["buckets"]
+            for b, ps in del_buckets.items():
+                if b not in touched:
+                    continue  # key hashes to a bucket the table lacks
+                out_deletes.setdefault(b, []).extend(
+                    {"path": p, "covers": list(m["buckets"][b])} for p in ps
+                )
+        else:  # cow: rewrite touched buckets minus the keys, vectors cleared
+            remaining = target.join(keys, key, "left_anti")
+            new_buckets, _ = self._write_data(spark, remaining, key, nb)
+            out_buckets = {
+                b: ps for b, ps in m["buckets"].items() if b not in touched
+            }
+            out_buckets.update(new_buckets)
+            out_deletes = {b: es for b, es in out_deletes.items() if b not in touched}
+        version = m["version"] + 1
+        self._commit(
+            {
+                "version": version,
+                "parent": m["version"],
+                "operation": f"delete-{mode}",
+                "key": key,
+                "num_buckets": nb,
+                "schema": m["schema"],
+                "buckets": out_buckets,
+                "deletes": out_deletes,
+                "total_rows": int(m["total_rows"] - matched),
             }
         )
         return version
@@ -482,6 +615,9 @@ class LakeTable:
                 "num_buckets": m["num_buckets"],
                 "schema": widened_ddl,
                 "buckets": out,
+                # vectors carry forward untouched: their covers lists
+                # don't include the new dirs, so re-appended keys live
+                "deletes": m.get("deletes", {}),
                 "total_rows": int(m["total_rows"] + added),
             }
         )
@@ -497,9 +633,17 @@ class LakeTable:
         single fresh dir each; single-dir buckets carry forward — the
         same bucket-pruned copy-on-write economics as merge.  A
         row-identical commit: readers pinned to older snapshots are
-        untouched, and the op is recorded in history."""
+        untouched, and the op is recorded in history.
+
+        Buckets carrying merge-on-read deletion vectors are compacted
+        too (the delete-aware scan folds the vectors into the rewrite),
+        clearing their vectors — OPTIMIZE is the purge cadence that
+        bounds the read-side anti-join cost of :meth:`delete_keys`."""
         m = self.manifest()
-        multi = {b for b, ps in m["buckets"].items() if len(ps) > 1}
+        dels = m.get("deletes", {})
+        multi = {
+            b for b, ps in m["buckets"].items() if len(ps) > 1 or dels.get(b)
+        }
         if not multi:
             return m["version"]
         compacted = self._read_buckets(spark, m, multi)
@@ -516,6 +660,7 @@ class LakeTable:
                 "num_buckets": m["num_buckets"],
                 "schema": m["schema"],
                 "buckets": out,
+                "deletes": {b: es for b, es in dels.items() if b not in multi},
                 "total_rows": m["total_rows"],
             }
         )
@@ -533,8 +678,11 @@ class LakeTable:
         keep, drop = vs[-keep_last:], vs[:-keep_last]
         referenced: set[str] = set()
         for v in keep:
-            for ps in self.manifest(v)["buckets"].values():
+            mv = self.manifest(v)
+            for ps in mv["buckets"].values():
                 referenced.update(os.path.normpath(p) for p in ps)
+            for es in mv.get("deletes", {}).values():
+                referenced.update(os.path.normpath(e["path"]) for e in es)
         removed_dirs = 0
         data_root = os.path.join(self.path, _DATA_DIR)
         if os.path.isdir(data_root):

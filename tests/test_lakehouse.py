@@ -337,3 +337,86 @@ def test_read_changes_is_bucket_pruned(table, spark):
     dirs = set(re.findall(r"_bucket=(\d+)", plan))
     assert dirs <= {"0"}, f"diff scanned untouched buckets: {dirs}"
     assert {r.k: r.change_type for r in df.collect()} == {16: "changed"}
+
+
+# ------------------------------------------------- merge-on-read deletes
+
+
+def test_delete_mor_leaves_data_files_in_place(table, spark):
+    m1 = table.manifest()
+    v = table.delete_keys(spark, [5, 13, 9999])  # 9999 not in table
+    m2 = table.manifest(v)
+    assert m2["operation"] == "delete-mor"
+    assert m2["buckets"] == m1["buckets"], "MOR delete rewrote data files"
+    got = _as_dict(table.read(spark))
+    assert 5 not in got and 13 not in got and len(got) == 98
+    assert m2["total_rows"] == 98  # the missing key must not decrement
+    # vectors only in the buckets the keys hash to (5 % 8 == 13 % 8 == 5;
+    # absent key 9999 still writes an inert vector in its bucket 7 —
+    # equality-delete semantics, no existence check, purged by optimize)
+    assert set(m2["deletes"]) == {"5", "7"}
+
+
+def test_delete_mor_then_append_same_key_is_visible(table, spark):
+    table.delete_keys(spark, [5])
+    table.append(spark, _mk(spark, [(5, "REBORN")]))
+    got = _as_dict(table.read(spark))
+    assert got[5] == "REBORN", "deletion vector shadowed a later append"
+    assert len(got) == 100
+
+
+def test_delete_mor_then_merge_clears_vectors(table, spark):
+    table.delete_keys(spark, [5])
+    table.merge(spark, _mk(spark, [(5, "BACK")]))
+    m = table.manifest()
+    assert m.get("deletes", {}) == {}, "merge left stale vectors on a rewritten bucket"
+    got = _as_dict(table.read(spark))
+    assert got[5] == "BACK" and len(got) == 100
+
+
+def test_optimize_purges_deletion_vectors(table, spark):
+    table.delete_keys(spark, [5, 6])
+    v = table.optimize(spark)
+    m = table.manifest(v)
+    assert m.get("deletes", {}) == {}
+    got = _as_dict(table.read(spark))
+    assert 5 not in got and 6 not in got and len(got) == 98
+    assert m["total_rows"] == 98
+
+
+def test_delete_cow_rewrites_only_touched_buckets(table, spark):
+    m1 = table.manifest()
+    v = table.delete_keys(spark, [16], mode="cow")  # bucket 0
+    m2 = table.manifest(v)
+    assert m2["operation"] == "delete-cow"
+    assert m2.get("deletes", {}) == {}
+    assert m2["buckets"]["0"] != m1["buckets"]["0"]
+    for b in m1["buckets"]:
+        if b != "0":
+            assert m2["buckets"][b] == m1["buckets"][b]
+    assert 16 not in _as_dict(table.read(spark))
+
+
+def test_time_travel_sees_pre_delete_rows(table, spark):
+    table.delete_keys(spark, [5])
+    assert _as_dict(table.read(spark, version=1))[5] == "v5"
+
+
+def test_read_keys_applies_deletion_vectors(table, spark):
+    table.delete_keys(spark, [5])
+    got = {r.k: r.v for r in table.read_keys(spark, [5, 13]).collect()}
+    assert got == {13: "v13"}
+
+
+def test_read_changes_classifies_mor_delete_as_removed(table, spark):
+    v = table.delete_keys(spark, [5, 6])
+    ch = {r.k: r.change_type for r in table.read_changes(spark, 1, v).collect()}
+    assert ch == {5: "removed", 6: "removed"}
+
+
+def test_expire_retains_referenced_deletion_vectors(table, spark):
+    table.merge(spark, _mk(spark, [(16, "U")]))
+    table.delete_keys(spark, [5])
+    table.expire_snapshots(keep_last=1)
+    got = _as_dict(table.read(spark))
+    assert 5 not in got and got[16] == "U" and len(got) == 99
