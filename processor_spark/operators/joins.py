@@ -313,8 +313,10 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     # best-effort stale-sibling cleanup: published dirs are one-per-
     # sf_dir now, but pre-r6 per-session dirs (and crashed writers'
     # scratch dirs) would otherwise live in /tmp forever.  Only dirs
-    # untouched for >6h are removed, so a concurrently LIVE session's
-    # files are never raced.
+    # untouched for >6h are removed — and since directory mtime does
+    # NOT advance on reads (ADVICE r6), every session touches its own
+    # tag dir below on each use, so a >6h-lived session's files are
+    # never raced by a sibling using a different fixture.
     if os.path.isdir(root):
         cutoff = time.time() - 6 * 3600
         for sib in os.listdir(root):
@@ -367,6 +369,14 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
                 f"LOCATION '{path}'"
             )
         names[tbl] = name
+    # record liveness: advance the tag dir's mtime on every use so the
+    # sibling cleanup above (mtime > 6h) can never reap files a
+    # long-lived session still has registered in its catalog (ADVICE
+    # r6 — reads alone don't update directory mtime)
+    try:
+        os.utime(base)
+    except OSError:
+        pass
     return names
 
 

@@ -76,14 +76,28 @@ def _bucket_expr(df: DataFrame, key: str, num_buckets: int):
     """Bucket assignment for ``key``: integral keys bucket on the value
     itself (deterministic, human-auditable); anything else hashes
     first.  The bucket function only shapes LAYOUT — results never
-    depend on it — so the integral fast path is safe to keep stable."""
+    depend on it — so the integral fast path is safe to keep stable.
+
+    NULL keys are REJECTED at evaluation time (ADVICE r6): pmod(NULL)
+    is NULL, which would silently route rows to the
+    ``__HIVE_DEFAULT_PARTITION__`` dir while the probe side collects
+    ``str(None)`` — rows MERGE/DELETE/read_keys could never match yet
+    full reads still return.  assert_true costs nothing in codegen and
+    guards every write AND probe path through one definition."""
     dtype = dict(df.dtypes)[key]
     col = (
         F.col(key)
         if dtype in ("tinyint", "smallint", "int", "bigint")
         else F.xxhash64(F.col(key))
     )
-    return F.pmod(col, F.lit(num_buckets))
+    guard = F.assert_true(
+        F.col(key).isNotNull(),
+        F.lit(
+            f"NULL merge key in column {key!r}: lakehouse tables "
+            "require non-null keys (NULL cannot be bucketed or matched)"
+        ),
+    )
+    return F.when(guard.isNull(), F.pmod(col, F.lit(num_buckets)))
 
 
 def _widen_ddl(spark: SparkSession, old_ddl: str, new_ddl: str) -> str:
@@ -129,15 +143,37 @@ class LakeTable:
                 out.append(int(name[1:-5]))
         return sorted(out)
 
+    def _parses(self, version: int) -> bool:
+        """True iff the manifest file for ``version`` is valid JSON.
+        The tmp+hard-link commit protocol (:meth:`_commit`) cannot
+        publish a torn manifest, but tables written by the pre-fix
+        in-place ``json.dump`` protocol (ADVICE r6) — or any garbage a
+        foreign process drops into ``_snapshots/`` — must read as
+        *uncommitted*, not brick the table."""
+        try:
+            with open(self._manifest_path(version)) as fh:
+                json.load(fh)
+            return True
+        except (OSError, json.JSONDecodeError):
+            return False
+
     def current_version(self) -> int:
-        """Latest committed version.  The CURRENT pointer is only a
-        cache: the manifest listing is authoritative, so a stale or
-        torn pointer (crash between manifest create and pointer swap)
-        is self-healing."""
+        """Latest committed (= parseable) version.  The CURRENT pointer
+        is only a cache: the manifest listing is authoritative, so a
+        stale or torn pointer (crash between manifest create and
+        pointer swap) is self-healing.  An unparseable newest manifest
+        is treated as uncommitted garbage and skipped (see
+        :meth:`_parses`)."""
         vs = self.versions()
+        for v in reversed(vs):
+            if self._parses(v):
+                return v
         if not vs:
             raise FileNotFoundError(f"no lakehouse table at {self.path}")
-        return vs[-1]
+        raise FileNotFoundError(
+            f"no committed (parseable) snapshot at {self.path} "
+            f"({len(vs)} torn manifest(s) present)"
+        )
 
     def manifest(self, version: int | None = None) -> dict:
         v = self.current_version() if version is None else version
@@ -145,30 +181,57 @@ class LakeTable:
             return json.load(fh)
 
     def history(self) -> list[dict]:
-        """All retained snapshots, oldest first (operation, rows, parent)."""
+        """All retained snapshots, oldest first (operation, rows,
+        parent).  Torn manifests are skipped, not fatal."""
         return [
             {k: m[k] for k in ("version", "parent", "operation", "total_rows")}
-            for m in (self.manifest(v) for v in self.versions())
+            for m in (
+                self.manifest(v) for v in self.versions() if self._parses(v)
+            )
         ]
 
     def _commit(self, manifest: dict) -> None:
+        """Publish a manifest atomically AND exclusively.
+
+        The manifest is fully serialized (and fsynced) to a tmp file
+        first, then published with one ``os.link(tmp, target)`` — a
+        hard link either appears complete or not at all, so a crash or
+        ENOSPC mid-serialization can never leave a truncated
+        ``v<N>.json`` that :meth:`current_version` would select (ADVICE
+        r6: the old exclusive-create-then-dump wrote in place and a
+        torn dump bricked the table).  ``link`` keeps exclusivity: it
+        fails with FileExistsError if the target exists, so exactly one
+        of two racing writers publishes a given version.  If the
+        existing target is itself unparseable garbage (pre-fix torn
+        manifest), it is uncommitted by definition and this writer
+        repairs it via ``os.replace`` — complete-over-torn, never
+        complete-over-complete."""
         version = manifest["version"]
         os.makedirs(self.snap_dir, exist_ok=True)
         target = self._manifest_path(version)
-        try:
-            # exclusive create IS the commit — exactly one writer can
-            # publish a given version; everyone else conflicts loudly
-            with open(target, "x") as fh:
-                json.dump(manifest, fh, indent=1)
-        except FileExistsError:
-            raise CommitConflict(
-                f"version {version} of {self.path} was committed concurrently"
-            ) from None
-        cur, tmp = os.path.join(self.snap_dir, "CURRENT"), None
-        tmp = cur + f".tmp-{uuid.uuid4().hex[:8]}"
+        tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            if self._parses(version):
+                os.unlink(tmp)
+                raise CommitConflict(
+                    f"version {version} of {self.path} was committed concurrently"
+                ) from None
+            # torn leftover from the pre-fix protocol: uncommitted
+            # garbage — replace it with this complete manifest
+            os.replace(tmp, target)
+        else:
+            os.unlink(tmp)
+        cur = os.path.join(self.snap_dir, "CURRENT")
+        ctmp = cur + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(ctmp, "w") as fh:
             fh.write(str(version))
-        os.replace(tmp, cur)
+        os.replace(ctmp, cur)
 
     # -------------------------------------------------------------- write
 
@@ -441,12 +504,33 @@ class LakeTable:
         )
         widened_ddl = _widen_ddl(spark, m["schema"], src_ddl)
 
-        # touched buckets: bounded by num_buckets, so collecting the
-        # distinct list is a scalar-sized action, never data-sized
-        touched = {
-            str(r.b)
-            for r in source.select(bucket_of.alias("b")).distinct().collect()
-        }
+        # touched buckets + unique-source-key check in ONE scalar-sized
+        # action (ADVICE r6): MERGE's one-row-per-key invariant — which
+        # read_changes' full-outer join and every later merge assume,
+        # and which Delta-class formats enforce by raising on multiple
+        # matches — would silently break if a batch carried two rows
+        # for one key (unionByName keeps both).  The per-key count and
+        # the bucket set fall out of the same two-level agg; output is
+        # one row (collect_set bounded by num_buckets).
+        probe = (
+            source.select(bucket_of.alias("_b"), F.col(key).alias("_k"))
+            .groupBy("_k")
+            .agg(F.count(F.lit(1)).alias("_c"), F.first("_b").alias("_b"))
+            .groupBy()
+            .agg(
+                F.max("_c").alias("max_per_key"),
+                F.collect_set("_b").alias("bucket_set"),
+            )
+            .collect()[0]
+        )
+        if probe.max_per_key is not None and probe.max_per_key > 1:
+            raise ValueError(
+                f"MERGE source has duplicate rows for at least one {key!r} "
+                f"(max {probe.max_per_key} rows per key): collapse the "
+                "source to one row per key first (merge_stream does this "
+                "via seq_col)"
+            )
+        touched = {str(b) for b in (probe.bucket_set or [])}
         touched &= set(m["buckets"])  # insert-only buckets have no old files
         target_touched = (
             self._read_buckets(spark, m, touched)

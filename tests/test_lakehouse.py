@@ -420,3 +420,84 @@ def test_expire_retains_referenced_deletion_vectors(table, spark):
     table.expire_snapshots(keep_last=1)
     got = _as_dict(table.read(spark))
     assert 5 not in got and got[16] == "U" and len(got) == 99
+
+
+# --- ADVICE r6 hardening: torn manifests, NULL keys, duplicate keys ---
+
+
+def test_torn_newest_manifest_reads_as_uncommitted(table, spark):
+    """A truncated v<N>.json (pre-fix crash shape) must NOT brick the
+    table: readers fall back to the newest parseable snapshot and the
+    next commit repairs the torn slot."""
+    table.merge(spark, _mk(spark, [(5, "U2")]))  # v2 (valid)
+    torn = table._manifest_path(3)
+    with open(torn, "w") as fh:
+        fh.write('{"version": 3, "buckets": {"0"')  # truncated mid-dump
+    # reads: newest parseable wins
+    assert table.current_version() == 2
+    assert _as_dict(table.read(spark))[5] == "U2"
+    assert [h["version"] for h in table.history()] == [1, 2]
+    # commit: repairs the torn slot instead of conflicting forever
+    v = table.merge(spark, _mk(spark, [(6, "U3")]))
+    assert v == 3
+    assert table.manifest(3)["operation"] == "merge"
+    assert _as_dict(table.read(spark))[6] == "U3"
+
+
+def test_commit_publishes_whole_manifest_atomically(table, spark):
+    """No tmp debris is left behind and the published manifest is
+    complete JSON (the tmp+hard-link protocol)."""
+    table.merge(spark, _mk(spark, [(1, "U")]))
+    names = os.listdir(table.snap_dir)
+    assert not [n for n in names if ".tmp-" in n]
+    for v in table.versions():
+        with open(table._manifest_path(v)) as fh:
+            json.load(fh)  # raises if torn
+
+
+def test_commit_conflict_still_raised_over_valid_manifest(table, spark):
+    m = table.manifest()
+    m["version"] = 2
+    table._commit(m)  # winner publishes v2
+    with pytest.raises(CommitConflict):
+        table._commit(m)  # loser attempts the SAME version
+    assert table.current_version() == 2
+
+
+def test_null_merge_key_rejected_on_create(tmp_path, spark):
+    t = LakeTable(str(tmp_path / "nulls"))
+    with pytest.raises(Exception, match="NULL merge key"):
+        t.create(spark, _mk(spark, [(1, "a"), (None, "b")]), key="k")
+
+
+def test_null_merge_key_rejected_on_merge(table, spark):
+    with pytest.raises(Exception, match="NULL merge key"):
+        table.merge(spark, _mk(spark, [(None, "ghost")]))
+
+
+def test_duplicate_source_keys_rejected_on_merge(table, spark):
+    with pytest.raises(ValueError, match="duplicate rows"):
+        table.merge(spark, _mk(spark, [(5, "A"), (5, "B")]))
+
+
+def test_merge_stream_seq_col_still_collapses_duplicates(table, spark, tmp_path):
+    """The documented path for duplicate-key CDC batches: merge_stream
+    with seq_col dedupes BEFORE merge, so the new uniqueness check
+    never fires there."""
+    import shutil
+
+    src_dir = tmp_path / "cdc_in"
+    src_dir.mkdir()
+    _mk(
+        spark,
+        [(5, "OLD", 1), (5, "NEW", 2)],
+        "k bigint, v string, seq int",
+    ).coalesce(1).write.mode("overwrite").parquet(str(src_dir / "b0"))
+    stream = (
+        spark.readStream.schema("k bigint, v string, seq int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "b0"))
+    )
+    table.merge_stream(stream, checkpoint=str(tmp_path / "ckpt"), seq_col="seq")
+    assert _as_dict(table.read(spark))[5] == "NEW"
+    shutil.rmtree(str(src_dir), ignore_errors=True)
