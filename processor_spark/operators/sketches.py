@@ -1,0 +1,456 @@
+"""Portable mergeable sketches — HLL, KMV, count-min — with FULL
+cross-engine hash oracles.
+
+Sketches are the 100 TB answer to "distinct users per dashboard tile"
+and "how often does item X occur": build a fixed-size summary per
+fine-grained slice ONCE (map-side combinable, kilobytes per group),
+then answer rollup queries by MERGING summaries — never re-scanning
+the raw data.  Spark ships DataSketches HLL (q_hll_sketch,
+operators/aggregates.py) but its sketch bytes are engine-specific, so
+that key is rows-only.  This module rebuilds the three classic
+sketches on the repo's portable-hash foundation (CLAUDE.md md5-chunk
+family) so every estimate is BIT-IDENTICAL on Spark and DuckDB and the
+driver's value-hash certifies them:
+
+- hash family: md5 of the seeded key string; the first 12 hex chars
+  parse to an exact 48-bit integer on both engines, and each digest
+  carries four independent 32-bit chunks (one digest = a 4-member
+  hash family — q_cms_heavy pays ONE md5 per row for d=4 rows).
+- HLL rho (position of the first 1-bit) without log2: both engines
+  render integers in base 2 identically (Spark ``conv(w,10,2)`` ≡
+  DuckDB ``bin(w)``, no padding), so ``43 - length(...)`` is the
+  exact rank of a 42-bit remainder.
+- the harmonic-mean denominator is summed in INTEGER space
+  (``2^(43-r)`` per register, max 64·2^43 « 2^63): no float sum
+  order hazard, one final double division (IEEE-exact both engines).
+- HLL's small-range linear-counting branch needs ln(m/V) — a
+  transcendental, but V has only 63 possible values, so the constants
+  are computed once in Python and embedded as identical double
+  literals in both engines' expressions (the q_benford pattern).
+
+No reference implementation exists (/root/reference is a README stub);
+semantics follow the published HLL (Flajolet et al. 2007), KMV
+(Bar-Yossef et al. 2002) and count-min (Cormode & Muthukrishnan 2005)
+papers.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from processor_spark.registry import register
+from processor_spark.sources import load
+
+# --- HLL parameters: m = 64 registers (p = 6 bucket bits, 42-bit rest)
+_HLL_M = 64
+_HLL_REST = 1 << 42  # 4398046511104
+_HLL_ALPHA = 0.709  # published alpha_64
+# A / Z with Z pre-scaled by 2^43: est_raw = (alpha * m^2 * 2^43) / int_sum
+_HLL_NUM = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << 43)
+# linear counting table: V (zero registers) -> m * ln(m / V), V in 1..63
+_LIN_TAB = {v: _HLL_M * math.log(_HLL_M / v) for v in range(1, _HLL_M)}
+
+
+def _hll_row_exprs(key_col: str) -> tuple:
+    """(bucket, rho) Spark columns for one key observation: top 6 bits
+    of the 48-bit hash pick the register, the low 42 bits' first-1-bit
+    rank is the observation (rho = 43 - bit_length(w), w=0 -> max).
+    Shift/mod only — no float division anywhere near the hash."""
+    dig = F.md5(
+        F.concat(F.lit("hll:"), F.col(key_col).cast("string")).cast("binary")
+    )
+    h = F.conv(F.substring(dig, 1, 12), 16, 10).cast("long")
+    bucket = F.shiftright(h, 42)
+    w = F.pmod(h, F.lit(_HLL_REST))
+    rho = F.when(w == 0, F.lit(43)).otherwise(
+        F.lit(43) - F.length(F.conv(w, 10, 2))
+    )
+    return bucket, rho
+
+
+def _hll_estimate_cols():
+    """Spark aggregate -> estimate columns over a register stream
+    (grp, r).  Returns (agg_exprs, est_col builder)."""
+    int_term = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(43 - r AS INT))")
+    aggs = [
+        F.sum(int_term).alias("int_sum_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    ]
+
+    def est_col():
+        int_sum = F.col("int_sum_present") + (
+            F.lit(_HLL_M) - F.col("n_present")
+        ) * F.lit(1 << 43)
+        est_raw = F.lit(_HLL_NUM) / int_sum.cast("double")
+        v = F.lit(_HLL_M) - F.col("n_present")
+        lin = F.lit(None).cast("double")
+        for vv in range(_HLL_M - 1, 0, -1):
+            lin = F.when(v == vv, F.lit(_LIN_TAB[vv])).otherwise(lin)
+        est = F.when(
+            (v > 0) & (est_raw <= F.lit(2.5 * _HLL_M)), lin
+        ).otherwise(est_raw)
+        return F.floor(est * F.lit(10000.0) + F.lit(0.5)).cast("long")
+
+    return aggs, est_col
+
+
+def _hll_sql_rows(key_expr: str, seed: str = "hll:") -> str:
+    """DuckDB twin of :func:`_hll_row_exprs` as SELECT-list fragments."""
+    h = (
+        f"CAST('0x' || substr(md5('{seed}' || CAST({key_expr} AS VARCHAR)), 1, 12) "
+        f"AS BIGINT)"
+    )
+    return (
+        f"{h} // {_HLL_REST} AS bucket, "
+        f"CASE WHEN {h} % {_HLL_REST} = 0 THEN 43 "
+        f"ELSE 43 - length(bin({h} % {_HLL_REST})) END AS rho"
+    )
+
+
+def _hll_sql_estimate(grp: str) -> str:
+    """DuckDB estimate over a ``regs(grp, r)`` CTE — the exact integer
+    sum, the one double division and the embedded linear-counting
+    table, spelled to produce bit-identical doubles to the Spark side
+    (all float literals wrapped CAST(x AS DOUBLE): DuckDB would
+    otherwise parse them as DECIMAL and diverge — CLAUDE.md q_benford
+    rule)."""
+    lin_case = " ".join(
+        f"WHEN {v} THEN CAST({_LIN_TAB[v]!r} AS DOUBLE)"
+        for v in range(1, _HLL_M)
+    )
+    return f"""
+    SELECT {grp},
+           CAST(floor(
+             CASE WHEN ({_HLL_M} - n_present) > 0
+                       AND CAST({_HLL_NUM!r} AS DOUBLE)
+                           / CAST(int_sum_present
+                                  + ({_HLL_M} - n_present) * {1 << 43} AS DOUBLE)
+                           <= CAST({2.5 * _HLL_M!r} AS DOUBLE)
+                  THEN CASE ({_HLL_M} - n_present) {lin_case} END
+                  ELSE CAST({_HLL_NUM!r} AS DOUBLE)
+                       / CAST(int_sum_present
+                              + ({_HLL_M} - n_present) * {1 << 43} AS DOUBLE)
+             END * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)
+           ) AS BIGINT) AS est_e4
+    FROM (
+      SELECT {grp},
+             CAST(sum(CAST(1 AS BIGINT) << (43 - r)) AS BIGINT) AS int_sum_present,
+             count(*) AS n_present
+      FROM regs GROUP BY {grp}
+    )
+    """
+
+
+@register(
+    "q_hll_md5",
+    sql=f"""
+    WITH rows_h AS (
+      SELECT o_orderstatus AS grp, {_hll_sql_rows("o_custkey")}
+      FROM orders
+    ),
+    regs AS (
+      SELECT grp, bucket, max(rho) AS r FROM rows_h GROUP BY grp, bucket
+    ),
+    est AS ({_hll_sql_estimate("grp")}),
+    ex AS (
+      SELECT o_orderstatus AS grp,
+             count(DISTINCT o_custkey) AS exact_distinct
+      FROM orders GROUP BY 1
+    )
+    SELECT est.grp AS o_orderstatus, est.est_e4 AS hll_distinct_e4,
+           ex.exact_distinct
+    FROM est JOIN ex ON est.grp = ex.grp
+    ORDER BY o_orderstatus
+    """,
+)
+def q_hll_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog, FULLY hash-oracled: distinct customers per
+    order status estimated from 64 registers per group.  The register
+    build is one map-side-combinable hash aggregate (max per (grp,
+    bucket)) — at 100 TB each executor reduces its slice to ≤64 rows
+    per group before the shuffle, which is the entire point of HLL on
+    a cluster.  Small-range groups take the published linear-counting
+    branch (deterministic via the embedded ln table).  Output is
+    integer micro-units (CLAUDE.md: no engine round())."""
+    o = load(spark, sf_dir, "orders")
+    bucket, rho = _hll_row_exprs("o_custkey")
+    regs = (
+        o.select(F.col("o_orderstatus").alias("grp"), bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    aggs, est_col = _hll_estimate_cols()
+    est = regs.groupBy("grp").agg(*aggs).select(
+        "grp", est_col().alias("hll_distinct_e4")
+    )
+    exact = o.groupBy(F.col("o_orderstatus").alias("grp")).agg(
+        F.countDistinct("o_custkey").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "grp")
+        .select(
+            F.col("grp").alias("o_orderstatus"),
+            "hll_distinct_e4",
+            "exact_distinct",
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "q_hll_merge",
+    sql=f"""
+    WITH rows_h AS (
+      SELECT c_nationkey, {_hll_sql_rows("c_custkey")}
+      FROM customer
+    ),
+    nregs AS (
+      SELECT c_nationkey, bucket, max(rho) AS r
+      FROM rows_h GROUP BY c_nationkey, bucket
+    ),
+    regs AS (
+      SELECT n.n_regionkey AS grp, nregs.bucket, max(nregs.r) AS r
+      FROM nregs JOIN nation n ON nregs.c_nationkey = n.n_nationkey
+      GROUP BY n.n_regionkey, nregs.bucket
+    ),
+    est AS ({_hll_sql_estimate("grp")}),
+    ex AS (
+      SELECT n.n_regionkey AS grp, count(DISTINCT c.c_custkey) AS exact_distinct
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1
+    )
+    SELECT est.grp AS n_regionkey, est.est_e4 AS hll_distinct_e4,
+           ex.exact_distinct
+    FROM est JOIN ex ON est.grp = ex.grp
+    ORDER BY n_regionkey
+    """,
+)
+def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL MERGEABILITY — the property that makes sketches the 100 TB
+    rollup tool: per-nation register sets (the stored fine grain) are
+    merged to per-region estimates by a register-wise max, WITHOUT
+    touching the raw customer stream again.  In production the nregs
+    relation is what you persist per partition/day; any ad-hoc rollup
+    (region, continent, global) is a max-groupBy over kilobytes.
+    Identical register semantics to q_hll_md5, so the union estimate
+    is exactly what a direct build at region grain would produce."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    bucket, rho = _hll_row_exprs("c_custkey")
+    nregs = (
+        c.select("c_nationkey", bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("c_nationkey", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    regs = (
+        nregs.join(F.broadcast(n), nregs.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_regionkey").alias("grp"), "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    aggs, est_col = _hll_estimate_cols()
+    est = regs.groupBy("grp").agg(*aggs).select(
+        "grp", est_col().alias("hll_distinct_e4")
+    )
+    exact = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_regionkey").alias("grp"))
+        .agg(F.countDistinct("c_custkey").alias("exact_distinct"))
+    )
+    return (
+        est.join(exact, "grp")
+        .select(
+            F.col("grp").alias("n_regionkey"),
+            "hll_distinct_e4",
+            "exact_distinct",
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+_KMV_K = 16
+_KMV_NUM = float((_KMV_K - 1) * (1 << 48))  # (k-1) * 2^48, exact double
+
+
+@register(
+    "q_kmv_sketch",
+    sql=f"""
+    WITH h AS (
+      SELECT DISTINCT o_orderpriority AS grp,
+             CAST('0x' || substr(md5('kmv:' || CAST(o_custkey AS VARCHAR)), 1, 12)
+                  AS BIGINT) AS h
+      FROM orders
+    ),
+    kth AS (
+      SELECT grp, h
+      FROM (SELECT grp, h,
+                   row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+            FROM h)
+      WHERE rn = {_KMV_K}
+    ),
+    ex AS (
+      SELECT o_orderpriority AS grp, count(DISTINCT o_custkey) AS exact_distinct
+      FROM orders GROUP BY 1
+    )
+    SELECT kth.grp AS o_orderpriority,
+           CAST(floor(CAST({_KMV_NUM!r} AS DOUBLE) / CAST(kth.h AS DOUBLE)
+                      * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                AS BIGINT) AS kmv_distinct_e4,
+           ex.exact_distinct
+    FROM kth JOIN ex ON kth.grp = ex.grp
+    ORDER BY o_orderpriority
+    """,
+)
+def q_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / theta-sketch ancestor) distinct
+    estimate, fully hash-oracled: the k-th smallest of the distinct
+    48-bit key hashes fixes theta = h_k / 2^48 and the estimate
+    (k-1)/theta — one exact integer ranking, one IEEE division.
+    Streaming form keeps only k values per group; the relational form
+    here ranks the DISTINCT hash stream (the distinct() partial-agg
+    dedups map-side, and the per-group sort input is
+    distinct-count-sized, not row-count-sized).  At extreme group
+    cardinality swap the rank for a per-partition bottom-k
+    (TakeOrdered-shaped) partial before the shuffle — same result,
+    bounded state; the relational spelling is kept here because it is
+    the form an oracle can certify."""
+    o = load(spark, sf_dir, "orders")
+    dig = F.md5(
+        F.concat(F.lit("kmv:"), F.col("o_custkey").cast("string")).cast("binary")
+    )
+    h = F.conv(F.substring(dig, 1, 12), 16, 10).cast("long")
+    from pyspark.sql import Window
+
+    hs = o.select(
+        F.col("o_orderpriority").alias("grp"), h.alias("h")
+    ).distinct()
+    w = Window.partitionBy("grp").orderBy("h")
+    kth = (
+        hs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == _KMV_K)
+        .select("grp", "h")
+    )
+    est = kth.select(
+        "grp",
+        F.floor(
+            F.lit(_KMV_NUM) / F.col("h").cast("double") * F.lit(10000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("kmv_distinct_e4"),
+    )
+    exact = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.countDistinct("o_custkey").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "grp")
+        .select(
+            F.col("grp").alias("o_orderpriority"),
+            "kmv_distinct_e4",
+            "exact_distinct",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_CMS_W = 256  # columns per row; d = 4 rows from one md5 digest
+
+
+def _cms_chunk_sql(j: int, key: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5('cms:' || CAST({key} AS VARCHAR)), "
+        f"{1 + 8 * j}, 8) AS BIGINT) % {_CMS_W}"
+    )
+
+
+@register(
+    "q_cms_heavy",
+    sql=f"""
+    WITH cells AS (
+      SELECT s, c, count(*) AS cnt FROM (
+        {" UNION ALL ".join(
+            f"SELECT {j} AS s, {_cms_chunk_sql(j, 'l_suppkey')} AS c FROM lineitem"
+            for j in range(4)
+        )}
+      ) GROUP BY s, c
+    ),
+    probe AS (
+      {" UNION ALL ".join(
+          f"SELECT l_suppkey, {j} AS s, {_cms_chunk_sql(j, 'l_suppkey')} AS c "
+          f"FROM (SELECT DISTINCT l_suppkey FROM lineitem)"
+          for j in range(4)
+      )}
+    ),
+    est AS (
+      SELECT probe.l_suppkey, min(cells.cnt) AS est_cnt
+      FROM probe JOIN cells ON probe.s = cells.s AND probe.c = cells.c
+      GROUP BY probe.l_suppkey
+    ),
+    ex AS (
+      SELECT l_suppkey, count(*) AS exact_cnt FROM lineitem GROUP BY 1
+    )
+    SELECT est.l_suppkey, est.est_cnt, ex.exact_cnt,
+           est.est_cnt - ex.exact_cnt AS overcount
+    FROM est JOIN ex ON est.l_suppkey = ex.l_suppkey
+    ORDER BY est_cnt DESC, est.l_suppkey
+    LIMIT 20
+    """,
+)
+def q_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (d=4, w=256) frequency estimates for the
+    heaviest suppliers, fully hash-oracled — all-integer arithmetic,
+    so parity is unconditional.  ONE md5 digest per row supplies all
+    four row-hashes (32-bit chunks — the CLAUDE.md family trick:
+    4x less hashing than seeded digests).  The sketch build is a
+    map-side-combinable count over (s, c): every executor reduces its
+    slice to <= d*w = 1024 cells before the shuffle, so sketch cost at
+    100 TB is scan + tiny shuffle; point queries probe d cells and
+    take the min (one-sided overestimate, asserted >= exact in
+    tests).  The dim-sized probe side is generated once and
+    broadcast-joined against the cells."""
+    li = load(spark, sf_dir, "lineitem").select("l_suppkey")
+    dig = F.md5(
+        F.concat(F.lit("cms:"), F.col("l_suppkey").cast("string")).cast("binary")
+    )
+
+    def chunk(j: int):
+        return F.pmod(
+            F.conv(F.substring(dig, 1 + 8 * j, 8), 16, 10).cast("long"),
+            F.lit(_CMS_W),
+        )
+
+    pairs = F.array(
+        *[
+            F.struct(F.lit(j).alias("s"), chunk(j).alias("c"))
+            for j in range(4)
+        ]
+    )
+    cells = (
+        li.select(F.explode(pairs).alias("x"))
+        .groupBy(F.col("x.s").alias("s"), F.col("x.c").alias("c"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probe = (
+        li.distinct()
+        .select("l_suppkey", F.explode(pairs).alias("x"))
+        .select("l_suppkey", F.col("x.s").alias("s"), F.col("x.c").alias("c"))
+    )
+    est = (
+        probe.join(F.broadcast(cells), ["s", "c"])
+        .groupBy("l_suppkey")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+    exact = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return (
+        est.join(exact, "l_suppkey")
+        .select(
+            "l_suppkey",
+            "est_cnt",
+            "exact_cnt",
+            (F.col("est_cnt") - F.col("exact_cnt")).alias("overcount"),
+        )
+        .orderBy(F.desc("est_cnt"), "l_suppkey")
+        .limit(20)
+    )

@@ -637,3 +637,97 @@ def test_graph_ann_recall_dominates_lsh(spark):
     r_lsh, r_graph = recall("q_ann_lsh"), recall("q_ann_graph")
     assert r_graph >= r_lsh, (r_graph, r_lsh)
     assert r_graph >= 0.5, f"graph ANN recall@{len(next(iter(exact.values())))} = {r_graph}"
+
+
+def test_portable_hll_estimate_within_error_bound(spark):
+    """q_hll_md5's portable estimator must actually ESTIMATE: each
+    group's estimate lands within 5 standard errors of the exact
+    distinct count (HLL se = 1.04/sqrt(64) ~ 13%; 5 se is loose enough
+    to never flake on a fixed fixture yet catches an estimator whose
+    branches or constants are wrong, which oracle parity alone cannot
+    — a bug mirrored into the oracle SQL would still hash-match)."""
+    from processor_spark import registry
+    from tests.conftest import SF_SMALL
+
+    for row in registry.get("q_hll_md5").fn(spark, SF_SMALL).collect():
+        est = row.hll_distinct_e4 / 10000.0
+        exact = row.exact_distinct
+        assert exact > 0
+        assert abs(est - exact) / exact <= 5 * (1.04 / 8.0), (
+            row.o_orderstatus,
+            est,
+            exact,
+        )
+
+
+def test_portable_hll_merge_equals_direct_region_build(spark):
+    """Register-wise max over per-nation register sets must equal a
+    direct build at region grain — union is lossless for HLL (same
+    property q_hll_sketch asserts for the DataSketches built-in, here
+    for the portable md5 family)."""
+    from pyspark.sql import functions as F
+
+    from processor_spark import registry
+    from processor_spark.operators.sketches import (
+        _hll_estimate_cols,
+        _hll_row_exprs,
+    )
+    from processor_spark.sources import load
+    from tests.conftest import SF_SMALL
+
+    merged = {
+        r.n_regionkey: r.hll_distinct_e4
+        for r in registry.get("q_hll_merge").fn(spark, SF_SMALL).collect()
+    }
+    c = load(spark, SF_SMALL, "customer")
+    n = load(spark, SF_SMALL, "nation")
+    bucket, rho = _hll_row_exprs("c_custkey")
+    regs = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(F.col("n_regionkey").alias("grp"), bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    aggs, est_col = _hll_estimate_cols()
+    direct = {
+        r.grp: r.est
+        for r in regs.groupBy("grp")
+        .agg(*aggs)
+        .select("grp", est_col().alias("est"))
+        .collect()
+    }
+    assert merged == direct
+
+
+def test_kmv_estimate_within_error_bound(spark):
+    """KMV with k=16 has se ~ 1/sqrt(k-2) ~ 27%; assert each group's
+    estimate within 4 se of exact on the fixture."""
+    from processor_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.get("q_kmv_sketch").fn(spark, SF_SMALL).collect()
+    assert len(rows) == 5  # every priority group has >= k distinct keys
+    for row in rows:
+        est = row.kmv_distinct_e4 / 10000.0
+        exact = row.exact_distinct
+        assert abs(est - exact) / exact <= 4 * (1.0 / (14.0**0.5)), (
+            row.o_orderpriority,
+            est,
+            exact,
+        )
+
+
+def test_cms_never_underestimates_and_is_tight_here(spark):
+    """Count-min's one-sided guarantee: est >= exact ALWAYS (min over
+    d counters can only overestimate via collisions).  On the fixture
+    the sketch is lightly loaded (|keys| << d*w), so also assert the
+    top-20 overcounts are small relative to the true counts."""
+    from processor_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.get("q_cms_heavy").fn(spark, SF_SMALL).collect()
+    assert rows
+    for row in rows:
+        assert row.overcount >= 0, row
+        assert row.est_cnt == row.exact_cnt + row.overcount
+        assert row.overcount <= max(10, row.exact_cnt)  # lightly loaded
