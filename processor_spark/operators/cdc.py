@@ -518,3 +518,93 @@ def q_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read(spark).select(
         "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
     )
+
+
+# ------------------------------------------------- zone-map data skipping
+
+
+def _orders_lake_ingest(spark: SparkSession, sf_dir: str) -> LakeTable:
+    """(Re)build the time-ordered-ingest demo table: orders land in
+    FOUR commits by o_orderdate band (create + 3 appends), the shape
+    of daily/weekly ingest into a lakehouse table.  Zone maps on
+    o_orderdate are recorded per data dir at each commit, so each
+    commit's dirs cover only its band — the layout that makes
+    time-slice reads prunable at 100 TB."""
+    import datetime
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    t = LakeTable(os.path.join("/tmp", "processor_spark_lake", tag, "orders_ingest"))
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate"
+    )
+    bands = [
+        (None, datetime.datetime(1997, 1, 1)),
+        (datetime.datetime(1997, 1, 1), datetime.datetime(1999, 1, 1)),
+        (datetime.datetime(1999, 1, 1), datetime.datetime(2001, 1, 1)),
+        (datetime.datetime(2001, 1, 1), None),
+    ]
+
+    def band(lo, hi):
+        df = o
+        if lo is not None:
+            df = df.where(F.col("o_orderdate") >= F.lit(lo))
+        if hi is not None:
+            df = df.where(F.col("o_orderdate") < F.lit(hi))
+        return df
+
+    t.create(
+        spark,
+        band(*bands[0]),
+        key="o_orderkey",
+        num_buckets=8,
+        mode="overwrite",
+        stats_cols=["o_orderdate"],
+    )
+    for lo, hi in bands[1:]:
+        t.append(spark, band(lo, hi))
+    return t
+
+
+@register(
+    "q_lake_skipping",
+    sql="""
+    SELECT CAST(month(o_orderdate) AS BIGINT) AS mon,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1999-01-01 00:00:00'
+                          AND TIMESTAMP '1999-12-31 23:59:59'
+    GROUP BY 1
+    """,
+)
+def q_lake_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data skipping (lakehouse.read_range): orders ingested
+    in four date-banded commits with per-dir [min, max] o_orderdate
+    stats in every manifest; a one-year slice query then opens ONLY
+    the dirs whose stats overlap 1999 — pure manifest arithmetic
+    decides the scan (8 of 32 dirs here; asserted in
+    tests/test_lakehouse.py::test_q_lake_skipping_table_prunes).  At
+    100 TB with daily ingest this is the difference between reading
+    the matching ingest window and reading the table; parquet
+    row-group min/max skipping still applies inside each opened file
+    under the pushed BETWEEN filter.  The oracle computes the same
+    slice from raw orders, so the hash certifies pruning changed
+    nothing semantically."""
+    import datetime
+
+    t = _orders_lake_ingest(spark, sf_dir)
+    sliced = t.read_range(
+        spark,
+        "o_orderdate",
+        datetime.datetime(1999, 1, 1),
+        datetime.datetime(1999, 12, 31, 23, 59, 59),
+    )
+    return sliced.groupBy(
+        F.month("o_orderdate").cast("bigint").alias("mon")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("revenue_cents"),
+    )

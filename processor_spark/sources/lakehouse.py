@@ -45,10 +45,17 @@ Layout (one directory per table)::
   size; readers fold vectors in via a broadcast anti-join, and
   ``optimize`` purges them on its compaction cadence.
 
-What a production format adds on top of this core — column stats for
-file skipping, manifest compaction, a catalog for cross-table
-transactions — layers onto exactly these primitives without changing
-them.
+- **Zone maps / data skipping** (``stats_cols`` at create): every
+  commit stores per-data-dir [min, max] of the chosen columns in the
+  manifest; :meth:`LakeTable.read_range` prunes whole dirs by pure
+  manifest arithmetic before any file is opened.  Pays off across
+  COMMITS (time-ordered ingest gives each append's files a narrow
+  range of the ingest-correlated column), exactly like
+  Delta/Iceberg file stats.
+
+What a production format adds on top of this core — manifest
+compaction, a catalog for cross-table transactions — layers onto
+exactly these primitives without changing them.
 """
 
 from __future__ import annotations
@@ -235,9 +242,64 @@ class LakeTable:
 
     # -------------------------------------------------------------- write
 
+    @staticmethod
+    def _stat_val(v):
+        """JSON-serializable, ORDER-PRESERVING encoding of a stats
+        value: datetimes/dates become ``YYYY-MM-DD[ HH:MM:SS]`` strings
+        (lexicographic == chronological), numbers and strings pass
+        through.  Used identically at write (store) and read (probe)
+        time so comparisons happen in one domain."""
+        import datetime
+
+        if isinstance(v, datetime.datetime):
+            return v.isoformat(sep=" ")
+        if isinstance(v, datetime.date):
+            return v.isoformat()
+        return v
+
+    def _dir_stats(
+        self,
+        spark: SparkSession,
+        commit_dir: str,
+        buckets: dict[str, list[str]],
+        stats_cols: list[str],
+    ) -> dict[str, dict]:
+        """Zone maps: per-data-dir [min, max] of each stats column,
+        computed by ONE column-pruned scan of the freshly written
+        files (never by re-running the producing plan — a MERGE's join
+        would be computed twice).  ``commit_dir`` is partition-
+        discovered, so one groupBy(_bucket) covers every new dir.
+
+        This is the "column stats for file skipping" layer the module
+        docstring names: stats ride the manifest, so a reader plans
+        dir pruning without opening ANY data file.  Pruning pays off
+        across COMMITS — time-ordered ingest gives each append's dirs
+        a narrow value range — not across hash buckets (each bucket
+        spans the full key range by construction)."""
+        if not stats_cols:
+            return {}
+        aggs = []
+        for c in stats_cols:
+            aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
+        rows = (
+            spark.read.parquet(commit_dir)
+            .groupBy(F.col(_BUCKET).cast("string").alias("b"))
+            .agg(*aggs)
+            .collect()
+        )
+        out: dict[str, dict] = {}
+        for r in rows:
+            if r.b not in buckets:
+                continue
+            out[buckets[r.b][0]] = {
+                c: [self._stat_val(r[f"lo_{c}"]), self._stat_val(r[f"hi_{c}"])]
+                for c in stats_cols
+            }
+        return out
+
     def _write_data(
         self, spark: SparkSession, df: DataFrame, key: str, num_buckets: int
-    ) -> tuple[dict[str, list[str]], str]:
+    ) -> tuple[dict[str, list[str]], str, str]:
         """Write ``df`` hash-bucketed on ``key`` into a fresh immutable
         commit dir; return (bucket -> [dir]) and the logical schema DDL.
 
@@ -259,7 +321,7 @@ class LakeTable:
             if name.startswith(f"{_BUCKET}="):
                 b = name.split("=", 1)[1]
                 buckets[b] = [os.path.join(commit_dir, name)]
-        return buckets, schema_ddl
+        return buckets, schema_ddl, commit_dir
 
     def create(
         self,
@@ -268,19 +330,26 @@ class LakeTable:
         key: str,
         num_buckets: int = DEFAULT_BUCKETS,
         mode: str = "error",
+        stats_cols: list[str] | None = None,
     ) -> int:
         """Create the table as snapshot v1 (``mode='overwrite'`` drops
-        any existing table directory first)."""
+        any existing table directory first).  ``stats_cols`` opts the
+        table into per-dir zone maps ([min, max] per column per data
+        dir, stored in every manifest) — the file-skipping input of
+        :meth:`read_range`; every later commit maintains them."""
         if key not in df.columns:
             raise ValueError(
                 f"merge key {key!r} is not a column of the table data "
                 f"(columns: {df.columns})"
             )
+        for c in stats_cols or []:
+            if c not in df.columns:
+                raise ValueError(f"stats column {c!r} is not a table column")
         if os.path.isdir(self.snap_dir) and self.versions():
             if mode != "overwrite":
                 raise FileExistsError(f"lakehouse table exists at {self.path}")
             shutil.rmtree(self.path)
-        buckets, ddl = self._write_data(spark, df, key, num_buckets)
+        buckets, ddl, commit_dir = self._write_data(spark, df, key, num_buckets)
         total = int(
             spark.read.schema(ddl)
             .parquet(*(p for ps in buckets.values() for p in ps))
@@ -300,6 +369,8 @@ class LakeTable:
                 "buckets": buckets,
                 "deletes": {},
                 "total_rows": total,
+                "stats_cols": stats_cols or [],
+                "stats": self._dir_stats(spark, commit_dir, buckets, stats_cols or []),
             }
         )
         return 1
@@ -429,7 +500,71 @@ class LakeTable:
             f.dataType.simpleString() for f in schema.fields if f.name == m["key"]
         )
 
-    def _read_buckets(self, spark: SparkSession, m: dict, wanted: set[str]) -> DataFrame:
+    def read_range(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo,
+        hi,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Zone-map-pruned range read: rows with ``lo <= col <= hi``,
+        opening ONLY the data dirs whose manifest [min, max] interval
+        for ``col`` overlaps the predicate (dirs without stats are
+        always read — unknown must never prune).  Planning is pure
+        manifest arithmetic: zero data files are opened to DECIDE the
+        scan, which at 100 TB with time-ordered ingest turns a
+        time-slice query into IO proportional to the matching ingest
+        window, not the table (each append commit's dirs carry a
+        narrow range of an ingest-correlated column).  The exact
+        predicate is still applied to survivors — pruning is an IO
+        optimization, never a semantics change — and parquet row-group
+        min/max skipping applies inside each opened file under the
+        pushed filter."""
+        m = self.manifest(version)
+        if col not in m.get("stats_cols", []):
+            raise ValueError(
+                f"column {col!r} carries no zone maps "
+                f"(stats_cols={m.get('stats_cols', [])})"
+            )
+        plo, phi = self._stat_val(lo), self._stat_val(hi)
+        stats = m.get("stats", {})
+
+        def dir_keep(d: str) -> bool:
+            cs = stats.get(d, {}).get(col)
+            if not cs or cs[0] is None or cs[1] is None:
+                return True  # unknown stats: must read
+            return not (cs[1] < plo or cs[0] > phi)
+
+        return self._read_buckets(spark, m, set(m["buckets"]), dir_keep).where(
+            F.col(col).between(F.lit(lo), F.lit(hi))
+        )
+
+    def pruned_dirs(self, col: str, lo, hi, version: int | None = None) -> tuple[int, int]:
+        """(kept, total) data-dir counts :meth:`read_range` would open
+        for this predicate — the observable the skipping tests assert
+        and an operator can report."""
+        m = self.manifest(version)
+        plo, phi = self._stat_val(lo), self._stat_val(hi)
+        stats = m.get("stats", {})
+        total = kept = 0
+        for ps in m["buckets"].values():
+            for d in ps:
+                total += 1
+                cs = stats.get(d, {}).get(col)
+                if not cs or cs[0] is None or cs[1] is None or not (
+                    cs[1] < plo or cs[0] > phi
+                ):
+                    kept += 1
+        return kept, total
+
+    def _read_buckets(
+        self,
+        spark: SparkSession,
+        m: dict,
+        wanted: set[str],
+        dir_keep=None,
+    ) -> DataFrame:
         """Delete-applied scan of the wanted buckets.
 
         Data dirs are grouped by the SET of delete files covering them
@@ -448,6 +583,8 @@ class LakeTable:
         for b in wanted:
             entries = dels.get(b, [])
             for d in m["buckets"].get(b, []):
+                if dir_keep is not None and not dir_keep(d):
+                    continue  # zone-map pruned (read_range)
                 sig = frozenset(e["path"] for e in entries if d in e["covers"])
                 groups.setdefault(sig, []).append(d)
         parts = []
@@ -553,7 +690,7 @@ class LakeTable:
         if deletes is not None:
             merged = merged.join(deletes, key, "left_anti")
 
-        new_buckets, _ = self._write_data(spark, merged, key, nb)
+        new_buckets, _, commit_dir = self._write_data(spark, merged, key, nb)
         out_buckets = {
             b: ps for b, ps in m["buckets"].items() if b not in touched
         }
@@ -586,9 +723,34 @@ class LakeTable:
                 "buckets": out_buckets,
                 "deletes": out_deletes,
                 "total_rows": int(total),
+                "stats_cols": m.get("stats_cols", []),
+                "stats": self._carry_stats(spark, m, out_buckets, new_buckets, commit_dir),
             }
         )
         return version
+
+    def _carry_stats(
+        self,
+        spark: SparkSession,
+        m: dict,
+        out_buckets: dict[str, list[str]],
+        new_buckets: dict[str, list[str]],
+        commit_dir: str | None,
+    ) -> dict:
+        """Zone-map maintenance shared by every commit shape: keep the
+        stats of carried-forward dirs (immutable files — their stats
+        cannot change), compute stats for freshly written dirs, drop
+        stats of dirs no longer referenced."""
+        cols = m.get("stats_cols", [])
+        if not cols:
+            return {}
+        live = {d for ps in out_buckets.values() for d in ps}
+        out = {
+            d: s for d, s in m.get("stats", {}).items() if d in live
+        }
+        if commit_dir is not None and new_buckets:
+            out.update(self._dir_stats(spark, commit_dir, new_buckets, cols))
+        return out
 
     def delete_keys(self, spark: SparkSession, keys, mode: str = "mor") -> int:
         """DELETE by key.  ``keys`` is a DataFrame carrying the merge-key
@@ -644,7 +806,7 @@ class LakeTable:
         )
         out_deletes = {b: list(es) for b, es in m.get("deletes", {}).items()}
         if mode == "mor":
-            del_buckets, _ = self._write_data(spark, keys, key, nb)
+            del_buckets, _, _ = self._write_data(spark, keys, key, nb)
             out_buckets = m["buckets"]
             for b, ps in del_buckets.items():
                 if b not in touched:
@@ -654,7 +816,7 @@ class LakeTable:
                 )
         else:  # cow: rewrite touched buckets minus the keys, vectors cleared
             remaining = target.join(keys, key, "left_anti")
-            new_buckets, _ = self._write_data(spark, remaining, key, nb)
+            new_buckets, _, cow_commit_dir = self._write_data(spark, remaining, key, nb)
             out_buckets = {
                 b: ps for b, ps in m["buckets"].items() if b not in touched
             }
@@ -672,6 +834,12 @@ class LakeTable:
                 "buckets": out_buckets,
                 "deletes": out_deletes,
                 "total_rows": int(m["total_rows"] - matched),
+                "stats_cols": m.get("stats_cols", []),
+                "stats": self._carry_stats(
+                    spark, m, out_buckets,
+                    new_buckets if mode == "cow" else {},
+                    cow_commit_dir if mode == "cow" else None,
+                ),
             }
         )
         return version
@@ -684,7 +852,7 @@ class LakeTable:
             f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
         )
         widened_ddl = _widen_ddl(spark, m["schema"], df_ddl)  # raises on type change
-        new_buckets, _ = self._write_data(spark, df, m["key"], m["num_buckets"])
+        new_buckets, _, commit_dir = self._write_data(spark, df, m["key"], m["num_buckets"])
         out = {b: list(ps) for b, ps in m["buckets"].items()}
         for b, ps in new_buckets.items():
             out.setdefault(b, []).extend(ps)
@@ -703,6 +871,8 @@ class LakeTable:
                 # don't include the new dirs, so re-appended keys live
                 "deletes": m.get("deletes", {}),
                 "total_rows": int(m["total_rows"] + added),
+                "stats_cols": m.get("stats_cols", []),
+                "stats": self._carry_stats(spark, m, out, new_buckets, commit_dir),
             }
         )
         return version
@@ -731,7 +901,7 @@ class LakeTable:
         if not multi:
             return m["version"]
         compacted = self._read_buckets(spark, m, multi)
-        new_buckets, _ = self._write_data(spark, compacted, m["key"], m["num_buckets"])
+        new_buckets, _, commit_dir = self._write_data(spark, compacted, m["key"], m["num_buckets"])
         out = {b: ps for b, ps in m["buckets"].items() if b not in multi}
         out.update(new_buckets)
         version = m["version"] + 1
@@ -746,6 +916,8 @@ class LakeTable:
                 "buckets": out,
                 "deletes": {b: es for b, es in dels.items() if b not in multi},
                 "total_rows": m["total_rows"],
+                "stats_cols": m.get("stats_cols", []),
+                "stats": self._carry_stats(spark, m, out, new_buckets, commit_dir),
             }
         )
         return version

@@ -501,3 +501,131 @@ def test_merge_stream_seq_col_still_collapses_duplicates(table, spark, tmp_path)
     table.merge_stream(stream, checkpoint=str(tmp_path / "ckpt"), seq_col="seq")
     assert _as_dict(table.read(spark))[5] == "NEW"
     shutil.rmtree(str(src_dir), ignore_errors=True)
+
+
+# --- zone maps / data skipping (round 7) ---
+
+
+@pytest.fixture()
+def stats_table(tmp_path, spark):
+    """Time-ordered ingest shape: create + three appends, each commit
+    covering a disjoint band of v-range (k stays hash-distributed)."""
+    t = LakeTable(str(tmp_path / "zt"))
+    band = lambda lo: _mk(
+        spark,
+        [(lo * 1000 + i, lo * 100 + i % 100) for i in range(200)],
+        "k bigint, ts bigint",
+    )
+    t.create(spark, band(0), key="k", num_buckets=4, stats_cols=["ts"])
+    for b in (1, 2, 3):
+        t.append(spark, band(b))
+    return t
+
+
+def test_zone_maps_recorded_per_dir(stats_table):
+    m = stats_table.manifest()
+    assert m["stats_cols"] == ["ts"]
+    dirs = {d for ps in m["buckets"].values() for d in ps}
+    assert set(m["stats"]) == dirs
+    for d, cs in m["stats"].items():
+        lo, hi = cs["ts"]
+        assert 0 <= lo <= hi <= 399
+
+
+def test_read_range_prunes_dirs_and_is_exact(stats_table, spark):
+    kept, total = stats_table.pruned_dirs("ts", 210, 250)
+    assert total == 16  # 4 commits x 4 buckets
+    assert kept == 4  # only commit band 2 overlaps
+    got = stats_table.read_range(spark, "ts", 210, 250)
+    # pruning must not change semantics: exactly band-2 rows in range
+    rows = sorted((r.k, r.ts) for r in got.collect())
+    assert rows == sorted(
+        (2000 + i, 200 + i % 100) for i in range(200) if 10 <= i % 100 <= 50
+    )
+    # the scan really opened only the kept dirs
+    opened = {os.path.dirname(f.replace("file://", "")) for f in got.inputFiles()}
+    live = {d for ps in stats_table.manifest()["buckets"].values() for d in ps}
+    assert len(opened & live) == kept
+
+
+def test_read_range_edge_overlap_and_unknown_stats(stats_table, spark):
+    # boundary-touching predicate keeps exactly the boundary dirs:
+    # within band 0 only bucket 3 reaches ts=99 (ts = i%100, i ≡ 3 mod
+    # 4), within band 1 only bucket 0 starts at ts=100 — per-DIR stats
+    # prune finer than per-commit reasoning would suggest
+    kept, _ = stats_table.pruned_dirs("ts", 99, 100)
+    assert kept == 2
+    got = {r.ts for r in stats_table.read_range(spark, "ts", 99, 100).collect()}
+    assert got == {99, 100}
+    # a column without zone maps refuses loudly
+    with pytest.raises(ValueError, match="no zone maps"):
+        stats_table.read_range(spark, "k", 0, 10)
+
+
+def test_zone_maps_survive_merge_and_optimize(stats_table, spark):
+    # merge touches a few buckets: rewritten dirs get fresh stats,
+    # carried dirs keep theirs
+    src = _mk(spark, [(1, 5000), (2001, 5001)], "k bigint, ts bigint")
+    stats_table.merge(spark, src)
+    m = stats_table.manifest()
+    live = {d for ps in m["buckets"].values() for d in ps}
+    assert set(m["stats"]) == live
+    # the rewritten buckets' new dirs now span the merged ts values
+    hi = max(cs["ts"][1] for cs in m["stats"].values())
+    assert hi == 5001
+    # reads stay exact after merge
+    assert {r.k for r in stats_table.read_range(spark, "ts", 5000, 6000).collect()} == {
+        1,
+        2001,
+    }
+    # optimize compacts multi-dir buckets and recomputes their stats
+    stats_table.optimize(spark)
+    m2 = stats_table.manifest()
+    live2 = {d for ps in m2["buckets"].values() for d in ps}
+    assert set(m2["stats"]) == live2
+    assert all(len(ps) == 1 for ps in m2["buckets"].values())
+    assert {r.k for r in stats_table.read_range(spark, "ts", 5000, 6000).collect()} == {
+        1,
+        2001,
+    }
+
+
+def test_timestamp_zone_maps_order_correctly(tmp_path, spark):
+    """Datetime stats serialize to ISO strings; lexicographic compare
+    must equal chronological (the _stat_val contract)."""
+    import datetime
+
+    t = LakeTable(str(tmp_path / "tt"))
+    rows = [
+        (i, datetime.datetime(1995 + i // 10, 1 + i % 10, 3)) for i in range(30)
+    ]
+    t.create(
+        spark,
+        spark.createDataFrame(rows, "k bigint, d timestamp"),
+        key="k",
+        num_buckets=2,
+        stats_cols=["d"],
+    )
+    got = t.read_range(
+        spark, "d", datetime.datetime(1996, 1, 1), datetime.datetime(1996, 12, 31)
+    )
+    assert {r.k for r in got.collect()} == {i for i in range(30) if i // 10 == 1}
+
+
+def test_q_lake_skipping_table_prunes(spark):
+    """The registered key's table really skips: the 1999 slice keeps
+    only the dirs of the 1999-2000 ingest band (8 of 32), and the
+    executed scan opens no other live data dir."""
+    import datetime
+
+    from processor_spark.operators.cdc import _orders_lake_ingest
+    from tests.conftest import SF_SMALL
+
+    t = _orders_lake_ingest(spark, SF_SMALL)
+    lo, hi = datetime.datetime(1999, 1, 1), datetime.datetime(1999, 12, 31, 23, 59, 59)
+    kept, total = t.pruned_dirs("o_orderdate", lo, hi)
+    assert total == 32 and kept == 8, (kept, total)
+    got = t.read_range(spark, "o_orderdate", lo, hi)
+    opened = {os.path.dirname(f.replace("file://", "")) for f in got.inputFiles()}
+    live = {d for ps in t.manifest()["buckets"].values() for d in ps}
+    assert len(opened & live) == kept
