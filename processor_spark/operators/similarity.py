@@ -16,6 +16,8 @@ arithmetic so Spark and DuckDB agree bit-for-bit after rounding
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1648,3 +1650,142 @@ def q_ann_graph_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= KNN_K)
         .select("q_id", F.col("vec_id").alias("neighbor_id"), "cos_sim", "rank")
     )
+
+
+# ------------------------------------------------------- MMR reranking
+
+MMR_POOL = 32  # candidate pool = top-POOL by query similarity
+MMR_K = 5  # diversified picks
+# lambda = 0.5: mmr = 0.5 * (qsim - max_sim_to_selected) — an exact
+# halving of an exact difference, no float hazard beyond the 6dp
+# rounding both engines already agree on for cosines
+
+
+def _mmr_sql() -> str:
+    """Unrolled-iteration oracle (the graph.py chained-CTE pattern):
+    pick 1 is the best qsim; each later pick re-scores the remaining
+    pool against the UNION of prior picks.  All sims are the same
+    6dp-rounded cosines the Spark side collects, so the float chain
+    (0.5 * (qsim - max(sim))) is identical double arithmetic."""
+    ctes = [
+        f"""q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings
+      WHERE vec_id = {QUERY_VEC_ID}
+    ), pool AS (
+      SELECT e.vec_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qvec), 6)
+               AS qsim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> {QUERY_VEC_ID}
+      ORDER BY qsim DESC, e.vec_id
+      LIMIT {MMR_POOL}
+    ), pp AS (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                          CAST(eb.embedding AS DOUBLE[])), 6) AS sim
+      FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+    ), s1 AS (
+      SELECT vec_id, qsim AS score FROM pool ORDER BY qsim DESC, vec_id LIMIT 1
+    ), sel1 AS (SELECT vec_id FROM s1)"""
+    ]
+    for i in range(2, MMR_K + 1):
+        prev = i - 1
+        ctes.append(
+            f"""s{i} AS (
+      SELECT p.vec_id,
+             CAST(0.5 AS DOUBLE) * (p.qsim - (
+               SELECT max(pp.sim) FROM pp
+               WHERE pp.a = p.vec_id AND pp.b IN (SELECT vec_id FROM sel{prev})
+             )) AS score
+      FROM pool p
+      WHERE p.vec_id NOT IN (SELECT vec_id FROM sel{prev})
+      ORDER BY score DESC, p.vec_id LIMIT 1
+    ), sel{i} AS (
+      SELECT vec_id FROM sel{prev} UNION ALL SELECT vec_id FROM s{i}
+    )"""
+        )
+    unions = "\n      UNION ALL ".join(
+        f"SELECT {i} AS rank, vec_id, score FROM s{i}" for i in range(1, MMR_K + 1)
+    )
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT CAST(rank AS BIGINT) AS rank, vec_id,
+           CAST(floor(score * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                AS BIGINT) AS mmr_score_e6
+    FROM ({unions})
+    ORDER BY rank
+    """
+
+
+@register("q_mmr_rerank", sql=_mmr_sql())
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance reranking — the diversification step
+    of retrieval and training-data selection (don't return/keep five
+    near-copies of the best hit): greedily pick k items maximizing
+    ``lambda*qsim - (1-lambda)*max_sim_to_already_picked``.
+
+    Scale split: the DISTRIBUTED work is the corpus scan + top-POOL
+    candidate generation (TakeOrdered, same shape as
+    q_topk_similarity) and the pool's pairwise cosines (POOL^2 tiny
+    self-join) — both computed by Spark.  The greedy selection itself
+    is inherently sequential over a CAPPED pool (32 rows), so it runs
+    driver-side over the collected pool like graph.py's scalar
+    convergence checks — bounded by the cap, never data-sized.  Both
+    engines consume the same 6dp-rounded cosines, and every later op
+    (halving, subtraction, max, compare) is exact IEEE double, so the
+    pick sequence and scores hash-match exactly."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        _as_double("embedding").alias("qvec")
+    )
+    pool = (
+        e.where(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(_as_double("embedding"), F.col("qvec")), 6).alias("qsim"),
+        )
+        .orderBy(F.desc("qsim"), F.asc("vec_id"))
+        .limit(MMR_POOL)
+    )
+    pool_rows = pool.collect()  # bounded by MMR_POOL — scalar-sized
+    ids = [r.vec_id for r in pool_rows]
+    qsim = {r.vec_id: r.qsim for r in pool_rows}
+    pv = e.where(F.col("vec_id").isin(ids)).select(
+        "vec_id", _as_double("embedding").alias("emb")
+    )
+    a = pv.select(F.col("vec_id").alias("a"), F.col("emb").alias("ea"))
+    b = pv.select(F.col("vec_id").alias("b"), F.col("emb").alias("eb"))
+    sims = {
+        (r.a, r.b): r.sim
+        for r in a.join(b, F.col("a") != F.col("b"))
+        .select("a", "b", F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("sim"))
+        .collect()  # bounded: POOL^2 rows
+    }
+    picks: list[tuple[int, int, float]] = []
+    selected: list[int] = []
+    for rank in range(1, MMR_K + 1):
+        best = None
+        for v in ids:
+            if v in selected:
+                continue
+            if not selected:
+                score = qsim[v]
+            else:
+                score = 0.5 * (qsim[v] - max(sims[(v, s)] for s in selected))
+            # ORDER BY score DESC, vec_id — same total order as the oracle
+            key = (-score, v)
+            if best is None or key < best[0]:
+                best = (key, v, score)
+        picks.append((rank, best[1], best[2]))
+        selected.append(best[1])
+    out = spark.createDataFrame(
+        [
+            (rank, vid, math.floor(score * 1000000.0 + 0.5))
+            for rank, vid, score in picks
+        ],
+        "rank bigint, vec_id bigint, mmr_score_e6 bigint",
+    )
+    return out.orderBy("rank")

@@ -731,3 +731,19 @@ def test_cms_never_underestimates_and_is_tight_here(spark):
         assert row.overcount >= 0, row
         assert row.est_cnt == row.exact_cnt + row.overcount
         assert row.overcount <= max(10, row.exact_cnt)  # lightly loaded
+
+
+def test_mmr_rerank_greedy_invariants(spark):
+    """MMR structure: pick 1 is the plain top-1 (no penalty yet), picks
+    are distinct, and from rank 2 on the scores are non-increasing
+    (each step maximizes over a subset with only-growing penalties)."""
+    from processor_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.get("q_mmr_rerank").fn(spark, SF_SMALL).collect()
+    assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+    assert len({r.vec_id for r in rows}) == 5
+    top1 = registry.get("q_topk_similarity").fn(spark, SF_SMALL).collect()[0]
+    assert rows[0].vec_id == top1.vec_id
+    later = [r.mmr_score_e6 for r in rows[1:]]
+    assert later == sorted(later, reverse=True)
