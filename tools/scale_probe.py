@@ -83,6 +83,15 @@ HEADLINE = [
     "q_ann_graph_serve",
     "q_dedup_ngram_unicode",
     "q_hybrid_rrf",
+    # r7 additions: portable sketches (register/cell aggs must stay
+    # map-side-combinable — near-flat expected for cardinality-stable
+    # replication), zone-map-pruned lake read, MMR pool reranking
+    "q_hll_md5",
+    "q_hll_merge",
+    "q_kmv_sketch",
+    "q_cms_heavy",
+    "q_lake_skipping",
+    "q_mmr_rerank",
 ]
 
 # per-table key columns to shift per replica so keys stay unique and
