@@ -559,6 +559,7 @@ def _orders_lake_ingest(spark: SparkSession, sf_dir: str) -> LakeTable:
         num_buckets=8,
         mode="overwrite",
         stats_cols=["o_orderdate"],
+        key_blooms=True,
     )
     for lo, hi in bands[1:]:
         t.append(spark, band(lo, hi))
@@ -607,4 +608,45 @@ def q_lake_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
         .cast("bigint")
         .alias("revenue_cents"),
+    )
+
+
+@register(
+    "q_lake_pointlookup",
+    sql="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+    FROM orders
+    WHERE o_orderkey % 500 = 7
+    """,
+)
+def q_lake_pointlookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned point lookups (lakehouse.read_keys + key bloom
+    sidecars): fetch a scattered key set from the 4-commit ingest
+    table.  Two pruning layers compose: hash bucketing limits the scan
+    to the keys' buckets, then each bucket's per-dir blooms (one md5
+    digest = all four probe positions) cut the per-bucket dir list
+    from one-per-commit down to the dirs that MAY hold a requested
+    key.  At 100 TB with daily ingest that is the difference between
+    opening |keys| x |commits| files and ~|keys| — the manifest plus
+    index-sized sidecars decide the scan; no data file is opened to
+    plan.  The oracle selects the same keys from raw orders, so the
+    hash certifies bloom pruning loses nothing (false negatives are
+    impossible: engine build and probe share the exact md5 family)."""
+    t = _orders_lake_ingest(spark, sf_dir)
+    keys = [
+        r.o_orderkey
+        for r in load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 500 == 7)
+        .select("o_orderkey")
+        .distinct()
+        .collect()  # bounded: ~n_orders/500 scattered keys
+    ]
+    got = t.read_keys(spark, keys)
+    return got.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias(
+            "price_cents"
+        ),
     )

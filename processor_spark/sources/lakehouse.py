@@ -53,6 +53,14 @@ Layout (one directory per table)::
   range of the ingest-correlated column), exactly like
   Delta/Iceberg file stats.
 
+- **Key bloom sidecars** (``key_blooms`` at create): each commit
+  writes one parquet sidecar of per-dir bloom filters over the merge
+  key (Iceberg-puffin shape — index artifacts next to the data, the
+  manifest references them); :meth:`LakeTable.read_keys` then opens
+  only the dirs that MAY contain each key, pruning point lookups
+  within a bucket across ingest commits (a bucket accumulates one dir
+  per append — blooms cut that back to ~1 open per key).
+
 What a production format adds on top of this core — manifest
 compaction, a catalog for cross-table transactions — layers onto
 exactly these primitives without changing them.
@@ -72,6 +80,11 @@ _SNAP_DIR = "_snapshots"
 _DATA_DIR = "data"
 _BUCKET = "_bucket"
 DEFAULT_BUCKETS = 16
+# key bloom sidecars: ~10 bits/key, 4 probes from ONE md5 digest (the
+# 32-bit-chunk family), words pack 63 bits (sign bit never touched —
+# the portable-bitmap rule, CLAUDE.md)
+_BLOOM_BITS_PER_KEY = 10
+_BLOOM_SEED = "blm:"
 
 
 class CommitConflict(Exception):
@@ -297,6 +310,143 @@ class LakeTable:
             }
         return out
 
+    def _write_blooms(
+        self,
+        spark: SparkSession,
+        commit_dir: str,
+        buckets: dict[str, list[str]],
+        key: str,
+    ) -> dict[str, dict]:
+        """Key bloom filters, one per fresh data dir, persisted as ONE
+        sidecar parquet per commit (``<commit_dir>/_blooms`` —
+        underscore-prefixed, so data scans ignore it; the
+        Iceberg-puffin shape: index artifacts ride next to the data
+        they describe, the manifest references them).
+
+        Zone maps prune RANGE reads across commits; blooms prune POINT
+        lookups within a bucket across commits — a key's bucket
+        accumulates one dir per append, and without blooms read_keys
+        must open all of them.  Four probe positions come from one md5
+        digest's 32-bit chunks; per-dir bit capacity is sized from the
+        dir's actual key count (~10 bits/key), so false-positive rate
+        stays ~1-2% at any commit size.  Words pack 63 bits and are
+        assembled with bit_or — a map-side-combinable aggregate: the
+        sidecar build is one pass over the freshly written files.
+
+        Returns {data_dir: {"path": sidecar, "m": bits}}."""
+        if not buckets:
+            return {}
+        df = spark.read.parquet(commit_dir).select(
+            F.col(_BUCKET).cast("string").alias("b"),
+            F.col(key).cast("string").alias("k"),
+        )
+        counts = {
+            r.b: r.n
+            for r in df.groupBy("b").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        m_map = {
+            b: 63 * max(1, -(-n * _BLOOM_BITS_PER_KEY // 63))
+            for b, n in counts.items()
+        }
+        mdf = spark.createDataFrame(
+            [(b, m) for b, m in m_map.items()], "b string, m int"
+        )
+        dig = F.md5(F.concat(F.lit(_BLOOM_SEED), F.col("k")).cast("binary"))
+        positions = F.array(
+            *[
+                F.pmod(
+                    F.conv(F.substring(dig, 1 + 8 * j, 8), 16, 10).cast("long"),
+                    F.col("m").cast("long"),
+                )
+                for j in range(4)
+            ]
+        )
+        sidecar = os.path.join(commit_dir, "_blooms")
+        (
+            df.join(F.broadcast(mdf), "b")
+            .select("b", F.explode(positions).alias("pos"))
+            .select(
+                "b",
+                F.expr("pos div 63").alias("word_idx"),
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))"
+                ).alias("wbit"),
+            )
+            .groupBy("b", "word_idx")
+            .agg(F.bit_or("wbit").alias("word"))
+            .write.parquet(sidecar)
+        )
+        return {
+            buckets[b][0]: {"path": sidecar, "bucket": b, "m": m_map[b]}
+            for b in buckets
+            if b in m_map
+        }
+
+    @staticmethod
+    def _bloom_positions(k, m: int) -> list[int]:
+        """Python twin of the sidecar build's hash positions: hashlib
+        md5 over the same seeded string produces the same digest the
+        engines compute, so membership checks are exact (false
+        negatives impossible)."""
+        import hashlib
+
+        hexd = hashlib.md5((_BLOOM_SEED + str(k)).encode()).hexdigest()
+        return [int(hexd[8 * j : 8 * j + 8], 16) % m for j in range(4)]
+
+    def _bloom_allowed(
+        self, spark: SparkSession, m: dict, wanted: set[str], keys: list
+    ) -> set[str] | None:
+        """Dirs (among the wanted buckets') that may contain ANY of the
+        keys per their bloom sidecars; None when the table carries no
+        blooms.  Dirs without a bloom entry are always allowed.  The
+        sidecar reads are index-sized (words ∝ dir keys / 6.3), never
+        data-sized."""
+        blooms = m.get("blooms", {})
+        if not blooms:
+            return None
+        candidates = {
+            d: blooms[d]
+            for b in wanted
+            for d in m["buckets"].get(b, [])
+            if d in blooms
+        }
+        if not candidates:
+            return None
+        words: dict[tuple[str, str], dict[int, int]] = {}
+        for path in sorted({info["path"] for info in candidates.values()}):
+            for r in spark.read.parquet(path).collect():
+                words.setdefault((path, r.b), {})[r.word_idx] = r.word
+        allowed: set[str] = set()
+        for d, info in candidates.items():
+            w = words.get((info["path"], info["bucket"]), {})
+            for k in keys:
+                if all(
+                    w.get(p // 63, 0) & (1 << (p % 63))
+                    for p in self._bloom_positions(k, info["m"])
+                ):
+                    allowed.add(d)
+                    break
+        return allowed
+
+    def _carry_blooms(
+        self,
+        spark: SparkSession,
+        m: dict,
+        out_buckets: dict[str, list[str]],
+        new_buckets: dict[str, list[str]],
+        commit_dir: str | None,
+    ) -> dict:
+        """Bloom maintenance, same shape as :meth:`_carry_stats`."""
+        if not m.get("key_blooms"):
+            return {}
+        live = {d for ps in out_buckets.values() for d in ps}
+        out = {d: info for d, info in m.get("blooms", {}).items() if d in live}
+        if commit_dir is not None and new_buckets:
+            out.update(
+                self._write_blooms(spark, commit_dir, new_buckets, m["key"])
+            )
+        return out
+
     def _write_data(
         self, spark: SparkSession, df: DataFrame, key: str, num_buckets: int
     ) -> tuple[dict[str, list[str]], str, str]:
@@ -331,12 +481,16 @@ class LakeTable:
         num_buckets: int = DEFAULT_BUCKETS,
         mode: str = "error",
         stats_cols: list[str] | None = None,
+        key_blooms: bool = False,
     ) -> int:
         """Create the table as snapshot v1 (``mode='overwrite'`` drops
         any existing table directory first).  ``stats_cols`` opts the
         table into per-dir zone maps ([min, max] per column per data
         dir, stored in every manifest) — the file-skipping input of
-        :meth:`read_range`; every later commit maintains them."""
+        :meth:`read_range`; every later commit maintains them.
+        ``key_blooms`` opts into per-dir key bloom sidecars
+        (:meth:`_write_blooms`) that :meth:`read_keys` uses to prune
+        point lookups to the dirs that may hold each key."""
         if key not in df.columns:
             raise ValueError(
                 f"merge key {key!r} is not a column of the table data "
@@ -371,6 +525,12 @@ class LakeTable:
                 "total_rows": total,
                 "stats_cols": stats_cols or [],
                 "stats": self._dir_stats(spark, commit_dir, buckets, stats_cols or []),
+                "key_blooms": key_blooms,
+                "blooms": (
+                    self._write_blooms(spark, commit_dir, buckets, key)
+                    if key_blooms
+                    else {}
+                ),
             }
         )
         return 1
@@ -411,7 +571,14 @@ class LakeTable:
         wanted &= set(m["buckets"])
         if not wanted:
             return spark.createDataFrame([], m["schema"])
-        return self._read_buckets(spark, m, wanted).where(
+        allowed = self._bloom_allowed(spark, m, wanted, keys)
+        blooms = m.get("blooms", {})
+        dir_keep = (
+            None
+            if allowed is None
+            else (lambda d: d not in blooms or d in allowed)
+        )
+        return self._read_buckets(spark, m, wanted, dir_keep).where(
             F.col(m["key"]).isin(list(keys))
         )
 
@@ -725,6 +892,8 @@ class LakeTable:
                 "total_rows": int(total),
                 "stats_cols": m.get("stats_cols", []),
                 "stats": self._carry_stats(spark, m, out_buckets, new_buckets, commit_dir),
+                "key_blooms": m.get("key_blooms", False),
+                "blooms": self._carry_blooms(spark, m, out_buckets, new_buckets, commit_dir),
             }
         )
         return version
@@ -840,6 +1009,12 @@ class LakeTable:
                     new_buckets if mode == "cow" else {},
                     cow_commit_dir if mode == "cow" else None,
                 ),
+                "key_blooms": m.get("key_blooms", False),
+                "blooms": self._carry_blooms(
+                    spark, m, out_buckets,
+                    new_buckets if mode == "cow" else {},
+                    cow_commit_dir if mode == "cow" else None,
+                ),
             }
         )
         return version
@@ -873,6 +1048,8 @@ class LakeTable:
                 "total_rows": int(m["total_rows"] + added),
                 "stats_cols": m.get("stats_cols", []),
                 "stats": self._carry_stats(spark, m, out, new_buckets, commit_dir),
+                "key_blooms": m.get("key_blooms", False),
+                "blooms": self._carry_blooms(spark, m, out, new_buckets, commit_dir),
             }
         )
         return version
@@ -918,6 +1095,8 @@ class LakeTable:
                 "total_rows": m["total_rows"],
                 "stats_cols": m.get("stats_cols", []),
                 "stats": self._carry_stats(spark, m, out, new_buckets, commit_dir),
+                "key_blooms": m.get("key_blooms", False),
+                "blooms": self._carry_blooms(spark, m, out, new_buckets, commit_dir),
             }
         )
         return version

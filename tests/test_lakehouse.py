@@ -629,3 +629,63 @@ def test_q_lake_skipping_table_prunes(spark):
     opened = {os.path.dirname(f.replace("file://", "")) for f in got.inputFiles()}
     live = {d for ps in t.manifest()["buckets"].values() for d in ps}
     assert len(opened & live) == kept
+
+
+# --- key bloom sidecars (round 7) ---
+
+
+@pytest.fixture()
+def bloom_table(tmp_path, spark):
+    """Four ingest commits with key blooms: keys 0-199, 1000-1199,
+    2000-2199, 3000-3199 (every bucket gets one dir per commit)."""
+    t = LakeTable(str(tmp_path / "bt"))
+    band = lambda lo: _mk(spark, [(lo + i, f"v{lo + i}") for i in range(200)])
+    t.create(spark, band(0), key="k", num_buckets=4, key_blooms=True)
+    for lo in (1000, 2000, 3000):
+        t.append(spark, band(lo))
+    return t
+
+
+def test_blooms_recorded_per_dir(bloom_table):
+    m = bloom_table.manifest()
+    assert m["key_blooms"] is True
+    dirs = {d for ps in m["buckets"].values() for d in ps}
+    assert set(m["blooms"]) == dirs
+    for info in m["blooms"].values():
+        assert info["m"] >= 63 and os.path.isdir(info["path"])
+
+
+def test_read_keys_bloom_prunes_to_owning_commit(bloom_table, spark):
+    """A key living in one ingest band must open ~1 dir, not the 4 its
+    bucket accumulated (false positives may rarely add one — assert
+    strictly fewer than the un-bloomed 4)."""
+    got = bloom_table.read_keys(spark, [2042])
+    assert {r.k: r.v for r in got.collect()} == {2042: "v2042"}
+    opened = {os.path.dirname(f.replace("file://", "")) for f in got.inputFiles()}
+    live = {d for ps in bloom_table.manifest()["buckets"].values() for d in ps}
+    assert 1 <= len(opened & live) < 4
+
+
+def test_read_keys_bloom_never_false_negative(bloom_table, spark):
+    """Every present key must be found (md5 positions are identical in
+    the engine build and the hashlib probe — no false negatives)."""
+    keys = [0, 3, 1001, 2199, 3100]
+    got = {r.k for r in bloom_table.read_keys(spark, keys).collect()}
+    assert got == set(keys)
+    # absent keys return empty, usually opening zero dirs
+    assert bloom_table.read_keys(spark, [999999]).count() == 0
+
+
+def test_blooms_maintained_by_merge_and_optimize(bloom_table, spark):
+    bloom_table.merge(spark, _mk(spark, [(2042, "UPDATED"), (5000, "NEW")]))
+    m = bloom_table.manifest()
+    live = {d for ps in m["buckets"].values() for d in ps}
+    assert set(m["blooms"]) == live
+    got = {r.k: r.v for r in bloom_table.read_keys(spark, [2042, 5000]).collect()}
+    assert got == {2042: "UPDATED", 5000: "NEW"}
+    bloom_table.optimize(spark)
+    m2 = bloom_table.manifest()
+    live2 = {d for ps in m2["buckets"].values() for d in ps}
+    assert set(m2["blooms"]) == live2
+    got2 = {r.k: r.v for r in bloom_table.read_keys(spark, [2042, 0]).collect()}
+    assert got2 == {2042: "UPDATED", 0: "v0"}
