@@ -454,3 +454,155 @@ def q_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("est_cnt"), "l_suppkey")
         .limit(20)
     )
+
+
+_KSO_K = 32  # KMV set-op sketch size (each status has >= 143 distinct
+# custkeys at the smallest fixture, so the k-th value always exists)
+_KSO_NUM = float((_KSO_K - 1) * (1 << 48))
+_P48 = float(1 << 48)
+
+
+@register(
+    "q_kmv_setops",
+    sql=f"""
+    WITH ha AS (
+      SELECT DISTINCT CAST('0x' || substr(md5('kso:' || CAST(o_custkey AS VARCHAR)), 1, 12)
+                           AS BIGINT) AS h
+      FROM orders WHERE o_orderstatus = 'O'
+    ),
+    hb AS (
+      SELECT DISTINCT CAST('0x' || substr(md5('kso:' || CAST(o_custkey AS VARCHAR)), 1, 12)
+                           AS BIGINT) AS h
+      FROM orders WHERE o_orderstatus = 'F'
+    ),
+    sa AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ha)
+           WHERE rn <= {_KSO_K}),
+    sb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hb)
+           WHERE rn <= {_KSO_K}),
+    ta AS (SELECT max(h) AS theta FROM sa),
+    tb AS (SELECT max(h) AS theta FROM sb),
+    th AS (SELECT least(ta.theta, tb.theta) AS theta FROM ta, tb),
+    su AS (
+      SELECT h FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn
+        FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+      ) WHERE rn <= {_KSO_K}
+    ),
+    tu AS (SELECT max(h) AS theta FROM su),
+    inter AS (
+      SELECT count(*) AS cnt
+      FROM sa JOIN sb ON sa.h = sb.h CROSS JOIN th
+      WHERE sa.h < th.theta
+    ),
+    exact AS (
+      SELECT
+        (SELECT count(DISTINCT o_custkey) FROM orders
+         WHERE o_orderstatus IN ('O', 'F')) AS exact_union,
+        (SELECT count(*) FROM
+           (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+           JOIN (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+           USING (o_custkey)) AS exact_inter
+    )
+    SELECT
+      CAST(floor(CAST({_KSO_NUM!r} AS DOUBLE) / CAST(tu.theta AS DOUBLE)
+                 * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        AS kmv_union_e4,
+      exact.exact_union,
+      CAST(floor(CAST(inter.cnt AS DOUBLE) * CAST({_P48!r} AS DOUBLE)
+                 / CAST(th.theta AS DOUBLE)
+                 * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        AS kmv_inter_e4,
+      exact.exact_inter
+    FROM tu, th, inter, exact
+    """,
+)
+def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch-style SET OPERATIONS on KMV sketches — the
+    mergeable-sketch algebra that answers "distinct users in segment A
+    OR B / A AND B" from kilobyte summaries, never re-joining raw
+    data: union = k smallest of the combined samples (a KMV sketch
+    again — closed under union); intersection = samples below
+    theta = min(theta_A, theta_B) present in both, scaled by 1/theta.
+    Both estimates are exact integer selections plus one IEEE
+    multiply/divide chain spelled identically in both engines, so the
+    key carries a full hash oracle.  The sketch build is the same
+    distinct-hash partial-agg as q_kmv_sketch (map-side dedup; at
+    100 TB you persist sa/sb per segment/day and run ONLY this cheap
+    set algebra at query time)."""
+    o = load(spark, sf_dir, "orders")
+    dig = F.md5(
+        F.concat(F.lit("kso:"), F.col("o_custkey").cast("string")).cast("binary")
+    )
+    h = F.conv(F.substring(dig, 1, 12), 16, 10).cast("long")
+    from pyspark.sql import Window
+
+    w = Window.orderBy("h")
+
+    def sketch(status: str) -> DataFrame:
+        return (
+            o.where(F.col("o_orderstatus") == status)
+            .select(h.alias("h"))
+            .distinct()
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= _KSO_K)
+            .select("h")
+        )
+
+    sa, sb = sketch("O"), sketch("F")
+    ta = sa.groupBy().agg(F.max("h").alias("theta_a"))
+    tb = sb.groupBy().agg(F.max("h").alias("theta_b"))
+    th = ta.crossJoin(tb).select(
+        F.least("theta_a", "theta_b").alias("theta")
+    )
+    su = (
+        sa.union(sb)
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _KSO_K)
+    )
+    tu = su.groupBy().agg(F.max("h").alias("theta_u"))
+    inter = (
+        sa.join(sb, "h")
+        .crossJoin(th)
+        .where(F.col("h") < F.col("theta"))
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    oa = o.where(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    ob = o.where(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    exact = (
+        oa.union(ob)
+        .distinct()
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("exact_union"))
+        .crossJoin(
+            oa.join(ob, "o_custkey")
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("exact_inter"))
+        )
+    )
+    return (
+        tu.crossJoin(th)
+        .crossJoin(inter)
+        .crossJoin(exact)
+        .select(
+            F.floor(
+                F.lit(_KSO_NUM) / F.col("theta_u").cast("double")
+                * F.lit(10000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("kmv_union_e4"),
+            "exact_union",
+            F.floor(
+                F.col("cnt").cast("double")
+                * F.lit(_P48)
+                / F.col("theta").cast("double")
+                * F.lit(10000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("kmv_inter_e4"),
+            "exact_inter",
+        )
+    )

@@ -747,3 +747,20 @@ def test_mmr_rerank_greedy_invariants(spark):
     assert rows[0].vec_id == top1.vec_id
     later = [r.mmr_score_e6 for r in rows[1:]]
     assert later == sorted(later, reverse=True)
+
+
+def test_kmv_setops_estimates_bracket_exact(spark):
+    """Theta set-op sanity: union/intersection estimates land within a
+    loose multiple of the k=32 standard error of the exact counts, and
+    the union estimate is >= each side's implied magnitude (union can
+    never be smaller than the bigger operand by more than noise)."""
+    from processor_spark import registry
+    from tests.conftest import SF_SMALL
+
+    row = registry.get("q_kmv_setops").fn(spark, SF_SMALL).collect()[0]
+    eu, xi = row.kmv_union_e4 / 1e4, row.exact_inter
+    assert abs(eu - row.exact_union) / row.exact_union <= 4 / (30.0**0.5)
+    # intersection: absolute error scales with union size, not inter
+    assert abs(row.kmv_inter_e4 / 1e4 - xi) <= max(
+        20, 4 * row.exact_union / (32.0**0.5)
+    )
