@@ -606,3 +606,92 @@ def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_inter",
         )
     )
+
+
+_HQ_W = 25000.0  # histogram bin width over o_totalprice
+_HQ_QS = [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]
+
+
+@register(
+    "q_hist_quantile",
+    sql=f"""
+    WITH part AS (
+      SELECT o_orderpriority,
+             CAST(floor(o_totalprice / CAST({_HQ_W!r} AS DOUBLE)) AS BIGINT) AS b,
+             count(*) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    merged AS (
+      SELECT b, CAST(sum(n) AS BIGINT) AS n FROM part GROUP BY b
+    ),
+    cum AS (
+      SELECT b, n, CAST(sum(n) OVER (ORDER BY b) AS BIGINT) AS c FROM merged
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM merged),
+    qs AS (
+      {" UNION ALL ".join(f"SELECT '{ql}' AS ql, CAST({q!r} AS DOUBLE) AS q" for ql, q in _HQ_QS)}
+    ),
+    hit AS (
+      SELECT ql, q, b, n, c, nt,
+             row_number() OVER (PARTITION BY ql ORDER BY b) AS rn
+      FROM cum CROSS JOIN qs CROSS JOIN tot
+      WHERE CAST(c AS DOUBLE) >= q * CAST(nt AS DOUBLE)
+    )
+    SELECT ql AS quantile,
+           CAST(floor(
+             (CAST(b AS DOUBLE) * CAST({_HQ_W!r} AS DOUBLE)
+              + (q * CAST(nt AS DOUBLE) - CAST(c - n AS DOUBLE))
+                / CAST(n AS DOUBLE) * CAST({_HQ_W!r} AS DOUBLE))
+             * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)
+           ) AS BIGINT) AS est_e4,
+           nt AS n_total
+    FROM hit WHERE rn = 1
+    ORDER BY quantile
+    """,
+)
+def q_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from MERGED fixed-width histograms — the mergeable
+    rollup answer to percentiles at 100 TB: store one tiny integer
+    histogram per fine grain (here per priority, standing in for
+    per-day partials), merge by summing counts (associative,
+    map-side-combinable), interpolate p50/p90/p99 inside the first
+    bucket whose cumulative count crosses q*N.  No raw re-scan at
+    query time, no data-sized sort anywhere (the cumulative window
+    runs over ~25 bucket rows).  All counts are exact integers and the
+    interpolation is one identically-spelled IEEE chain, so the key
+    carries a full hash oracle; accuracy (within one bin of exact) is
+    property-tested."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    part = o.groupBy(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") / F.lit(_HQ_W)).cast("long").alias("b"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    merged = part.groupBy("b").agg(F.sum("n").cast("long").alias("n"))
+    cum = merged.withColumn(
+        "c", F.sum("n").over(Window.orderBy("b")).cast("long")
+    )
+    tot = merged.groupBy().agg(F.sum("n").cast("long").alias("nt"))
+    qs = spark.createDataFrame(_HQ_QS, "ql string, q double")
+    hit = (
+        cum.crossJoin(F.broadcast(qs))
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("c").cast("double") >= F.col("q") * F.col("nt").cast("double"))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("ql").orderBy("b")),
+        )
+        .where(F.col("rn") == 1)
+    )
+    est = (
+        F.col("b").cast("double") * F.lit(_HQ_W)
+        + (F.col("q") * F.col("nt").cast("double")
+           - (F.col("c") - F.col("n")).cast("double"))
+        / F.col("n").cast("double") * F.lit(_HQ_W)
+    )
+    return hit.select(
+        F.col("ql").alias("quantile"),
+        F.floor(est * F.lit(10000.0) + F.lit(0.5)).cast("long").alias("est_e4"),
+        F.col("nt").alias("n_total"),
+    ).orderBy("quantile")

@@ -764,3 +764,28 @@ def test_kmv_setops_estimates_bracket_exact(spark):
     assert abs(row.kmv_inter_e4 / 1e4 - xi) <= max(
         20, 4 * row.exact_union / (32.0**0.5)
     )
+
+
+def test_hist_quantile_within_one_bin_of_exact(spark):
+    """Interpolated histogram quantiles must land within one bin width
+    of the exact order statistics (the histogram's resolution bound)."""
+    import numpy as np
+
+    from processor_spark import registry
+    from processor_spark.operators.sketches import _HQ_W
+    from processor_spark.sources import load
+    from tests.conftest import SF_SMALL
+
+    rows = {
+        r.quantile: r.est_e4 / 1e4
+        for r in registry.get("q_hist_quantile").fn(spark, SF_SMALL).collect()
+    }
+    prices = np.array(
+        [
+            r.o_totalprice
+            for r in load(spark, SF_SMALL, "orders").select("o_totalprice").collect()
+        ]
+    )
+    for ql, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+        exact = float(np.quantile(prices, q))
+        assert abs(rows[ql] - exact) <= _HQ_W, (ql, rows[ql], exact)
