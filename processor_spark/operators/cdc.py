@@ -523,17 +523,39 @@ def q_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- zone-map data skipping
 
 
+_INGEST_FMT = 1  # bump to invalidate previously built ingest tables
+
+
 def _orders_lake_ingest(spark: SparkSession, sf_dir: str) -> LakeTable:
-    """(Re)build the time-ordered-ingest demo table: orders land in
-    FOUR commits by o_orderdate band (create + 3 appends), the shape
-    of daily/weekly ingest into a lakehouse table.  Zone maps on
-    o_orderdate are recorded per data dir at each commit, so each
-    commit's dirs cover only its band — the layout that makes
-    time-slice reads prunable at 100 TB."""
+    """Build-once time-ordered-ingest demo table: orders land in FOUR
+    commits by o_orderdate band (create + 3 appends), the shape of
+    daily/weekly ingest into a lakehouse table.  Zone maps on
+    o_orderdate and key blooms are recorded per data dir at each
+    commit, so each commit's dirs cover only its band — the layout
+    that makes time-slice reads AND point lookups prunable at 100 TB.
+
+    Idempotent persist-and-serve build (the similarity-index pattern):
+    the table is deterministic per fixture, so it is built once per
+    (sf_dir, format version) and REUSED — a format-versioned _READY
+    marker written LAST via tmp+os.replace gates reuse, so a crashed
+    build is invisible and rebuilds.  The consuming keys' oracles
+    still hash-certify the whole storage round trip on every run (the
+    read path re-executes; only the write is amortized — rebuilding
+    4 commits plus sidecars per invocation made q_lake_pointlookup a
+    ~8 s key for pure write-side fixed cost)."""
     import datetime
+    import uuid
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    t = LakeTable(os.path.join("/tmp", "processor_spark_lake", tag, "orders_ingest"))
+    path = os.path.join("/tmp", "processor_spark_lake", tag, "orders_ingest")
+    t = LakeTable(path)
+    marker = os.path.join(path, "_READY")
+    try:
+        with open(marker) as fh:
+            if fh.read().strip() == str(_INGEST_FMT) and t.current_version() == 4:
+                return t
+    except (OSError, FileNotFoundError):
+        pass
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate"
     )
@@ -563,6 +585,10 @@ def _orders_lake_ingest(spark: SparkSession, sf_dir: str) -> LakeTable:
     )
     for lo, hi in bands[1:]:
         t.append(spark, band(lo, hi))
+    tmp = marker + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        fh.write(str(_INGEST_FMT))
+    os.replace(tmp, marker)  # marker last: a crashed build is invisible
     return t
 
 
