@@ -410,14 +410,21 @@ def q_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     take the min (one-sided overestimate, asserted >= exact in
     tests).  The dim-sized probe side is generated once and
     broadcast-joined against the cells."""
-    li = load(spark, sf_dir, "lineitem").select("l_suppkey")
-    dig = F.md5(
-        F.concat(F.lit("cms:"), F.col("l_suppkey").cast("string")).cast("binary")
+    # spread=True: the md5-dense map stage would otherwise run on the
+    # single fixture file's few partitions; dig is MATERIALIZED as a
+    # column because Spark does NOT common-subexpression-eliminate the
+    # md5 across the four array elements (8 evals/row inline — measured
+    # 1.8x slower, see q_ams_f2's r7 note)
+    li = load(spark, sf_dir, "lineitem", spread=True).select(
+        "l_suppkey",
+        F.md5(
+            F.concat(F.lit("cms:"), F.col("l_suppkey").cast("string")).cast("binary")
+        ).alias("dig"),
     )
 
     def chunk(j: int):
         return F.pmod(
-            F.conv(F.substring(dig, 1 + 8 * j, 8), 16, 10).cast("long"),
+            F.conv(F.substring(F.col("dig"), 1 + 8 * j, 8), 16, 10).cast("long"),
             F.lit(_CMS_W),
         )
 
@@ -433,7 +440,7 @@ def q_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     probe = (
-        li.distinct()
+        li.dropDuplicates(["l_suppkey"])
         .select("l_suppkey", F.explode(pairs).alias("x"))
         .select("l_suppkey", F.col("x.s").alias("s"), F.col("x.c").alias("c"))
     )
@@ -695,3 +702,121 @@ def q_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(est * F.lit(10000.0) + F.lit(0.5)).cast("long").alias("est_e4"),
         F.col("nt").alias("n_total"),
     ).orderBy("quantile")
+
+
+_AMS_W = 256  # count-sketch columns; F2 std error ~ sqrt(2/w) ~ 9%
+
+
+def _ams_chunk_sql(j: int, key: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5('ams:' || CAST({key} AS VARCHAR)), "
+        f"{1 + 8 * j}, 8) AS BIGINT)"
+    )
+
+
+@register(
+    "q_ams_f2",
+    sql=f"""
+    WITH cells AS (
+      SELECT s, c, CAST(sum(sgn) AS BIGINT) AS cell FROM (
+        {" UNION ALL ".join(
+            f"SELECT {j} AS s, {_ams_chunk_sql(j, 'l_partkey')} % {_AMS_W} AS c, "
+            f"1 - 2 * (({_ams_chunk_sql(j, 'l_partkey')} // {_AMS_W}) % 2) AS sgn "
+            f"FROM lineitem"
+            for j in range(4)
+        )}
+      ) GROUP BY s, c
+    ),
+    ests AS (
+      SELECT s, CAST(sum(cell * cell) AS BIGINT) AS est
+      FROM cells GROUP BY s
+    ),
+    ranked AS (
+      SELECT est, row_number() OVER (ORDER BY est, s) AS rn FROM ests
+    ),
+    med AS (
+      SELECT CAST(sum(CASE WHEN rn IN (2, 3) THEN est ELSE 0 END) AS BIGINT)
+               // 2 AS f2_est
+      FROM ranked
+    ),
+    exact AS (
+      SELECT CAST(sum(n * n) AS BIGINT) AS f2_exact
+      FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY l_partkey)
+    )
+    SELECT CAST(med.f2_est AS BIGINT) AS f2_est, exact.f2_exact
+    FROM med, exact
+    """,
+)
+def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS / count-sketch second-moment (F2) estimate of the
+    l_partkey self-join size — THE optimizer statistic for join
+    planning and skew detection (F2 = sum over keys of count^2 = the
+    row count a self-equi-join would produce; a heavy key inflates it
+    quadratically).  Count-min's one-sided counters cannot estimate F2
+    (cross-key collisions only ADD), so this uses the signed
+    Tug-of-War form: each key pulls its cell by ±1 (sign and column
+    both from the one md5 digest's chunks), est_s = sum of squared
+    cells is UNBIASED per row, and the median of the four rows (here:
+    mean of the two middle values, an exact integer halving) controls
+    variance.  Everything is integer arithmetic — sums, squares,
+    ranking, one integer division — so the oracle is unconditional.
+    The cell build is a map-side-combinable sum over (s, c): each
+    executor reduces its slice to <= 1024 cells; at 100 TB the sketch
+    costs scan + tiny shuffle and is MERGEABLE (cells add across
+    shards/days)."""
+    # spread + materialized digest (no md5 CSE across array elements:
+    # the inline spelling evaluated md5 8x/row — 5.0 s vs 2.8 s
+    # measured at sf0.1 for the cell build alone)
+    li = load(spark, sf_dir, "lineitem", spread=True).select(
+        "l_partkey",
+        F.md5(
+            F.concat(F.lit("ams:"), F.col("l_partkey").cast("string")).cast("binary")
+        ).alias("dig"),
+    )
+
+    def chunk(j: int):
+        return F.conv(F.substring(F.col("dig"), 1 + 8 * j, 8), 16, 10).cast("long")
+
+    triples = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("s"),
+                F.pmod(chunk(j), F.lit(_AMS_W)).alias("c"),
+                # sign bit = bit 8 of the chunk (bits 0-7 pick the
+                # column): integer shift, never float division
+                (
+                    F.lit(1)
+                    - F.lit(2) * F.pmod(F.shiftright(chunk(j), 8), F.lit(2))
+                ).cast("long").alias("sgn"),
+            )
+            for j in range(4)
+        ]
+    )
+    from pyspark.sql import Window
+
+    cells = (
+        li.select(F.explode(triples).alias("x"))
+        .groupBy(F.col("x.s").alias("s"), F.col("x.c").alias("c"))
+        .agg(F.sum("x.sgn").cast("long").alias("cell"))
+    )
+    ests = cells.groupBy("s").agg(
+        F.sum(F.col("cell") * F.col("cell")).cast("long").alias("est")
+    )
+    ranked = ests.withColumn(
+        "rn", F.row_number().over(Window.orderBy("est", "s"))
+    )
+    med = ranked.groupBy().agg(
+        F.expr(
+            "CAST(sum(CASE WHEN rn IN (2, 3) THEN est ELSE 0 END) AS BIGINT)"
+            " div 2"
+        ).alias("f2_est")
+    )
+    exact = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy()
+        .agg(F.sum(F.col("n") * F.col("n")).cast("long").alias("f2_exact"))
+    )
+    return med.crossJoin(exact).select(
+        F.col("f2_est").cast("long").alias("f2_est"), "f2_exact"
+    )

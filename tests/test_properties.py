@@ -789,3 +789,17 @@ def test_hist_quantile_within_one_bin_of_exact(spark):
     for ql, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
         exact = float(np.quantile(prices, q))
         assert abs(rows[ql] - exact) <= _HQ_W, (ql, rows[ql], exact)
+
+
+def test_ams_f2_estimate_within_error_bound(spark):
+    """Tug-of-War F2: the median-of-4 estimate must land within ~4
+    standard errors (se ~ sqrt(2/256) ~ 8.8%) of the exact self-join
+    size — an estimator whose signs or squares were wrong would be off
+    by orders of magnitude, which oracle parity alone cannot see."""
+    from processor_spark import registry
+    from tests.conftest import SF_SMALL
+
+    row = registry.get("q_ams_f2").fn(spark, SF_SMALL).collect()[0]
+    assert row.f2_exact > 0
+    rel = abs(row.f2_est - row.f2_exact) / row.f2_exact
+    assert rel <= 4 * (2.0 / 256.0) ** 0.5, (row.f2_est, row.f2_exact, rel)
