@@ -587,3 +587,30 @@ def dedup_events_within_watermark(events: DataFrame, watermark: str = "1 hour") 
     100 TB/day case: event ids never repeat far apart, so bounded
     dedup state is the only viable form)."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def hll_user_registers(events: DataFrame) -> DataFrame:
+    """Streaming HLL: distinct-user registers per event type maintained
+    as a plain max-aggregate — the sketch-as-streaming-state pattern.
+
+    Register max is commutative/associative and insensitive to arrival
+    order, so the streaming aggregation needs NO watermark to be
+    correct and its state is BOUNDED BY CONSTRUCTION at 64 registers x
+    |event types| regardless of stream length — the property that
+    makes live distinct-count dashboards viable where exact streaming
+    countDistinct state would grow with the user universe.  Drained in
+    complete mode; tests/test_streaming.py proves the streamed
+    registers (and hence the estimate) are IDENTICAL to a batch build
+    over the same prefix (operators/sketches.py q_hll_md5 family)."""
+    from processor_spark.operators.sketches import _hll_row_exprs
+
+    bucket, rho = _hll_row_exprs("user_id")
+    return (
+        events.select(
+            F.col("event_type").alias("grp"),
+            bucket.alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )

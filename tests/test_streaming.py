@@ -544,3 +544,29 @@ def test_kafka_value_parsing_shapes_events(spark):
     assert got[0].event_id == 1 and got[0].event_type == "click"
     assert got[0].value == 1.5 and got[0].user_id == 7
     assert all(got[1][c] is None for c in ("event_id", "user_id", "event_type", "value"))
+
+
+def test_streaming_hll_registers_equal_batch_sketch(spark, events_chunks_dir):
+    """Sketches ARE streaming state: the HLL register table maintained
+    by the stream (max-agg, complete mode, no watermark needed) must
+    equal the batch-built registers over the same events EXACTLY —
+    register max commutes with any arrival order/chunking — and
+    therefore so does the distinct estimate.  State is bounded at
+    64 x |event types| rows by construction."""
+    from processor_spark.operators.sketches import _hll_estimate_cols
+
+    stream = P.read_events_stream(spark, events_chunks_dir)
+    got = _drain(spark, P.hll_user_registers(stream), "t_hll_regs", mode="complete")
+    want = P.hll_user_registers(load(spark, SF_SMALL, "events"))
+    cols = ["grp", "bucket", "r"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+    aggs, est_col = _hll_estimate_cols()
+    est = lambda regs: {
+        r.grp: r.est
+        for r in regs.groupBy("grp")
+        .agg(*aggs)
+        .select("grp", est_col().alias("est"))
+        .collect()
+    }
+    assert est(got) == est(want)
