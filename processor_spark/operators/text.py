@@ -796,9 +796,11 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 BM25_TERMS = ("spark", "table", "query")
 
 
-@register(
-    "q_bm25",
-    sql=r"""
+# Shared by q_bm25 (rebuild) and q_bm25_serve (persisted index): the
+# serve twin returns bit-identical rows, so sharing the oracle makes
+# the hash check certify the index parquet round trip for free (the
+# ANN *_serve convention).
+_BM25_SQL = r"""
     WITH docs AS (
       SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
       FROM documents
@@ -833,7 +835,12 @@ BM25_TERMS = ("spark", "table", "query")
     WHERE tf1 + tf2 + tf3 > 0
     ORDER BY score_tenthmilli DESC, doc_id
     LIMIT 20
-    """,
+    """
+
+
+@register(
+    "q_bm25",
+    sql=_BM25_SQL,
 )
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 retrieval ranking (k1=1.2, b=0.75) for a 3-term query — the
@@ -1191,4 +1198,176 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("rrf_nano"), F.asc("doc_id"))
         .limit(RRF_TOP)
+    )
+
+
+# ------------------------------------------- persisted inverted index
+
+TEXT_INDEX_ROOT = "/tmp/processor_spark_text_index"
+TEXT_INDEX_FMT = 1
+_TBUCKETS = 64  # term-hash partition dirs: a query reads |terms| dirs
+
+
+def _term_bucket_py(term: str) -> int:
+    """Python twin of the index writer's term bucket (md5-derived so
+    the serving side can plan its partition-pruned read WITHOUT a
+    Spark job — same digest family both sides, like the lakehouse
+    bloom probe)."""
+    import hashlib
+
+    return int(hashlib.md5(("tb:" + term).encode()).hexdigest()[:8], 16) % _TBUCKETS
+
+
+def build_text_index(
+    spark: SparkSession, sf_dir: str, path: str | None = None, force: bool = False
+) -> str:
+    """Build the inverted text index ONCE and persist it: postings
+    (term, doc_id, tf, dl — doc length denormalized so serving never
+    joins a doc-sized side) partitioned by a 64-way term-hash bucket,
+    plus corpus stats (n_docs, tot_toks) in the meta marker.  The
+    build is one tokenize + explode + (term, doc) count over the
+    corpus — the offline job you amortize over every query; serving
+    reads ONLY the partition dirs its query terms hash to
+    (|terms|/64 of the postings).  Idempotent via the
+    format-versioned marker written last (ANN-index convention)."""
+    import json
+    import os
+    import shutil
+    import uuid
+
+    if path is None:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        path = os.path.join(TEXT_INDEX_ROOT, tag)
+    meta = os.path.join(path, "_INDEX_META.json")
+    try:
+        with open(meta) as fh:
+            if json.load(fh).get("fmt") == TEXT_INDEX_FMT and not force:
+                return path
+    except (OSError, ValueError):
+        pass
+    shutil.rmtree(path, ignore_errors=True)
+
+    d = load(spark, sf_dir, "documents", spread=True)
+    docs = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    dl = docs.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    postings = (
+        docs.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .join(dl, "doc_id")
+        .withColumn(
+            "tbucket",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("tb:"), F.col("term")).cast("binary")),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(_TBUCKETS),
+            ),
+        )
+    )
+    postings.write.partitionBy("tbucket").parquet(os.path.join(path, "postings"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("tot_toks"),
+    ).collect()[0]
+    tmp = meta + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "kind": "text",
+                "fmt": TEXT_INDEX_FMT,
+                "source": sf_dir,
+                "n_docs": stats.n_docs,
+                "tot_toks": stats.tot_toks,
+            },
+            fh,
+        )
+    os.replace(tmp, meta)  # marker last: a crashed build is invisible
+    return path
+
+
+@register("q_bm25_serve", sql=_BM25_SQL)
+def q_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 *serving* path: score the 3-term query from the PERSISTED
+    inverted index instead of re-tokenizing the corpus per query
+    (q_bm25's shape).  Query-time work is: read the |terms| term-hash
+    partition dirs the query terms map to (planned in Python from the
+    shared md5 bucket function — no job, no listing), derive each
+    term's df from its posting count, pivot the postings to per-doc
+    (tf1..tf3, dl) rows, apply the identical rational-idf score
+    expression, TakeOrdered 20.  At 100 TB the difference is a full
+    corpus tokenize per query vs reading ~|terms|/64 of a prebuilt
+    postings table — and df/doc-length live IN the index, so nothing
+    doc-sized is joined at serve time.  Shares q_bm25's oracle SQL:
+    the hash match certifies the index round trip end to end."""
+    import json
+    import os
+
+    path = build_text_index(spark, sf_dir)
+    with open(os.path.join(path, "_INDEX_META.json")) as fh:
+        meta = json.load(fh)
+    n_docs, tot_toks = meta["n_docs"], meta["tot_toks"]
+    dirs = sorted(
+        {
+            os.path.join(path, "postings", f"tbucket={_term_bucket_py(t)}")
+            for t in BM25_TERMS
+        }
+    )
+    p = (
+        spark.read.schema("term string, doc_id bigint, tf bigint, dl bigint")
+        .parquet(*dirs)
+        .where(F.col("term").isin(list(BM25_TERMS)))
+    )
+    dfs = p.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    df_map = {r.term: r.df for r in dfs.collect()}  # |terms| rows
+    feat = p.groupBy("doc_id").agg(
+        F.first("dl").alias("dl"),
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("term") == t, F.col("tf"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"tf{i}")
+            for i, t in enumerate(BM25_TERMS, 1)
+        ],
+    )
+    # stats enter as COLUMNS so the score expression tree is spelled
+    # EXACTLY like q_bm25's (literal stats would parse as Spark
+    # DECIMAL and take a different arithmetic path than the oracle)
+    stats = spark.createDataFrame(
+        [
+            (
+                n_docs,
+                tot_toks,
+                *[int(df_map.get(t, 0)) for t in BM25_TERMS],
+            )
+        ],
+        "n_docs bigint, tot_toks bigint, df1 bigint, df2 bigint, df3 bigint",
+    )
+    term = (
+        "(({n} - df{i} + 0.5) / (df{i} + 0.5)) * (tf{i} * 2.2)"
+        " / (tf{i} + 1.2 * (0.25 + 0.75 * (dl / (CAST(tot_toks AS DOUBLE) / {n}))))"
+    )
+    score = " + ".join(term.format(i=i, n="n_docs") for i in range(1, 4))
+    return (
+        feat.crossJoin(F.broadcast(stats))
+        .where(F.col("tf1") + F.col("tf2") + F.col("tf3") > 0)
+        .select(
+            "doc_id",
+            "dl",
+            "tf1",
+            "tf2",
+            "tf3",
+            F.expr(f"CAST(floor(({score}) * 10000 + 0.5) AS BIGINT)").alias(
+                "score_tenthmilli"
+            ),
+        )
+        .orderBy(F.desc("score_tenthmilli"), F.asc("doc_id"))
+        .limit(20)
     )
