@@ -1,5 +1,5 @@
 from processor_spark.sources.fixtures import TABLES, load, load_all, register_views, schema_for
-from processor_spark.sources.lakehouse import CommitConflict, LakeTable
+from processor_spark.sources.lakehouse import CommitConflict, LakeCatalog, LakeTable
 
 __all__ = [
     "TABLES",
@@ -8,5 +8,6 @@ __all__ = [
     "register_views",
     "schema_for",
     "LakeTable",
+    "LakeCatalog",
     "CommitConflict",
 ]

@@ -61,9 +61,16 @@ Layout (one directory per table)::
   within a bucket across ingest commits (a bucket accumulates one dir
   per append — blooms cut that back to ~1 open per key).
 
+- **Cross-table transactions** (:class:`LakeCatalog`): a catalog
+  snapshot pins {table: version} and is published with the same
+  atomic+exclusive protocol; a :class:`CatalogTransaction` applies
+  several tables' commits then flips ONE catalog snapshot, so
+  catalog-resolved readers can never observe a half-applied
+  transaction.
+
 What a production format adds on top of this core — manifest
-compaction, a catalog for cross-table transactions — layers onto
-exactly these primitives without changing them.
+compaction — layers onto exactly these primitives without changing
+them.
 """
 
 from __future__ import annotations
@@ -1186,3 +1193,155 @@ class LakeTable:
         q.awaitTermination(timeout_s)
         if q.isActive:
             q.stop()
+
+
+class LakeCatalog:
+    """Cross-table transactions: the catalog layer the table format
+    defers to ("what a production format adds", module docstring).
+
+    A catalog snapshot is one JSON file pinning {table_name: version}
+    for every registered table, published with the SAME
+    tmp+fsync+hard-link protocol as table manifests (atomic AND
+    exclusive).  Readers that resolve tables THROUGH the catalog get
+    cross-table-consistent reads: they see the exact version set some
+    catalog commit pinned, never a mix of one table's new state with
+    another's old.
+
+    Transaction semantics (optimistic, Iceberg-style): a transaction
+    stages per-table operations, applies them as ordinary table
+    commits (each atomic on its own), then publishes ONE catalog
+    snapshot pinning the new versions.  The catalog publish is the
+    transaction's commit point:
+
+    - if it succeeds, catalog readers atomically flip to every new
+      table version at once;
+    - if it loses the race (CommitConflict), or the writer crashes
+      after the table commits but before the catalog publish, the new
+      table versions exist but are NOT pinned — catalog readers still
+      see the old consistent set, and the orphaned versions are
+      harmless immutable snapshots (a retry re-applies the logic on
+      the current state).
+
+    Layout: ``<root>/_catalog/v<NNNNNNNN>.json`` plus the tables
+    themselves under ``<root>/tables/<name>``."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        self.cat_dir = os.path.join(root, "_catalog")
+
+    # ------------------------------------------------------------ tables
+
+    def table(self, name: str) -> LakeTable:
+        return LakeTable(os.path.join(self.root, "tables", name))
+
+    # --------------------------------------------------------- snapshots
+
+    def _snap_path(self, version: int) -> str:
+        return os.path.join(self.cat_dir, f"v{version:08d}.json")
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self.cat_dir):
+            return []
+        return sorted(
+            int(n[1:-5])
+            for n in os.listdir(self.cat_dir)
+            if n.startswith("v") and n.endswith(".json")
+        )
+
+    def _parses(self, version: int) -> bool:
+        try:
+            with open(self._snap_path(version)) as fh:
+                json.load(fh)
+            return True
+        except (OSError, json.JSONDecodeError):
+            return False
+
+    def current_version(self) -> int:
+        vs = [v for v in reversed(self.versions()) if self._parses(v)]
+        if not vs:
+            raise FileNotFoundError(f"no catalog at {self.root}")
+        return vs[0]
+
+    def snapshot(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        with open(self._snap_path(v)) as fh:
+            return json.load(fh)
+
+    def _publish(self, version: int, pinned: dict[str, int]) -> None:
+        os.makedirs(self.cat_dir, exist_ok=True)
+        target = self._snap_path(version)
+        tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump({"version": version, "tables": pinned}, fh, indent=1)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            os.unlink(tmp)
+            raise CommitConflict(
+                f"catalog version {version} of {self.root} was committed "
+                "concurrently"
+            ) from None
+        os.unlink(tmp)
+
+    # ------------------------------------------------------ transactions
+
+    def init(self, tables: dict[str, int] | None = None) -> int:
+        """Publish catalog v1 pinning the given (or current) versions."""
+        pinned = dict(tables or {})
+        self._publish(1, pinned)
+        return 1
+
+    def read(self, spark: SparkSession, name: str, version: int | None = None):
+        """Catalog-consistent read: the table version is resolved from
+        the catalog snapshot, NOT from the table's own newest manifest
+        — two reads through one snapshot can never mix commit sets."""
+        snap = self.snapshot(version)
+        if name not in snap["tables"]:
+            raise KeyError(f"table {name!r} not in catalog snapshot")
+        return self.table(name).read(spark, version=snap["tables"][name])
+
+    def transaction(self) -> "CatalogTransaction":
+        return CatalogTransaction(self)
+
+
+class CatalogTransaction:
+    """Stage operations on several tables, commit them as ONE catalog
+    snapshot flip (see :class:`LakeCatalog`).  Ops are callables
+    ``(table) -> new_version`` applied in staging order."""
+
+    def __init__(self, catalog: LakeCatalog) -> None:
+        self.catalog = catalog
+        self._base = catalog.current_version()
+        self._ops: list[tuple[str, object]] = []
+
+    def merge(self, name: str, source: DataFrame, delete_col: str | None = None):
+        self._ops.append(
+            (
+                name,
+                lambda t, s=source, d=delete_col: t.merge(
+                    s.sparkSession, s, delete_col=d
+                ),
+            )
+        )
+        return self
+
+    def append(self, name: str, df: DataFrame):
+        self._ops.append(
+            (name, lambda t, d=df: t.append(d.sparkSession, d))
+        )
+        return self
+
+    def commit(self) -> int:
+        """Apply the staged table commits, then publish the catalog
+        snapshot pinning the new version set.  Raises
+        :class:`CommitConflict` if another transaction published
+        first — the already-applied table commits stay as unpinned
+        (invisible-to-catalog) snapshots; retry on the fresh state."""
+        base_snap = self.catalog.snapshot(self._base)
+        pinned = dict(base_snap["tables"])
+        for name, op in self._ops:
+            pinned[name] = op(self.catalog.table(name))
+        self.catalog._publish(self._base + 1, pinned)
+        return self._base + 1

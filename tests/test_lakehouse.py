@@ -689,3 +689,60 @@ def test_blooms_maintained_by_merge_and_optimize(bloom_table, spark):
     assert set(m2["blooms"]) == live2
     got2 = {r.k: r.v for r in bloom_table.read_keys(spark, [2042, 0]).collect()}
     assert got2 == {2042: "UPDATED", 0: "v0"}
+
+
+# --- cross-table catalog transactions (round 7) ---
+
+
+from processor_spark.sources.lakehouse import LakeCatalog
+
+
+@pytest.fixture()
+def catalog(tmp_path, spark):
+    cat = LakeCatalog(str(tmp_path / "cat"))
+    for name in ("accounts", "audit"):
+        cat.table(name).create(
+            spark, _mk(spark, [(i, f"{name}{i}") for i in range(20)]), key="k"
+        )
+    cat.init({"accounts": 1, "audit": 1})
+    return cat
+
+
+def test_catalog_transaction_flips_both_tables_atomically(catalog, spark):
+    v0 = catalog.current_version()
+    (
+        catalog.transaction()
+        .merge("accounts", _mk(spark, [(5, "MOVED")]))
+        .append("audit", _mk(spark, [(100, "log-entry")]))
+        .commit()
+    )
+    assert catalog.current_version() == v0 + 1
+    got_a = _as_dict(catalog.read(spark, "accounts"))
+    got_l = _as_dict(catalog.read(spark, "audit"))
+    assert got_a[5] == "MOVED" and got_l[100] == "log-entry"
+    # the OLD catalog snapshot still serves the OLD pair consistently
+    assert _as_dict(catalog.read(spark, "accounts", version=v0))[5] == "accounts5"
+    assert 100 not in _as_dict(catalog.read(spark, "audit", version=v0))
+
+
+def test_catalog_readers_never_see_half_applied_transactions(catalog, spark):
+    """Simulate a crash between the table commits and the catalog
+    publish: the table has a new (unpinned) version, but catalog
+    readers still resolve the old consistent set."""
+    t = catalog.table("accounts")
+    t.merge(spark, _mk(spark, [(5, "ORPHANED")]))  # table commit lands...
+    # ...but no catalog publish happens (crash here)
+    assert _as_dict(catalog.read(spark, "accounts"))[5] == "accounts5"
+    assert _as_dict(t.read(spark))[5] == "ORPHANED"  # direct read sees it
+
+
+def test_catalog_publish_conflict_is_loud(catalog, spark):
+    tx1 = catalog.transaction().append("audit", _mk(spark, [(200, "a")]))
+    tx2 = catalog.transaction().append("audit", _mk(spark, [(201, "b")]))
+    tx1.commit()
+    with pytest.raises(CommitConflict):
+        tx2.commit()
+    # loser retries from the fresh snapshot and succeeds
+    catalog.transaction().append("audit", _mk(spark, [(201, "b")])).commit()
+    got = _as_dict(catalog.read(spark, "audit"))
+    assert got[200] == "a" and got[201] == "b"
