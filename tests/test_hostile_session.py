@@ -42,6 +42,13 @@ HOSTILE_KEYS = [
     "q_zorder_layout",
     "q_compaction_plan",
     "q_sliding_distinct",
+    # round-7 keys with /tmp persisted state built under one session
+    # and served under another, plus timestamp zone-map probes (stats
+    # are collected-datetime strings — session timezone must not skew
+    # the write-side stats vs the probe-side bounds; load() pins UTC)
+    "q_lake_skipping",
+    "q_lake_pointlookup",
+    "q_bm25_serve",
 ]
 
 
