@@ -399,3 +399,42 @@ def test_ann_serve_scan_is_partition_pruned_to_probed_cells(spark):
     assert "PartitionFilters" in plan
     seg = plan.split("PartitionFilters")[1].split("]")[0]
     assert "cell" in seg and "IN" in seg.upper()
+
+
+def test_hll_register_build_is_two_phase_no_window(spark):
+    """The sketch posture (r7): the HLL register build must be a
+    TWO-PHASE hash aggregate (partial_max map-side — each executor
+    reduces its slice to <=64 rows/group before the shuffle) and must
+    contain no Window at all — a data-sized sort/window here would
+    defeat the entire point of sketching at 100 TB."""
+    plan = explain_str(_df(spark, "q_hll_md5"))
+    assert "partial_max" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_cms_cell_build_is_two_phase_partial_count(spark):
+    """Count-min cells must partial-aggregate map-side (<=1024 cells
+    per executor slice pre-shuffle), never shuffle the exploded
+    (row x seed) stream raw."""
+    plan = explain_str(_df(spark, "q_cms_heavy"))
+    assert "partial_count" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_bm25_serve_reads_only_query_term_buckets(spark):
+    """The persisted-text-index serving scan must read ONLY the
+    partition dirs the 3 query terms hash to — never list or scan the
+    full postings table (the |terms|/64 IO bound)."""
+    from processor_spark.operators.text import (
+        BM25_TERMS,
+        _term_bucket_py,
+        build_text_index,
+    )
+
+    df = _df(spark, "q_bm25_serve")
+    want = {_term_bucket_py(t) for t in BM25_TERMS}
+    opened = {f for f in df.inputFiles()}
+    import re
+
+    got = {int(m.group(1)) for f in opened for m in [re.search(r"tbucket=(\d+)", f)] if m}
+    assert got == want, (got, want)
