@@ -820,3 +820,127 @@ def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return med.crossJoin(exact).select(
         F.col("f2_est").cast("long").alias("f2_est"), "f2_exact"
     )
+
+
+_JSZ_W = 4096  # count-sketch columns for the join-size inner product
+
+
+def _jsz_cells_sql(rel: str, key: str) -> str:
+    """Signed count-sketch cells over ``key`` of ``rel`` (DuckDB):
+    same 'ams:' digest family for BOTH relations — required, the inner
+    product only estimates the join size when the two sketches share
+    their hash functions."""
+    return f"""
+      SELECT s, c, CAST(sum(sgn) AS BIGINT) AS cell FROM (
+        {" UNION ALL ".join(
+            f"SELECT {j} AS s, {_ams_chunk_sql(j, key)} % {_JSZ_W} AS c, "
+            f"1 - 2 * (({_ams_chunk_sql(j, key)} // {_JSZ_W}) % 2) AS sgn "
+            f"FROM {rel}"
+            for j in range(4)
+        )}
+      ) GROUP BY s, c
+    """
+
+
+@register(
+    "q_cms_join_size",
+    sql=f"""
+    WITH ca AS ({_jsz_cells_sql("lineitem", "l_partkey")}),
+    cb AS ({_jsz_cells_sql(
+        "(SELECT p_partkey FROM part WHERE p_brand = 'Brand#13')", "p_partkey"
+    )}),
+    ests AS (
+      SELECT ca.s, CAST(sum(ca.cell * cb.cell) AS BIGINT) AS est
+      FROM ca JOIN cb ON ca.s = cb.s AND ca.c = cb.c
+      GROUP BY ca.s
+    ),
+    ranked AS (
+      SELECT est, row_number() OVER (ORDER BY est, s) AS rn FROM ests
+    ),
+    med AS (
+      SELECT CAST(sum(CASE WHEN rn IN (2, 3) THEN est ELSE 0 END) AS BIGINT)
+               AS join_est_x2
+      FROM ranked
+    ),
+    exact AS (
+      SELECT CAST(count(*) AS BIGINT) AS join_exact
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_brand = 'Brand#13'
+    )
+    SELECT med.join_est_x2, exact.join_exact FROM med, exact
+    """,
+)
+def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from two signed count-sketches — the
+    second optimizer statistic (q_ams_f2 is the self-join case): the
+    expected size of lineitem ⋈ Brand#13-parts is the inner product
+    of the per-key count vectors, and the cell-wise product of two
+    SHARED-HASH count-sketches estimates it unbiasedly with variance
+    F2(A)·F2(B)/w.  This is how an engine prices a join (or sizes its
+    broadcast decision) without executing it — each side's sketch is a
+    map-side-combinable pass you compute at ingest and keep with the
+    table's stats.  The median-of-4 is kept as the SUM of the two
+    middle rows (x2 units): no integer division, so no negative-value
+    floor-vs-truncate divergence — everything integer end to end,
+    unconditional hash oracle."""
+    from pyspark.sql import Window
+
+    def cells(df: DataFrame, key: str) -> DataFrame:
+        d = df.select(
+            F.md5(
+                F.concat(F.lit("ams:"), F.col(key).cast("string")).cast("binary")
+            ).alias("dig")
+        )
+
+        def chunk(j: int):
+            return F.conv(F.substring(F.col("dig"), 1 + 8 * j, 8), 16, 10).cast(
+                "long"
+            )
+
+        triples = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("s"),
+                    F.pmod(chunk(j), F.lit(_JSZ_W)).alias("c"),
+                    (
+                        F.lit(1)
+                        - F.lit(2)
+                        * F.pmod(F.shiftright(chunk(j), 12), F.lit(2))
+                    ).cast("long").alias("sgn"),
+                )
+                for j in range(4)
+            ]
+        )
+        return (
+            d.select(F.explode(triples).alias("x"))
+            .groupBy(F.col("x.s").alias("s"), F.col("x.c").alias("c"))
+            .agg(F.sum("x.sgn").cast("long").alias("cell"))
+        )
+
+    li = load(spark, sf_dir, "lineitem", spread=True).select("l_partkey")
+    pb = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#13")
+        .select("p_partkey")
+    )
+    ca = cells(li, "l_partkey")
+    cb = cells(pb, "p_partkey")
+    ests = (
+        ca.join(cb.withColumnRenamed("cell", "cellb"), ["s", "c"])
+        .groupBy("s")
+        .agg(F.sum(F.col("cell") * F.col("cellb")).cast("long").alias("est"))
+    )
+    ranked = ests.withColumn(
+        "rn", F.row_number().over(Window.orderBy("est", "s"))
+    )
+    med = ranked.groupBy().agg(
+        F.sum(F.when(F.col("rn").isin(2, 3), F.col("est")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("join_est_x2")
+    )
+    exact = (
+        li.join(pb, li.l_partkey == pb.p_partkey)
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("join_exact"))
+    )
+    return med.crossJoin(exact)

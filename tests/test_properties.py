@@ -803,3 +803,39 @@ def test_ams_f2_estimate_within_error_bound(spark):
     assert row.f2_exact > 0
     rel = abs(row.f2_est - row.f2_exact) / row.f2_exact
     assert rel <= 4 * (2.0 / 256.0) ** 0.5, (row.f2_est, row.f2_exact, rel)
+
+
+def test_cms_join_size_within_variance_bound(spark):
+    """Signed-sketch inner product: |est - true| must sit within ~6
+    standard deviations, sd = sqrt(F2(A)*F2(B)/w) computed EXACTLY
+    from the fixture — a sign/hash-sharing bug would blow this up by
+    orders of magnitude while still hash-matching the oracle."""
+    from pyspark.sql import functions as F
+
+    from processor_spark import registry
+    from processor_spark.operators.sketches import _JSZ_W
+    from processor_spark.sources import load
+    from tests.conftest import SF_SMALL
+
+    row = registry.get("q_cms_join_size").fn(spark, SF_SMALL).collect()[0]
+
+    def f2(df, key):
+        return (
+            df.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.sum(F.col("n") * F.col("n")).alias("f2"))
+            .collect()[0]
+            .f2
+        )
+
+    f2a = f2(load(spark, SF_SMALL, "lineitem"), "l_partkey")
+    f2b = f2(
+        load(spark, SF_SMALL, "part").where(F.col("p_brand") == "Brand#13"),
+        "p_partkey",
+    )
+    sd = (f2a * f2b / _JSZ_W) ** 0.5
+    assert abs(row.join_est_x2 - 2 * row.join_exact) <= 2 * 6 * max(sd, 1.0), (
+        row.join_est_x2,
+        row.join_exact,
+        sd,
+    )
