@@ -1,0 +1,188 @@
+"""BPE vocabulary induction over the document corpus — fully
+hash-oracled.
+
+The tokenizer-training step of an LLM data pipeline: learn the first K
+byte-pair merges from corpus word frequencies.  The classic scale
+trick (Sennrich et al. 2016 reference implementation) applies: the
+corpus-sized work is ONE tokenize + word-count aggregation; every
+merge round then operates on the capped word-frequency table (V rows),
+so K rounds cost K tiny aggs regardless of corpus size — at 100 TB
+the corpus pass is a map-side-combinable hash agg and the iteration
+never touches raw data again.
+
+Exactness design (everything is strings + integer counts — no floats
+anywhere):
+- words: ``[a-z]+`` runs of the lowercased text, length-bounded;
+  vocab capped at the top V words with a total-order tie-break
+  (count DESC, word ASC — the LIMIT rule).
+- symbol representation: characters joined by single spaces via
+  ``regexp_replace(word, '(.)', '$1 ')`` (Spark) ≡
+  ``regexp_replace(word, '(.)', '\\1 ', 'g')`` (DuckDB).
+- adjacent-pair counts are integer sums weighted by word count;
+  the best pair per round is argmax with (count DESC, pair ASC).
+- merge application is TWO literal ``replace`` passes over the
+  space-padded representation (`` a b `` → `` ab ``): a single
+  leftmost-non-overlapping pass can miss alternating chains
+  (``a b a b`` — the consumed separator space hides the next match);
+  after one pass the survivors are separated by merged tokens, so the
+  second pass catches them all.  Both engines' ``replace`` is
+  literal, replace-all, leftmost-non-overlapping, so the two-pass
+  semantics are bit-identical.
+
+The Spark iteration localCheckpoints the representation table each
+round (V rows — cheap): each round references the previous table
+twice (pair argmax + merge application), so an unchecked lineage
+would double per round (CLAUDE.md iterative-loop rule).
+
+No reference implementation exists (/root/reference is a README
+stub); semantics follow the published BPE algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from processor_spark.registry import register
+from processor_spark.sources import load
+
+_V = 256  # vocab cap (top-V words by count, tie-break word ASC)
+_K = 6  # merge rounds
+_WMIN, _WMAX = 2, 16  # word length bounds
+
+
+def _bpe_oracle_sql() -> str:
+    """Unrolled DuckDB twin: reps0 .. reps{K} CTEs with per-round pair
+    aggregation, argmax and the two-pass merge replace."""
+    ctes = [
+        f"""w AS (
+      SELECT word, count(*) AS wcnt FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM documents
+      ) WHERE length(word) BETWEEN {_WMIN} AND {_WMAX}
+      GROUP BY word ORDER BY wcnt DESC, word LIMIT {_V}
+    )""",
+        r"""reps0 AS (
+      SELECT word, wcnt, trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS rep
+      FROM w
+    )""",
+    ]
+    for k in range(1, _K + 1):
+        p = k - 1
+        ctes.append(
+            f"""pairs{k} AS (
+      SELECT pair, sum(wcnt) AS wsum FROM (
+        SELECT wcnt,
+               unnest(list_transform(range(1, len(string_split(rep, ' '))),
+                 i -> string_split(rep, ' ')[i] || ' ' || string_split(rep, ' ')[i + 1])) AS pair
+        FROM reps{p}
+      ) GROUP BY pair
+    )"""
+        )
+        ctes.append(
+            f"""best{k} AS (
+      SELECT pair, wsum FROM pairs{k} ORDER BY wsum DESC, pair LIMIT 1
+    )"""
+        )
+        ctes.append(
+            f"""reps{k} AS (
+      SELECT r.word, r.wcnt,
+             trim(replace(replace(' ' || r.rep || ' ',
+                                  ' ' || b.pair || ' ',
+                                  ' ' || replace(b.pair, ' ', '') || ' '),
+                          ' ' || b.pair || ' ',
+                          ' ' || replace(b.pair, ' ', '') || ' ')) AS rep
+      FROM reps{p} r, best{k} b
+    )"""
+        )
+    selects = "\n    UNION ALL\n    ".join(
+        f"SELECT {k} AS step, pair AS merge_pair, replace(pair, ' ', '') AS merged, "
+        f"CAST(wsum AS BIGINT) AS weight FROM best{k}"
+        for k in range(1, _K + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + selects + "\n    ORDER BY step"
+
+
+def _pair_counts(reps: DataFrame) -> DataFrame:
+    """Adjacent-pair counts over the representation table, weighted by
+    word frequency.  Guarded sequence: sequence(1, 0) counts DOWN
+    (CLAUDE.md), so single-token reps contribute an empty array."""
+    toks = F.split(F.col("rep"), " ")
+    pair_arr = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        reps.select("wcnt", F.explode(pair_arr).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("wcnt").alias("wsum"))
+    )
+
+
+@register("q_bpe_train", sql=_bpe_oracle_sql())
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first {K} BPE merges from corpus word frequencies
+    (see module docstring for the exactness + scale design).  Output:
+    one row per merge round — the pair merged, the fused token, and
+    the weighted occurrence count that won the round."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("word")
+    )
+    vocab = (
+        words.where(F.length("word").between(_WMIN, _WMAX))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+        .orderBy(F.desc("wcnt"), F.asc("word"))
+        .limit(_V)
+    )
+    reps = vocab.select(
+        "word",
+        "wcnt",
+        F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("rep"),
+    ).localCheckpoint(eager=True)
+
+    merge_rows = []
+    for k in range(1, _K + 1):
+        best = (
+            _pair_counts(reps)
+            .orderBy(F.desc("wsum"), F.asc("pair"))
+            .limit(1)
+            .localCheckpoint(eager=True)  # referenced by the output AND the merge
+        )
+        merge_rows.append(
+            best.select(
+                F.lit(k).alias("step"),
+                F.col("pair").alias("merge_pair"),
+                F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
+                F.col("wsum").cast("long").alias("weight"),
+            )
+        )
+        if k == _K:
+            break  # last round's reps are never read again
+        pat = F.concat(F.lit(" "), F.col("pair"), F.lit(" "))
+        fused = F.concat(
+            F.lit(" "), F.replace(F.col("pair"), F.lit(" "), F.lit("")), F.lit(" ")
+        )
+        padded = F.concat(F.lit(" "), F.col("rep"), F.lit(" "))
+        reps = (
+            reps.crossJoin(F.broadcast(best))
+            .select(
+                "word",
+                "wcnt",
+                F.trim(F.replace(F.replace(padded, pat, fused), pat, fused)).alias("rep"),
+            )
+            .localCheckpoint(eager=True)  # lineage would double per round
+        )
+
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("step")
