@@ -103,6 +103,17 @@ def _bpe_oracle_sql() -> str:
     return "WITH " + ",\n    ".join(ctes) + "\n    " + selects + "\n    ORDER BY step"
 
 
+def _merge_rep(rep, pair):
+    """Apply one BPE merge to a space-separated representation: both
+    occurrences-passes of the literal padded replace (see module
+    docstring — one pass misses alternating chains, two catch all
+    survivors because merged tokens separate them)."""
+    pat = F.concat(F.lit(" "), pair, F.lit(" "))
+    fused = F.concat(F.lit(" "), F.replace(pair, F.lit(" "), F.lit("")), F.lit(" "))
+    padded = F.concat(F.lit(" "), rep, F.lit(" "))
+    return F.trim(F.replace(F.replace(padded, pat, fused), pat, fused))
+
+
 def _pair_counts(reps: DataFrame) -> DataFrame:
     """Adjacent-pair counts over the representation table, weighted by
     word frequency.  Guarded sequence: sequence(1, 0) counts DOWN
@@ -167,17 +178,12 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if k == _K:
             break  # last round's reps are never read again
-        pat = F.concat(F.lit(" "), F.col("pair"), F.lit(" "))
-        fused = F.concat(
-            F.lit(" "), F.replace(F.col("pair"), F.lit(" "), F.lit("")), F.lit(" ")
-        )
-        padded = F.concat(F.lit(" "), F.col("rep"), F.lit(" "))
         reps = (
             reps.crossJoin(F.broadcast(best))
             .select(
                 "word",
                 "wcnt",
-                F.trim(F.replace(F.replace(padded, pat, fused), pat, fused)).alias("rep"),
+                _merge_rep(F.col("rep"), F.col("pair")).alias("rep"),
             )
             .localCheckpoint(eager=True)  # lineage would double per round
         )

@@ -20,19 +20,20 @@ pipeline runs right after computing vectors:
   to 1e-6 units (exact BIGINT), per-dimension sums and the upper
   triangle of sum(q_j * q_k) are exact int64 sums (order-free), and
   the covariance combine n*G_jk - S_j*S_k is widened to 128-bit
-  (Spark decimal(38,0) <-> DuckDB HUGEINT — the r4 bridge) before ONE
-  conversion to double.  Power iteration then runs on the d x d
-  matrix (64 rows) with ordered folds (Spark zip_with+aggregate <->
-  DuckDB list_transform+list_reduce, the CLAUDE.md exact-fold twin);
-  sqrt is IEEE-correctly-rounded on both engines so the final
-  normalization is bit-identical too.
+  (exact Python ints <-> DuckDB HUGEINT — the r4 bridge) before ONE
+  conversion to double.  Power iteration runs in a single-task
+  kernel over the 2146 merged cells with 0.0-seeded left folds — the
+  same fold order as the oracle's list_reduce-over-list_transform —
+  and +, *, /, sqrt, floor are correctly rounded identically in
+  CPython and both engines, so the doubles are bit-identical end to
+  end.
 
 Scale shape: quantization is explode -> two hash aggs with a 64-row
-broadcast join back (partial aggs crush the exploded stream map-side);
-the Gramian explodes d(d+1)/2 = 2080 products per row but the partial
-agg reduces every executor's slice to <= 2080 cells before the
-shuffle — the same map-side-combine story as the sketch tier.  Power
-iteration touches only d-sized frames.
+broadcast join back (partial aggs crush the exploded stream
+map-side); the Gramian is an Arrow-batched numpy int64 X^T X kernel
+whose partials merge map-side (<= 2146 cells per executor slice
+before the one shuffle) — the same map-side-combine story as the
+sketch tier.  The eigensolve touches only the cell table.
 
 No reference implementation exists (/root/reference is a README
 stub); semantics follow standard affine quantization (e.g. the
@@ -44,7 +45,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from processor_spark.caching import scoped_persist
 from processor_spark.registry import register
 from processor_spark.sources import load
 
@@ -245,14 +245,104 @@ def _pca_oracle_sql() -> str:
     """
 
 
-def _fold_dot(a, b):
-    """Ordered fold of sum_i a[i]*b[i] — the exact twin of DuckDB's
-    list_reduce over list_transform (0.0-seeded fold == first-element
-    seed because 0.0 + x == x)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+def _gram_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer Gramian of the embedding table as merged cells:
+    (j, k, v) with j,k >= 1 the upper-triangle sum(q_j * q_k), k = 0
+    the per-dim sums, j = k = 0 the row count.  Factored out so the
+    plan test can assert the two-phase agg shape directly."""
+    em = load(spark, sf_dir, "embeddings", spread=True)
+
+    # Arrow-batched numpy kernel: each batch contributes one partial
+    # integer Gramian (int64 X^T X — exact, and ~10x the throughput of
+    # a 2080-struct explode per row: 8x-probe ratio fell 4.95 -> see
+    # SCALE.md), per-dim sums (k=0 rows) and the row count (j=k=0
+    # row); the downstream hash agg merges partials map-side, so the
+    # shuffle carries <= 2146 cells per batch at any corpus size.
+    # Quantization in the kernel is the same IEEE double expression
+    # the engines evaluate (float32 -> float64 is exact; *1e6, +0.5,
+    # floor are bit-identical), so the oracle's integers match.
+    def _gram_partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        ju, ku = np.triu_indices(_D)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            q = np.floor((x * 1e6) + 0.5).astype(np.int64)
+            g = q.T @ q
+            sj = q.sum(axis=0, dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "j": np.concatenate([ju + 1, np.arange(1, _D + 1), [0]]),
+                    "k": np.concatenate([ku + 1, np.zeros(_D, np.int64), [0]]),
+                    "v": np.concatenate([g[ju, ku], sj, [len(pdf)]]),
+                }
+            )
+
+    cells = em.select("embedding").mapInPandas(
+        _gram_partials, "j int, k int, v long"
+    )
+    return cells.groupBy("j", "k").agg(F.sum("v").alias("v"))
+
+
+def _eigen_kernel(pdf):
+    """Single-task eigensolve over the 2146 merged Gramian cells: the
+    128-bit covariance combine, _PCA_K power-iteration rounds and the
+    final normalization, every float op spelled as the IDENTICAL IEEE
+    double expression the DuckDB oracle evaluates (Python ints are
+    exact like HUGEINT; float(int), +, *, /, math.sqrt and math.floor
+    are all correctly rounded the same way on both engines — CLAUDE.md
+    engine-exact-float rules).  The fold order is the 0.0-seeded left
+    fold both oracle twins use."""
+    import math
+
+    import pandas as pd
+
+    cell = {
+        (int(j), int(k)): int(v)
+        for j, k, v in zip(pdf["j"], pdf["k"], pdf["v"])
+    }
+    n = cell[(0, 0)]
+    s = [cell[(j, 0)] for j in range(1, _D + 1)]
+    nd = float(n)
+    denom = (nd * nd) * 1e12
+    cov = [[0.0] * _D for _ in range(_D)]
+    for j in range(1, _D + 1):
+        for k in range(j, _D + 1):
+            c = float(n * cell[(j, k)] - s[j - 1] * s[k - 1]) / denom
+            cov[j - 1][k - 1] = c
+            cov[k - 1][j - 1] = c
+
+    v = [1.0] * _D
+    for _ in range(_PCA_K):
+        vprev = v
+        v = []
+        for row in cov:
+            acc = 0.0
+            for a, b in zip(row, vprev):
+                acc = acc + (a * b)
+            v.append(acc)
+
+    def _norm(vec):
+        acc = 0.0
+        for x in vec:
+            acc = acc + (x * x)
+        return math.sqrt(acc)
+
+    nm_last, nm_prev = _norm(v), _norm(vprev)
+    u = [x / nm_last for x in v]
+    if u[0] < 0.0:
+        u = [-x for x in u]
+    lam = nm_last / nm_prev
+    lam_e9 = int(math.floor((lam * 1e9) + 0.5))
+    return pd.DataFrame(
+        {
+            "pos": range(1, _D + 1),
+            "u_e6": [int(math.floor((x * 1e6) + 0.5)) for x in u],
+            "lam_e9": [lam_e9] * _D,
+        }
     )
 
 
@@ -265,137 +355,19 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     component) in 1e-6 units plus the Rayleigh-quotient-style
     eigenvalue estimate ||C v_K|| / ||v_K-1|| in 1e-9 units.
 
-    Scale shape: one corpus pass builds 2080 integer Gramian cells
-    (partial aggs reduce each executor's slice to the cell count
-    before the shuffle); everything after runs on d-sized frames."""
-    em = load(spark, sf_dir, "embeddings", spread=True)
-    qarr = em.select(
-        F.transform(
-            F.col("embedding").cast("array<double>"),
-            lambda x: F.floor((x * F.lit(1e6)) + F.lit(0.5)).cast("long"),
-        ).alias("qv")
-    )
-
-    # per-dimension exact integer sums
-    comp = qarr.select(F.posexplode("qv").alias("j0", "qj")).select(
-        (F.col("j0") + 1).alias("j"), "qj"
-    )
-    sums = comp.groupBy("j").agg(
-        F.sum("qj").alias("sj"), F.count(F.lit(1)).alias("n")
-    )
-
-    # upper-triangle integer Gramian: 2080 products per row, exploded
-    # then crushed by the partial hash agg
-    prods = qarr.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(1), F.lit(_D)),
-                    lambda j: F.transform(
-                        F.sequence(j, F.lit(_D)),
-                        lambda k: F.struct(
-                            j.alias("j"),
-                            k.alias("k"),
-                            (F.element_at("qv", j) * F.element_at("qv", k)).alias("p"),
-                        ),
-                    ),
-                )
-            )
-        ).alias("c")
-    ).select("c.j", "c.k", "c.p")
-    gram = prods.groupBy("j", "k").agg(F.sum("p").alias("g"))
-
-    # 128-bit covariance combine (r4 bridge), one double conversion
-    sj = F.broadcast(sums.select("j", F.col("sj").alias("s_j"), "n"))
-    sk = F.broadcast(sums.select(F.col("j").alias("k"), F.col("sj").alias("s_k")))
-    dec = "decimal(38,0)"
-    tri = (
-        gram.join(sj, "j")
-        .join(sk, "k")
-        .select(
-            "j",
-            "k",
-            (
-                (
-                    F.col("n").cast(dec) * F.col("g").cast(dec)
-                    - F.col("s_j").cast(dec) * F.col("s_k").cast(dec)
-                ).cast("double")
-                / (
-                    (F.col("n").cast("double") * F.col("n").cast("double"))
-                    * F.lit(1e12)
-                )
-            ).alias("cov"),
-        )
-    )
-    fullm = tri.unionByName(
-        tri.where(F.col("j") < F.col("k")).select(
-            F.col("k").alias("j"), F.col("j").alias("k"), "cov"
-        )
-    )
-    covrows = scoped_persist(
-        fullm.groupBy("j").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("k", "cov"))),
-                lambda s: s["cov"],
-            ).alias("rlist")
-        )
-    )
-
-    # power iteration over 64-row frames; each round is an ordered fold
-    v = spark.range(1).select(
-        F.array([F.lit(1.0)] * _D).alias("v")
-    )
-    for _ in range(_PCA_K - 1):
-        v = (
-            covrows.crossJoin(F.broadcast(v))
-            .select("j", _fold_dot(F.col("rlist"), F.col("v")).alias("s"))
-            .groupBy()
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("j", "s"))),
-                    lambda st: st["s"],
-                ).alias("v")
-            )
-        )
-    vprev = scoped_persist(v)  # v_{K-1}: referenced by v_K and by its own norm
-    vlast = (
-        covrows.crossJoin(F.broadcast(vprev))
-        .select("j", _fold_dot(F.col("rlist"), F.col("v")).alias("s"))
-        .groupBy()
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("j", "s"))),
-                lambda st: st["s"],
-            ).alias("v")
-        )
-    )
-
-    nprev = vprev.select(F.sqrt(_fold_dot(F.col("v"), F.col("v"))).alias("nm_prev"))
-    u = (
-        vlast.select(
-            "v", F.sqrt(_fold_dot(F.col("v"), F.col("v"))).alias("nm_last")
-        )
-        .crossJoin(nprev)
-        .select(
-            F.transform(F.col("v"), lambda x: x / F.col("nm_last")).alias("u"),
-            (F.col("nm_last") / F.col("nm_prev")).alias("lam"),
-        )
-        .select(
-            F.when(
-                F.element_at("u", 1) < F.lit(0.0),
-                F.transform(F.col("u"), lambda x: -x),
-            )
-            .otherwise(F.col("u"))
-            .alias("u"),
-            "lam",
-        )
-    )
+    Scale shape: the corpus pass reduces to <= 2146 integer Gramian
+    cells per executor slice before the one shuffle; the d x d
+    eigensolve is a single-task kernel over those cells (engine-side
+    variants — per-round crossJoin/groupBy, or chained projections
+    with per-round localCheckpoints — measured 3-11 s of pure job/
+    stage overhead at sf0.1 vs ~1 s for this shape; the values are
+    bit-identical either way)."""
+    cells = _gram_cells(spark, sf_dir)
     return (
-        u.select(F.posexplode("u").alias("pos0", "uval"), "lam")
-        .select(
-            (F.col("pos0") + 1).alias("pos"),
-            F.floor((F.col("uval") * F.lit(1e6)) + F.lit(0.5)).cast("long").alias("u_e6"),
-            F.floor((F.col("lam") * F.lit(1e9)) + F.lit(0.5)).cast("long").alias("lam_e9"),
+        cells.groupBy(F.lit(1).alias("_g"))
+        .applyInPandas(
+            lambda _key, pdf: _eigen_kernel(pdf),
+            "pos int, u_e6 long, lam_e9 long",
         )
         .orderBy("pos")
     )

@@ -438,3 +438,40 @@ def test_bm25_serve_reads_only_query_term_buckets(spark):
 
     got = {int(m.group(1)) for f in opened for m in [re.search(r"tbucket=(\d+)", f)] if m}
     assert got == want, (got, want)
+
+
+def test_embed_quantize_is_two_phase_with_broadcast_codebook(spark):
+    """The quantizer's component stream must partial-aggregate map-side
+    (64 codebook cells per executor slice pre-shuffle) and the
+    codebook must come back as a broadcast join — never a shuffle or a
+    window over the exploded stream."""
+    plan = explain_str(_df(spark, "q_embed_quantize"))
+    assert "partial_min" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_embed_pca_gramian_is_two_phase_no_smj(spark):
+    """The integer Gramian must be a two-phase hash agg (each executor
+    reduces its slice to <=2080 cells before the shuffle); the tiny
+    dim-sum joins must broadcast (no sort-merge anywhere) and no
+    data-sized Window may appear.  Asserted on the Gramian cell
+    builder the eigensolve kernel consumes."""
+    from processor_spark.operators.embedops import _gram_cells
+
+    plan = explain_str(_gram_cells(spark, SF_SMALL))
+    assert "partial_sum" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_bpe_pair_counts_are_two_phase_partial_sum(spark):
+    """BPE's per-round pair aggregation must partial-sum map-side —
+    the vocab-sized rep table never shuffles raw exploded pairs."""
+    from processor_spark.operators import bpe
+
+    reps = spark.createDataFrame(
+        [("ab", 3, "a b"), ("abc", 2, "a b c")], "word string, wcnt long, rep string"
+    )
+    plan = explain_str(bpe._pair_counts(reps))
+    assert "partial_sum" in plan, plan

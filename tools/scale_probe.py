@@ -92,6 +92,13 @@ HEADLINE = [
     "q_cms_heavy",
     "q_lake_skipping",
     "q_mmr_rerank",
+    # r7 continued: embedding compression/decomposition (explode +
+    # two-phase aggs — near-flat expected per vector count), BPE
+    # induction (corpus pass is one word-count agg; iteration is
+    # vocab-capped so N× docs should cost only the first agg)
+    "q_embed_quantize",
+    "q_embed_pca",
+    "q_bpe_train",
 ]
 
 # per-table key columns to shift per replica so keys stay unique and
