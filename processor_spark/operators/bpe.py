@@ -51,9 +51,9 @@ _K = 6  # merge rounds
 _WMIN, _WMAX = 2, 16  # word length bounds
 
 
-def _bpe_oracle_sql() -> str:
-    """Unrolled DuckDB twin: reps0 .. reps{K} CTEs with per-round pair
-    aggregation, argmax and the two-pass merge replace."""
+def _bpe_train_ctes() -> list:
+    """Shared unrolled CTE chain: capped vocab, reps0 .. reps{K},
+    per-round pair aggregation and argmax."""
     ctes = [
         f"""w AS (
       SELECT word, count(*) AS wcnt FROM (
@@ -95,12 +95,65 @@ def _bpe_oracle_sql() -> str:
       FROM reps{p} r, best{k} b
     )"""
         )
+    return ctes
+
+
+def _bpe_oracle_sql() -> str:
     selects = "\n    UNION ALL\n    ".join(
         f"SELECT {k} AS step, pair AS merge_pair, replace(pair, ' ', '') AS merged, "
         f"CAST(wsum AS BIGINT) AS weight FROM best{k}"
         for k in range(1, _K + 1)
     )
-    return "WITH " + ",\n    ".join(ctes) + "\n    " + selects + "\n    ORDER BY step"
+    return (
+        "WITH " + ",\n    ".join(_bpe_train_ctes()) + "\n    " + selects + "\n    ORDER BY step"
+    )
+
+
+def _bpe_apply_oracle_sql() -> str:
+    """Training chain + application to the FULL word table + subtoken
+    counts (top 20, total-order tie-break)."""
+    ctes = _bpe_train_ctes()
+    ctes.append(
+        f"""wfull AS (
+      SELECT word, count(*) AS wcnt FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM documents
+      ) WHERE length(word) BETWEEN {_WMIN} AND {_WMAX}
+      GROUP BY word
+    )"""
+    )
+    ctes.append(
+        r"""app0 AS (
+      SELECT word, wcnt, trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS rep
+      FROM wfull
+    )"""
+    )
+    for k in range(1, _K + 1):
+        ctes.append(
+            f"""app{k} AS (
+      SELECT a.word, a.wcnt,
+             trim(replace(replace(' ' || a.rep || ' ',
+                                  ' ' || b.pair || ' ',
+                                  ' ' || replace(b.pair, ' ', '') || ' '),
+                          ' ' || b.pair || ' ',
+                          ' ' || replace(b.pair, ' ', '') || ' ')) AS rep
+      FROM app{k - 1} a, best{k} b
+    )"""
+        )
+    ctes.append(
+        f"""tok AS (
+      SELECT token, sum(wcnt) AS tok_count FROM (
+        SELECT wcnt, unnest(string_split(rep, ' ')) AS token FROM app{_K}
+      ) GROUP BY token
+    )"""
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + """
+    SELECT row_number() OVER (ORDER BY tok_count DESC, token) AS tok_rank,
+           token, CAST(tok_count AS BIGINT) AS tok_count
+    FROM tok ORDER BY tok_count DESC, token LIMIT 20"""
+    )
 
 
 def _merge_rep(rep, pair):
@@ -135,32 +188,39 @@ def _pair_counts(reps: DataFrame) -> DataFrame:
     )
 
 
-@register("q_bpe_train", sql=_bpe_oracle_sql())
-def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Learn the first {K} BPE merges from corpus word frequencies
-    (see module docstring for the exactness + scale design).  Output:
-    one row per merge round — the pair merged, the fused token, and
-    the weighted occurrence count that won the round."""
+def _word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct length-bounded words with corpus frequencies — the one
+    corpus-sized aggregation in this module."""
     docs = load(spark, sf_dir, "documents")
     words = docs.select(
         F.explode(
             F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
         ).alias("word")
     )
-    vocab = (
+    return (
         words.where(F.length("word").between(_WMIN, _WMAX))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wcnt"))
+    )
+
+
+def _char_rep(word_col) -> "F.Column":
+    return F.trim(F.regexp_replace(word_col, "(.)", "$1 "))
+
+
+def _learn_merges(spark: SparkSession, sf_dir: str) -> list:
+    """Run the K training rounds on the capped vocab table; returns the
+    K winning 1-row frames (pair, wsum), each localCheckpointed."""
+    vocab = (
+        _word_counts(spark, sf_dir)
         .orderBy(F.desc("wcnt"), F.asc("word"))
         .limit(_V)
     )
     reps = vocab.select(
-        "word",
-        "wcnt",
-        F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("rep"),
+        "word", "wcnt", _char_rep("word").alias("rep")
     ).localCheckpoint(eager=True)
 
-    merge_rows = []
+    bests = []
     for k in range(1, _K + 1):
         best = (
             _pair_counts(reps)
@@ -168,14 +228,7 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .localCheckpoint(eager=True)  # referenced by the output AND the merge
         )
-        merge_rows.append(
-            best.select(
-                F.lit(k).alias("step"),
-                F.col("pair").alias("merge_pair"),
-                F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
-                F.col("wsum").cast("long").alias("weight"),
-            )
-        )
+        bests.append(best)
         if k == _K:
             break  # last round's reps are never read again
         reps = (
@@ -187,8 +240,58 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)  # lineage would double per round
         )
+    return bests
 
+
+@register("q_bpe_train", sql=_bpe_oracle_sql())
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first {K} BPE merges from corpus word frequencies
+    (see module docstring for the exactness + scale design).  Output:
+    one row per merge round — the pair merged, the fused token, and
+    the weighted occurrence count that won the round."""
+    merge_rows = [
+        best.select(
+            F.lit(k).alias("step"),
+            F.col("pair").alias("merge_pair"),
+            F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
+            F.col("wsum").cast("long").alias("weight"),
+        )
+        for k, best in enumerate(_learn_merges(spark, sf_dir), start=1)
+    ]
     out = merge_rows[0]
     for m in merge_rows[1:]:
         out = out.unionByName(m)
     return out.orderBy("step")
+
+
+@register("q_bpe_apply", sql=_bpe_apply_oracle_sql())
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the FULL word table with the learned merges and count
+    the resulting subword units (top 20) — the fertility check a
+    pipeline runs before committing to a vocabulary.  The application
+    is K chained 1-row broadcast crossjoins over the distinct-word
+    table (one linear plan, no iteration state: each learned merge is
+    already checkpointed), then one hash agg; the ranking window runs
+    over the subtoken vocabulary, whose size is bounded by the
+    alphabet plus K merged units — not by the corpus."""
+    from pyspark.sql import Window
+
+    reps = _word_counts(spark, sf_dir).select(
+        "word", "wcnt", _char_rep("word").alias("rep")
+    )
+    for best in _learn_merges(spark, sf_dir):
+        reps = reps.crossJoin(F.broadcast(best.select("pair"))).select(
+            "word", "wcnt", _merge_rep(F.col("rep"), F.col("pair")).alias("rep")
+        )
+    tok = (
+        reps.select("wcnt", F.explode(F.split("rep", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.sum("wcnt").alias("tok_count"))
+    )
+    w = Window.orderBy(F.desc("tok_count"), F.asc("token"))
+    return (
+        tok.withColumn("tok_rank", F.row_number().over(w))
+        .where(F.col("tok_rank") <= 20)
+        .select("tok_rank", "token", F.col("tok_count").cast("long").alias("tok_count"))
+        .orderBy("tok_rank")
+    )

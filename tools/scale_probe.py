@@ -99,6 +99,7 @@ HEADLINE = [
     "q_embed_quantize",
     "q_embed_pca",
     "q_bpe_train",
+    "q_bpe_apply",
 ]
 
 # per-table key columns to shift per replica so keys stay unique and
