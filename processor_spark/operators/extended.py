@@ -1092,3 +1092,111 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chi2_contrib_micro"),
         )
     )
+
+
+@register(
+    "q_rr_counts",
+    sql="""
+    WITH cats AS (
+      SELECT list(event_type ORDER BY event_type) AS cats
+      FROM (SELECT DISTINCT event_type FROM events)
+    ), tot AS (
+      SELECT count(*) AS n FROM events
+    ), noisy AS (
+      SELECT e.event_type AS true_type,
+             CASE WHEN e.h % 4 < 3 THEN e.event_type
+                  ELSE c.cats[CAST((e.h // 4) % len(c.cats) AS INT) + 1]
+             END AS reported
+      FROM (
+        SELECT event_type,
+               CAST('0x' || substr(md5('rr:' || CAST(event_id AS VARCHAR)), 1, 12)
+                    AS BIGINT) AS h
+        FROM events
+      ) e, cats c
+    ), truth AS (
+      SELECT true_type, count(*) AS true_cnt FROM noisy GROUP BY true_type
+    ), obs AS (
+      SELECT reported, count(*) AS reported_cnt FROM noisy GROUP BY reported
+    )
+    SELECT x.cat AS event_type,
+           CAST(COALESCE(t.true_cnt, 0) AS BIGINT) AS true_cnt,
+           CAST(COALESCE(o.reported_cnt, 0) AS BIGINT) AS reported_cnt,
+           CAST((GREATEST(0, 4 * len(c.cats) * COALESCE(o.reported_cnt, 0) - tot.n)
+                 * 10000) // (3 * len(c.cats)) AS BIGINT) AS est_e4
+    FROM (SELECT unnest(cats) AS cat FROM cats) x
+    LEFT JOIN truth t ON t.true_type = x.cat
+    LEFT JOIN obs o ON o.reported = x.cat
+    CROSS JOIN cats c CROSS JOIN tot
+    ORDER BY event_type
+    """,
+)
+def q_rr_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-DP frequency estimation by randomized response: each event
+    reports its true type with probability 3/4, else a uniformly
+    drawn type (the standard k-ary randomized-response mechanism);
+    the aggregate debiases reported counts back to unbiased estimates
+    — how a pipeline collects category telemetry without trusting the
+    collector with individual rows.
+
+    Portability: the "coin" is the md5 48-bit integer of the event id
+    (2 bits pick report-true vs perturb, the rest pick the uniform
+    category), so both engines flip IDENTICAL coins and the whole key
+    — noise, counts, and the debiased estimate ((4k*obs - n)/(3k),
+    clamped at 0, in 1e-4 units via exact integer division, the
+    CLAUDE.md div bridge) — is integer-exact.  Scale shape: one
+    narrow md5 map over events + two hash aggs; the category list is
+    a broadcast 1-row frame."""
+    e = load(spark, sf_dir, "events", spread=True)
+    cats = (
+        e.select("event_type")
+        .distinct()
+        .groupBy()
+        .agg(F.sort_array(F.collect_list("event_type")).alias("cats"))
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("rr:"), F.col("event_id").cast("string")).cast("binary")),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    noisy = (
+        e.select("event_type", h.alias("h"))
+        .crossJoin(F.broadcast(cats))
+        .select(
+            F.col("event_type").alias("true_type"),
+            F.when(F.pmod(F.col("h"), F.lit(4)) < 3, F.col("event_type"))
+            .otherwise(
+                F.element_at(
+                    "cats",
+                    (F.pmod(F.expr("h div 4"), F.size("cats")) + 1).cast("int"),
+                )
+            )
+            .alias("reported"),
+        )
+    )
+    truth = noisy.groupBy(F.col("true_type").alias("cat")).agg(
+        F.count(F.lit(1)).alias("true_cnt")
+    )
+    obs = noisy.groupBy(F.col("reported").alias("cat")).agg(
+        F.count(F.lit(1)).alias("reported_cnt")
+    )
+    tot = e.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    base = cats.select(F.explode("cats").alias("cat"), F.size("cats").alias("k"))
+    return (
+        base.join(truth, "cat", "left")
+        .join(obs, "cat", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cat").alias("event_type"),
+            F.coalesce("true_cnt", F.lit(0)).cast("long").alias("true_cnt"),
+            F.coalesce("reported_cnt", F.lit(0)).cast("long").alias("reported_cnt"),
+            F.expr(
+                "CAST((greatest(0, 4 * k * coalesce(reported_cnt, 0) - n) * 10000)"
+                " div (3 * k) AS BIGINT)"
+            ).alias("est_e4"),
+        )
+        .orderBy("event_type")
+    )

@@ -100,6 +100,7 @@ HEADLINE = [
     "q_embed_pca",
     "q_bpe_train",
     "q_bpe_apply",
+    "q_rr_counts",
 ]
 
 # per-table key columns to shift per replica so keys stay unique and
