@@ -371,3 +371,123 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pos")
     )
+
+
+# ---------------------------------------------------------------- outliers
+
+_OUT_K = 20  # outliers returned
+
+
+@register(
+    "q_embed_outliers",
+    sql=f"""
+    WITH q AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS x,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               v -> CAST(floor((v * CAST(1e6 AS DOUBLE)) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    comp AS (
+      SELECT r.j, qv[r.j] AS qj
+      FROM q CROSS JOIN (SELECT unnest(range(1, {_D + 1})) AS j) r
+    ),
+    st AS (
+      SELECT j, sum(qj) AS sj, sum(qj * qj) AS gjj, count(*) AS n
+      FROM comp GROUP BY j
+    ),
+    mv AS (
+      SELECT j,
+             CAST(sj AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(1e6 AS DOUBLE)) AS mu,
+             CAST(CAST(n AS HUGEINT) * gjj - CAST(sj AS HUGEINT) * CAST(sj AS HUGEINT) AS DOUBLE)
+               / ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * CAST(1e12 AS DOUBLE)) AS var
+      FROM st
+    ),
+    stats AS (
+      SELECT list(mu ORDER BY j) AS mu, list(var ORDER BY j) AS var FROM mv
+    ),
+    scored AS (
+      SELECT vec_id, label,
+             list_reduce(
+               list_transform(range(1, {_D + 1}),
+                 i -> ((x[i] - s.mu[i]) * (x[i] - s.mu[i])) / s.var[i]),
+               (a, b) -> a + b) AS score
+      FROM q, stats s
+    )
+    SELECT vec_id, label,
+           CAST(floor((score * CAST(1e6 AS DOUBLE)) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS score_e6
+    FROM scored
+    ORDER BY score_e6 DESC, vec_id LIMIT {_OUT_K}
+    """,
+)
+def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{K} embedding anomalies by diagonal-Mahalanobis score
+    (sum over dims of (x - mu)^2 / var) — the cheap outlier sweep a
+    pipeline runs to quarantine corrupt or out-of-distribution
+    vectors before indexing.  Per-dim mean/variance come from the
+    exact integer Gramian cells (diagonal + sums — reuses the
+    q_embed_pca kernel; 128-bit combine, one double conversion); the
+    per-vector score is the 0.0-seeded left fold both engines
+    evaluate identically, and the top-k sort key is the ROUNDED score
+    (CLAUDE.md arg-max rule).  Scale shape: the stats pass reduces
+    map-side to cells; the scoring pass is one narrow map + a
+    TakeOrdered top-k — no shuffle of raw vectors anywhere."""
+    cells = _gram_cells(spark, sf_dir)
+    diag = cells.where((F.col("j") > 0) & (F.col("j") == F.col("k"))).select(
+        "j", F.col("v").alias("gjj")
+    )
+    sums = cells.where((F.col("j") > 0) & (F.col("k") == 0)).select(
+        "j", F.col("v").alias("sj")
+    )
+    nrow = cells.where(F.col("j") == 0).select(F.col("v").alias("n"))
+    dec = "decimal(38,0)"
+    mv = (
+        diag.join(sums, "j")
+        .crossJoin(F.broadcast(nrow))
+        .select(
+            "j",
+            (
+                F.col("sj").cast("double")
+                / (F.col("n").cast("double") * F.lit(1e6))
+            ).alias("mu"),
+            (
+                (
+                    F.col("n").cast(dec) * F.col("gjj").cast(dec)
+                    - F.col("sj").cast(dec) * F.col("sj").cast(dec)
+                ).cast("double")
+                / (
+                    (F.col("n").cast("double") * F.col("n").cast("double"))
+                    * F.lit(1e12)
+                )
+            ).alias("var"),
+        )
+    )
+    stats = mv.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "mu"))), lambda s: s["mu"]
+        ).alias("mu"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "var"))), lambda s: s["var"]
+        ).alias("var"),
+    )
+    em = load(spark, sf_dir, "embeddings", spread=True).withColumn(
+        "x", F.col("embedding").cast("array<double>")
+    )
+    term = lambda i: (
+        (F.element_at("x", i) - F.element_at("mu", i))
+        * (F.element_at("x", i) - F.element_at("mu", i))
+    ) / F.element_at("var", i)
+    score = F.aggregate(
+        F.transform(F.sequence(F.lit(1), F.lit(_D)), term),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    return (
+        em.crossJoin(F.broadcast(stats))
+        .select(
+            "vec_id",
+            "label",
+            F.floor((score * F.lit(1e6)) + F.lit(0.5)).cast("long").alias("score_e6"),
+        )
+        .orderBy(F.desc("score_e6"), F.asc("vec_id"))
+        .limit(_OUT_K)
+    )

@@ -101,6 +101,7 @@ HEADLINE = [
     "q_bpe_train",
     "q_bpe_apply",
     "q_rr_counts",
+    "q_embed_outliers",
 ]
 
 # per-table key columns to shift per replica so keys stay unique and
