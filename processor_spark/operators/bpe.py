@@ -295,3 +295,74 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tok_rank", "token", F.col("tok_count").cast("long").alias("tok_count"))
         .orderBy("tok_rank")
     )
+
+
+# ------------------------------------------------------------ persist/serve
+
+BPE_INDEX_ROOT = "/tmp/processor_spark-bpe-index"
+_BPE_FMT = 1
+
+
+def _bpe_index_is_current(meta_path: str) -> bool:
+    import json
+
+    try:
+        with open(meta_path) as fh:
+            return json.load(fh).get("fmt") == _BPE_FMT
+    except (OSError, ValueError):
+        return False
+
+
+def build_bpe_merges(
+    spark: SparkSession, sf_dir: str, path: str | None = None, force: bool = False
+) -> str:
+    """Learn the merge table ONCE per fixture and persist it — the
+    tokenizer-artifact half of the persist-and-serve pattern
+    (CLAUDE.md): a trained vocabulary is built by one offline corpus
+    job and then loaded by every downstream tokenization run, never
+    re-learned per query.  Idempotent behind the atomic _INDEX_META
+    marker (written LAST via tmp + os.replace — a crashed build is
+    invisible)."""
+    import json
+    import os
+    import shutil
+    import uuid
+
+    if path is None:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        path = os.path.join(BPE_INDEX_ROOT, tag)
+    meta = os.path.join(path, "_INDEX_META.json")
+    if _bpe_index_is_current(meta) and not force:
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+
+    merges = q_bpe_train.__wrapped__(spark, sf_dir)
+    merges.write.mode("overwrite").parquet(os.path.join(path, "merges.parquet"))
+
+    tmp = meta + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump({"kind": "bpe", "fmt": _BPE_FMT, "k": _K, "v": _V}, fh)
+    os.replace(tmp, meta)  # marker last: a crashed build is invisible
+    return path
+
+
+@register("q_bpe_serve", sql=_bpe_oracle_sql())
+def q_bpe_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving twin of q_bpe_train: loads the persisted merge table
+    instead of re-learning it.  SHARES the rebuild twin's oracle SQL,
+    so the driver's hash check certifies the parquet round trip for
+    free (the r6 serve-twin rule); the read is merges-table-sized —
+    at 100 TB the corpus job is amortized across every consumer."""
+    import os
+
+    path = build_bpe_merges(spark, sf_dir)
+    return (
+        spark.read.parquet(os.path.join(path, "merges.parquet"))
+        .select(
+            "step",
+            "merge_pair",
+            "merged",
+            F.col("weight").cast("long").alias("weight"),
+        )
+        .orderBy("step")
+    )
