@@ -1443,3 +1443,103 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("twap_tenthmilli"),
     )
+
+
+@register(
+    "q_lttb_downsample",
+    sql="""
+    WITH pts AS (
+      SELECT event_type, event_id,
+             epoch_us(ts) // 1000000 AS x,
+             CAST(floor((value * CAST(1e4 AS DOUBLE)) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS y
+      FROM events
+    ), b AS (
+      SELECT event_type, event_id, x, y,
+             (x // 21600) * 21600 AS bucket_epoch,
+             lag(x)  OVER w AS xp, lag(y)  OVER w AS yp,
+             lead(x) OVER w AS xn, lead(y) OVER w AS yn,
+             count(*) OVER (PARTITION BY (x // 21600) * 21600, event_type) AS n_points
+      FROM pts
+      WINDOW w AS (PARTITION BY (x // 21600) * 21600, event_type
+                   ORDER BY x, event_id)
+    ), areas AS (
+      SELECT event_type, bucket_epoch, event_id, x, y, n_points,
+             COALESCE(abs((xp - xn) * (y - yp) - (xp - x) * (yn - yp)), 0) AS area2
+      FROM b
+    ), ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY bucket_epoch, event_type
+                                ORDER BY area2 DESC, x, event_id) AS rn
+      FROM areas
+    )
+    SELECT bucket_epoch, event_type,
+           x AS sel_epoch, y AS value_e4,
+           CAST(area2 AS BIGINT) AS area2,
+           CAST(n_points AS BIGINT) AS n_points
+    FROM ranked WHERE rn = 1
+    ORDER BY bucket_epoch, event_type
+    """,
+)
+def q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-triangle downsampling (one-bucket variant): per 6-hour
+    bucket and event type, keep the single point whose triangle with
+    its in-bucket neighbors has the largest area — the visually
+    -lossless decimation operator dashboards run before plotting
+    (Steinarsson's LTTB, bucket-local LTOB form so the selection has
+    no cross-bucket sequential dependency and stays one window pass).
+
+    Exactness: x is exact epoch seconds (unix_micros div 1e6 on both
+    engines), y is exact 1e-4 units, so the doubled triangle area is
+    an INTEGER cross product — no floats anywhere; edge points (no
+    in-bucket neighbor) take area 0 and the arg-max tie-breaks on
+    (x, event_id).  Scale shape: lag/lead, the bucket count and the
+    arg-max row_number all share the (bucket, type) partition key —
+    ONE exchange, partition-local sorts, output bounded by buckets x
+    types regardless of input size."""
+    e = load(spark, sf_dir, "events")
+    pts = e.select(
+        "event_type",
+        "event_id",
+        F.expr("unix_micros(ts) div 1000000").alias("x"),
+        F.floor((F.col("value") * F.lit(1e4)) + F.lit(0.5)).cast("long").alias("y"),
+    ).withColumn("bucket_epoch", F.expr("(x div 21600) * 21600"))
+    w = Window.partitionBy("bucket_epoch", "event_type").orderBy("x", "event_id")
+    wb = Window.partitionBy("bucket_epoch", "event_type")
+    b = pts.select(
+        "event_type",
+        "bucket_epoch",
+        "event_id",
+        "x",
+        "y",
+        F.lag("x").over(w).alias("xp"),
+        F.lag("y").over(w).alias("yp"),
+        F.lead("x").over(w).alias("xn"),
+        F.lead("y").over(w).alias("yn"),
+        F.count(F.lit(1)).over(wb).alias("n_points"),
+    )
+    areas = b.withColumn(
+        "area2",
+        F.coalesce(
+            F.abs(
+                (F.col("xp") - F.col("xn")) * (F.col("y") - F.col("yp"))
+                - (F.col("xp") - F.col("x")) * (F.col("yn") - F.col("yp"))
+            ),
+            F.lit(0),
+        ),
+    )
+    rw = Window.partitionBy("bucket_epoch", "event_type").orderBy(
+        F.desc("area2"), F.asc("x"), F.asc("event_id")
+    )
+    return (
+        areas.withColumn("rn", F.row_number().over(rw))
+        .where(F.col("rn") == 1)
+        .select(
+            "bucket_epoch",
+            "event_type",
+            F.col("x").alias("sel_epoch"),
+            F.col("y").alias("value_e4"),
+            F.col("area2").cast("long").alias("area2"),
+            F.col("n_points").cast("long").alias("n_points"),
+        )
+        .orderBy("bucket_epoch", "event_type")
+    )

@@ -475,3 +475,13 @@ def test_bpe_pair_counts_are_two_phase_partial_sum(spark):
     )
     plan = explain_str(bpe._pair_counts(reps))
     assert "partial_sum" in plan, plan
+
+
+def test_lttb_windows_share_one_hash_exchange(spark):
+    """All three LTTB windows (lag/lead, bucket count, arg-max) must
+    share the single (bucket, type) hash exchange — the only other
+    exchange is the final presentation orderBy — and the rn=1 filter
+    must push down as a WindowGroupLimit."""
+    plan = explain_str(_df(spark, "q_lttb_downsample"))
+    assert plan.count("hashpartitioning(") == 1, plan
+    assert "WindowGroupLimit" in plan, plan

@@ -102,6 +102,7 @@ HEADLINE = [
     "q_bpe_apply",
     "q_rr_counts",
     "q_embed_outliers",
+    "q_lttb_downsample",
 ]
 
 # per-table key columns to shift per replica so keys stay unique and
