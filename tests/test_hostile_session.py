@@ -49,6 +49,10 @@ HOSTILE_KEYS = [
     "q_lake_skipping",
     "q_lake_pointlookup",
     "q_bm25_serve",
+    # session-2 keys: persisted merge table served under a foreign
+    # session; epoch arithmetic (unix_micros) on the events timestamp
+    "q_bpe_serve",
+    "q_lttb_downsample",
 ]
 
 
