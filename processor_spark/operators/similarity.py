@@ -1789,3 +1789,52 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank bigint, vec_id bigint, mmr_score_e6 bigint",
     )
     return out.orderBy("rank")
+
+
+# ------------------------------------------------------------ recall eval
+
+from processor_spark import registry as _registry_mod
+
+_RECALL_SQL = f"""
+    WITH approx AS (
+      SELECT q_id, neighbor_id FROM ({_registry_mod._REGISTRY["q_ann_ivf"].sql}) ia
+    ), exact AS (
+      SELECT q_id, neighbor_id FROM ({_registry_mod._REGISTRY["q_knn_join"].sql}) ie
+    ), hits AS (
+      SELECT e.q_id, count(a.neighbor_id) AS n_hits
+      FROM exact e
+      LEFT JOIN approx a ON a.q_id = e.q_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY e.q_id
+    )
+    SELECT q_id, CAST(n_hits AS BIGINT) AS n_hits,
+           CAST((n_hits * 100) // {KNN_K} AS BIGINT) AS recall_pct
+    FROM hits ORDER BY q_id
+"""
+
+
+@register("q_ann_recall", sql=_RECALL_SQL)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF index against exact brute-force k-NN, per
+    query — the acceptance gate an ANN rollout runs before swapping
+    the index in.  Because both pipelines are deterministic and
+    SQL-oracled, the recall itself gets a FULL hash oracle (the
+    oracle composes the two registered twins as CTEs) — unlike
+    q_ann_ml, whose MLlib hash family forces a rows-only floor
+    check.  recall_pct is exact integer arithmetic (hits*100 div k).
+    Cost: the two pipelines plus a key-key join on (query, neighbor)
+    — output is query-set-sized."""
+    a = q_ann_ivf(spark, sf_dir).select("q_id", "neighbor_id").withColumn(
+        "hit", F.lit(1)
+    )
+    ex = q_knn_join(spark, sf_dir).select("q_id", "neighbor_id")
+    return (
+        ex.join(a, ["q_id", "neighbor_id"], "left")
+        .groupBy("q_id")
+        .agg(F.count("hit").alias("n_hits"))
+        .select(
+            "q_id",
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.expr(f"CAST((n_hits * 100) div {KNN_K} AS BIGINT)").alias("recall_pct"),
+        )
+        .orderBy("q_id")
+    )
