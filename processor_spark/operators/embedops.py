@@ -472,10 +472,12 @@ def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load(spark, sf_dir, "embeddings", spread=True).withColumn(
         "x", F.col("embedding").cast("array<double>")
     )
-    term = lambda i: (
-        (F.element_at("x", i) - F.element_at("mu", i))
-        * (F.element_at("x", i) - F.element_at("mu", i))
-    ) / F.element_at("var", i)
+    def term(i):
+        return (
+            (F.element_at("x", i) - F.element_at("mu", i))
+            * (F.element_at("x", i) - F.element_at("mu", i))
+        ) / F.element_at("var", i)
+
     score = F.aggregate(
         F.transform(F.sequence(F.lit(1), F.lit(_D)), term),
         F.lit(0.0),
