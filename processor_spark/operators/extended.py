@@ -1200,3 +1200,120 @@ def q_rr_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_bootstrap_ci",
+    sql="""
+    WITH base AS (
+      SELECT event_type,
+             CAST(floor((value * CAST(1e4 AS DOUBLE)) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS y,
+             CAST('0x' || substr(md5('bs:' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) AS c0, CAST('0x' || substr(md5('bs:' || CAST(event_id AS VARCHAR)), 9, 8) AS BIGINT) AS c1, CAST('0x' || substr(md5('bs:' || CAST(event_id AS VARCHAR)), 17, 8) AS BIGINT) AS c2, CAST('0x' || substr(md5('bs:' || CAST(event_id AS VARCHAR)), 25, 8) AS BIGINT) AS c3
+      FROM events
+    ), repl AS (
+      SELECT event_type, y, r.b, CASE CAST(b // 4 AS INT) WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END AS h
+      FROM base CROSS JOIN (SELECT unnest(range(16)) AS b) r
+    ), weighted AS (
+      SELECT event_type, b, y, (CASE WHEN ((h >> (8 * (b % 4) + 0)) & 3) = 0 THEN 1 ELSE 0 END) + (CASE WHEN ((h >> (8 * (b % 4) + 2)) & 3) = 0 THEN 1 ELSE 0 END) + (CASE WHEN ((h >> (8 * (b % 4) + 4)) & 3) = 0 THEN 1 ELSE 0 END) + (CASE WHEN ((h >> (8 * (b % 4) + 6)) & 3) = 0 THEN 1 ELSE 0 END) AS w FROM repl
+    ), rep_means AS (
+      SELECT event_type, b,
+             (sum(w * y) * 100) // sum(w) AS m_e6
+      FROM weighted GROUP BY event_type, b HAVING sum(w) > 0
+    ), ranked AS (
+      SELECT event_type, b, m_e6,
+             row_number() OVER (PARTITION BY event_type ORDER BY m_e6, b) AS rn
+      FROM rep_means
+    ), point AS (
+      SELECT event_type, count(*) AS n,
+             (sum(CAST(floor((value * CAST(1e4 AS DOUBLE)) + CAST(0.5 AS DOUBLE)) AS BIGINT)) * 100)
+               // count(*) AS mean_e6
+      FROM events GROUP BY event_type
+    )
+    SELECT p.event_type, CAST(p.n AS BIGINT) AS n,
+           CAST(p.mean_e6 AS BIGINT) AS mean_e6,
+           CAST(max(CASE WHEN r.rn = 2 THEN r.m_e6 END) AS BIGINT) AS ci_lo_e6,
+           CAST(max(CASE WHEN r.rn = 15 THEN r.m_e6 END) AS BIGINT) AS ci_hi_e6
+    FROM point p JOIN ranked r ON r.event_type = p.event_type
+    GROUP BY p.event_type, p.n, p.mean_e6
+    ORDER BY p.event_type
+""",
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the mean value per event type
+    — resampling-based uncertainty without any distributional
+    assumption, the estimator a pipeline attaches to every metric it
+    publishes.  Uses the Poissonized-bootstrap form: replica b weights
+    each row Binomial(4, 1/4) (mean 1), so a replica is a valid
+    resample drawn ONLINE in one pass — no per-replica shuffle of the
+    data, just 16 weighted aggregates that all partial-combine
+    map-side.  The CI is the (2nd, 15th) order statistic of the 16
+    replica means.
+
+    Portability: the 16x4 binomial trials are 2-bit slices of ONE md5
+    digest per row (the CLAUDE.md chunk-family rule: four 32-bit
+    chunks per digest = 16 independent 8-bit slices), so both engines
+    flip identical coins; values are exact 1e-4-unit integers and the
+    replica mean is one exact integer division ((S*100) div W, 1e-6
+    units) — the whole key is integer arithmetic end to end."""
+    e = load(spark, sf_dir, "events", spread=True)
+    dig = F.md5(
+        F.concat(F.lit("bs:"), F.col("event_id").cast("string")).cast("binary")
+    )
+    base = e.select(
+        "event_type",
+        F.floor((F.col("value") * F.lit(1e4)) + F.lit(0.5)).cast("long").alias("y"),
+        dig.alias("dig"),
+    ).select(
+        "event_type",
+        "y",
+        *[
+            F.conv(F.substring("dig", 8 * k + 1, 8), 16, 10)
+            .cast("long")
+            .alias(f"c{k}")
+            for k in range(4)
+        ],
+    )
+    repl = base.crossJoin(
+        spark.range(16).select(F.col("id").cast("int").alias("b"))
+    ).withColumn(
+        "h",
+        F.expr("CASE CAST(b div 4 AS INT) WHEN 0 THEN c0 WHEN 1 THEN c1 "
+               "WHEN 2 THEN c2 ELSE c3 END"),
+    )
+    weighted = repl.select(
+        "event_type",
+        "b",
+        "y",
+        F.expr("""(CASE WHEN ((h >> (8 * (b % 4) + 0)) & 3) = 0 THEN 1 ELSE 0 END) + (CASE WHEN ((h >> (8 * (b % 4) + 2)) & 3) = 0 THEN 1 ELSE 0 END) + (CASE WHEN ((h >> (8 * (b % 4) + 4)) & 3) = 0 THEN 1 ELSE 0 END) + (CASE WHEN ((h >> (8 * (b % 4) + 6)) & 3) = 0 THEN 1 ELSE 0 END)""").alias("w"),
+    )
+    rep_means = (
+        weighted.groupBy("event_type", "b")
+        .agg(F.sum(F.col("w") * F.col("y")).alias("s"), F.sum("w").alias("wsum"))
+        .where(F.col("wsum") > 0)
+        .select("event_type", "b", F.expr("(s * 100) div wsum").alias("m_e6"))
+    )
+    rw = Window.partitionBy("event_type").orderBy("m_e6", "b")
+    ranked = rep_means.withColumn("rn", F.row_number().over(rw))
+    point = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "(sum(CAST(floor((value * CAST(1e4 AS DOUBLE)) + CAST(0.5 AS DOUBLE)) AS BIGINT)) * 100)"
+            " div count(*)"
+        ).alias("mean_e6"),
+    )
+    return (
+        point.join(ranked, "event_type")
+        .groupBy("event_type", "n", "mean_e6")
+        .agg(
+            F.max(F.when(F.col("rn") == 2, F.col("m_e6"))).cast("long").alias("ci_lo_e6"),
+            F.max(F.when(F.col("rn") == 15, F.col("m_e6"))).cast("long").alias("ci_hi_e6"),
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("mean_e6").cast("long").alias("mean_e6"),
+            "ci_lo_e6",
+            "ci_hi_e6",
+        )
+        .orderBy("event_type")
+    )

@@ -103,6 +103,7 @@ HEADLINE = [
     "q_rr_counts",
     "q_embed_outliers",
     "q_lttb_downsample",
+    "q_bootstrap_ci",
 ]
 
 # per-table key columns to shift per replica so keys stay unique and
