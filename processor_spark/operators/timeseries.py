@@ -1543,3 +1543,114 @@ def q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_epoch", "event_type")
     )
+
+
+@register(
+    "q_sax_symbolize",
+    sql="""
+    WITH paa AS (
+      SELECT event_type,
+             ((epoch_us(ts) // 1000000) // 21600) * 21600 AS bucket_epoch,
+             count(*) AS n_pts,
+             (sum(CAST(floor((value * CAST(1e4 AS DOUBLE)) + CAST(0.5 AS DOUBLE)) AS BIGINT)) * 100)
+               // count(*) AS m_e6
+      FROM events
+      GROUP BY event_type, ((epoch_us(ts) // 1000000) // 21600) * 21600
+    ), ranked AS (
+      SELECT event_type, bucket_epoch, n_pts, m_e6,
+             row_number() OVER (PARTITION BY event_type ORDER BY m_e6, bucket_epoch) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS cnt
+      FROM paa
+    ), bps AS (
+      SELECT event_type,
+             max(CASE WHEN rn = (cnt + 3) // 4 THEN m_e6 END) AS b1,
+             max(CASE WHEN rn = (cnt + 1) // 2 THEN m_e6 END) AS b2,
+             max(CASE WHEN rn = (3 * cnt + 3) // 4 THEN m_e6 END) AS b3
+      FROM ranked GROUP BY event_type
+    ), sym AS (
+      SELECT p.event_type, p.bucket_epoch, p.n_pts,
+             CASE WHEN p.m_e6 <= b.b1 THEN 'a'
+                  WHEN p.m_e6 <= b.b2 THEN 'b'
+                  WHEN p.m_e6 <= b.b3 THEN 'c'
+                  ELSE 'd' END AS s
+      FROM paa p JOIN bps b USING (event_type)
+    )
+    SELECT event_type,
+           (bucket_epoch // 86400) * 86400 AS day_epoch,
+           string_agg(s, '' ORDER BY bucket_epoch) AS sax_word,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(n_pts) AS BIGINT) AS n_points
+    FROM sym
+    GROUP BY event_type, (bucket_epoch // 86400) * 86400
+    ORDER BY event_type, day_epoch
+    """,
+)
+def q_sax_symbolize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolic series representation: 6-hour PAA means per event
+    type, discretized into a 4-letter alphabet at the series' own
+    quartile breakpoints, concatenated into one word per day — the
+    index a motif/anomaly search runs over instead of raw points
+    (Lin et al.'s SAX, with empirical-quantile breakpoints instead of
+    the Gaussian table so the whole key stays integer-exact: PAA
+    means are (S*100) div n in 1e-6 units, breakpoints are exact rank
+    statistics via the ceil-div bridge, and the word is an ordered
+    string agg).  Scale shape: one corpus agg to PAA cells (map-side
+    combinable); everything after runs on the bounded cell table
+    (days x types), including its windows."""
+    e = load(spark, sf_dir, "events")
+    y = F.floor((F.col("value") * F.lit(1e4)) + F.lit(0.5)).cast("long")
+    paa = (
+        e.select(
+            "event_type",
+            F.expr("((unix_micros(ts) div 1000000) div 21600) * 21600").alias(
+                "bucket_epoch"
+            ),
+            y.alias("y"),
+        )
+        .groupBy("event_type", "bucket_epoch")
+        .agg(
+            F.count(F.lit(1)).alias("n_pts"),
+            F.expr("(sum(y) * 100) div count(*)").alias("m_e6"),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("m_e6", "bucket_epoch")
+    wc = Window.partitionBy("event_type")
+    ranked = paa.select(
+        "event_type",
+        "m_e6",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    bps = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == F.expr("(cnt + 3) div 4"), F.col("m_e6"))).alias("b1"),
+        F.max(F.when(F.col("rn") == F.expr("(cnt + 1) div 2"), F.col("m_e6"))).alias("b2"),
+        F.max(F.when(F.col("rn") == F.expr("(3 * cnt + 3) div 4"), F.col("m_e6"))).alias("b3"),
+    )
+    sym = paa.join(F.broadcast(bps), "event_type").select(
+        "event_type",
+        "bucket_epoch",
+        "n_pts",
+        F.when(F.col("m_e6") <= F.col("b1"), F.lit("a"))
+        .when(F.col("m_e6") <= F.col("b2"), F.lit("b"))
+        .when(F.col("m_e6") <= F.col("b3"), F.lit("c"))
+        .otherwise(F.lit("d"))
+        .alias("s"),
+    )
+    return (
+        sym.groupBy(
+            "event_type",
+            F.expr("(bucket_epoch div 86400) * 86400").alias("day_epoch"),
+        )
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("bucket_epoch", "s"))),
+                    lambda st: st["s"],
+                ),
+                "",
+            ).alias("sax_word"),
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("n_pts").cast("long").alias("n_points"),
+        )
+        .orderBy("event_type", "day_epoch")
+    )

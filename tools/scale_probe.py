@@ -104,6 +104,7 @@ HEADLINE = [
     "q_embed_outliers",
     "q_lttb_downsample",
     "q_bootstrap_ci",
+    "q_sax_symbolize",
 ]
 
 # per-table key columns to shift per replica so keys stay unique and
