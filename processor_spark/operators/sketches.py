@@ -944,3 +944,34 @@ def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("join_exact"))
     )
     return med.crossJoin(exact)
+
+
+def cms_cells_from(df: DataFrame, key_col: str) -> DataFrame:
+    """(s, c, cnt) count-min cells for one key column — shared by the
+    batch keys and the streaming pipeline (count is commutative /
+    arrival-order-insensitive, so the same expression is a valid
+    streaming aggregation whose state is bounded at d*w = 1024 cells
+    by construction)."""
+    dig = F.md5(
+        F.concat(F.lit("cms:"), F.col(key_col).cast("string")).cast("binary")
+    ).alias("dig")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("s"),
+                F.pmod(
+                    F.conv(F.substring(F.col("dig"), 1 + 8 * j, 8), 16, 10).cast(
+                        "long"
+                    ),
+                    F.lit(_CMS_W),
+                ).alias("c"),
+            )
+            for j in range(4)
+        ]
+    )
+    return (
+        df.select(dig)
+        .select(F.explode(pairs).alias("x"))
+        .groupBy(F.col("x.s").alias("s"), F.col("x.c").alias("c"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

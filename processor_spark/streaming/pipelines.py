@@ -614,3 +614,19 @@ def hll_user_registers(events: DataFrame) -> DataFrame:
         .groupBy("grp", "bucket")
         .agg(F.max("rho").alias("r"))
     )
+
+
+def cms_user_cells(events: DataFrame) -> DataFrame:
+    """Streaming count-min: user-activity frequency cells maintained as
+    a plain count aggregate — the second sketch-as-streaming-state
+    pipeline alongside hll_user_registers.  Count is commutative and
+    arrival-order-insensitive, so no watermark is needed for
+    correctness and state is bounded at d*w = 1024 cells regardless
+    of stream length or user-universe size; any user's approximate
+    event frequency is served from the live cell table by probing its
+    d cells and taking the min (one-sided overestimate).  Drained in
+    complete mode; tests prove streamed cells equal a batch build
+    over the same prefix exactly."""
+    from processor_spark.operators.sketches import cms_cells_from
+
+    return cms_cells_from(events, "user_id")

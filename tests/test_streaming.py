@@ -570,3 +570,33 @@ def test_streaming_hll_registers_equal_batch_sketch(spark, events_chunks_dir):
         .collect()
     }
     assert est(got) == est(want)
+
+
+def test_streaming_cms_cells_equal_batch_sketch(spark, events_chunks_dir):
+    """The count-min cell table maintained by the stream (count-agg,
+    complete mode, no watermark) must equal the batch-built cells over
+    the same events EXACTLY — counts commute with arrival order — so
+    point-frequency estimates served from the live sketch match the
+    offline sketch.  State is bounded at d*w = 1024 cells."""
+    stream = P.read_events_stream(spark, events_chunks_dir)
+    got = _drain(spark, P.cms_user_cells(stream), "t_cms_cells", mode="complete")
+    want = P.cms_user_cells(load(spark, SF_SMALL, "events"))
+    cols = ["s", "c", "cnt"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+    # mass conservation: every row lands in exactly one cell per seed
+    n = load(spark, SF_SMALL, "events").count()
+    per_seed = {r.s: r.total for r in got.groupBy("s").agg(
+        F.sum("cnt").alias("total")).collect()}
+    assert per_seed == {0: n, 1: n, 2: n, 3: n}
+
+    # probe a known-active user: min over its d cells >= its exact count
+    from processor_spark.operators.sketches import _CMS_W
+    ev = load(spark, SF_SMALL, "events")
+    uid = ev.groupBy("user_id").count().orderBy(F.desc("count"), "user_id").first()
+    import hashlib
+    digest = hashlib.md5(f"cms:{uid.user_id}".encode()).hexdigest()
+    cells = {(j, int(digest[8 * j:8 * j + 8], 16) % _CMS_W) for j in range(4)}
+    got_map = {(r.s, r.c): r.cnt for r in got.collect()}
+    est = min(got_map[sc] for sc in cells)
+    assert est >= uid["count"]
