@@ -1654,3 +1654,92 @@ def q_sax_symbolize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day_epoch")
     )
+
+
+@register(
+    "q_seasonal_decompose",
+    sql="""
+    WITH hourly AS (
+      SELECT event_type,
+             ((epoch_us(ts) // 1000000) // 3600) * 3600 AS h_epoch,
+             sum(CAST(floor((value * CAST(1e4 AS DOUBLE)) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS y,
+             count(*) AS n_pts
+      FROM events
+      GROUP BY event_type, ((epoch_us(ts) // 1000000) // 3600) * 3600
+    ), trended AS (
+      SELECT event_type, h_epoch, y,
+             sum(y)    OVER w AS movsum,
+             count(*)  OVER w AS movcnt
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h_epoch
+                   ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ), devs AS (
+      SELECT event_type,
+             (h_epoch % 86400) // 3600 AS hod,
+             25 * y - movsum AS dev25
+      FROM trended WHERE movcnt = 25
+    )
+    SELECT event_type, CAST(hod AS BIGINT) AS hod,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST((sum(dev25) * 10000) // (25 * count(*)) AS BIGINT) AS seasonal_e4
+    FROM devs
+    GROUP BY event_type, hod
+    ORDER BY event_type, hod
+    """,
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition, hour-of-day component: hourly
+    totals minus a centered 25-hour moving-average trend, averaged per
+    hour slot — the seasonality profile capacity planning and anomaly
+    baselines start from.  Integer-exact throughout: the detrended
+    deviation is computed as 25*y - movsum (clearing the /25 before it
+    exists — no rational arithmetic), only full 25-bucket windows
+    qualify, and the final per-slot average is one integer division
+    (the div bridge holds for negative numerators too: both engines
+    truncate toward zero — verified -7 div 2 == -3).  Scale shape:
+    one corpus agg to hourly cells; the moving window and the slot
+    agg run on the bounded cell table (hours x types)."""
+    e = load(spark, sf_dir, "events")
+    y = F.floor((F.col("value") * F.lit(1e4)) + F.lit(0.5)).cast("long")
+    hourly = (
+        e.select(
+            "event_type",
+            F.expr("((unix_micros(ts) div 1000000) div 3600) * 3600").alias("h_epoch"),
+            y.alias("yv"),
+        )
+        .groupBy("event_type", "h_epoch")
+        .agg(F.sum("yv").alias("y"), F.count(F.lit(1)).alias("n_pts"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h_epoch")
+        .rowsBetween(-12, 12)
+    )
+    trended = hourly.select(
+        "event_type",
+        "h_epoch",
+        "y",
+        F.sum("y").over(w).alias("movsum"),
+        F.count(F.lit(1)).over(w).alias("movcnt"),
+    )
+    devs = trended.where(F.col("movcnt") == 25).select(
+        "event_type",
+        F.expr("(h_epoch % 86400) div 3600").alias("hod"),
+        (F.lit(25) * F.col("y") - F.col("movsum")).alias("dev25"),
+    )
+    return (
+        devs.groupBy("event_type", "hod")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.expr("CAST((sum(dev25) * 10000) div (25 * count(*)) AS BIGINT)").alias(
+                "seasonal_e4"
+            ),
+        )
+        .select(
+            "event_type",
+            F.col("hod").cast("long").alias("hod"),
+            "n_buckets",
+            "seasonal_e4",
+        )
+        .orderBy("event_type", "hod")
+    )

@@ -105,6 +105,7 @@ HEADLINE = [
     "q_lttb_downsample",
     "q_bootstrap_ci",
     "q_sax_symbolize",
+    "q_seasonal_decompose",
 ]
 
 # per-table key columns to shift per replica so keys stay unique and
