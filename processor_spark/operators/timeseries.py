@@ -1743,3 +1743,117 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hod")
     )
+
+
+_ACF_LAGS = 6  # hourly lags 1..6
+
+
+@register(
+    "q_acf",
+    sql=f"""
+    WITH hourly AS (
+      SELECT event_type,
+             ((epoch_us(ts) // 1000000) // 3600) * 3600 AS h_epoch,
+             sum(CAST(floor((value * CAST(1e4 AS DOUBLE)) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS y
+      FROM events
+      GROUP BY event_type, ((epoch_us(ts) // 1000000) // 3600) * 3600
+    ), stats AS (
+      SELECT event_type, count(*) AS n, sum(y) AS s
+      FROM hourly GROUP BY event_type
+    ), centered AS (
+      SELECT h.event_type, h.h_epoch,
+             CAST(st.n AS HUGEINT) * h.y - CAST(st.s AS HUGEINT) AS d
+      FROM hourly h JOIN stats st USING (event_type)
+    ), lagged AS (
+      SELECT event_type, h_epoch, d,
+             {", ".join(f"lead(d, {k}) OVER (PARTITION BY event_type ORDER BY h_epoch) AS d{k}" for k in range(1, _ACF_LAGS + 1))}
+      FROM centered
+    ), den AS (
+      SELECT event_type, sum(d * d) AS den FROM centered GROUP BY event_type
+    ), nums AS (
+      {" UNION ALL ".join(
+          f"SELECT event_type, {k} AS lag, sum(d * d{k}) AS num, count(d{k}) AS n_pairs "
+          f"FROM lagged WHERE d{k} IS NOT NULL GROUP BY event_type"
+          for k in range(1, _ACF_LAGS + 1)
+      )}
+    )
+    SELECT nums.event_type, CAST(nums.lag AS BIGINT) AS lag,
+           CAST(nums.n_pairs AS BIGINT) AS n_pairs,
+           CAST(floor(((CAST(nums.num AS DOUBLE) / CAST(den.den AS DOUBLE))
+                       * CAST(1e6 AS DOUBLE)) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS acf_e6
+    FROM nums JOIN den USING (event_type)
+    ORDER BY event_type, lag
+    """,
+)
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the hourly series at lags 1..{_ACF_LAGS} per
+    event type — the diagnostic that picks seasonality periods and
+    AR orders.  Exactness: deviations are pre-scaled integers
+    (n*y - S, clearing the mean's divisor — the q_seasonal trick),
+    the lag products are widened to 128-bit (HUGEINT <-> decimal(38),
+    the r4 bridge: products of n-scaled hourly sums overflow int64),
+    and num/den meet in ONE double division whose operands are
+    identical exact integers on both engines.  Scale shape: one
+    corpus agg to hourly cells; lags come from {_ACF_LAGS} leads over
+    the bounded cell table, so the window never sees raw data."""
+    e = load(spark, sf_dir, "events")
+    yexp = F.floor((F.col("value") * F.lit(1e4)) + F.lit(0.5)).cast("long")
+    hourly = (
+        e.select(
+            "event_type",
+            F.expr("((unix_micros(ts) div 1000000) div 3600) * 3600").alias("h_epoch"),
+            yexp.alias("yv"),
+        )
+        .groupBy("event_type", "h_epoch")
+        .agg(F.sum("yv").alias("y"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
+    )
+    dec = "decimal(38,0)"
+    centered = hourly.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "h_epoch",
+        (
+            F.col("n").cast(dec) * F.col("y").cast(dec) - F.col("s").cast(dec)
+        ).alias("d"),
+    )
+    w = Window.partitionBy("event_type").orderBy("h_epoch")
+    lagged = centered.select(
+        "event_type",
+        "d",
+        *[F.lead("d", k).over(w).alias(f"d{k}") for k in range(1, _ACF_LAGS + 1)],
+    )
+    den = centered.groupBy("event_type").agg(
+        F.sum(F.col("d") * F.col("d")).alias("den")
+    )
+    nums = None
+    for k in range(1, _ACF_LAGS + 1):
+        part = (
+            lagged.where(F.col(f"d{k}").isNotNull())
+            .groupBy("event_type")
+            .agg(
+                F.sum(F.col("d") * F.col(f"d{k}")).alias("num"),
+                F.count(f"d{k}").alias("n_pairs"),
+            )
+            .select("event_type", F.lit(k).alias("lag"), "num", "n_pairs")
+        )
+        nums = part if nums is None else nums.unionByName(part)
+    return (
+        nums.join(F.broadcast(den), "event_type")
+        .select(
+            "event_type",
+            F.col("lag").cast("long").alias("lag"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.floor(
+                (
+                    (F.col("num").cast("double") / F.col("den").cast("double"))
+                    * F.lit(1e6)
+                )
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("acf_e6"),
+        )
+        .orderBy("event_type", "lag")
+    )

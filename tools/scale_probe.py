@@ -106,6 +106,7 @@ HEADLINE = [
     "q_bootstrap_ci",
     "q_sax_symbolize",
     "q_seasonal_decompose",
+    "q_acf",
 ]
 
 # per-table key columns to shift per replica so keys stay unique and
