@@ -493,3 +493,82 @@ def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_e6"), F.asc("vec_id"))
         .limit(_OUT_K)
     )
+
+
+# ------------------------------------------------------------ pc1 stats
+
+from processor_spark import registry as _registry_mod
+
+_PC1_SQL = f"""
+    WITH pca AS ({_pca_oracle_sql()}),
+    u AS (
+      SELECT list(u_e6 ORDER BY pos) AS u FROM pca
+    ),
+    qv AS (
+      SELECT label,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(floor((x * CAST(1e6 AS DOUBLE)) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    proj AS (
+      SELECT label,
+             list_reduce(list_transform(range(1, {_D + 1}), i -> q[i] * u.u[i]),
+                         (a, b) -> a + b) AS p
+      FROM qv, u
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(p) // count(*) AS BIGINT) AS mean_p,
+           CAST(min(p) AS BIGINT) AS min_p,
+           CAST(max(p) AS BIGINT) AS max_p
+    FROM proj GROUP BY label ORDER BY label
+"""
+
+
+@register("q_embed_pc1_stats", sql=_PC1_SQL)
+def q_embed_pc1_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label statistics of the projection onto the learned first
+    principal component — the one-dimensional separability check a
+    pipeline runs after PCA (labels whose projection ranges overlap
+    are not linearly separated along PC1).  Composes q_embed_pca:
+    projections use the ROUNDED 1e-6 eigenvector, so p = sum q_i*u_i
+    is an exact integer on both engines (the oracle embeds the full
+    PCA SQL as a CTE — the q_ann_recall composition pattern), and the
+    per-label mean is one integer division.  Scale shape: the PCA
+    cell pass plus one narrow projection map and a hash agg; the
+    eigenvector is a broadcast single row."""
+    u_arr = (
+        q_embed_pca(spark, sf_dir)
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "u_e6"))),
+                lambda s: s["u_e6"],
+            ).alias("u")
+        )
+    )
+    qv = load(spark, sf_dir, "embeddings", spread=True).select(
+        "label",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor((x * F.lit(1e6)) + F.lit(0.5)).cast("long"),
+        ).alias("q"),
+    )
+    proj = qv.crossJoin(F.broadcast(u_arr)).select(
+        "label",
+        F.aggregate(
+            F.zip_with("q", "u", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("p"),
+    )
+    return (
+        proj.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.expr("CAST(sum(p) div count(*) AS BIGINT)").alias("mean_p"),
+            F.min("p").cast("long").alias("min_p"),
+            F.max("p").cast("long").alias("max_p"),
+        )
+        .orderBy("label")
+    )

@@ -107,6 +107,7 @@ HEADLINE = [
     "q_sax_symbolize",
     "q_seasonal_decompose",
     "q_acf",
+    "q_embed_pc1_stats",
 ]
 
 # per-table key columns to shift per replica so keys stay unique and
