@@ -1371,3 +1371,116 @@ def q_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_tenthmilli"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+_RAKE_STOP_RE = "( (?:" + "|".join(STOPWORDS) + ") )"
+
+
+@register(
+    "q_rake_keywords",
+    sql=f"""
+    WITH cleaned AS (
+      SELECT ' ' || regexp_replace(lower(text), '[^a-z]+', ' ', 'g') || ' ' AS t
+      FROM documents
+    ), cut AS (
+      -- two-pass stopword cut (the BPE padded-replace rule: one pass
+      -- misses alternating stopword runs because the match consumes
+      -- the shared separator space)
+      SELECT regexp_replace(regexp_replace(t, '{_RAKE_STOP_RE}', ' | ', 'g'),
+                            '{_RAKE_STOP_RE}', ' | ', 'g') AS t
+      FROM cleaned
+    ), segs AS (
+      SELECT trim(regexp_replace(seg, '\\s+', ' ', 'g')) AS phrase
+      FROM (SELECT unnest(string_split(t, '|')) AS seg FROM cut)
+    ), phrases AS (
+      SELECT phrase, string_split(phrase, ' ') AS words
+      FROM segs
+      WHERE length(phrase) > 0
+        AND len(string_split(phrase, ' ')) BETWEEN 1 AND 3
+        AND list_min(list_transform(string_split(phrase, ' '), w -> length(w))) >= 2
+    ), wstats AS (
+      SELECT w, count(*) AS freq, sum(plen) AS deg FROM (
+        SELECT unnest(words) AS w, len(words) AS plen FROM phrases
+      ) GROUP BY w
+    ), wscore AS (
+      SELECT w, (deg * 1000000) // freq AS s_e6 FROM wstats
+    ), pdistinct AS (
+      SELECT phrase, words, count(*) AS phrase_cnt FROM phrases GROUP BY phrase, words
+    ), scored AS (
+      SELECT p.phrase, len(p.words) AS n_words, p.phrase_cnt,
+             sum(ws.s_e6) AS score_e6
+      FROM (SELECT phrase, phrase_cnt, words, unnest(words) AS w FROM pdistinct) p
+      JOIN wscore ws ON ws.w = p.w
+      GROUP BY p.phrase, len(p.words), p.phrase_cnt
+    )
+    SELECT phrase, CAST(n_words AS BIGINT) AS n_words,
+           CAST(phrase_cnt AS BIGINT) AS phrase_cnt,
+           CAST(score_e6 AS BIGINT) AS score_e6
+    FROM scored
+    ORDER BY score_e6 DESC, phrase
+    LIMIT 20
+    """,
+)
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction: candidate phrases are stopword-bounded
+    runs (1-3 words), scored by the degree/frequency ratio of their
+    words — the unsupervised keyphrase pass a corpus card runs.
+    Integer-exact variant: per-word score is (deg * 1e6) div freq
+    (the div bridge), phrase score is the integer sum over its words;
+    the stopword cut is the two-pass padded replace (the BPE rule —
+    one pass misses alternating stopword runs identically on both
+    engines, so the semantics are pinned as two-pass).  Scale shape:
+    narrow per-document string maps + explodes crushed by hash aggs
+    (words, then distinct phrases); the final top-20 is a
+    TakeOrdered."""
+    d = load(spark, sf_dir, "documents", spread=True)
+    cleaned = d.select(
+        F.concat(
+            F.lit(" "),
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z]+", " "),
+            F.lit(" "),
+        ).alias("t")
+    )
+    pat = _RAKE_STOP_RE
+    cut = cleaned.select(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), pat, " | "), pat, " | "
+        ).alias("t")
+    )
+    segs = cut.select(
+        F.explode(F.split(F.col("t"), "\\|")).alias("seg")
+    ).select(F.trim(F.regexp_replace(F.col("seg"), "\\s+", " ")).alias("phrase"))
+    words_col = F.split(F.col("phrase"), " ")
+    phrases = segs.where(
+        (F.length("phrase") > 0)
+        & (F.size(words_col).between(1, 3))
+        & (F.array_min(F.transform(words_col, F.length)) >= 2)
+    ).select("phrase", words_col.alias("words"))
+    wstats = (
+        phrases.select(F.explode("words").alias("w"), F.size("words").alias("plen"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg"))
+    )
+    wscore = wstats.select("w", F.expr("(deg * 1000000) div freq").alias("s_e6"))
+    pdistinct = phrases.groupBy("phrase", "words").agg(
+        F.count(F.lit(1)).alias("phrase_cnt")
+    )
+    scored = (
+        pdistinct.select(
+            "phrase", "phrase_cnt", F.size("words").alias("n_words"),
+            F.explode("words").alias("w"),
+        )
+        .join(wscore, "w")
+        .groupBy("phrase", "n_words", "phrase_cnt")
+        .agg(F.sum("s_e6").alias("score_e6"))
+    )
+    return (
+        scored.select(
+            "phrase",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("phrase_cnt").cast("long").alias("phrase_cnt"),
+            F.col("score_e6").cast("long").alias("score_e6"),
+        )
+        .orderBy(F.desc("score_e6"), F.asc("phrase"))
+        .limit(20)
+    )

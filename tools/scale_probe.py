@@ -108,6 +108,7 @@ HEADLINE = [
     "q_seasonal_decompose",
     "q_acf",
     "q_embed_pc1_stats",
+    "q_rake_keywords",
 ]
 
 # per-table key columns to shift per replica so keys stay unique and
