@@ -920,3 +920,101 @@ def q_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cents").alias("max_cents"),
         )
     )
+
+
+@register(
+    "q_exact_quantiles",
+    sql="""
+    WITH c AS (
+      SELECT CAST(floor((l_extendedprice * CAST(100 AS DOUBLE)) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+      FROM lineitem
+    ), tot AS (
+      SELECT count(*) AS n FROM c
+    ), t(lbl, num, den) AS (
+      VALUES ('p50', 1, 2), ('p95', 19, 20), ('p99', 99, 100)
+    ), ks AS (
+      SELECT lbl, (num * n + den - 1) // den AS k FROM t, tot
+    ), d AS (
+      SELECT cents, count(*) AS cnt FROM c GROUP BY cents
+    ), cum AS (
+      SELECT cents, sum(cnt) OVER (ORDER BY cents) AS cum FROM d
+    )
+    SELECT ks.lbl, CAST(ks.k AS BIGINT) AS k_rank,
+           CAST(min(cum.cents) AS BIGINT) AS value_cents
+    FROM ks JOIN cum ON cum.cum >= ks.k
+    GROUP BY ks.lbl, ks.k
+    ORDER BY lbl
+    """,
+)
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p50/p95/p99 order statistics of the price column with NO
+    data-sized sort — the two-pass histogram-refinement algorithm
+    that makes exact quantiles viable at 100 TB (vs q_percentiles'
+    approximate GK, rows-only by contract; this key is fully
+    hash-oracled because rank selection on integer cents is
+    deterministic).  Pass 1 hash-aggregates 4096-cent coarse buckets
+    and locates each target rank's bucket via a cumulative window
+    over the BOUNDED bucket table; pass 2 re-scans with the candidate
+    buckets broadcast, counts distinct cents inside them only, and
+    picks the smallest value whose in-bucket running count reaches
+    the residual rank.  The oracle computes the same rank definition
+    (k = ceil(p*n), value = smallest cents with cum >= k) directly.
+    Both passes are map-side-combinable aggs; every window runs on
+    agg-sized frames."""
+    li = load(spark, sf_dir, "lineitem", spread=True)
+    cents_df = li.select(
+        F.floor((F.col("l_extendedprice") * F.lit(100.0)) + F.lit(0.5))
+        .cast("long")
+        .alias("cents")
+    )
+    from pyspark.sql import Window
+
+    tot = cents_df.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    targets = spark.createDataFrame(
+        [("p50", 1, 2), ("p95", 19, 20), ("p99", 99, 100)], "lbl string, num long, den long"
+    )
+    ks = targets.crossJoin(F.broadcast(tot)).select(
+        "lbl", F.expr("(num * n + den - 1) div den").alias("k")
+    )
+    # pass 1: coarse buckets + cumulative over the bounded bucket table
+    buckets = (
+        cents_df.groupBy(F.expr("cents div 4096").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    bcum = buckets.select(
+        "b", "cnt", F.sum("cnt").over(wb).alias("cum")
+    ).withColumn("cum_prev", F.col("cum") - F.col("cnt"))
+    cand = (
+        ks.join(
+            F.broadcast(bcum),
+            (F.col("cum") >= F.col("k")) & (F.col("cum_prev") < F.col("k")),
+        )
+        .select("lbl", "k", "b", (F.col("k") - F.col("cum_prev")).alias("r"))
+    )
+    # pass 2: exact counts inside candidate buckets only
+    invals = (
+        cents_df.join(
+            F.broadcast(cand), F.expr("cents div 4096") == F.col("b")
+        )
+        .groupBy("lbl", "k", "r", "cents")
+        .agg(F.count(F.lit(1)).alias("vcnt"))
+    )
+    wv = (
+        Window.partitionBy("lbl")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    picked = invals.select(
+        "lbl", "k", "r", "cents", F.sum("vcnt").over(wv).alias("vcum")
+    ).where(F.col("vcum") >= F.col("r"))
+    return (
+        picked.groupBy("lbl", "k")
+        .agg(F.min("cents").alias("value_cents"))
+        .select(
+            "lbl",
+            F.col("k").cast("long").alias("k_rank"),
+            F.col("value_cents").cast("long").alias("value_cents"),
+        )
+        .orderBy("lbl")
+    )

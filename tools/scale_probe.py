@@ -109,6 +109,7 @@ HEADLINE = [
     "q_acf",
     "q_embed_pc1_stats",
     "q_rake_keywords",
+    "q_exact_quantiles",
 ]
 
 # per-table key columns to shift per replica so keys stay unique and
