@@ -877,3 +877,81 @@ def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("exact_hit").alias("exact_hits"),
         (F.sum("member") - F.sum("exact_hit")).alias("false_pos"),
     )
+
+
+@register(
+    "q_vocab_growth",
+    sql="""
+    WITH bounds AS (
+      SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents
+    ), toks AS (
+      SELECT (10 * (d.doc_id - b.lo)) // (b.hi - b.lo + 1) AS decile,
+             unnest(string_split_regex(trim(d.text), '\\s+')) AS tok
+      FROM documents d, bounds b
+      WHERE length(trim(d.text)) > 0
+    ), occ AS (
+      SELECT decile, count(*) AS occurrences FROM toks GROUP BY decile
+    ), firsts AS (
+      SELECT tok, min(decile) AS first_decile FROM toks GROUP BY tok
+    ), news AS (
+      SELECT first_decile AS decile, count(*) AS new_types
+      FROM firsts GROUP BY first_decile
+    )
+    SELECT o.decile,
+           CAST(COALESCE(n.new_types, 0) AS BIGINT) AS new_types,
+           CAST(sum(COALESCE(n.new_types, 0))
+                OVER (ORDER BY o.decile) AS BIGINT) AS cum_types,
+           CAST(o.occurrences AS BIGINT) AS occurrences,
+           CAST(sum(o.occurrences) OVER (ORDER BY o.decile) AS BIGINT) AS cum_occurrences
+    FROM occ o LEFT JOIN news n ON n.decile = o.decile
+    ORDER BY o.decile
+    """,
+)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps' law) curve over corpus prefixes: new
+    and cumulative distinct token types per doc-id decile, against
+    cumulative token occurrences — how a pipeline decides whether
+    more data still buys vocabulary.  The classic scale trick: NO
+    per-prefix distinct recount (10x the work and a shuffle per
+    prefix); a token's FIRST decile is one min-aggregate, and the
+    curve falls out of a cumulative window over the 10-row decile
+    table."""
+    d = load(spark, sf_dir, "documents")
+    bounds = d.groupBy().agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    toks = (
+        d.where(F.length(F.trim(F.col("text"))) > 0)
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr("(10 * (doc_id - lo)) div (hi - lo + 1)").alias("decile"),
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+        )
+    )
+    occ = toks.groupBy("decile").agg(F.count(F.lit(1)).alias("occurrences"))
+    firsts = toks.groupBy("tok").agg(F.min("decile").alias("first_decile"))
+    news = firsts.groupBy(F.col("first_decile").alias("decile")).agg(
+        F.count(F.lit(1)).alias("new_types")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        occ.join(news, "decile", "left")
+        .select(
+            "decile",
+            F.coalesce("new_types", F.lit(0)).cast("long").alias("new_types"),
+            "occurrences",
+        )
+        .select(
+            "decile",
+            "new_types",
+            F.sum("new_types").over(w).cast("long").alias("cum_types"),
+            F.col("occurrences").cast("long").alias("occurrences"),
+            F.sum("occurrences").over(w).cast("long").alias("cum_occurrences"),
+        )
+        .select(
+            "decile", "new_types", "cum_types", "occurrences", "cum_occurrences"
+        )
+        .orderBy("decile")
+    )

@@ -110,6 +110,7 @@ HEADLINE = [
     "q_embed_pc1_stats",
     "q_rake_keywords",
     "q_exact_quantiles",
+    "q_vocab_growth",
 ]
 
 # per-table key columns to shift per replica so keys stay unique and
