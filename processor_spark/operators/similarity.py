@@ -1838,3 +1838,79 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+# ------------------------------------------------------------ mutual NN
+
+_MNN_SQL = f"""
+    WITH qs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings WHERE vec_id <= {KNN_QUERIES}
+    ), top1 AS (
+      SELECT vec_id, nb, cs FROM (
+        SELECT a.vec_id, b.vec_id AS nb,
+               round(list_cosine_similarity(a.emb, b.emb), 6) AS cs,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY round(list_cosine_similarity(a.emb, b.emb), 6) DESC,
+                          b.vec_id) AS rn
+        FROM qs a JOIN qs b ON a.vec_id <> b.vec_id
+      ) WHERE rn = 1
+    )
+    SELECT x.vec_id AS vec_a, x.nb AS vec_b, x.cs AS cos_sim
+    FROM top1 x JOIN top1 y ON y.vec_id = x.nb AND y.nb = x.vec_id
+    WHERE x.vec_id < x.nb
+    ORDER BY vec_a
+"""
+
+
+@register("q_mutual_nn", sql=_MNN_SQL)
+def q_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-nearest-neighbor pairs within the query set — the
+    reciprocal-best-match criterion parallel-corpus mining and
+    cross-source alignment use (a pair counts only if each side is
+    the OTHER's top-1, which suppresses hub vectors that are
+    everyone's neighbor but nobody's match).  Same rounded-cosine /
+    (sim DESC, id) arg-max contract as the k-NN family; mutuality is
+    one self-join of the top-1 table.  At corpus scale the top-1
+    table comes from any ANN path (LSH/IVF/PQ) — the mutual join
+    itself is key-key and cheap."""
+    e = load(spark, sf_dir, "embeddings")
+    qs = (
+        e.where(F.col("vec_id") <= KNN_QUERIES)
+        .select("vec_id", _as_double("embedding").alias("emb"))
+        .withColumn("nrm", l2norm(F.col("emb")))
+    )
+    right = qs.select(
+        F.col("vec_id").alias("nb"),
+        F.col("emb").alias("bemb"),
+        F.col("nrm").alias("bnrm"),
+    )
+    sim = (
+        qs.crossJoin(F.broadcast(right))
+        .where(F.col("vec_id") != F.col("nb"))
+        .select(
+            "vec_id",
+            "nb",
+            F.round(
+                dot(F.col("emb"), F.col("bemb")) / (F.col("nrm") * F.col("bnrm")), 6
+            ).alias("cs"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("nb"))
+    top1 = sim.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).select(
+        "vec_id", "nb", "cs"
+    )
+    rev = top1.select(
+        F.col("vec_id").alias("nb"), F.col("nb").alias("vec_id_rev")
+    )
+    return (
+        top1.join(rev, (top1.nb == rev.nb) & (top1.vec_id == rev.vec_id_rev))
+        .where(F.col("vec_id") < top1.nb)
+        .select(
+            F.col("vec_id").alias("vec_a"),
+            top1.nb.alias("vec_b"),
+            F.col("cs").alias("cos_sim"),
+        )
+        .orderBy("vec_a")
+    )
