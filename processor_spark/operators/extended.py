@@ -1317,3 +1317,104 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_ks_test",
+    sql="""
+    WITH c AS (
+      SELECT CAST(floor((l_extendedprice * CAST(100 AS DOUBLE)) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g1,
+             CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS g2
+      FROM lineitem WHERE l_returnflag IN ('R', 'N')
+    ), d AS (
+      SELECT cents, sum(g1) AS c1, sum(g2) AS c2 FROM c GROUP BY cents
+    ), tot AS (
+      SELECT sum(c1) AS n1, sum(c2) AS n2 FROM d
+    ), cums AS (
+      SELECT cents,
+             sum(c1) OVER (ORDER BY cents) AS cum1,
+             sum(c2) OVER (ORDER BY cents) AS cum2
+      FROM d
+    ), diffs AS (
+      SELECT cents,
+             abs(CAST(cum1 AS BIGINT) * t.n2 - CAST(cum2 AS BIGINT) * t.n1) AS diff
+      FROM cums, tot t
+    ), best AS (
+      SELECT diff, cents,
+             row_number() OVER (ORDER BY diff DESC, cents) AS rn
+      FROM diffs
+    )
+    SELECT CAST(t.n1 AS BIGINT) AS n1, CAST(t.n2 AS BIGINT) AS n2,
+           CAST((b.diff * 10000) // (t.n1 * t.n2) AS BIGINT) AS d_e4,
+           CAST(b.cents AS BIGINT) AS at_cents,
+           CAST(CASE WHEN CAST(b.diff AS DOUBLE) / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE))
+                     > CAST(1.358 AS DOUBLE)
+                       * sqrt((CAST(t.n1 AS DOUBLE) + CAST(t.n2 AS DOUBLE))
+                              / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)))
+                THEN 1 ELSE 0 END AS BIGINT) AS reject_05
+    FROM best b, tot t WHERE b.rn = 1
+    """,
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the 'R'
+    and 'N' return-flag price distributions — the continuous
+    drift/equality test alongside the categorical q_chi2_drift.
+    Integer-exact core: ECDF differences are cross-multiplied
+    (|cum1*n2 - cum2*n1| — no rationals), the arg-max location
+    tie-breaks on the value, and D is reported in exact 1e-4 units
+    (the div bridge; cross-products stay within int64 through the
+    64x octave).  The asymptotic alpha=.05 decision uses one sqrt on
+    identical exact-integer-derived doubles (IEEE-correctly-rounded
+    on both engines).  Scale shape: one hash agg to the distinct-
+    value table; windows run over that bounded table only."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem", spread=True).where(
+        F.col("l_returnflag").isin("R", "N")
+    )
+    d = (
+        li.select(
+            F.floor((F.col("l_extendedprice") * F.lit(100.0)) + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("g1"),
+            F.when(F.col("l_returnflag") == "N", 1).otherwise(0).alias("g2"),
+        )
+        .groupBy("cents")
+        .agg(F.sum("g1").alias("c1"), F.sum("g2").alias("c2"))
+    )
+    tot = d.groupBy().agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    wc = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cums = d.select(
+        "cents",
+        F.sum("c1").over(wc).alias("cum1"),
+        F.sum("c2").over(wc).alias("cum2"),
+    )
+    diffs = cums.crossJoin(F.broadcast(tot)).select(
+        "cents",
+        "n1",
+        "n2",
+        F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")).alias("diff"),
+    )
+    wb = Window.orderBy(F.desc("diff"), F.asc("cents"))
+    best = diffs.withColumn("rn", F.row_number().over(wb)).where(F.col("rn") == 1)
+    return best.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.expr("CAST((diff * 10000) div (n1 * n2) AS BIGINT)").alias("d_e4"),
+        F.col("cents").cast("long").alias("at_cents"),
+        F.when(
+            F.col("diff").cast("double")
+            / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+            > F.lit(1.358)
+            * F.sqrt(
+                (F.col("n1").cast("double") + F.col("n2").cast("double"))
+                / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+            ),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("reject_05"),
+    )

@@ -111,6 +111,8 @@ HEADLINE = [
     "q_rake_keywords",
     "q_exact_quantiles",
     "q_vocab_growth",
+    "q_ks_test",
+    "q_mutual_nn",
 ]
 
 # per-table key columns to shift per replica so keys stay unique and
