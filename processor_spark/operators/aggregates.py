@@ -961,7 +961,7 @@ def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (k = ceil(p*n), value = smallest cents with cum >= k) directly.
     Both passes are map-side-combinable aggs; every window runs on
     agg-sized frames."""
-    li = load(spark, sf_dir, "lineitem", spread=True)
+    li = load(spark, sf_dir, "lineitem")
     cents_df = li.select(
         F.floor((F.col("l_extendedprice") * F.lit(100.0)) + F.lit(0.5))
         .cast("long")

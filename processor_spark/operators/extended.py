@@ -1370,9 +1370,7 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     value table; windows run over that bounded table only."""
     from pyspark.sql import Window
 
-    li = load(spark, sf_dir, "lineitem", spread=True).where(
-        F.col("l_returnflag").isin("R", "N")
-    )
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag").isin("R", "N"))
     d = (
         li.select(
             F.floor((F.col("l_extendedprice") * F.lit(100.0)) + F.lit(0.5))
