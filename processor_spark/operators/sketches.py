@@ -975,3 +975,96 @@ def cms_cells_from(df: DataFrame, key_col: str) -> DataFrame:
         .groupBy(F.col("x.s").alias("s"), F.col("x.c").alias("c"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+@register(
+    "q_hll_sliding",
+    sql=f"""
+    WITH rows_h AS (
+      SELECT ((epoch_us(ts) // 1000000) // 86400) * 86400 AS day,
+             {_hll_sql_rows("user_id")}
+      FROM events
+    ),
+    daily AS (
+      SELECT day, bucket, max(rho) AS r FROM rows_h GROUP BY day, bucket
+    ),
+    days AS (SELECT DISTINCT day FROM daily),
+    contrib AS (
+      SELECT win_day, bucket, r FROM (
+        SELECT unnest(range(day, day + 7 * 86400, 86400)) AS win_day, bucket, r
+        FROM daily
+      )
+    ),
+    regs AS (
+      SELECT c.win_day AS grp, c.bucket, max(c.r) AS r
+      FROM contrib c JOIN days d ON d.day = c.win_day
+      GROUP BY c.win_day, c.bucket
+    ),
+    est AS ({_hll_sql_estimate("grp")}),
+    nd AS (
+      SELECT c.win_day, count(*) AS n_days FROM (
+        SELECT unnest(range(day, day + 7 * 86400, 86400)) AS win_day FROM days
+      ) c JOIN days d ON d.day = c.win_day
+      GROUP BY c.win_day
+    )
+    SELECT est.grp AS win_day, est.est_e4 AS hll_distinct_e4,
+           CAST(nd.n_days AS BIGINT) AS n_days
+    FROM est JOIN nd ON nd.win_day = est.grp
+    ORDER BY win_day
+    """,
+)
+def q_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day from MERGED daily HLL
+    registers — the precompute-once-roll-up-anywhere pattern that
+    makes sliding distinct-count dashboards viable at 100 TB: the
+    corpus is touched once to build day-sized sketches (64 registers
+    per day), and every window is a register max-merge over at most
+    7 x 64 rows, fully hash-oracled like the rest of the portable
+    sketch tier.  The window membership is the constant-factor
+    contribution explode (each day feeds its 7 trailing windows —
+    the q_sliding_distinct move), never a re-scan."""
+    e = load(spark, sf_dir, "events")
+    bucket, rho = _hll_row_exprs("user_id")
+    daily = (
+        e.select(
+            F.expr("((unix_micros(ts) div 1000000) div 86400) * 86400").alias("day"),
+            bucket.alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    days = daily.select("day").distinct()
+    contrib = daily.select(
+        F.explode(F.expr("sequence(day, day + 6 * 86400, 86400)")).alias("win_day"),
+        "bucket",
+        "r",
+    )
+    regs = (
+        contrib.join(
+            F.broadcast(days.select(F.col("day").alias("win_day"))), "win_day"
+        )
+        .groupBy(F.col("win_day").alias("grp"), "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    aggs, est_col = _hll_estimate_cols()
+    est = regs.groupBy("grp").agg(*aggs).select(
+        "grp", est_col().alias("hll_distinct_e4")
+    )
+    nd = (
+        days.select(
+            F.explode(F.expr("sequence(day, day + 6 * 86400, 86400)")).alias("win_day")
+        )
+        .join(F.broadcast(days.select(F.col("day").alias("win_day"))), "win_day")
+        .groupBy("win_day")
+        .agg(F.count(F.lit(1)).alias("n_days"))
+    )
+    return (
+        est.join(nd, est.grp == nd.win_day)
+        .select(
+            F.col("grp").alias("win_day"),
+            "hll_distinct_e4",
+            F.col("n_days").cast("long").alias("n_days"),
+        )
+        .orderBy("win_day")
+    )

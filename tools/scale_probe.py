@@ -113,6 +113,7 @@ HEADLINE = [
     "q_vocab_growth",
     "q_ks_test",
     "q_mutual_nn",
+    "q_hll_sliding",
 ]
 
 # per-table key columns to shift per replica so keys stay unique and
