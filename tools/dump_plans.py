@@ -18,6 +18,11 @@ HEADLINE = [
     # posting-array pipeline, partition pruning, and the z-order audit
     "q_dedup_ngram",
     "q_dedup_minhash_md5",
+    # r7s2: single-exchange multi-window decimation, two-pass exact
+    # quantiles, sliding sketch merge
+    "q_lttb_downsample",
+    "q_exact_quantiles",
+    "q_hll_sliding",
     "q_scan_partitioned",
     "q_zorder_layout",
     "q_compaction_plan",
