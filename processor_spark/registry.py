@@ -58,6 +58,7 @@ _MODULES = [
     "processor_spark.operators.layout",
     "processor_spark.operators.sketches",
     "processor_spark.operators.embedops",
+    "processor_spark.operators.ranking",
     "processor_spark.operators.bpe",
     "processor_spark.functions.families",
     "processor_spark.functions.udx",
