@@ -1857,3 +1857,125 @@ def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "lag")
     )
+
+
+# ------------------------------------------------------------ Holt forecast
+
+# The Holt update with dyadic smoothing (alpha = beta = 1/2) written as
+# one expression tree, expanded IDENTICALLY on both engines (l_new
+# appears twice — recomputed, never factored, so the trees match):
+#   l_t = y_t/2 + (l_{t-1} + b_{t-1})/2
+#   b_t = (l_t - l_{t-1})/2 + b_{t-1}/2
+_HOLT_STEP_SPARK = (
+    "(acc, x) -> named_struct("
+    "'y', x.y, "
+    "'l', (x.y * 0.5D) + ((acc.l + acc.b) * 0.5D), "
+    "'b', ((((x.y * 0.5D) + ((acc.l + acc.b) * 0.5D)) - acc.l) * 0.5D)"
+    " + (acc.b * 0.5D))"
+)
+# DuckDB twin: a RECURSIVE CTE, not list_reduce — DuckDB 1.0's
+# list_reduce with a STRUCT accumulator is buggy from the second
+# iteration on (a field expression sees earlier fields of the SAME
+# output struct already overwritten: acc.l inside the b expression
+# resolved to the just-computed new l).  The recursion applies the
+# byte-identical expression tree per step, so the doubles still match
+# the Spark fold bit-for-bit.
+@register(
+    "q_holt_forecast",
+    sql="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS day_epoch,
+             CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM events
+      GROUP BY 1, 2
+    ), idx AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY day_epoch) AS i
+      FROM daily
+    ), rec AS (
+      SELECT event_type, i, CAST(cents AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b
+      FROM idx WHERE i = 1
+      UNION ALL
+      SELECT d.event_type, d.i,
+             (CAST(d.cents AS DOUBLE) * CAST(0.5 AS DOUBLE))
+               + ((r.l + r.b) * CAST(0.5 AS DOUBLE)) AS l,
+             ((((CAST(d.cents AS DOUBLE) * CAST(0.5 AS DOUBLE))
+                + ((r.l + r.b) * CAST(0.5 AS DOUBLE))) - r.l) * CAST(0.5 AS DOUBLE))
+               + (r.b * CAST(0.5 AS DOUBLE)) AS b
+      FROM rec r JOIN idx d ON d.event_type = r.event_type AND d.i = r.i + 1
+    )
+    SELECT event_type,
+           CAST(i AS BIGINT) AS n_days,
+           CAST(floor((l * CAST(100.0 AS DOUBLE)) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS level_e2,
+           CAST(floor((b * CAST(100.0 AS DOUBLE)) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS trend_e2,
+           CAST(floor(((l + (CAST(1 AS DOUBLE) * b)) * CAST(100.0 AS DOUBLE))
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS fcst1_e2,
+           CAST(floor(((l + (CAST(7 AS DOUBLE) * b)) * CAST(100.0 AS DOUBLE))
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS fcst7_e2
+    FROM rec
+    QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY i DESC) = 1
+    ORDER BY event_type
+    """,
+)
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level + trend) per event
+    type over the daily revenue series, with 1-day and 7-day-ahead
+    forecasts — the classic capacity-planning primitive.
+
+    Exactness: smoothing constants are DYADIC (alpha = beta = 1/2), so
+    every fold step is (* 0.5) and (+) — correctly-rounded IEEE ops
+    that agree bit-for-bit when the expression trees match.  Daily
+    inputs are exact integer cents (order-free int64 sums); both
+    engines seed with the first element (l_1 = y_1, b_1 = 0, zero
+    float ops) and apply the identical step tree — Spark as an
+    aggregate(slice(s,2,..), element_at(s,1), step) array fold, DuckDB
+    as a recursive CTE (its list_reduce mis-binds struct-accumulator
+    fields; see the oracle comment).  Outputs are integerized via
+    floor(x*100+0.5).
+
+    Scale shape: one map-side-combinable hash agg reduces the corpus
+    to (type x day) cells; the per-type fold runs over a days-sized
+    array — at 100 TB the fold input is still only |types| x |days|.
+    The sequential fold is inherent to the recurrence; its input is
+    agg-sized, never data-sized."""
+    e = load(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")
+    daily = e.groupBy(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 86400) * 86400).cast("bigint").alias("day_epoch"),
+    ).agg(F.sum(cents).cast("bigint").alias("cents"))
+    series = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("day_epoch"), F.col("cents")))
+        ).alias("sorted"),
+    )
+    st = series.select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.expr(
+            "aggregate("
+            "  slice(transform(sorted, s -> named_struct("
+            "          'y', CAST(s.cents AS DOUBLE),"
+            "          'l', CAST(s.cents AS DOUBLE),"
+            "          'b', 0.0D)), 2, size(sorted)),"
+            "  element_at(transform(sorted, s -> named_struct("
+            "          'y', CAST(s.cents AS DOUBLE),"
+            "          'l', CAST(s.cents AS DOUBLE),"
+            "          'b', 0.0D)), 1),"
+            f"  {_HOLT_STEP_SPARK})"
+        ).alias("st"),
+    )
+    return st.select(
+        "event_type",
+        "n_days",
+        F.floor((F.col("st.l") * F.lit(100.0)) + F.lit(0.5)).cast("long").alias("level_e2"),
+        F.floor((F.col("st.b") * F.lit(100.0)) + F.lit(0.5)).cast("long").alias("trend_e2"),
+        F.floor(((F.col("st.l") + (F.lit(1.0) * F.col("st.b"))) * F.lit(100.0)) + F.lit(0.5))
+        .cast("long")
+        .alias("fcst1_e2"),
+        F.floor(((F.col("st.l") + (F.lit(7.0) * F.col("st.b"))) * F.lit(100.0)) + F.lit(0.5))
+        .cast("long")
+        .alias("fcst7_e2"),
+    ).orderBy("event_type")
