@@ -718,3 +718,87 @@ def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("keeper_doc_id"),
         F.count(F.lit(1)).alias("n_images"),
     )
+
+
+# ---------------------------------------------------- phash near-dups
+
+_PHASH_RADIUS = 3  # max Hamming distance for a near-duplicate pair
+_PHASH_BANDS = 4  # 4 bands x 12 bits over the 48-bit dhash
+
+
+def _phash_near_sql() -> str:
+    """Naive theta-join twin over the composed q_media_phash oracle:
+    exact Hamming <= radius on every distinct-hash pair.  The engine
+    uses band-bucket LSH; equality with this exhaustive twin PROVES
+    the 4x12-bit band cover complete for radius 3 (pigeonhole: <= 3
+    differing bits cannot touch all 4 bands) — the q_join_spatial
+    proof pattern."""
+    from processor_spark import registry as _registry_mod
+
+    mp = _registry_mod._REGISTRY["q_media_phash"].sql
+    return f"""
+    WITH reps AS (
+      SELECT dhash48 AS h, keeper_doc_id AS rep FROM ({mp}) mp
+    )
+    SELECT a.rep AS doc_a, b.rep AS doc_b,
+           CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+    FROM reps a JOIN reps b ON a.h < b.h
+    WHERE bit_count(xor(a.h, b.h)) <= {_PHASH_RADIUS}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register("q_phash_near", sql=_phash_near_sql())
+def q_phash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual NEAR-duplicate image pairs (Hamming <= 3 on the
+    48-bit dHash) — the radius>0 rung q_media_phash's docstring
+    promises: re-encoded/re-exposed copies whose difference hashes
+    drift by a few bits, found without an all-pairs join.
+
+    Band-bucket LSH for Hamming space: exact-duplicate mass first
+    collapses via the distinct-hash agg (the classic hotspot is gone
+    before banding), then each distinct hash posts to 4 buckets keyed
+    by its 12-bit bands.  Any pair within radius 3 shares >= 1 intact
+    band (pigeonhole over 4 bands), so bucket-local pairs + an exact
+    bit_count(XOR) filter find exactly the true pairs — proven by the
+    exhaustive theta-join oracle.  Pairs are generated locally from
+    per-bucket sorted posting arrays (the dedup.py pattern — no
+    self-join), deduped across bands, then Hamming-filtered.
+
+    Scale shape: decode+hash is embarrassingly parallel mapInPandas;
+    the distinct agg is map-side combinable; bucket size is bounded by
+    the near-dup mass per 12-bit band key of DISTINCT hashes (exact
+    dupes already collapsed), so no all-pairs stage exists at any
+    corpus size."""
+    ph = bmp_table(spark, sf_dir).mapInPandas(dhash_bmp, PHASH_SCHEMA)
+    reps = ph.groupBy("dhash48").agg(F.min("doc_id").alias("rep"))
+    band_keys = F.array(
+        *[F.expr(f"(dhash48 >> {12 * b}) & 4095") for b in range(_PHASH_BANDS)]
+    )
+    bands = reps.select(
+        "dhash48", "rep", F.posexplode(band_keys).alias("band_id", "band_key")
+    )
+    buckets = (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.sort_array(F.collect_list(F.struct("dhash48", "rep"))).alias("ds"))
+        .where(F.size("ds") >= 2)
+    )
+    pair_expr = (
+        "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), "
+        "y -> struct(x.dhash48 AS h_a, y.dhash48 AS h_b, "
+        "x.rep AS doc_a, y.rep AS doc_b))))"
+    )
+    cands = (
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.h_a", "p.h_b", "p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    return (
+        cands.select(
+            "doc_a",
+            "doc_b",
+            F.expr("CAST(bit_count(h_a ^ h_b) AS BIGINT)").alias("hamming"),
+        )
+        .where(F.col("hamming") <= _PHASH_RADIUS)
+        .orderBy("doc_a", "doc_b")
+    )
