@@ -284,3 +284,107 @@ def connected_components(
     labels = e.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
     roots = nodes.join(labels.select("doc_id"), "doc_id", "left_anti")
     return labels.union(roots.select("doc_id", F.col("doc_id").alias("cluster_id")))
+
+
+# ------------------------------------------------------------ BFS hops
+
+_BFS_HOPS = 3  # frontier rounds (distances 0.._BFS_HOPS)
+_BFS_SEED_NATION = 3  # seed set: suppliers of this nation
+
+
+def _bfs_sql() -> str:
+    """Unrolled-frontier twin: n_k = N(n_{k-1}) as chained CTEs, final
+    distance = min level per node (wander-back paths collapse under
+    the min, so the unrolled sets need no per-level EXCEPT)."""
+    frontier_ctes = []
+    unions = ["SELECT node, 0 AS d FROM n0"]
+    for k in range(1, _BFS_HOPS + 1):
+        frontier_ctes.append(
+            f"""n{k} AS (
+      SELECT DISTINCT e.v AS node FROM und e JOIN n{k - 1} f ON e.u = f.node
+    )"""
+        )
+        unions.append(f"SELECT node, {k} AS d FROM n{k}")
+    ctes = ",\n    ".join(frontier_ctes)
+    lvl_union = " UNION ALL ".join(unions)
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT l.l_suppkey * 2 AS s_node, o.o_custkey * 2 + 1 AS c_node
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ), und AS (
+      SELECT s_node AS u, c_node AS v FROM pairs
+      UNION ALL
+      SELECT c_node AS u, s_node AS v FROM pairs
+    ), n0 AS (
+      SELECT s_suppkey * 2 AS node FROM supplier
+      WHERE s_nationkey = {_BFS_SEED_NATION}
+    ),
+    {ctes},
+    lvls AS ({lvl_union})
+    SELECT node, CAST(min(d) AS BIGINT) AS dist,
+           CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END AS node_type
+    FROM lvls GROUP BY node
+    ORDER BY node
+    """
+
+
+@register("q_bfs_hops", sql=_bfs_sql())
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances (<= 3 hops) over the bipartite
+    supplier-customer trade graph, seeded at one nation's suppliers —
+    the reachability primitive behind supply-chain blast-radius and
+    influence queries.
+
+    Frontier-at-a-time BFS: each round joins the previous frontier to
+    the undirected edge list; the final distance is min(level) per
+    node, so revisits collapse without per-round anti-joins (the
+    oracle unrolls the identical algebra as chained CTEs).  Each
+    frontier is localCheckpoint(eager=True)ed — round k never replays
+    rounds 1..k-1 (the graph.py iteration rule).
+
+    Scale shape: per round one shuffle join keyed on node — the
+    standard Pregel-class BFS plan; edges are distinct (supplier,
+    customer) pairs (the heavy lineitem stream collapses in a
+    map-side-combinable distinct first).  Frontier size is bounded by
+    the node set, never the edge multiplicity."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("l_suppkey") * 2).alias("s_node"),
+            (F.col("o_custkey") * 2 + 1).alias("c_node"),
+        )
+        .distinct()
+    )
+    und = pairs.select(F.col("s_node").alias("u"), F.col("c_node").alias("v")).unionAll(
+        pairs.select(F.col("c_node").alias("u"), F.col("s_node").alias("v"))
+    )
+    und_p = scoped_persist(und)
+    frontier = (
+        sup.where(F.col("s_nationkey") == _BFS_SEED_NATION)
+        .select((F.col("s_suppkey") * 2).alias("node"))
+        .localCheckpoint(eager=True)
+    )
+    lvls = frontier.select("node", F.lit(0).alias("d"))
+    for k in range(1, _BFS_HOPS + 1):
+        frontier = (
+            und_p.join(frontier, und_p.u == frontier.node)
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        lvls = lvls.unionAll(frontier.select("node", F.lit(k).alias("d")))
+    return (
+        lvls.groupBy("node")
+        .agg(F.min("d").cast("long").alias("dist"))
+        .select(
+            "node",
+            "dist",
+            F.when(F.col("node") % 2 == 0, F.lit("supplier"))
+            .otherwise(F.lit("customer"))
+            .alias("node_type"),
+        )
+        .orderBy("node")
+    )
