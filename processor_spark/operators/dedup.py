@@ -1067,3 +1067,122 @@ def q_dedup_ngram_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
         _UNI_DEDUP_PLANTS, "doc_id long, source string, text string"
     )
     return _ngram_jaccard_pairs(d.unionByName(planted), mode="unicode")
+
+
+# ------------------------------------------------- content-defined chunks
+
+_CDC_W = 4  # rolling window (tokens)
+_CDC_B = 33  # polynomial base
+_CDC_MASK = 32  # boundary when H % 32 == 0 -> ~32-token avg chunks
+
+# token hash: first 8 md5 hex chars as int, reduced to 20 bits so the
+# 4-term polynomial (max ~1e6 * 33^3) stays far from int64 under ANSI
+_CDC_HS_SPARK = (
+    "transform(toks, t -> CAST(conv(substr(md5(CAST(t AS BINARY)), 1, 8), 16, 10)"
+    " AS BIGINT) % 1048576)"
+)
+_CDC_HS_DUCK = (
+    "list_transform(toks, t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)"
+    " % 1048576)"
+)
+
+
+@register(
+    "q_cdc_chunks",
+    sql=f"""
+    WITH base AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id, source, toks, {_CDC_HS_DUCK} AS hs FROM base
+    ), cut AS (
+      SELECT doc_id, source, toks,
+             list_sort(list_distinct(list_concat(
+               list_filter(range({_CDC_W}, len(toks) + 1),
+                 i -> (hs[i-3] * {_CDC_B ** 3} + hs[i-2] * {_CDC_B ** 2}
+                       + hs[i-1] * {_CDC_B} + hs[i]) % {_CDC_MASK} = 0),
+               [len(toks)]))) AS bounds
+      FROM hashed
+    ), chunks AS (
+      SELECT source,
+             unnest(list_transform(range(1, len(bounds) + 1),
+               j -> struct_pack(
+                 fp := md5(array_to_string(
+                   toks[(CASE WHEN j = 1 THEN 0 ELSE bounds[j-1] END) + 1 : bounds[j]],
+                   ' ')),
+                 tn := bounds[j]
+                       - (CASE WHEN j = 1 THEN 0 ELSE bounds[j-1] END)))) AS c
+      FROM cut
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(DISTINCT c.fp) AS BIGINT) AS n_distinct,
+           CAST(sum(c.tn) AS BIGINT) AS sum_toks,
+           CAST(max(c.tn) AS BIGINT) AS max_toks
+    FROM chunks
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (Rabin/gear style) + chunk-level dedup
+    stats per source — the storage-dedup primitive: chunk boundaries
+    follow CONTENT (a windowed rolling hash hitting 0 mod 32), so an
+    insertion early in a document shifts only the chunk it lands in,
+    and identical passages shared across documents produce identical
+    chunk fingerprints wherever they sit.
+
+    All array-native per document (transform/filter over the token
+    array — no explode of the token stream, no window): the 4-token
+    polynomial hash uses 20-bit md5-derived token hashes so every
+    term is exact int64 on both engines; chunk fingerprints are md5
+    of the joined chunk text.  n_distinct < n_chunks measures the
+    cross-document duplicated-passage mass.
+
+    Scale shape: one narrow md5-dense map per document (spread
+    across cores by the loader) then a single map-side-combinable
+    agg on source; distinct-chunk counting at 100 TB swaps to an HLL
+    merge (q_hll_sketch) with the same contract."""
+    d = load(spark, sf_dir, "documents", spread=True)
+    base = d.select(
+        "doc_id", "source", F.expr(r"split(trim(text), '\\s+')").alias("toks")
+    )
+    hashed = base.select("doc_id", "source", "toks", F.expr(_CDC_HS_SPARK).alias("hs"))
+    poly = (
+        f"element_at(hs, i - 3) * {_CDC_B ** 3} + element_at(hs, i - 2) * {_CDC_B ** 2}"
+        f" + element_at(hs, i - 1) * {_CDC_B} + element_at(hs, i)"
+    )
+    cut = hashed.select(
+        "doc_id",
+        "source",
+        "toks",
+        F.expr(
+            f"array_sort(array_distinct(concat("
+            f"  CASE WHEN size(toks) >= {_CDC_W} THEN"
+            f"    filter(sequence({_CDC_W}, size(toks)), i -> ({poly}) % {_CDC_MASK} = 0)"
+            f"  ELSE array() END,"
+            f"  array(size(toks)))))"
+        ).alias("bounds"),
+    )
+    prev = "(CASE WHEN j = 1 THEN 0 ELSE element_at(bounds, j - 1) END)"
+    chunks = cut.select(
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(bounds)), j -> struct("
+                f"  md5(CAST(array_join(slice(toks, {prev} + 1,"
+                f"        element_at(bounds, j) - {prev}), ' ') AS BINARY)) AS fp,"
+                f"  element_at(bounds, j) - {prev} AS tn))"
+            )
+        ).alias("c"),
+    )
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.countDistinct("c.fp").cast("long").alias("n_distinct"),
+            F.sum("c.tn").cast("long").alias("sum_toks"),
+            F.max("c.tn").cast("long").alias("max_toks"),
+        )
+        .orderBy("source")
+    )
