@@ -1186,3 +1186,121 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------------ minhash calibration
+
+
+def _minhash_calibration_sql() -> str:
+    """Composes the registered q_dedup_minhash_md5 oracle as the
+    candidate CTE (the CLAUDE.md oracle-composition pattern), then
+    re-derives the IDENTICAL distinct-gram sets to score each
+    candidate pair's exact Jaccard — integer-exact via the
+    (c*1e6) // union cross-engine division bridge."""
+    from processor_spark import registry as _registry_mod
+
+    cand = _registry_mod._REGISTRY["q_dedup_minhash_md5"].sql
+    return f"""
+    WITH cand AS (
+      SELECT doc_a, doc_b, est_jaccard FROM ({cand}) mh
+    ), toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+             generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id,
+             tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS gram
+      FROM toks
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY lead(tok, 2) OVER w IS NOT NULL
+    ), sized AS (
+      SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+    ), overlap AS (
+      SELECT p.doc_a, p.doc_b, count(*) AS n_common
+      FROM cand p
+      JOIN grams a ON a.doc_id = p.doc_a
+      JOIN grams b ON b.doc_id = p.doc_b AND b.gram = a.gram
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT CAST(floor(p.est_jaccard * 10000.0 + 0.5) AS BIGINT) AS est_e4,
+             CAST((coalesce(o.n_common, 0) * 1000000)
+                  // (sa.n_grams + sb.n_grams - coalesce(o.n_common, 0)) AS BIGINT) AS ex_e6
+      FROM cand p
+      LEFT JOIN overlap o ON o.doc_a = p.doc_a AND o.doc_b = p.doc_b
+      JOIN sized sa ON sa.doc_id = p.doc_a
+      JOIN sized sb ON sb.doc_id = p.doc_b
+    )
+    SELECT est_e4,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(CAST(sum(ex_e6) AS BIGINT) // count(*) AS BIGINT) AS mean_ex_e6,
+           CAST(min(ex_e6) AS BIGINT) AS min_ex_e6,
+           CAST(max(ex_e6) AS BIGINT) AS max_ex_e6
+    FROM scored
+    GROUP BY est_e4
+    ORDER BY est_e4
+    """
+
+
+@register("q_minhash_calibration", sql=_minhash_calibration_sql())
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy calibration: for every MinHash/LSH candidate
+    pair, the exact 3-gram Jaccard, grouped by the 8-permutation
+    estimate — the acceptance report a dedup rollout reads before
+    trusting the sketch (does est 0.875 really mean ~0.8+ exact?).
+
+    The candidate set comes from the registered q_dedup_minhash_md5
+    builder (reentrancy-safe invocation); exact Jaccard is computed
+    ONLY for candidate pairs (pair-list-bounded, never all-pairs) from
+    the identical distinct-gram sets, with the integer-division bridge
+    keeping every emitted value exact.
+
+    Scale shape: candidates are band-capped (C(64,2) per bucket max);
+    the exact-scoring join touches only candidate docs' gram sets —
+    the evaluation cost scales with the candidate count, not the
+    corpus."""
+    cand = q_dedup_minhash_md5(spark, sf_dir)
+    d = load(spark, sf_dir, "documents", spread=True)
+    grams = (
+        d.select("doc_id", _tokens(F.col("text")).alias("toks"))
+        .where(F.size("toks") >= 3)
+        .select("doc_id", F.explode(F.expr(_GRAM3_EXPR)).alias("gram"))
+        .distinct()
+    )
+    grams = scoped_persist(grams)
+    sized = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    ga = grams.select(F.col("doc_id").alias("doc_a"), "gram")
+    gb = grams.select(F.col("doc_id").alias("gb_doc"), F.col("gram").alias("gram_b"))
+    overlap = (
+        cand.select("doc_a", "doc_b")
+        .join(ga, "doc_a")
+        .join(gb, (F.col("doc_b") == F.col("gb_doc")) & (F.col("gram") == F.col("gram_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sized.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
+    sb = sized.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
+    scored = (
+        cand.join(overlap, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.floor(F.col("est_jaccard") * 10000.0 + 0.5).cast("long").alias("est_e4"),
+            F.expr(
+                "CAST((coalesce(n_common, 0) * 1000000)"
+                " div (na + nb - coalesce(n_common, 0)) AS BIGINT)"
+            ).alias("ex_e6"),
+        )
+    )
+    return (
+        scored.groupBy("est_e4")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.expr("CAST(CAST(sum(ex_e6) AS BIGINT) div count(*) AS BIGINT)").alias(
+                "mean_ex_e6"
+            ),
+            F.min("ex_e6").cast("long").alias("min_ex_e6"),
+            F.max("ex_e6").cast("long").alias("max_ex_e6"),
+        )
+        .orderBy("est_e4")
+    )
