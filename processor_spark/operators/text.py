@@ -1484,3 +1484,103 @@ def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_e6"), F.asc("phrase"))
         .limit(20)
     )
+
+
+# ------------------------------------------------------------ boilerplate
+
+_BOILER_NUM = 4  # boilerplate when df * 5 >= n_docs * 4  (>= 80%)
+_BOILER_DEN = 5
+
+
+@register(
+    "q_boilerplate",
+    sql=f"""
+    WITH occ AS (
+      SELECT doc_id, source,
+             unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ), ndocs AS (
+      SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ), df AS (
+      SELECT source, tok, count(*) AS df
+      FROM (SELECT DISTINCT doc_id, source, tok FROM occ)
+      GROUP BY source, tok
+    ), boiler AS (
+      SELECT d.source, d.tok
+      FROM df d JOIN ndocs n ON n.source = d.source
+      WHERE d.df * {_BOILER_DEN} >= n.n_docs * {_BOILER_NUM}
+    ), tot AS (
+      SELECT source, count(*) AS total_occ FROM occ GROUP BY source
+    ), bocc AS (
+      SELECT o.source, count(*) AS boiler_occ
+      FROM occ o JOIN boiler b ON b.source = o.source AND b.tok = o.tok
+      GROUP BY o.source
+    ), bvoc AS (
+      SELECT source, count(*) AS n_boiler_tokens FROM boiler GROUP BY source
+    )
+    SELECT n.source,
+           CAST(n.n_docs AS BIGINT) AS n_docs,
+           CAST(coalesce(v.n_boiler_tokens, 0) AS BIGINT) AS n_boiler_tokens,
+           CAST(coalesce(b.boiler_occ, 0) AS BIGINT) AS boiler_occ,
+           CAST(t.total_occ AS BIGINT) AS total_occ,
+           CAST((coalesce(b.boiler_occ, 0) * 1000000) // t.total_occ AS BIGINT) AS share_e6
+    FROM ndocs n
+    JOIN tot t ON t.source = n.source
+    LEFT JOIN bocc b ON b.source = n.source
+    LEFT JOIN bvoc v ON v.source = n.source
+    ORDER BY n.source
+    """,
+)
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection per source — the web-corpus cleaning
+    primitive: tokens present in >= 80% of a source's documents are
+    navigation/footer furniture, and the share of a source's token
+    mass they account for is the boilerplate contamination measure a
+    training-data pipeline gates crawl sources on.
+
+    Integer-exact throughout: the 80% threshold is the cross-
+    multiplied comparison df*5 >= n_docs*4 (no float ratio), the
+    share is the (x*1e6) // total division bridge.
+
+    Scale shape: distinct + two hash-aggs on (source, token) — all
+    map-side combinable; the boilerplate vocabulary (tokens in >=80%
+    of docs) is tiny by construction, so the occurrence tagging join
+    broadcasts it.  No windows, no data-sized sorts."""
+    d = load(spark, sf_dir, "documents", spread=True)
+    occ = d.select("doc_id", "source", F.explode(tokens(F.col("text"))).alias("tok"))
+    occ = scoped_persist(occ)
+    ndocs = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    df = (
+        occ.select("doc_id", "source", "tok")
+        .distinct()
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    boiler = (
+        df.join(F.broadcast(ndocs), "source")
+        .where(F.col("df") * _BOILER_DEN >= F.col("n_docs") * _BOILER_NUM)
+        .select("source", "tok")
+    )
+    tot = occ.groupBy("source").agg(F.count(F.lit(1)).alias("total_occ"))
+    bocc = (
+        occ.join(F.broadcast(boiler), ["source", "tok"])
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("boiler_occ"))
+    )
+    bvoc = boiler.groupBy("source").agg(F.count(F.lit(1)).alias("n_boiler_tokens"))
+    return (
+        ndocs.join(tot, "source")
+        .join(bocc, "source", "left")
+        .join(bvoc, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.coalesce(F.col("n_boiler_tokens"), F.lit(0)).cast("long").alias("n_boiler_tokens"),
+            F.coalesce(F.col("boiler_occ"), F.lit(0)).cast("long").alias("boiler_occ"),
+            F.col("total_occ").cast("long").alias("total_occ"),
+            F.expr(
+                "CAST((coalesce(boiler_occ, 0) * 1000000) div total_occ AS BIGINT)"
+            ).alias("share_e6"),
+        )
+        .orderBy("source")
+    )
