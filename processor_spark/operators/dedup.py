@@ -1304,3 +1304,63 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("est_e4")
     )
+
+
+# ------------------------------------------------------------ dedup report
+
+
+def _dedup_report_sql() -> str:
+    """One-row corpus dedup report composing three registered oracles
+    as scalar subqueries (the oracle-composition pattern) — the
+    summary a pipeline run logs before deciding which dedup rung to
+    apply."""
+    from processor_spark import registry as _registry_mod
+
+    exact = _registry_mod._REGISTRY["q_dedup_exact"].sql
+    mh = _registry_mod._REGISTRY["q_dedup_minhash_md5"].sql
+    ng = _registry_mod._REGISTRY["q_dedup_ngram"].sql
+    return f"""
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+      (SELECT CAST(count(*) AS BIGINT) FROM ({exact}) e) AS n_exact_groups,
+      (SELECT CAST(coalesce(sum(n_copies - 1), 0) AS BIGINT)
+         FROM ({exact}) e WHERE n_copies > 1) AS n_exact_dup_docs,
+      (SELECT CAST(count(*) AS BIGINT) FROM ({mh}) m) AS n_minhash_cand,
+      (SELECT CAST(count(*) AS BIGINT) FROM ({mh}) m
+        WHERE est_jaccard >= 0.5) AS n_minhash_ge50,
+      (SELECT CAST(count(*) AS BIGINT) FROM ({ng}) g) AS n_ngram_pairs
+    """
+
+
+@register("q_dedup_report", sql=_dedup_report_sql())
+def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus dedup report: document count, exact-duplicate groups and
+    surplus copies, MinHash/LSH candidate volume (total and >= 0.5
+    estimate), and verified n-gram near-dup pairs — one row summarizing
+    the whole dedup ladder, each number produced by the SAME registered
+    builder the individual keys use (reentrancy-safe invocation), so
+    the composed hash oracle certifies the ladder end to end.
+
+    Scale shape: three bounded pipelines plus scalar counts; nothing
+    beyond what the composed keys already cost."""
+    d = load(spark, sf_dir, "documents")
+    exact = q_dedup_exact(spark, sf_dir)
+    mh = q_dedup_minhash_md5(spark, sf_dir)
+    ng = q_dedup_ngram(spark, sf_dir)
+    n_docs = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    n_groups = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact_groups"))
+    n_dup = exact.where(F.col("n_copies") > 1).agg(
+        F.coalesce(F.sum(F.col("n_copies") - 1), F.lit(0)).cast("long").alias("n_exact_dup_docs")
+    )
+    n_cand = mh.agg(F.count(F.lit(1)).cast("long").alias("n_minhash_cand"))
+    n_ge50 = mh.where(F.col("est_jaccard") >= 0.5).agg(
+        F.count(F.lit(1)).cast("long").alias("n_minhash_ge50")
+    )
+    n_ng = ng.agg(F.count(F.lit(1)).cast("long").alias("n_ngram_pairs"))
+    return (
+        n_docs.crossJoin(n_groups)
+        .crossJoin(n_dup)
+        .crossJoin(n_cand)
+        .crossJoin(n_ge50)
+        .crossJoin(n_ng)
+    )
