@@ -52,7 +52,12 @@ from processor_spark.registry import register
 from processor_spark.sources import load
 
 _D = 64  # embedding dimensionality (TESTDATA.md fixture contract)
-_QMOD = 40  # queries = vec_id % _QMOD == 0
+_QMOD = 40  # queries = vec_id % _QMOD == 0 ...
+_QCAP = 4000  # ... AND vec_id < _QCAP: the eval set is FIXED-SIZE
+# (<= 100 queries) no matter how large the corpus grows — without the
+# cap the pairs stage is |Q| x |corpus| with Q ~ corpus/40, i.e.
+# quadratic at 100 TB; a benchmark query set never scales with the
+# candidate pool.
 _K = 10  # evaluation depth
 _LCM = 2520  # lcm(1..10): common denominator for P@k rationals
 
@@ -78,7 +83,7 @@ _RUN_CTES = f"""
     qs AS (
       SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb,
              label AS q_label
-      FROM embeddings WHERE vec_id % {_QMOD} = 0
+      FROM embeddings WHERE vec_id % {_QMOD} = 0 AND vec_id < {_QCAP}
     ), pairs AS (
       SELECT q.q_id, c.vec_id, q.q_label, c.label,
              CAST(floor((list_reduce(
@@ -109,7 +114,7 @@ def _ranked_run(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     em = load(spark, sf_dir, "embeddings")
     qs = (
-        em.where(F.col("vec_id") % _QMOD == 0)
+        em.where((F.col("vec_id") % _QMOD == 0) & (F.col("vec_id") < _QCAP))
         .select(
             F.col("vec_id").alias("q_id"),
             F.col("embedding").cast("array<double>").alias("q_emb"),
