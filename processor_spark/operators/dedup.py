@@ -1348,19 +1348,24 @@ def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     mh = q_dedup_minhash_md5(spark, sf_dir)
     ng = q_dedup_ngram(spark, sf_dir)
     n_docs = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    n_groups = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact_groups"))
-    n_dup = exact.where(F.col("n_copies") > 1).agg(
-        F.coalesce(F.sum(F.col("n_copies") - 1), F.lit(0)).cast("long").alias("n_exact_dup_docs")
+    # ONE agg per component — a second .agg() on the same DataFrame
+    # would recompute the whole upstream pipeline (no auto CTE
+    # materialization; the 64x probe measured the report at 2x the
+    # component sum before this fold)
+    ex_stats = exact.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact_groups"),
+        F.coalesce(
+            F.sum(F.when(F.col("n_copies") > 1, F.col("n_copies") - 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_exact_dup_docs"),
     )
-    n_cand = mh.agg(F.count(F.lit(1)).cast("long").alias("n_minhash_cand"))
-    n_ge50 = mh.where(F.col("est_jaccard") >= 0.5).agg(
-        F.count(F.lit(1)).cast("long").alias("n_minhash_ge50")
+    mh_stats = mh.agg(
+        F.count(F.lit(1)).cast("long").alias("n_minhash_cand"),
+        F.sum(F.when(F.col("est_jaccard") >= 0.5, 1).otherwise(0))
+        .cast("long")
+        .alias("n_minhash_ge50"),
     )
     n_ng = ng.agg(F.count(F.lit(1)).cast("long").alias("n_ngram_pairs"))
-    return (
-        n_docs.crossJoin(n_groups)
-        .crossJoin(n_dup)
-        .crossJoin(n_cand)
-        .crossJoin(n_ge50)
-        .crossJoin(n_ng)
-    )
+    return n_docs.crossJoin(ex_stats).crossJoin(mh_stats).crossJoin(n_ng)

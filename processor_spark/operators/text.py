@@ -1584,3 +1584,105 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------------------------ collocations
+
+_COLL_MIN_COUNT = 5
+_COLL_TOPK = 20
+
+
+@register(
+    "q_collocations",
+    sql=f"""
+    WITH toks AS (
+      SELECT string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), big AS (
+      SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+      FROM toks WHERE len(t) >= 2
+    ), uni AS (
+      SELECT unnest(t) AS w FROM toks
+    ), cx AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+      n_tot AS (SELECT count(*) AS n FROM uni),
+      np AS (SELECT count(*) AS n FROM big),
+      cxy AS (SELECT bg, count(*) AS cp FROM big GROUP BY bg)
+    SELECT bg AS bigram, CAST(cp AS BIGINT) AS c_xy,
+           CAST(a.c AS BIGINT) AS c_x, CAST(b.c AS BIGINT) AS c_y,
+           CAST(floor(
+             CAST(CAST(cp AS HUGEINT) * CAST((SELECT n FROM n_tot) AS HUGEINT)
+                  * CAST((SELECT n FROM n_tot) AS HUGEINT) * 1000000 AS DOUBLE)
+             / CAST(CAST((SELECT n FROM np) AS HUGEINT)
+                    * CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT) AS DOUBLE)
+           ) AS BIGINT) AS lift_e6
+    FROM cxy
+    JOIN cx a ON a.w = string_split(bg, ' ')[1]
+    JOIN cx b ON b.w = string_split(bg, ' ')[2]
+    WHERE cp >= {_COLL_MIN_COUNT}
+    ORDER BY lift_e6 DESC, bg
+    LIMIT {_COLL_TOPK}
+    """,
+)
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top bigrams by PMI lift
+    c(xy)·N² / (Npairs·c(x)·c(y)) with a minimum-count floor — the
+    phrase-vocabulary induction step (tokenizer phrase merges, index
+    phrase terms) run before training.
+
+    Log-free by design: PMI's log is monotone, so ranking by the
+    RATIONAL lift ranks identically — and the rational is exact:
+    both 128-bit integer products (Spark decimal chains sized to stay
+    <= 38 digits, DuckDB HUGEINT) round to the identical double before
+    the single division (the r4 combine bridge), then integerize.
+
+    Scale shape: two map-side-combinable counting aggs (bigrams,
+    unigrams) + two vocab-keyed joins; the min-count floor prunes the
+    bigram tail before the joins.  TakeOrdered top-k, no global
+    sort."""
+    d = load(spark, sf_dir, "documents", spread=True)
+    t = d.select(tokens(F.col("text")).alias("t"))
+    big = t.where(F.size("t") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i+1]))")
+        ).alias("bg")
+    )
+    uni = t.select(F.explode("t").alias("w"))
+    cx = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n_tot = uni.agg(F.count(F.lit(1)).alias("n_tot"))
+    np_ = big.agg(F.count(F.lit(1)).alias("n_pairs"))
+    cxy = (
+        big.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("cp"))
+        .where(F.col("cp") >= _COLL_MIN_COUNT)
+    )
+    a = cx.select(F.col("w").alias("w_a"), F.col("c").alias("c_a"))
+    b = cx.select(F.col("w").alias("w_b"), F.col("c").alias("c_b"))
+    joined = (
+        cxy.withColumn("w1", F.expr("split(bg, ' ')[0]"))
+        .withColumn("w2", F.expr("split(bg, ' ')[1]"))
+        .join(a, F.col("w1") == F.col("w_a"))
+        .join(b, F.col("w2") == F.col("w_b"))
+        .crossJoin(F.broadcast(n_tot))
+        .crossJoin(F.broadcast(np_))
+    )
+    num = (
+        F.col("cp").cast("decimal(8,0)")
+        * F.col("n_tot").cast("decimal(11,0)")
+        * F.col("n_tot").cast("decimal(11,0)")
+        * F.lit(1000000).cast("decimal(7,0)")
+    )
+    den = (
+        F.col("n_pairs").cast("decimal(11,0)")
+        * F.col("c_a").cast("decimal(9,0)")
+        * F.col("c_b").cast("decimal(9,0)")
+    )
+    return (
+        joined.select(
+            F.col("bg").alias("bigram"),
+            F.col("cp").cast("long").alias("c_xy"),
+            F.col("c_a").cast("long").alias("c_x"),
+            F.col("c_b").cast("long").alias("c_y"),
+            F.floor(num.cast("double") / den.cast("double")).cast("long").alias("lift_e6"),
+        )
+        .orderBy(F.desc("lift_e6"), F.asc("bigram"))
+        .limit(_COLL_TOPK)
+    )

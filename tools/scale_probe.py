@@ -114,6 +114,18 @@ HEADLINE = [
     "q_ks_test",
     "q_mutual_nn",
     "q_hll_sliding",
+    # r7 session 3: ranking eval (fixed query set — must be near-flat),
+    # Holt fold (agg-sized), Hamming LSH, BFS, content chunking,
+    # sketch calibration, boilerplate, ladder report
+    "q_ndcg",
+    "q_map_mrr",
+    "q_holt_forecast",
+    "q_phash_near",
+    "q_bfs_hops",
+    "q_cdc_chunks",
+    "q_minhash_calibration",
+    "q_boilerplate",
+    "q_dedup_report",
 ]
 
 # per-table key columns to shift per replica so keys stay unique and
