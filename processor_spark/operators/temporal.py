@@ -797,3 +797,121 @@ def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(10)
     )
+
+
+# --------------------------------------------------------- asof nearest
+
+
+@register(
+    "q_join_asof_nearest",
+    sql="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, 0 AS kind, ts AS click_ts,
+             NULL::BIGINT AS purchase_id
+      FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, ts, event_id, 1 AS kind, NULL AS click_ts,
+             event_id AS purchase_id
+      FROM events WHERE event_type = 'purchase'
+    ), carried AS (
+      SELECT user_id, ts, purchase_id,
+             max(click_ts) OVER (
+               PARTITION BY user_id ORDER BY ts, kind, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_ts,
+             min(click_ts) OVER (
+               PARTITION BY user_id ORDER BY ts, kind, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_ts
+      FROM tagged
+    ), chosen AS (
+      SELECT purchase_id, user_id, ts,
+             epoch_us(ts) - epoch_us(back_ts) AS back_gap_us,
+             epoch_us(fwd_ts) - epoch_us(ts) AS fwd_gap_us
+      FROM carried WHERE purchase_id IS NOT NULL
+    )
+    SELECT purchase_id, user_id, ts AS purchase_ts,
+           CASE WHEN back_gap_us IS NULL AND fwd_gap_us IS NULL THEN 'none'
+                WHEN fwd_gap_us IS NULL THEN 'back'
+                WHEN back_gap_us IS NULL THEN 'fwd'
+                WHEN back_gap_us <= fwd_gap_us THEN 'back' ELSE 'fwd' END AS direction,
+           CAST(CASE WHEN back_gap_us IS NULL AND fwd_gap_us IS NULL THEN -1
+                WHEN fwd_gap_us IS NULL THEN back_gap_us
+                WHEN back_gap_us IS NULL THEN fwd_gap_us
+                WHEN back_gap_us <= fwd_gap_us THEN back_gap_us
+                ELSE fwd_gap_us END AS BIGINT) AS gap_us
+    FROM chosen
+    ORDER BY purchase_id
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor as-of join: for each purchase, the CLOSEST
+    click of the same user in either time direction (tie -> backward)
+    — the sensor-alignment variant of as-of (pair each reading with
+    the nearest reference sample, not merely the last one).
+
+    Same union-and-carry shape as q_join_asof (temporal.py) run BOTH
+    ways in one pass: a running max of click times over the preceding
+    frame and a running min over the following frame, then an exact
+    integer-microsecond gap comparison — one shuffle on user_id, two
+    window passes over the same sort, no inequality-join explosion.
+    A same-timestamp click sorts before the purchase (kind 0 < 1), so
+    it is the backward candidate with gap 0 and wins every tie."""
+    e = load(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(0).alias("kind"),
+        F.col("ts").alias("click_ts"),
+        F.lit(None).cast("bigint").alias("purchase_id"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    order = [F.col("ts"), F.col("kind"), F.col("event_id")]
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    carried = (
+        clicks.unionByName(purchases)
+        .withColumn("back_ts", F.max("click_ts").over(w_back))
+        .withColumn("fwd_ts", F.min("click_ts").over(w_fwd))
+    )
+    chosen = carried.where(F.col("purchase_id").isNotNull()).select(
+        "purchase_id",
+        "user_id",
+        "ts",
+        (F.unix_micros("ts") - F.unix_micros("back_ts")).alias("back_gap_us"),
+        (F.unix_micros("fwd_ts") - F.unix_micros("ts")).alias("fwd_gap_us"),
+    )
+    both_null = F.col("back_gap_us").isNull() & F.col("fwd_gap_us").isNull()
+    back_wins = F.col("back_gap_us") <= F.col("fwd_gap_us")
+    return chosen.select(
+        "purchase_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.when(both_null, F.lit("none"))
+        .when(F.col("fwd_gap_us").isNull(), F.lit("back"))
+        .when(F.col("back_gap_us").isNull(), F.lit("fwd"))
+        .when(back_wins, F.lit("back"))
+        .otherwise(F.lit("fwd"))
+        .alias("direction"),
+        F.when(both_null, F.lit(-1))
+        .when(F.col("fwd_gap_us").isNull(), F.col("back_gap_us"))
+        .when(F.col("back_gap_us").isNull(), F.col("fwd_gap_us"))
+        .when(back_wins, F.col("back_gap_us"))
+        .otherwise(F.col("fwd_gap_us"))
+        .cast("long")
+        .alias("gap_us"),
+    ).orderBy("purchase_id")
