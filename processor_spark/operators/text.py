@@ -1686,3 +1686,60 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift_e6"), F.asc("bigram"))
         .limit(_COLL_TOPK)
     )
+
+
+# ------------------------------------------------------------ phrase search
+
+_PHRASE = ("slow", "query")  # the searched phrase, as adjacent tokens
+
+
+@register(
+    "q_phrase_search",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents
+    )
+    SELECT doc_id, source
+    FROM toks
+    WHERE len(t) >= 2 AND list_contains(
+      list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]),
+      '{_PHRASE[0]} {_PHRASE[1]}')
+    ORDER BY doc_id
+    """,
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search through an inverted token index: candidate docs
+    must contain EVERY phrase token (posting-list intersection — the
+    pg_trgm / search-engine prefilter), then only candidates pay the
+    exact adjacency verification.  The oracle is the naive full scan
+    (bigram containment over every document), so hash equality PROVES
+    the prefilter lossless.
+
+    Scale shape: the posting filter touches only the phrase tokens'
+    posting lists (two keys of a distinct (token, doc) agg — at 100 TB
+    this is a pre-built index read, cf. the lakehouse serve keys); the
+    bigram verification explodes nothing and runs on the candidate
+    subset only."""
+    d = load(spark, sf_dir, "documents")
+    occ = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok")).distinct()
+    cand = (
+        occ.where(F.col("tok").isin(*_PHRASE))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("tok").alias("n_hit"))
+        .where(F.col("n_hit") == len(_PHRASE))
+        .select("doc_id")
+    )
+    phrase = " ".join(_PHRASE)
+    verified = (
+        d.join(cand, "doc_id")
+        .select("doc_id", "source", tokens(F.col("text")).alias("t"))
+        .where(
+            (F.size("t") >= 2)
+            & F.expr(
+                "exists(transform(sequence(0, size(t) - 2),"
+                f" i -> concat_ws(' ', t[i], t[i+1])), g -> g = '{phrase}')"
+            )
+        )
+    )
+    return verified.select("doc_id", "source").orderBy("doc_id")
