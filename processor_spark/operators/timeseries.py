@@ -1656,6 +1656,43 @@ def q_sax_symbolize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _detrended_devs(spark: SparkSession, sf_dir: str):
+    """Shared detrended-deviation cells for the seasonal keys:
+    (event_type, h_epoch, hod, dev25) where dev25 = 25*y - movsum over
+    the centered 25-hour window (the /25 cleared before it exists —
+    integer-exact), y = hourly sum of e4 micro-units, full windows
+    only."""
+    e = load(spark, sf_dir, "events")
+    y = F.floor((F.col("value") * F.lit(1e4)) + F.lit(0.5)).cast("long")
+    hourly = (
+        e.select(
+            "event_type",
+            F.expr("((unix_micros(ts) div 1000000) div 3600) * 3600").alias("h_epoch"),
+            y.alias("yv"),
+        )
+        .groupBy("event_type", "h_epoch")
+        .agg(F.sum("yv").alias("y"), F.count(F.lit(1)).alias("n_pts"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h_epoch")
+        .rowsBetween(-12, 12)
+    )
+    trended = hourly.select(
+        "event_type",
+        "h_epoch",
+        "y",
+        F.sum("y").over(w).alias("movsum"),
+        F.count(F.lit(1)).over(w).alias("movcnt"),
+    )
+    return trended.where(F.col("movcnt") == 25).select(
+        "event_type",
+        "h_epoch",
+        F.expr("(h_epoch % 86400) div 3600").alias("hod"),
+        (F.lit(25) * F.col("y") - F.col("movsum")).alias("dev25"),
+    )
+
+
 @register(
     "q_seasonal_decompose",
     sql="""
@@ -1699,34 +1736,7 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncate toward zero — verified -7 div 2 == -3).  Scale shape:
     one corpus agg to hourly cells; the moving window and the slot
     agg run on the bounded cell table (hours x types)."""
-    e = load(spark, sf_dir, "events")
-    y = F.floor((F.col("value") * F.lit(1e4)) + F.lit(0.5)).cast("long")
-    hourly = (
-        e.select(
-            "event_type",
-            F.expr("((unix_micros(ts) div 1000000) div 3600) * 3600").alias("h_epoch"),
-            y.alias("yv"),
-        )
-        .groupBy("event_type", "h_epoch")
-        .agg(F.sum("yv").alias("y"), F.count(F.lit(1)).alias("n_pts"))
-    )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("h_epoch")
-        .rowsBetween(-12, 12)
-    )
-    trended = hourly.select(
-        "event_type",
-        "h_epoch",
-        "y",
-        F.sum("y").over(w).alias("movsum"),
-        F.count(F.lit(1)).over(w).alias("movcnt"),
-    )
-    devs = trended.where(F.col("movcnt") == 25).select(
-        "event_type",
-        F.expr("(h_epoch % 86400) div 3600").alias("hod"),
-        (F.lit(25) * F.col("y") - F.col("movsum")).alias("dev25"),
-    )
+    devs = _detrended_devs(spark, sf_dir).drop("h_epoch")
     return (
         devs.groupBy("event_type", "hod")
         .agg(
@@ -1979,3 +1989,101 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("fcst7_e2"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------- seasonal anomaly
+
+_ANOM_TOPK = 5  # anomalies reported per event type
+
+
+def _seasonal_anomaly_sql() -> str:
+    """Composes the registered q_seasonal_decompose oracle for the
+    seasonal profile and re-derives the same detrended cells, then
+    ranks buckets by the absolute deseasonalized residual — all in
+    the shared integer units (dev25 x 1e4)."""
+    from processor_spark import registry as _registry_mod
+
+    seasonal = _registry_mod._REGISTRY["q_seasonal_decompose"].sql
+    return f"""
+    WITH hourly AS (
+      SELECT event_type,
+             ((epoch_us(ts) // 1000000) // 3600) * 3600 AS h_epoch,
+             sum(CAST(floor((value * CAST(1e4 AS DOUBLE)) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS y,
+             count(*) AS n_pts
+      FROM events
+      GROUP BY event_type, ((epoch_us(ts) // 1000000) // 3600) * 3600
+    ), trended AS (
+      SELECT event_type, h_epoch, y,
+             sum(y)    OVER w AS movsum,
+             count(*)  OVER w AS movcnt
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h_epoch
+                   ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ), devs AS (
+      SELECT event_type, h_epoch,
+             (h_epoch % 86400) // 3600 AS hod,
+             25 * y - movsum AS dev25
+      FROM trended WHERE movcnt = 25
+    ), seasonal AS (
+      SELECT event_type, hod, seasonal_e4 FROM ({seasonal}) sd
+    ), resid AS (
+      SELECT d.event_type, d.h_epoch,
+             CAST(d.dev25 AS BIGINT) * 10000 - 25 * s.seasonal_e4 AS resid_q
+      FROM devs d JOIN seasonal s
+        ON s.event_type = d.event_type AND s.hod = d.hod
+    )
+    SELECT event_type, h_epoch, CAST(resid_q AS BIGINT) AS resid_q,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT event_type, h_epoch, resid_q,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(resid_q) DESC, h_epoch) AS rnk
+      FROM resid
+    ) WHERE rnk <= {_ANOM_TOPK}
+    ORDER BY event_type, rnk
+    """
+
+
+@register("q_seasonal_anomaly", sql=_seasonal_anomaly_sql())
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly ranking: the top hourly buckets per
+    event type by absolute DESEASONALIZED residual — the alerting
+    query a capacity baseline feeds (a spike at 3am is an anomaly; the
+    same level at the daily peak hour is not).
+
+    Composes the registered seasonal profile (q_seasonal_decompose —
+    builder reused Spark-side, SQL composed oracle-side) and compares
+    each detrended cell against its hour-of-day component entirely in
+    scaled integers: resid_q = dev25*1e4 - 25*seasonal_e4 (both terms
+    exact int64; no float enters the ranking).
+
+    Scale shape: the corpus reduces to hourly cells in one
+    map-side-combinable agg; ranking windows run on the cell table;
+    the seasonal profile is a 24 x |types| broadcast."""
+    devs = _detrended_devs(spark, sf_dir)
+    seasonal = q_seasonal_decompose(spark, sf_dir).select(
+        "event_type", "hod", "seasonal_e4"
+    )
+    resid = devs.join(
+        F.broadcast(seasonal), ["event_type", "hod"]
+    ).select(
+        "event_type",
+        "h_epoch",
+        (F.col("dev25") * F.lit(10000) - F.lit(25) * F.col("seasonal_e4")).alias(
+            "resid_q"
+        ),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("resid_q")).desc(), F.col("h_epoch")
+    )
+    return (
+        resid.select(
+            "event_type",
+            "h_epoch",
+            F.col("resid_q").cast("long").alias("resid_q"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .where(F.col("rnk") <= _ANOM_TOPK)
+        .select("event_type", "h_epoch", "resid_q", F.col("rnk").cast("long").alias("rnk"))
+        .orderBy("event_type", "rnk")
+    )
