@@ -126,6 +126,10 @@ HEADLINE = [
     "q_minhash_calibration",
     "q_boilerplate",
     "q_dedup_report",
+    "q_collocations",
+    "q_join_asof_nearest",
+    "q_phrase_search",
+    "q_seasonal_anomaly",
 ]
 
 # per-table key columns to shift per replica so keys stay unique and
