@@ -1721,11 +1721,22 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is a pre-built index read, cf. the lakehouse serve keys); the
     bigram verification explodes nothing and runs on the candidate
     subset only."""
-    d = load(spark, sf_dir, "documents")
-    occ = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok")).distinct()
+    # split/filter/bigram-exists are compute-dense narrow maps — spread
+    # the single-file scan or they run on one core (the CLAUDE.md
+    # spread rule's intended case; first probe measured 11 s base)
+    d = load(spark, sf_dir, "documents", spread=True)
+    # posting-list read: keep ONLY the phrase tokens before any
+    # explode/distinct — the filter runs inside the scan projection, so
+    # the dedup agg sees a two-token stream, never the whole corpus
+    in_phrase = " OR ".join(f"x = '{t}'" for t in _PHRASE)
+    occ = d.select(
+        "doc_id",
+        F.explode(F.expr(f"filter(split(trim(text), '\\\\s+'), x -> {in_phrase})")).alias(
+            "tok"
+        ),
+    ).distinct()
     cand = (
-        occ.where(F.col("tok").isin(*_PHRASE))
-        .groupBy("doc_id")
+        occ.groupBy("doc_id")
         .agg(F.countDistinct("tok").alias("n_hit"))
         .where(F.col("n_hit") == len(_PHRASE))
         .select("doc_id")
