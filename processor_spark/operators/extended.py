@@ -1416,3 +1416,68 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("reject_05"),
     )
+
+
+# ------------------------------------------------------------ user growth
+
+
+@register(
+    "q_user_growth",
+    sql="""
+    WITH ev AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS day_epoch
+      FROM events
+    ), firsts AS (
+      SELECT user_id, min(day_epoch) AS first_day FROM ev GROUP BY user_id
+    ), daily AS (
+      SELECT day_epoch, count(DISTINCT user_id) AS active_users FROM ev GROUP BY day_epoch
+    ), news AS (
+      SELECT first_day AS day_epoch, count(*) AS new_users FROM firsts GROUP BY first_day
+    )
+    SELECT d.day_epoch,
+           CAST(d.active_users AS BIGINT) AS active_users,
+           CAST(coalesce(n.new_users, 0) AS BIGINT) AS new_users,
+           CAST(d.active_users - coalesce(n.new_users, 0) AS BIGINT) AS returning_users,
+           CAST(sum(coalesce(n.new_users, 0)) OVER (ORDER BY d.day_epoch
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
+    FROM daily d LEFT JOIN news n ON n.day_epoch = d.day_epoch
+    ORDER BY d.day_epoch
+    """,
+)
+def q_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new vs returning users with the cumulative acquisition
+    curve — the product-analytics growth primitive (cohort_retention's
+    time-major twin).
+
+    Scale shape: two map-side-combinable aggs (per-user first-seen,
+    per-day distinct actives) then a window over the DAY-sized table —
+    the unpartitioned running sum orders ~tens of rows, never the
+    event stream."""
+    e = load(spark, sf_dir, "events")
+    ev = e.select(
+        "user_id",
+        (F.floor(F.unix_timestamp("ts") / 86400) * 86400).cast("bigint").alias("day_epoch"),
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day_epoch").alias("first_day"))
+    daily = ev.groupBy("day_epoch").agg(F.countDistinct("user_id").alias("active_users"))
+    news = firsts.groupBy(F.col("first_day").alias("day_epoch")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day_epoch").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.join(news, "day_epoch", "left")
+        .select(
+            "day_epoch",
+            F.col("active_users").cast("long").alias("active_users"),
+            F.coalesce(F.col("new_users"), F.lit(0)).cast("long").alias("new_users"),
+            (F.col("active_users") - F.coalesce(F.col("new_users"), F.lit(0)))
+            .cast("long")
+            .alias("returning_users"),
+            F.sum(F.coalesce(F.col("new_users"), F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("cumulative_users"),
+        )
+        .orderBy("day_epoch")
+    )
