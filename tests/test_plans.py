@@ -485,3 +485,48 @@ def test_lttb_windows_share_one_hash_exchange(spark):
     plan = explain_str(_df(spark, "q_lttb_downsample"))
     assert plan.count("hashpartitioning(") == 1, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_ranking_run_broadcasts_query_set(spark):
+    """The ranking-eval pairs stage must broadcast the (fixed, capped)
+    query set against the corpus scan — a shuffle join here would
+    repartition the whole corpus for a <=100-row benchmark set — and
+    the only windows allowed are the per-query ranking windows."""
+    plan = explain_str(_df(spark, "q_ndcg"))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_phash_near_has_no_cartesian_join(spark):
+    """Hamming near-dup pairs must come from band buckets + local pair
+    generation — the exhaustive theta join exists only in the ORACLE.
+    No cartesian/nested-loop product and no doc-pair join may appear
+    in the engine plan."""
+    plan = explain_str(_df(spark, "q_phash_near"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_collocations_topk_avoids_global_sort(spark):
+    """The collocation top-k must run as TakeOrderedAndProject over the
+    count-floored bigram stream, never a full global sort of the
+    bigram vocabulary."""
+    plan = explain_str(_df(spark, "q_collocations"))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_boilerplate_aggs_are_two_phase(spark):
+    """Both corpus-sized aggs (doc-frequency and occurrence counts)
+    must partial-aggregate map-side, and the tiny boilerplate
+    vocabulary must broadcast back onto the occurrence stream."""
+    plan = explain_str(_df(spark, "q_boilerplate"))
+    assert "partial_count" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bfs_frontier_join_is_hash_not_nested_loop(spark):
+    """Each BFS round joins the frontier to the edge list on the node
+    key — a hash join; nested-loop anywhere would be O(V*E)."""
+    plan = explain_str(_df(spark, "q_bfs_hops"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
