@@ -1914,3 +1914,194 @@ def q_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_a")
     )
+
+
+# ---------------------------------------------- compression-recall evals
+
+_TRUNC_D = 16  # retained prefix dimensions (4x storage cut)
+
+
+def _trunc_recall_sql() -> str:
+    """Recall@k of prefix-truncated (16 of 64 dims) cosine retrieval
+    against the exact k-NN — composes the registered q_knn_join oracle
+    (the q_ann_recall pattern)."""
+    exact = _registry_mod._REGISTRY["q_knn_join"].sql
+    return f"""
+    WITH trunc AS (
+      SELECT q_id, vec_id AS neighbor_id FROM (
+        SELECT q.vec_id AS q_id, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                            CAST(e.embedding AS DOUBLE[])[1:{_TRUNC_D}],
+                            CAST(q.embedding AS DOUBLE[])[1:{_TRUNC_D}]), 6) DESC,
+                          e.vec_id) AS rn
+        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id <= {KNN_QUERIES}
+      ) WHERE rn <= {KNN_K}
+    ), exact AS (
+      SELECT q_id, neighbor_id FROM ({exact}) ie
+    )
+    SELECT e.q_id, CAST(count(t.neighbor_id) AS BIGINT) AS n_hits,
+           CAST((count(t.neighbor_id) * 100) // {KNN_K} AS BIGINT) AS recall_pct
+    FROM exact e
+    LEFT JOIN trunc t ON t.q_id = e.q_id AND t.neighbor_id = e.neighbor_id
+    GROUP BY e.q_id
+    ORDER BY e.q_id
+    """
+
+
+@register("q_dim_truncation_recall", sql=_trunc_recall_sql())
+def q_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style storage question, answered exactly: if vectors
+    are truncated to their first 16 of 64 dimensions (4x smaller), how
+    much of the exact top-5 neighborhood survives?  Per-query recall
+    of prefix-cosine retrieval vs the full-dimension exact k-NN (both
+    deterministic and SQL-oracled, so the recall itself gets a full
+    hash oracle — the q_ann_recall composition pattern).
+
+    Scale shape: identical to q_knn_join (broadcast query set, one
+    corpus pass, per-query top-k window) run at a quarter of the
+    arithmetic; the recall join is query-set-sized."""
+    e = load(spark, sf_dir, "embeddings", spread=True)
+    corpus = e.select(
+        "vec_id",
+        F.expr(f"slice(CAST(embedding AS ARRAY<DOUBLE>), 1, {_TRUNC_D})").alias("emb"),
+    ).withColumn("nrm", l2norm(F.col("emb")))
+    q = corpus.where(F.col("vec_id") <= KNN_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    sim = (
+        corpus.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(
+                dot(F.col("emb"), F.col("qvec")) / (F.col("nrm") * F.col("qnrm")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    trunc = (
+        sim.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KNN_K)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"))
+        .withColumn("hit", F.lit(1))
+    )
+    exact = q_knn_join(spark, sf_dir).select("q_id", "neighbor_id")
+    return (
+        exact.join(trunc, ["q_id", "neighbor_id"], "left")
+        .groupBy("q_id")
+        .agg(F.count("hit").cast("long").alias("n_hits"))
+        .select(
+            "q_id",
+            "n_hits",
+            F.expr(f"CAST((n_hits * 100) div {KNN_K} AS BIGINT)").alias("recall_pct"),
+        )
+        .orderBy("q_id")
+    )
+
+
+def _sign_words_sql(tbl: str) -> str:
+    words = []
+    for w0 in range(2):
+        words.append(
+            f"CAST(list_sum(list_transform(range(0, 32), i -> CASE WHEN"
+            f" CAST({tbl}.embedding AS DOUBLE[])[i + {32 * w0} + 1] >= 0"
+            f" THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+        )
+    return ", ".join(f"{expr} AS w{j}" for j, expr in enumerate(words))
+
+
+def _bin_recall_sql() -> str:
+    exact = _registry_mod._REGISTRY["q_knn_join"].sql
+    return f"""
+    WITH sig AS (
+      SELECT e.vec_id, {_sign_words_sql('e')} FROM embeddings e
+    ), ranked AS (
+      SELECT q_id, vec_id AS neighbor_id FROM (
+        SELECT q.vec_id AS q_id, c.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY bit_count(xor(c.w0, q.w0)) + bit_count(xor(c.w1, q.w1)),
+                          c.vec_id) AS rn
+        FROM sig q JOIN sig c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id <= {KNN_QUERIES}
+      ) WHERE rn <= {KNN_K}
+    ), exact AS (
+      SELECT q_id, neighbor_id FROM ({exact}) ie
+    )
+    SELECT e.q_id, CAST(count(r.neighbor_id) AS BIGINT) AS n_hits,
+           CAST((count(r.neighbor_id) * 100) // {KNN_K} AS BIGINT) AS recall_pct
+    FROM exact e
+    LEFT JOIN ranked r ON r.q_id = e.q_id AND r.neighbor_id = e.neighbor_id
+    GROUP BY e.q_id
+    ORDER BY e.q_id
+    """
+
+
+@register("q_binary_hamming_recall", sql=_bin_recall_sql())
+def q_binary_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-embedding storage question, answered exactly: sign-bit
+    binarization packs each 64-dim vector into two 32-bit words (32x
+    smaller); per-query recall of Hamming-distance retrieval vs the
+    exact cosine top-5 (composed oracle, full hash check).
+
+    The two words pack 32 bits each — the portable-bitmap rule (never
+    touch the int64 sign bit) applied to sign-LSH; Hamming ranking is
+    bit_count(XOR) + bit_count(XOR), pure integer, tie-broken on
+    vec_id (ties are the norm in Hamming space — an un-tie-broken
+    rank would be nondeterministic on BOTH engines).
+
+    Scale shape: the signature build is one narrow map; ranking is
+    the same broadcast-query top-k window as q_knn_join over 16 bytes
+    per vector instead of 512."""
+    e = load(spark, sf_dir, "embeddings", spread=True)
+    emb = F.col("embedding").cast("array<double>")
+    word_exprs = []
+    for w0 in range(2):
+        word_exprs.append(
+            F.expr(
+                f"aggregate(transform(sequence(0, 31), i -> IF("
+                f"element_at(CAST(embedding AS ARRAY<DOUBLE>), i + {32 * w0} + 1) >= 0D,"
+                f" shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),"
+                f" CAST(0 AS BIGINT), (a, x) -> a + x)"
+            ).alias(f"w{w0}")
+        )
+    sig = e.select("vec_id", *word_exprs)
+    q = sig.where(F.col("vec_id") <= KNN_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    ham = (
+        sig.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.expr("bit_count(w0 ^ qw0) + bit_count(w1 ^ qw1)").alias("hd"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("hd"), F.asc("vec_id"))
+    ranked = (
+        ham.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KNN_K)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"))
+        .withColumn("hit", F.lit(1))
+    )
+    exact = q_knn_join(spark, sf_dir).select("q_id", "neighbor_id")
+    return (
+        exact.join(ranked, ["q_id", "neighbor_id"], "left")
+        .groupBy("q_id")
+        .agg(F.count("hit").cast("long").alias("n_hits"))
+        .select(
+            "q_id",
+            "n_hits",
+            F.expr(f"CAST((n_hits * 100) div {KNN_K} AS BIGINT)").alias("recall_pct"),
+        )
+        .orderBy("q_id")
+    )
