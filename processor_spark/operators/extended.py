@@ -1481,3 +1481,73 @@ def q_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_epoch")
     )
+
+
+# ------------------------------------------------------------ l-diversity
+
+_LDIV_FLOOR = 3  # classes with < 3 distinct sensitive values are risky
+
+
+@register(
+    "q_l_diversity",
+    sql=f"""
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+             count(*) AS class_size,
+             count(DISTINCT o_orderpriority) AS l_div
+      FROM customer
+      JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_nationkey, c_mktsegment, bal_band
+    )
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(min(l_div) AS BIGINT) AS l_diversity,
+           CAST(sum(CASE WHEN l_div < {_LDIV_FLOOR} THEN class_size ELSE 0 END)
+                AS BIGINT) AS rows_at_risk
+    FROM classes
+    GROUP BY c_nationkey, c_mktsegment
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's stronger sibling: a class can
+    be large (high k) yet still leak if every member shares the same
+    SENSITIVE value (here: order priority as the sensitive attribute
+    joined onto the customer quasi-identifiers).  Per (nation,
+    segment) stratum: class count, the minimum number of distinct
+    sensitive values across its classes, and the row mass in classes
+    below the l=3 floor (homogeneity-attack exposure).
+
+    Scale shape: one fact join (broadcastable dim side), then the same
+    agg-of-agg ladder as q_k_anonymity — count(DISTINCT) over a
+    5-value attribute partial-aggregates map-side."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    classes = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / F.lit(1000.0)).alias("bal_band"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.countDistinct("o_orderpriority").alias("l_div"),
+        )
+    )
+    return (
+        classes.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.min("l_div").cast("long").alias("l_diversity"),
+            F.sum(
+                F.when(F.col("l_div") < _LDIV_FLOOR, F.col("class_size")).otherwise(0)
+            )
+            .cast("long")
+            .alias("rows_at_risk"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
