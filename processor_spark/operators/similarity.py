@@ -2105,3 +2105,104 @@ def q_binary_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+# ------------------------------------------------------------ MaxSim
+
+_MS_SUB = 4  # subvectors per embedding (late-interaction "tokens")
+_MS_SD = 16  # dims per subvector
+
+
+def _ms_dot_duck(i: int, j: int) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, {_MS_SD + 1}),"
+        f" k -> q.emb[{_MS_SD * i} + k] * c.emb[{_MS_SD * j} + k]),"
+        f" (x, y) -> x + y)"
+    )
+
+
+def _ms_dot_spark(i: int, j: int) -> str:
+    return (
+        f"aggregate(transform(sequence(1, {_MS_SD}),"
+        f" k -> element_at(qemb, {_MS_SD * i} + k) * element_at(emb, {_MS_SD * j} + k)),"
+        f" CAST(0.0 AS DOUBLE), (x, y) -> x + y)"
+    )
+
+
+def _ms_score(dot_fn) -> str:
+    gs = [
+        "greatest(" + ", ".join(dot_fn(i, j) for j in range(_MS_SUB)) + ")"
+        for i in range(_MS_SUB)
+    ]
+    return f"((({gs[0]} + {gs[1]}) + {gs[2]}) + {gs[3]})"
+
+
+def _maxsim_sql() -> str:
+    return f"""
+    WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id,
+             CAST(floor(({_ms_score(_ms_dot_duck)}) * CAST(1e6 AS DOUBLE)
+                        + CAST(0.5 AS DOUBLE)) AS BIGINT) AS score_e6
+      FROM vecs q JOIN vecs c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id <= {KNN_QUERIES}
+    )
+    SELECT q_id, vec_id AS neighbor_id, score_e6, CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT q_id, vec_id, score_e6,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY score_e6 DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= {KNN_K}
+    ORDER BY q_id, rank
+    """
+
+
+@register("q_maxsim_retrieval", sql=_maxsim_sql())
+def q_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (ColBERT-style) retrieval: each embedding is
+    treated as 4 x 16-dim sub-token vectors and scored by MaxSim —
+    sum over query subvectors of the best-matching document subvector
+    dot product — the retrieval family between single-vector cosine
+    and full cross-encoders.
+
+    Exactness: every subvector dot is the zero-seeded fold (bridged to
+    DuckDB's first-element-seeded list_reduce by (0.0 + x) == x), max
+    and the 4-term sum use one fixed parenthesization on both engines,
+    and the score integerizes before ranking — full hash oracle with
+    no transcendental anywhere.
+
+    Scale shape: broadcast query set x one corpus pass (16 dots per
+    pair instead of 1 — the late-interaction cost model), per-query
+    top-k window; at 100 TB the candidate generation step is an ANN
+    prefilter (q_ann_ivf) feeding this exact reranker."""
+    e = load(spark, sf_dir, "embeddings", spread=True)
+    vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    q = vecs.where(F.col("vec_id") <= KNN_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("qemb")
+    )
+    scored = (
+        vecs.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.expr(
+                f"CAST(floor(({_ms_score(_ms_dot_spark)}) * CAST(1e6 AS DOUBLE)"
+                f" + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+            ).alias("score_e6"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score_e6"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= KNN_K)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "score_e6",
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("q_id", "rank")
+    )

@@ -130,6 +130,10 @@ HEADLINE = [
     "q_join_asof_nearest",
     "q_phrase_search",
     "q_seasonal_anomaly",
+    "q_user_growth",
+    "q_dim_truncation_recall",
+    "q_binary_hamming_recall",
+    "q_l_diversity",
 ]
 
 # per-table key columns to shift per replica so keys stay unique and
