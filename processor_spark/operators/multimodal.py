@@ -802,3 +802,57 @@ def q_phash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= _PHASH_RADIUS)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ------------------------------------------------- phash clusters
+
+
+def _phash_clusters_sql() -> str:
+    """Composes the q_phash_near oracle as the edge list, then the
+    recursive-reachability min-label CC twin (the q_dedup_clusters
+    oracle pattern)."""
+    from processor_spark import registry as _registry_mod
+
+    near = _registry_mod._REGISTRY["q_phash_near"].sql
+    return f"""
+    WITH RECURSIVE near AS (
+      SELECT doc_a, doc_b FROM ({near}) pn
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM near
+      UNION
+      SELECT doc_b, doc_a FROM near
+    ), reach(src, dst) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    )
+    SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+    ORDER BY doc_id
+    """
+
+
+@register("q_phash_clusters", sql=_phash_clusters_sql())
+def q_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate image FAMILIES: connected components
+    over the Hamming<=3 dHash pair graph (q_phash_near), labeling each
+    involved image with its family's minimum doc_id — the keep-one-
+    per-family decision a multimodal dedup pass executes (pairwise
+    output alone can't pick survivors when A~B~C but A!~C).
+
+    Spark side runs the O(log n) large-star/small-star CC
+    (graph.connected_components — per-round localCheckpoint); the
+    oracle replays reachability as a recursive CTE.  Labels are
+    algorithm-independent (min node per component), so the two agree
+    exactly.
+
+    Scale shape: the pair graph is band-bucket-bounded (q_phash_near);
+    CC rounds shuffle the edge list keyed by node — the standard
+    alternating-star plan, logarithmic rounds."""
+    from processor_spark.operators.graph import connected_components
+
+    pairs = (
+        q_phash_near(spark, sf_dir)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    return connected_components(pairs).orderBy("doc_id")
