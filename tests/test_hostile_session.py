@@ -53,6 +53,12 @@ HOSTILE_KEYS = [
     # session; epoch arithmetic (unix_micros) on the events timestamp
     "q_bpe_serve",
     "q_lttb_downsample",
+    # session-3 keys whose epoch/day/hour bucketing runs on the events
+    # timestamp under the caller's timezone
+    "q_holt_forecast",
+    "q_join_asof_nearest",
+    "q_seasonal_anomaly",
+    "q_user_growth",
 ]
 
 
