@@ -23,6 +23,12 @@ HEADLINE = [
     "q_lttb_downsample",
     "q_exact_quantiles",
     "q_hll_sliding",
+    # r7s3: fixed-query broadcast ranking eval, banded Hamming pairs,
+    # array-native content chunking, frontier BFS
+    "q_ndcg",
+    "q_phash_near",
+    "q_cdc_chunks",
+    "q_bfs_hops",
     "q_scan_partitioned",
     "q_zorder_layout",
     "q_compaction_plan",
