@@ -856,3 +856,92 @@ def q_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     return connected_components(pairs).orderBy("doc_id")
+
+
+# ------------------------------------------------------- scene cuts
+
+_CUT_FACTOR = 16  # cut when pair SAD > 16 * (w*h), i.e. mean |diff| > 16
+
+SCENE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("total_sad", T.LongType()),
+        T.StructField("max_sad", T.LongType()),
+        T.StructField("n_cuts", T.LongType()),
+    ]
+)
+
+
+def scene_stats_svf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL scene-cut detection over the SVF container: parse the
+    header, reshape the raw luma planes, and compute per-consecutive-
+    frame SAD (sum of absolute pixel differences) with one vectorized
+    np.diff — the shot-segmentation primitive a video pipeline runs
+    before captioning/sampling.  Frame pairs whose SAD exceeds
+    _CUT_FACTOR * frame_area are cuts."""
+    import struct
+
+    import numpy as np
+
+    for pdf in batches:
+        out = {"doc_id": [], "n_frames": [], "total_sad": [], "max_sad": [], "n_cuts": []}
+        for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(b)
+            if b[:4] != b"SVF1":
+                raise ValueError(f"doc {doc_id}: not an SVF payload")
+            n_frames, w, h = struct.unpack_from("<HHH", b, 4)
+            area = w * h
+            planes = np.frombuffer(b, dtype=np.uint8, offset=10).astype(np.int64)
+            frames = planes.reshape(n_frames, area)
+            sads = np.abs(np.diff(frames, axis=0)).sum(axis=1)
+            out["doc_id"].append(int(doc_id))
+            out["n_frames"].append(int(n_frames))
+            out["total_sad"].append(int(sads.sum()) if len(sads) else 0)
+            out["max_sad"].append(int(sads.max()) if len(sads) else 0)
+            out["n_cuts"].append(int((sads > _CUT_FACTOR * area).sum()))
+        yield pd.DataFrame(out)
+
+
+@register(
+    "q_media_scenecut",
+    sql=f"""
+    WITH dims AS (
+      SELECT doc_id,
+             3 + doc_id % 6 AS nf,
+             (4 + n_chars % 5) * (3 + doc_id % 4) AS area
+      FROM documents
+    ), sads AS (
+      SELECT doc_id, nf, area,
+             list_transform(range(0, nf - 1), f ->
+               list_sum(list_transform(range(0, area), k ->
+                 abs(((doc_id + 7 * (f + 1) + 13 * k) % 256)
+                     - ((doc_id + 7 * f + 13 * k) % 256))))) AS s
+      FROM dims
+    )
+    SELECT doc_id,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(coalesce(list_sum(s), 0) AS BIGINT) AS total_sad,
+           CAST(coalesce(list_max(s), 0) AS BIGINT) AS max_sad,
+           CAST(len(list_filter(s, x -> x > {_CUT_FACTOR} * area)) AS BIGINT) AS n_cuts
+    FROM sads
+    ORDER BY doc_id
+    """,
+)
+def q_media_scenecut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over the raw-video tier: per video, the
+    consecutive-frame SAD profile (total, max) and the number of
+    boundaries above the cut threshold — real container parsing +
+    vectorized frame differencing in Arrow-batched mapInPandas,
+    value-verified end to end by the closed-form pixel-formula replay
+    (a decoder that walks wrong offsets or mis-shapes planes diverges
+    on every row).
+
+    Scale shape: embarrassingly parallel narrow map (each video's
+    frames never leave the task that decoded them); the output is one
+    row per video."""
+    return (
+        svf_table(spark, sf_dir)
+        .mapInPandas(scene_stats_svf, SCENE_SCHEMA)
+        .orderBy("doc_id")
+    )
