@@ -955,3 +955,99 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ------------------------------------------------------------ resharding
+
+_SHARDS_OLD = 16
+_SHARDS_NEW = 17  # one shard added
+
+
+def _hrw_pick_sql(n: int) -> str:
+    """Rendezvous winner among shards 0..n-1: the max of the n
+    portable 48-bit (doc, shard) digests, tie-broken by shard id
+    (structmax over (weight, shard))."""
+    elems = ", ".join(
+        f"struct_pack(w := CAST(('0x' || substr(md5('hrw:' || CAST(doc_id AS VARCHAR)"
+        f" || ':' || '{s}'), 1, 12)) AS BIGINT), s := {s})"
+        for s in range(n)
+    )
+    return f"list_max([{elems}]).s"
+
+
+def _hrw_pick_spark(n: int) -> str:
+    elems = ", ".join(
+        f"struct(CAST(conv(substr(md5(CAST('hrw:' || CAST(doc_id AS STRING)"
+        f" || ':' || '{s}' AS BINARY)), 1, 12), 16, 10) AS BIGINT) AS w, {s} AS s)"
+        for s in range(n)
+    )
+    return f"array_max(array({elems})).s"
+
+
+@register(
+    "q_reshard_moves",
+    sql=f"""
+    WITH assign AS (
+      SELECT doc_id,
+             doc_id % {_SHARDS_OLD} AS mod_old,
+             doc_id % {_SHARDS_NEW} AS mod_new,
+             {_hrw_pick_sql(_SHARDS_OLD)} AS hrw_old,
+             {_hrw_pick_sql(_SHARDS_NEW)} AS hrw_new
+      FROM documents
+    )
+    SELECT scheme, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_moved AS BIGINT) AS n_moved,
+           CAST((n_moved * 1000000) // n_docs AS BIGINT) AS moved_e6
+    FROM (
+      SELECT 'mod' AS scheme, count(*) AS n_docs,
+             sum(CASE WHEN mod_old <> mod_new THEN 1 ELSE 0 END) AS n_moved
+      FROM assign
+      UNION ALL
+      SELECT 'rendezvous' AS scheme, count(*) AS n_docs,
+             sum(CASE WHEN hrw_old <> hrw_new THEN 1 ELSE 0 END) AS n_moved
+      FROM assign
+    )
+    ORDER BY scheme
+    """,
+)
+def q_reshard_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resharding cost audit, mod-N vs rendezvous hashing: when the
+    shard count grows 16 -> 17, how much data moves under each
+    placement scheme?  Mod placement moves ~N/(N+1) of every shard;
+    rendezvous (highest-random-weight) moves only the ~1/(N+1) a
+    consistent scheme must — THE argument for HRW/consistent layouts
+    in any 100 TB reshard plan, measured exactly.
+
+    HRW winner = argmax over shards of the portable 48-bit md5 of
+    (doc, shard) — an array_max over (weight, shard) structs, exact on
+    both engines; movement fractions are integer micro-units.
+
+    Scale shape: one narrow md5-dense map per row (spread by the
+    loader) + one two-row agg; no shuffle beyond the final fold."""
+    d = load(spark, sf_dir, "documents", spread=True)
+    assign = d.select(
+        "doc_id",
+        (F.col("doc_id") % _SHARDS_OLD).alias("mod_old"),
+        (F.col("doc_id") % _SHARDS_NEW).alias("mod_new"),
+        F.expr(_hrw_pick_spark(_SHARDS_OLD)).alias("hrw_old"),
+        F.expr(_hrw_pick_spark(_SHARDS_NEW)).alias("hrw_new"),
+    )
+    agg = assign.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("mod_old") != F.col("mod_new"), 1).otherwise(0)).alias(
+            "mod_moved"
+        ),
+        F.sum(F.when(F.col("hrw_old") != F.col("hrw_new"), 1).otherwise(0)).alias(
+            "hrw_moved"
+        ),
+    )
+    rows = agg.selectExpr(
+        "stack(2, 'mod', n_docs, mod_moved, 'rendezvous', n_docs, hrw_moved)"
+        " AS (scheme, n_docs, n_moved)"
+    )
+    return rows.select(
+        "scheme",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_moved").cast("long").alias("n_moved"),
+        F.expr("CAST((n_moved * 1000000) div n_docs AS BIGINT)").alias("moved_e6"),
+    ).orderBy("scheme")

@@ -134,6 +134,9 @@ HEADLINE = [
     "q_dim_truncation_recall",
     "q_binary_hamming_recall",
     "q_l_diversity",
+    "q_maxsim_retrieval",
+    "q_phash_clusters",
+    "q_media_scenecut",
 ]
 
 # per-table key columns to shift per replica so keys stay unique and
