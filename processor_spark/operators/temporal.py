@@ -915,3 +915,63 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gap_us"),
     ).orderBy("purchase_id")
+
+
+# ------------------------------------------------------------ trending
+
+
+@register(
+    "q_trending_topk",
+    sql="""
+    WITH slid AS (
+      SELECT TIMESTAMP '1970-01-01 00:00:00'
+               + CAST(floor(epoch(ts) / 3600) * 3600 - k.k * 3600 AS BIGINT)
+                 * INTERVAL 1 SECOND AS window_start,
+             event_type
+      FROM events
+      CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5]) AS k) k
+    ), counted AS (
+      SELECT window_start, event_type, count(*) AS n_events
+      FROM slid GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, CAST(n_events AS BIGINT) AS n_events,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT window_start, event_type, n_events,
+             row_number() OVER (PARTITION BY window_start
+                                ORDER BY n_events DESC, event_type) AS rnk
+      FROM counted
+    ) WHERE rnk <= 3
+    ORDER BY window_start, rnk
+    """,
+)
+def q_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending leaderboard: the top-3 event types per 6-hour window
+    sliding hourly — the realtime-dashboard query (what's hot right
+    now, updated every hour with six hours of context).
+
+    Spark's F.window(slide) replicates each event into its 6 windows
+    internally; the oracle replicates explicitly via unnest([0..5])
+    with naive timestamp arithmetic (to_timestamp would emit
+    TIMESTAMPTZ — the harness-timezone trap).  Ranking ties break on
+    event_type for a total order.
+
+    Scale shape: the slide replication feeds a map-side-combinable
+    (window, type) hash agg — the ranking window then runs on the
+    bounded (windows x types) cell table, never the event stream."""
+    e = load(spark, sf_dir, "events")
+    counted = e.groupBy(
+        F.window("ts", "6 hours", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("w").orderBy(F.desc("n_events"), F.asc("event_type"))
+    return (
+        counted.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+        .orderBy("window_start", "rnk")
+    )
