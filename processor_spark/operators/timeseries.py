@@ -2087,3 +2087,76 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "h_epoch", "resid_q", F.col("rnk").cast("long").alias("rnk"))
         .orderBy("event_type", "rnk")
     )
+
+
+# ------------------------------------------------------------ A/B power
+
+# z-quantiles for alpha=0.05 (two-sided) and power=0.80, computed once
+# offline and embedded as the SAME double literal in both engines (the
+# finite-domain transcendental rule — q_benford's trick); delta = +1pp
+_Z_SUM_SQ = (1.959963984540054 + 0.8416212335729143) ** 2  # (z_a + z_b)^2
+_POWER_DELTA = 0.01
+
+
+@register(
+    "q_ab_power",
+    sql=f"""
+    WITH conv AS (
+      SELECT event_type,
+             count(*) AS n_events,
+             sum(CASE WHEN value > 500.0 THEN 1 ELSE 0 END) AS n_hits
+      FROM events GROUP BY event_type
+    ), rates AS (
+      SELECT event_type, n_events, n_hits,
+             CAST(n_hits AS DOUBLE) / CAST(n_events AS DOUBLE) AS p
+      FROM conv
+    )
+    SELECT event_type,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(floor((p * CAST(1e6 AS DOUBLE)) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS p_e6,
+           CAST(floor(((CAST({_Z_SUM_SQ!r} AS DOUBLE)
+                        * ((CAST(2.0 AS DOUBLE) * p) * (CAST(1.0 AS DOUBLE) - p)))
+                       / CAST({_POWER_DELTA * _POWER_DELTA!r} AS DOUBLE))
+                      + CAST(1.0 AS DOUBLE)) AS BIGINT) AS n_per_arm
+    FROM rates
+    ORDER BY event_type
+    """,
+)
+def q_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B-test power analysis: per event type, the baseline rate of
+    the binary metric (value > 500) and the per-arm sample size needed
+    to detect a +1pp lift at alpha=0.05 / power=0.80 — the question an
+    experimentation platform answers before any test launches
+    (q_ab_test evaluates after).
+
+    n = (z_a + z_b)^2 * 2p(1-p) / delta^2, with the z-quantile sum
+    computed ONCE offline and embedded as the identical double literal
+    in both engines (DuckDB literals CAST to DOUBLE so its decimal
+    parser never forks the float tree); the rate p comes from exact
+    integer counts, so the one expression tree is IEEE-identical and
+    the ceil integerizes exactly (floor(x)+1).
+
+    Scale shape: one map-side-combinable agg; everything after runs on
+    |event_type| rows."""
+    e = load(spark, sf_dir, "events")
+    conv = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("value") > 500.0, 1).otherwise(0)).alias("n_hits"),
+    )
+    p = F.col("n_hits").cast("double") / F.col("n_events").cast("double")
+    return conv.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.floor((p * F.lit(1e6)) + F.lit(0.5)).cast("long").alias("p_e6"),
+        (
+            F.floor(
+                (F.lit(_Z_SUM_SQ) * ((F.lit(2.0) * p) * (F.lit(1.0) - p)))
+                / F.lit(_POWER_DELTA * _POWER_DELTA)
+            )
+            + F.lit(1)
+        )
+        .cast("long")
+        .alias("n_per_arm"),
+    ).orderBy("event_type")
