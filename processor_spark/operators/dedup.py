@@ -1369,3 +1369,58 @@ def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_ng = ng.agg(F.count(F.lit(1)).cast("long").alias("n_ngram_pairs"))
     return n_docs.crossJoin(ex_stats).crossJoin(mh_stats).crossJoin(n_ng)
+
+
+# ------------------------------------------------------------ LSH recall
+
+
+def _lsh_recall_sql() -> str:
+    """Truth = verified n-gram near-dup pairs (>= 0.5 Jaccard); found =
+    MinHash/LSH band candidates.  Both composed from their registered
+    oracles (the q_ann_recall pattern applied to the dedup tier)."""
+    from processor_spark import registry as _registry_mod
+
+    truth = _registry_mod._REGISTRY["q_dedup_ngram"].sql
+    cand = _registry_mod._REGISTRY["q_dedup_minhash_md5"].sql
+    return f"""
+    WITH truth AS (
+      SELECT doc_a, doc_b FROM ({truth}) t
+    ), cand AS (
+      SELECT doc_a, doc_b FROM ({cand}) c
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_true,
+           CAST(count(c.doc_a) AS BIGINT) AS n_found,
+           CAST(CASE WHEN count(*) > 0
+                     THEN (count(c.doc_a) * 1000000) // count(*)
+                     ELSE 0 END AS BIGINT) AS recall_e6
+    FROM truth t
+    LEFT JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    """
+
+
+@register("q_lsh_recall", sql=_lsh_recall_sql())
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-generation recall of the MinHash/LSH banding against
+    the verified n-gram near-duplicate truth set — the other half of
+    the sketch acceptance report (q_minhash_calibration measures
+    estimate ACCURACY on found pairs; this measures which true pairs
+    the bands MISS, the S-curve's false-negative tail plus any
+    df-cap suppression).
+
+    Both sides are the registered builders (reentrancy-safe), so the
+    single-row recall gets a full composed hash oracle.
+
+    Scale shape: the two bounded pipelines plus a pair-keyed join on
+    the (small) truth set."""
+    truth = q_dedup_ngram(spark, sf_dir).select("doc_a", "doc_b")
+    cand = q_dedup_minhash_md5(spark, sf_dir).select("doc_a", "doc_b").withColumn(
+        "hit", F.lit(1)
+    )
+    return truth.join(cand, ["doc_a", "doc_b"], "left").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        F.count("hit").cast("long").alias("n_found"),
+        F.expr(
+            "CAST(CASE WHEN count(*) > 0"
+            " THEN (count(hit) * 1000000) div count(*) ELSE 0 END AS BIGINT)"
+        ).alias("recall_e6"),
+    )
