@@ -2160,3 +2160,70 @@ def q_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_per_arm"),
     ).orderBy("event_type")
+
+
+# ------------------------------------------------------- decayed scores
+
+_DECAY_CAP = 30  # max decay exponent (weights 2^30 .. 2^0)
+
+
+@register(
+    "q_decay_popularity",
+    sql=f"""
+    WITH ref AS (
+      SELECT CAST(floor(epoch(max(ts)) / 86400) AS BIGINT) AS ref_day FROM events
+    ), weighted AS (
+      SELECT event_type,
+             CAST(1 AS BIGINT) << ({_DECAY_CAP} - least(
+               (r.ref_day - CAST(floor(epoch(ts) / 86400) AS BIGINT)) // 7,
+               {_DECAY_CAP})) AS w
+      FROM events, ref r
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(w) AS BIGINT) AS decayed_score,
+           CAST(row_number() OVER (ORDER BY sum(w) DESC, event_type) AS BIGINT) AS rnk
+    FROM weighted
+    GROUP BY event_type
+    ORDER BY rnk
+    """,
+)
+def q_decay_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted popularity: per event type, a half-life-per-
+    week exponentially decayed event count and the resulting rank —
+    the freshness-aware trending score (a burst last week outranks a
+    larger total from months ago).
+
+    Exact by construction: ages quantize to whole weeks (integer
+    division bridge), so every decay factor is a power of two and the
+    score is an exact int64 sum of shifted ones — 2^(30 - min(age_w,
+    30)) — no pow(), no float, full hash oracle.  The reference point
+    is the corpus max timestamp (identical max on both engines).
+
+    Scale shape: one 1-row broadcast (the reference day) + one
+    map-side-combinable agg; ranking runs on |event_type| rows."""
+    e = load(spark, sf_dir, "events")
+    ref = e.agg(
+        F.expr("CAST(floor(unix_micros(max(ts)) / 86400000000.0) AS BIGINT)").alias(
+            "ref_day"
+        )
+    )
+    weighted = e.crossJoin(F.broadcast(ref)).select(
+        "event_type",
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), {_DECAY_CAP} - least("
+            f"(ref_day - CAST(floor(unix_micros(ts) / 86400000000.0) AS BIGINT)) div 7,"
+            f" {_DECAY_CAP}))"
+        ).alias("w"),
+    )
+    agg = weighted.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("w").cast("long").alias("decayed_score"),
+    )
+    w = Window.orderBy(F.desc("decayed_score"), F.asc("event_type"))
+    return agg.select(
+        "event_type",
+        "n_events",
+        "decayed_score",
+        F.row_number().over(w).cast("long").alias("rnk"),
+    ).orderBy("rnk")
