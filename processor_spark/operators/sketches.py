@@ -41,6 +41,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from processor_spark.caching import scoped_persist
 from processor_spark.registry import register
 from processor_spark.sources import load
 
@@ -1067,4 +1068,90 @@ def q_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_days").cast("long").alias("n_days"),
         )
         .orderBy("win_day")
+    )
+
+
+# --------------------------------------------------- audience bitmaps
+
+
+@register(
+    "q_audience_overlap",
+    sql="""
+    WITH words AS (
+      SELECT event_type,
+             user_id // 63 AS wid,
+             bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INTEGER)) AS w
+      FROM events
+      GROUP BY event_type, user_id // 63
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             sum(bit_count(a.w & b.w)) AS n_both_part
+      FROM words a
+      JOIN words b ON b.wid = a.wid AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    ), totals AS (
+      SELECT event_type, sum(bit_count(w)) AS n_users
+      FROM words GROUP BY event_type
+    )
+    SELECT p.type_a, p.type_b,
+           CAST(ta.n_users AS BIGINT) AS n_a,
+           CAST(tb.n_users AS BIGINT) AS n_b,
+           CAST(p.n_both_part AS BIGINT) AS n_both,
+           CAST((p.n_both_part * 1000000)
+                // (ta.n_users + tb.n_users - p.n_both_part) AS BIGINT) AS jaccard_e6
+    FROM pairs p
+    JOIN totals ta ON ta.event_type = p.type_a
+    JOIN totals tb ON tb.event_type = p.type_b
+    ORDER BY type_a, type_b
+    """,
+)
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT audience-overlap matrix: distinct-user intersection and
+    Jaccard for every event-type pair, computed on packed user
+    bitmaps (63 bits per int64 word — the portable-bitmap rule) —
+    the roaring-bitmap audience-analytics pattern: the corpus reduces
+    once to (type, word) bitmap rows, and every pairwise intersection
+    is then bit_count(AND) over the word join, never a re-scan
+    (q_kmv_setops is this tier's approximate cousin; this is the
+    exact one).
+
+    Scale shape: one map-side-combinable bit_or agg (users/63 words
+    per type), then a word-aligned equi-join across the 10 type
+    pairs; at 1e9 users a type's bitmap is ~16M words — still an
+    index-sized structure, which is the point."""
+    e = load(spark, sf_dir, "events")
+    words = e.groupBy(
+        "event_type", F.expr("user_id div 63").alias("wid")
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT)))"
+        ).alias("w")
+    )
+    words = scoped_persist(words)
+    totals = words.groupBy("event_type").agg(
+        F.expr("sum(bit_count(w))").alias("n_users")
+    )
+    a = words.select(F.col("event_type").alias("type_a"), "wid", F.col("w").alias("wa"))
+    b = words.select(F.col("event_type").alias("type_b"), F.col("wid").alias("wid_b"), F.col("w").alias("wb"))
+    pairs = (
+        a.join(b, (F.col("wid") == F.col("wid_b")) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(F.expr("sum(bit_count(wa & wb))").alias("n_both"))
+    )
+    ta = totals.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a"))
+    tb = totals.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n_both").cast("long").alias("n_both"),
+            F.expr(
+                "CAST((n_both * 1000000) div (n_a + n_b - n_both) AS BIGINT)"
+            ).alias("jaccard_e6"),
+        )
+        .orderBy("type_a", "type_b")
     )

@@ -59,6 +59,8 @@ HOSTILE_KEYS = [
     "q_join_asof_nearest",
     "q_seasonal_anomaly",
     "q_user_growth",
+    "q_trending_topk",
+    "q_decay_popularity",
 ]
 
 

@@ -137,6 +137,11 @@ HEADLINE = [
     "q_maxsim_retrieval",
     "q_phash_clusters",
     "q_media_scenecut",
+    "q_reshard_moves",
+    "q_trending_topk",
+    "q_ab_power",
+    "q_lsh_recall",
+    "q_decay_popularity",
 ]
 
 # per-table key columns to shift per replica so keys stay unique and
