@@ -2227,3 +2227,85 @@ def q_decay_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decayed_score",
         F.row_number().over(w).cast("long").alias("rnk"),
     ).orderBy("rnk")
+
+
+# ------------------------------------------------------- conversion CI
+
+_WILSON_Z = 1.959963984540054  # 95% two-sided, embedded in both engines
+_WILSON_Z2 = _WILSON_Z * _WILSON_Z
+
+
+def _wilson_sql(which: str) -> str:
+    """Wilson score bound (DuckDB spelling), `which` in {'-', '+'} —
+    every literal CAST AS DOUBLE so DuckDB's decimal parser never
+    forks the float tree (the q_benford rule)."""
+    z2 = f"CAST({_WILSON_Z2!r} AS DOUBLE)"
+    z = f"CAST({_WILSON_Z!r} AS DOUBLE)"
+    return (
+        f"((p + ({z2} / (CAST(2.0 AS DOUBLE) * n))) {which} ({z} * sqrt("
+        f"((p * (CAST(1.0 AS DOUBLE) - p)) / n)"
+        f" + ({z2} / ((CAST(4.0 AS DOUBLE) * n) * n)))))"
+        f" / (CAST(1.0 AS DOUBLE) + ({z2} / n))"
+    )
+
+
+@register(
+    "q_conversion_ci",
+    sql=f"""
+    WITH conv AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN value > 500.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      FROM events GROUP BY event_type
+    ), rates AS (
+      SELECT event_type, n_events, n_hits,
+             CAST(n_events AS DOUBLE) AS n,
+             CAST(n_hits AS DOUBLE) / CAST(n_events AS DOUBLE) AS p
+      FROM conv
+    )
+    SELECT event_type, n_events, n_hits,
+           CAST(floor((p * CAST(1e6 AS DOUBLE)) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS p_e6,
+           CAST(floor(({_wilson_sql('-')} * CAST(1e6 AS DOUBLE))
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS lo_e6,
+           CAST(floor(({_wilson_sql('+')} * CAST(1e6 AS DOUBLE))
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS hi_e6
+    FROM rates
+    ORDER BY event_type
+    """,
+)
+def q_conversion_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% confidence interval for each event type's conversion
+    rate (value > 500) — the interval an experimentation dashboard
+    shows next to every rate (Wilson, not Wald: it behaves at small n
+    and extreme p).
+
+    Fully hash-oracled with a transcendental-free tree: Wilson needs
+    only + - * / and sqrt — all correctly-rounded IEEE ops that agree
+    bit-for-bit when the expression trees match — with the z-quantile
+    embedded once as the identical double literal in both engines.
+
+    Scale shape: one map-side-combinable agg; the interval math runs
+    on |event_type| rows."""
+    e = load(spark, sf_dir, "events")
+    conv = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("value") > 500.0, 1).otherwise(0)).cast("long").alias("n_hits"),
+    )
+    n = F.col("n_events").cast("double")
+    p = F.col("n_hits").cast("double") / n
+    z, z2 = F.lit(_WILSON_Z), F.lit(_WILSON_Z2)
+    centre = p + (z2 / (F.lit(2.0) * n))
+    half = z * F.sqrt(((p * (F.lit(1.0) - p)) / n) + (z2 / ((F.lit(4.0) * n) * n)))
+    denom = F.lit(1.0) + (z2 / n)
+    return conv.select(
+        "event_type",
+        "n_events",
+        "n_hits",
+        F.floor((p * F.lit(1e6)) + F.lit(0.5)).cast("long").alias("p_e6"),
+        F.floor((((centre - half) / denom) * F.lit(1e6)) + F.lit(0.5))
+        .cast("long")
+        .alias("lo_e6"),
+        F.floor((((centre + half) / denom) * F.lit(1e6)) + F.lit(0.5))
+        .cast("long")
+        .alias("hi_e6"),
+    ).orderBy("event_type")
