@@ -142,6 +142,8 @@ HEADLINE = [
     "q_ab_power",
     "q_lsh_recall",
     "q_decay_popularity",
+    "q_audience_overlap",
+    "q_conversion_ci",
 ]
 
 # per-table key columns to shift per replica so keys stay unique and
