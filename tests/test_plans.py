@@ -530,3 +530,29 @@ def test_bfs_frontier_join_is_hash_not_nested_loop(spark):
     plan = explain_str(_df(spark, "q_bfs_hops"))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_maxsim_broadcasts_queries_no_smj(spark):
+    """Late-interaction scoring must broadcast the fixed query set and
+    keep the 16-dot arithmetic inside the corpus-pass projection — a
+    sort-merge join would shuffle the corpus for a 20-row query set."""
+    plan = explain_str(_df(spark, "q_maxsim_retrieval"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_audience_bitmap_agg_is_two_phase(spark):
+    """The bitmap build must partial-aggregate (bit_or) map-side so
+    each executor emits at most |users|/63 words per type before the
+    shuffle, and the totals join back as broadcasts."""
+    plan = explain_str(_df(spark, "q_audience_overlap"))
+    assert "partial_bit_or" in plan or "partial_first" in plan or "bit_or" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_decay_popularity_single_corpus_agg(spark):
+    """The decayed score must come from ONE map-side-combinable agg
+    over the event stream with the reference day broadcast — no
+    window over raw events."""
+    plan = explain_str(_df(spark, "q_decay_popularity"))
+    assert "partial_sum" in plan or "partial_count" in plan, plan
