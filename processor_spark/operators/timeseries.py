@@ -2309,3 +2309,131 @@ def q_conversion_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("hi_e6"),
     ).orderBy("event_type")
+
+
+# ------------------------------------------------------------ backlog
+
+
+@register(
+    "q_backlog_curve",
+    sql="""
+    WITH closes_per_order AS (
+      SELECT l_orderkey, max(l_shipdate) AS close_day FROM lineitem GROUP BY 1
+    ), deltas AS (
+      SELECT CAST(o_orderdate AS VARCHAR) AS d, count(*) AS opened, 0 AS closed
+      FROM orders GROUP BY o_orderdate
+      UNION ALL
+      SELECT CAST(close_day AS VARCHAR) AS d, 0 AS opened, count(*) AS closed
+      FROM closes_per_order GROUP BY close_day
+    ), daily AS (
+      SELECT d, CAST(sum(opened) AS BIGINT) AS opened,
+             CAST(sum(closed) AS BIGINT) AS closed
+      FROM deltas GROUP BY d
+    )
+    SELECT d, opened, closed,
+           CAST(sum(opened - closed) OVER (ORDER BY d
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS backlog
+    FROM daily
+    ORDER BY d
+    """,
+)
+def q_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order backlog over time: an order opens at o_orderdate and
+    closes when its LAST lineitem ships; the curve is the
+    running net of daily opens minus closes — the interval-sweep
+    pattern (+1/-1 events, one cumulative pass) that answers
+    work-in-flight questions without ever joining intervals to a
+    calendar spine.
+
+    Dates stringify on both sides (the DATE render bridge).
+
+    Scale shape: one per-order max agg + two daily count aggs (all
+    map-side combinable); the cumulative window orders only the
+    DAY-sized table."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load(spark, sf_dir, "orders").select("o_orderdate")
+    closes = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("close_day"))
+    opens_d = o.groupBy(F.col("o_orderdate").cast("string").alias("d")).agg(
+        F.count(F.lit(1)).alias("opened")
+    ).withColumn("closed", F.lit(0))
+    closes_d = closes.groupBy(F.col("close_day").cast("string").alias("d")).agg(
+        F.count(F.lit(1)).alias("closed")
+    ).withColumn("opened", F.lit(0))
+    daily = (
+        opens_d.select("d", "opened", "closed")
+        .unionByName(closes_d.select("d", "opened", "closed"))
+        .groupBy("d")
+        .agg(
+            F.sum("opened").cast("long").alias("opened"),
+            F.sum("closed").cast("long").alias("closed"),
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "d",
+        "opened",
+        "closed",
+        F.sum(F.col("opened") - F.col("closed")).over(w).cast("long").alias("backlog"),
+    ).orderBy("d")
+
+
+# ------------------------------------------------------------ price index
+
+
+@register(
+    "q_price_index",
+    sql="""
+    WITH monthly AS (
+      SELECT strftime(l_shipdate, '%Y-%m') AS month,
+             CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents,
+             CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem GROUP BY 1
+    ), base AS (
+      SELECT rev_cents AS rev0, qty AS qty0 FROM monthly ORDER BY month LIMIT 1
+    )
+    SELECT m.month, m.rev_cents, m.qty,
+           CAST(floor(CAST(CAST(m.rev_cents AS HUGEINT) * CAST(b.qty0 AS HUGEINT)
+                           * 1000000 AS DOUBLE)
+                      / CAST(CAST(m.qty AS HUGEINT) * CAST(b.rev0 AS HUGEINT) AS DOUBLE))
+                AS BIGINT) AS index_e6
+    FROM monthly m, base b
+    ORDER BY m.month
+    """,
+)
+def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realized unit-price index by ship month, first month = 1.000000:
+    index_m = (rev_m / qty_m) / (rev_0 / qty_0), computed as one exact
+    128-bit cross-multiplication (Spark decimal chain <-> DuckDB
+    HUGEINT — the r4 combine bridge) so the only float op is the final
+    division of two exactly-rounded doubles.
+
+    Scale shape: one map-side-combinable monthly agg; the base month
+    is a 1-row broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("bigint"))
+        .cast("long")
+        .alias("rev_cents"),
+        F.sum(F.floor(F.col("l_quantity")).cast("bigint")).cast("long").alias("qty"),
+    )
+    base = monthly.orderBy("month").limit(1).select(
+        F.col("rev_cents").alias("rev0"), F.col("qty").alias("qty0")
+    )
+    num = (
+        F.col("rev_cents").cast("decimal(16,0)")
+        * F.col("qty0").cast("decimal(12,0)")
+        * F.lit(1000000).cast("decimal(7,0)")
+    )
+    den = F.col("qty").cast("decimal(12,0)") * F.col("rev0").cast("decimal(16,0)")
+    return (
+        monthly.crossJoin(F.broadcast(base))
+        .select(
+            "month",
+            "rev_cents",
+            "qty",
+            F.floor(num.cast("double") / den.cast("double")).cast("long").alias("index_e6"),
+        )
+        .orderBy("month")
+    )
