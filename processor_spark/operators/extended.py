@@ -1551,3 +1551,133 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "c_mktsegment")
     )
+
+
+# ------------------------------------------------------------ concentration
+
+
+@register(
+    "q_hhi_concentration",
+    sql="""
+    WITH sup_rev AS (
+      SELECT s.s_nationkey AS nationkey, l.l_suppkey,
+             CAST(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY 1, 2
+    ), nat AS (
+      SELECT nationkey,
+             count(*) AS n_suppliers,
+             CAST(sum(cents) AS BIGINT) AS total_cents,
+             sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS sq
+      FROM sup_rev GROUP BY nationkey
+    )
+    SELECT nationkey, CAST(n_suppliers AS BIGINT) AS n_suppliers, total_cents,
+           CAST(floor(CAST(sq * 1000000 AS DOUBLE)
+                      / CAST(CAST(total_cents AS HUGEINT)
+                             * CAST(total_cents AS HUGEINT) AS DOUBLE)) AS BIGINT) AS hhi_e6
+    FROM nat
+    ORDER BY nationkey
+    """,
+)
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman supplier concentration per nation:
+    HHI = sum of squared revenue shares — the antitrust-grade
+    concentration measure (1e6 = monopoly, 1e6/n = perfect split).
+
+    Exactness: revenue is integer cents; the share squares are ONE
+    128-bit rational sum(c_i^2) / (sum c_i)^2 (Spark decimal chain <->
+    DuckDB HUGEINT), so a single float division ends the pipeline.
+
+    Scale shape: two map-side-combinable aggs (supplier revenue, then
+    nation rollup with the squared sum fused into the same pass)."""
+    li = load(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sup_rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nationkey"), "l_suppkey")
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("bigint"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    nat = sup_rev.groupBy("nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.sum(F.col("cents").cast("decimal(18,0)") * F.col("cents").cast("decimal(18,0)"))
+        .cast("decimal(38,0)")
+        .alias("sq"),
+    )
+    return nat.select(
+        "nationkey",
+        "n_suppliers",
+        "total_cents",
+        F.floor(
+            (F.col("sq") * F.lit(1000000).cast("decimal(7,0)")).cast("double")
+            / (
+                F.col("total_cents").cast("decimal(19,0)")
+                * F.col("total_cents").cast("decimal(19,0)")
+            ).cast("double")
+        )
+        .cast("long")
+        .alias("hhi_e6"),
+    ).orderBy("nationkey")
+
+
+@register(
+    "q_pareto_share",
+    sql="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents DESC, o_custkey) AS rn,
+             count(*) OVER () AS n,
+             CAST(sum(cents) OVER () AS BIGINT) AS total
+      FROM cust
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_customers,
+           CAST(max(total) AS BIGINT) AS total_cents,
+           CAST(sum(CASE WHEN rn * 5 <= n THEN cents ELSE 0 END) AS BIGINT) AS top20_cents,
+           CAST((sum(CASE WHEN rn * 5 <= n THEN cents ELSE 0 END) * 1000000)
+                // max(total) AS BIGINT) AS top20_share_e6
+    FROM ranked
+    """,
+)
+def q_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: what share of total order value do the
+    top 20% of customers carry?  (The 80/20 question every revenue
+    review asks.)  Membership in the top quintile is the cross-
+    multiplied integer test rn*5 <= n — no float rank arithmetic —
+    and the share is the integer-division bridge.
+
+    Scale shape: one customer-revenue agg; the ranking runs on the
+    customer-sized agg table (at 100 TB: distributed_rank
+    (windows.py) replaces the single-partition window — the output
+    here is one row, so the agg table is the only sorted stream)."""
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint"))
+        .cast("long")
+        .alias("cents")
+    )
+    w_rank = Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
+    ranked = cust.select(
+        "cents",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.sum("cents").over(Window.partitionBy()).cast("long").alias("total"),
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.max("total").cast("long").alias("total_cents"),
+        F.sum(F.when(F.col("rn") * 5 <= F.col("n"), F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("top20_cents"),
+        F.expr(
+            "CAST((sum(CASE WHEN rn * 5 <= n THEN cents ELSE 0 END) * 1000000)"
+            " div max(total) AS BIGINT)"
+        ).alias("top20_share_e6"),
+    )
