@@ -1641,8 +1641,9 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(max(n) AS BIGINT) AS n_customers,
            CAST(max(total) AS BIGINT) AS total_cents,
            CAST(sum(CASE WHEN rn * 5 <= n THEN cents ELSE 0 END) AS BIGINT) AS top20_cents,
-           CAST((sum(CASE WHEN rn * 5 <= n THEN cents ELSE 0 END) * 1000000)
-                // max(total) AS BIGINT) AS top20_share_e6
+           CAST(floor(CAST(CAST(sum(CASE WHEN rn * 5 <= n THEN cents ELSE 0 END)
+                                 AS HUGEINT) * 1000000 AS DOUBLE)
+                      / CAST(max(total) AS DOUBLE)) AS BIGINT) AS top20_share_e6
     FROM ranked
     """,
 )
@@ -1651,7 +1652,9 @@ def q_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     top 20% of customers carry?  (The 80/20 question every revenue
     review asks.)  Membership in the top quintile is the cross-
     multiplied integer test rn*5 <= n — no float rank arithmetic —
-    and the share is the integer-division bridge.
+    and the share widens to the 128-bit combine bridge
+    (top20 * 1e6 overflows int64 at 8x fixture revenue — the scale
+    probe caught it as a loud ANSI error).
 
     Scale shape: one customer-revenue agg; the ranking runs on the
     customer-sized agg table (at 100 TB: distributed_rank
@@ -1677,7 +1680,8 @@ def q_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("top20_cents"),
         F.expr(
-            "CAST((sum(CASE WHEN rn * 5 <= n THEN cents ELSE 0 END) * 1000000)"
-            " div max(total) AS BIGINT)"
+            "CAST(floor(CAST(CAST(sum(CASE WHEN rn * 5 <= n THEN cents ELSE 0 END)"
+            " AS DECIMAL(28,0)) * 1000000 AS DOUBLE)"
+            " / CAST(max(total) AS DOUBLE)) AS BIGINT)"
         ).alias("top20_share_e6"),
     )

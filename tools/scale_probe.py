@@ -144,6 +144,10 @@ HEADLINE = [
     "q_decay_popularity",
     "q_audience_overlap",
     "q_conversion_ci",
+    "q_backlog_curve",
+    "q_price_index",
+    "q_hhi_concentration",
+    "q_pareto_share",
 ]
 
 # per-table key columns to shift per replica so keys stay unique and
