@@ -1155,3 +1155,85 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# --------------------------------------------------- weekly churn
+
+
+@register(
+    "q_churn_rate",
+    sql="""
+    WITH words AS (
+      SELECT CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week,
+             user_id // 63 AS wid,
+             bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INTEGER)) AS w
+      FROM events
+      GROUP BY 1, 2
+    ), paired AS (
+      SELECT a.week,
+             sum(bit_count(a.w)) AS n_active,
+             sum(CASE WHEN b.w IS NOT NULL
+                      THEN bit_count(a.w & b.w) ELSE 0 END) AS n_retained
+      FROM words a
+      LEFT JOIN words b ON b.week = a.week + 1 AND b.wid = a.wid
+      GROUP BY a.week
+    )
+    SELECT week,
+           CAST(n_active AS BIGINT) AS n_active,
+           CAST(n_retained AS BIGINT) AS n_retained,
+           CAST(n_active - n_retained AS BIGINT) AS n_churned,
+           CAST(((n_active - n_retained) * 1000000) // n_active AS BIGINT) AS churn_e6
+    FROM paired
+    WHERE week < (SELECT max(week) FROM words)
+    ORDER BY week
+    """,
+)
+def q_churn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week churn: of the users active in week w, how many
+    are absent in w+1 — the retention counter-metric, computed on the
+    same packed user bitmaps as q_audience_overlap (bit_count(AND) of
+    aligned words across adjacent weeks instead of across types; the
+    last, successorless week is excluded).
+
+    Scale shape: one map-side-combinable bit_or agg to (week, word)
+    rows, then a word-aligned self-join shifted by one week — churn
+    for a billion users is an AND over two ~16M-word bitmaps, never a
+    distinct-user set comparison."""
+    e = load(spark, sf_dir, "events")
+    words = e.groupBy(
+        F.expr("CAST(floor(unix_micros(ts) / 604800000000.0) AS BIGINT)").alias("week"),
+        F.expr("user_id div 63").alias("wid"),
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT)))"
+        ).alias("w")
+    )
+    words = scoped_persist(words)
+    b = words.select(
+        (F.col("week") - 1).alias("week_b"), F.col("wid").alias("wid_b"), F.col("w").alias("wb")
+    )
+    paired = (
+        words.join(b, (F.col("week") == F.col("week_b")) & (F.col("wid") == F.col("wid_b")), "left")
+        .groupBy("week")
+        .agg(
+            F.expr("sum(bit_count(w))").alias("n_active"),
+            F.expr(
+                "sum(CASE WHEN wb IS NOT NULL THEN bit_count(w & wb) ELSE 0 END)"
+            ).alias("n_retained"),
+        )
+    )
+    last_week = words.agg(F.max("week").alias("max_week"))
+    return (
+        paired.crossJoin(F.broadcast(last_week))
+        .where(F.col("week") < F.col("max_week"))
+        .select(
+            "week",
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("n_retained").cast("long").alias("n_retained"),
+            (F.col("n_active") - F.col("n_retained")).cast("long").alias("n_churned"),
+            F.expr(
+                "CAST(((n_active - n_retained) * 1000000) div n_active AS BIGINT)"
+            ).alias("churn_e6"),
+        )
+        .orderBy("week")
+    )
