@@ -61,6 +61,7 @@ HOSTILE_KEYS = [
     "q_user_growth",
     "q_trending_topk",
     "q_decay_popularity",
+    "q_churn_rate",
 ]
 
 

@@ -148,6 +148,7 @@ HEADLINE = [
     "q_price_index",
     "q_hhi_concentration",
     "q_pareto_share",
+    "q_churn_rate",
 ]
 
 # per-table key columns to shift per replica so keys stay unique and
