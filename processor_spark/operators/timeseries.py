@@ -2437,3 +2437,59 @@ def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# ------------------------------------------------------------ DOW profile
+
+
+@register(
+    "q_dow_profile",
+    sql="""
+    WITH daily AS (
+      SELECT event_type,
+             dayofweek(CAST(ts AS DATE)) + 1 AS dow,
+             count(*) AS n_events,
+             CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type, CAST(sum(n_events) AS BIGINT) AS n_total FROM daily GROUP BY 1
+    )
+    SELECT d.event_type, CAST(d.dow AS BIGINT) AS dow,
+           CAST(d.n_events AS BIGINT) AS n_events, d.cents,
+           CAST((d.n_events * 1000000) // t.n_total AS BIGINT) AS share_e6
+    FROM daily d JOIN tot t ON t.event_type = d.event_type
+    ORDER BY d.event_type, d.dow
+    """,
+)
+def q_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week activity profile per event type: event counts,
+    exact cents, and each weekday's share of the type's volume — the
+    weekly-rhythm companion to q_seasonal_decompose's hour-of-day
+    component (staffing and anomaly baselines read both).
+
+    Engine note: DuckDB's dayofweek is 0-based where Spark's is
+    1-based — the documented +1 bridge lives in the oracle SQL, never
+    in post-processing.
+
+    Scale shape: one map-side-combinable agg to (type x 7) cells."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.dayofweek(F.col("ts").cast("date")).alias("dow")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("bigint"))
+        .cast("long")
+        .alias("cents"),
+    )
+    tot = daily.groupBy("event_type").agg(F.sum("n_events").cast("long").alias("n_total"))
+    return (
+        daily.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            F.col("dow").cast("long").alias("dow"),
+            F.col("n_events").cast("long").alias("n_events"),
+            "cents",
+            F.expr("CAST((n_events * 1000000) div n_total AS BIGINT)").alias("share_e6"),
+        )
+        .orderBy("event_type", "dow")
+    )

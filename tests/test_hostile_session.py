@@ -62,6 +62,7 @@ HOSTILE_KEYS = [
     "q_trending_topk",
     "q_decay_popularity",
     "q_churn_rate",
+    "q_dow_profile",
 ]
 
 

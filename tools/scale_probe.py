@@ -149,6 +149,7 @@ HEADLINE = [
     "q_hhi_concentration",
     "q_pareto_share",
     "q_churn_rate",
+    "q_dow_profile",
 ]
 
 # per-table key columns to shift per replica so keys stay unique and
