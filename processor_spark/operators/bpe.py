@@ -43,6 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from processor_spark.caching import scoped_persist
 from processor_spark.registry import register
 from processor_spark.sources import load
 
@@ -208,11 +209,14 @@ def _char_rep(word_col) -> "F.Column":
     return F.trim(F.regexp_replace(word_col, "(.)", "$1 "))
 
 
-def _learn_merges(spark: SparkSession, sf_dir: str) -> list:
+def _learn_merges(spark: SparkSession, sf_dir: str, wc: DataFrame | None = None) -> list:
     """Run the K training rounds on the capped vocab table; returns the
-    K winning 1-row frames (pair, wsum), each localCheckpointed."""
+    K winning 1-row frames (pair, wsum), each localCheckpointed.
+    ``wc`` lets a caller that ALSO needs the word-count table (the
+    only corpus-sized pass in this module) share one computation —
+    ADVICE r7: q_bpe_apply used to run it twice."""
     vocab = (
-        _word_counts(spark, sf_dir)
+        (_word_counts(spark, sf_dir) if wc is None else wc)
         .orderBy(F.desc("wcnt"), F.asc("word"))
         .limit(_V)
     )
@@ -276,10 +280,9 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     alphabet plus K merged units — not by the corpus."""
     from pyspark.sql import Window
 
-    reps = _word_counts(spark, sf_dir).select(
-        "word", "wcnt", _char_rep("word").alias("rep")
-    )
-    for best in _learn_merges(spark, sf_dir):
+    wc = scoped_persist(_word_counts(spark, sf_dir))
+    reps = wc.select("word", "wcnt", _char_rep("word").alias("rep"))
+    for best in _learn_merges(spark, sf_dir, wc=wc):
         reps = reps.crossJoin(F.broadcast(best.select("pair"))).select(
             "word", "wcnt", _merge_rep(F.col("rep"), F.col("pair")).alias("rep")
         )

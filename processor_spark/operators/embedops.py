@@ -409,7 +409,9 @@ _OUT_K = 20  # outliers returned
       SELECT vec_id, label,
              list_reduce(
                list_transform(range(1, {_D + 1}),
-                 i -> ((x[i] - s.mu[i]) * (x[i] - s.mu[i])) / s.var[i]),
+                 i -> coalesce(((x[i] - s.mu[i]) * (x[i] - s.mu[i]))
+                               / nullif(s.var[i], CAST(0 AS DOUBLE)),
+                               CAST(0 AS DOUBLE))),
                (a, b) -> a + b) AS score
       FROM q, stats s
     )
@@ -473,10 +475,16 @@ def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x", F.col("embedding").cast("array<double>")
     )
     def term(i):
-        return (
-            (F.element_at("x", i) - F.element_at("mu", i))
-            * (F.element_at("x", i) - F.element_at("mu", i))
-        ) / F.element_at("var", i)
+        # var=0 (constant dimension) is skipped identically on both
+        # engines: nullif -> NULL division -> coalesce 0.0 (ADVICE r7).
+        return F.coalesce(
+            (
+                (F.element_at("x", i) - F.element_at("mu", i))
+                * (F.element_at("x", i) - F.element_at("mu", i))
+            )
+            / F.nullif(F.element_at("var", i), F.lit(0.0)),
+            F.lit(0.0),
+        )
 
     score = F.aggregate(
         F.transform(F.sequence(F.lit(1), F.lit(_D)), term),

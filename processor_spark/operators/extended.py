@@ -1221,7 +1221,8 @@ def q_rr_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM weighted GROUP BY event_type, b HAVING sum(w) > 0
     ), ranked AS (
       SELECT event_type, b, m_e6,
-             row_number() OVER (PARTITION BY event_type ORDER BY m_e6, b) AS rn
+             row_number() OVER (PARTITION BY event_type ORDER BY m_e6, b) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS max_rn
       FROM rep_means
     ), point AS (
       SELECT event_type, count(*) AS n,
@@ -1231,8 +1232,8 @@ def q_rr_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT p.event_type, CAST(p.n AS BIGINT) AS n,
            CAST(p.mean_e6 AS BIGINT) AS mean_e6,
-           CAST(max(CASE WHEN r.rn = 2 THEN r.m_e6 END) AS BIGINT) AS ci_lo_e6,
-           CAST(max(CASE WHEN r.rn = 15 THEN r.m_e6 END) AS BIGINT) AS ci_hi_e6
+           CAST(max(CASE WHEN r.rn = least(2, r.max_rn) THEN r.m_e6 END) AS BIGINT) AS ci_lo_e6,
+           CAST(max(CASE WHEN r.rn = least(15, r.max_rn) THEN r.m_e6 END) AS BIGINT) AS ci_hi_e6
     FROM point p JOIN ranked r ON r.event_type = p.event_type
     GROUP BY p.event_type, p.n, p.mean_e6
     ORDER BY p.event_type
@@ -1293,7 +1294,12 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "b", F.expr("(s * 100) div wsum").alias("m_e6"))
     )
     rw = Window.partitionBy("event_type").orderBy("m_e6", "b")
-    ranked = rep_means.withColumn("rn", F.row_number().over(rw))
+    # Clamp the order-statistic ranks to the surviving replica count:
+    # HAVING sum(w) > 0 can drop replicas for tiny groups, so rank 2/15
+    # may not exist and the CI would silently come back NULL (ADVICE r7).
+    ranked = rep_means.withColumn("rn", F.row_number().over(rw)).withColumn(
+        "max_rn", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
     point = e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.expr(
@@ -1305,8 +1311,12 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         point.join(ranked, "event_type")
         .groupBy("event_type", "n", "mean_e6")
         .agg(
-            F.max(F.when(F.col("rn") == 2, F.col("m_e6"))).cast("long").alias("ci_lo_e6"),
-            F.max(F.when(F.col("rn") == 15, F.col("m_e6"))).cast("long").alias("ci_hi_e6"),
+            F.max(F.when(F.col("rn") == F.least(F.lit(2), F.col("max_rn")), F.col("m_e6")))
+            .cast("long")
+            .alias("ci_lo_e6"),
+            F.max(F.when(F.col("rn") == F.least(F.lit(15), F.col("max_rn")), F.col("m_e6")))
+            .cast("long")
+            .alias("ci_hi_e6"),
         )
         .select(
             "event_type",
@@ -1338,7 +1348,7 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM d
     ), diffs AS (
       SELECT cents,
-             abs(CAST(cum1 AS BIGINT) * t.n2 - CAST(cum2 AS BIGINT) * t.n1) AS diff
+             abs(CAST(cum1 AS HUGEINT) * t.n2 - CAST(cum2 AS HUGEINT) * t.n1) AS diff
       FROM cums, tot t
     ), best AS (
       SELECT diff, cents,
@@ -1346,7 +1356,7 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM diffs
     )
     SELECT CAST(t.n1 AS BIGINT) AS n1, CAST(t.n2 AS BIGINT) AS n2,
-           CAST((b.diff * 10000) // (t.n1 * t.n2) AS BIGINT) AS d_e4,
+           CAST((b.diff * 10000) // (CAST(t.n1 AS HUGEINT) * t.n2) AS BIGINT) AS d_e4,
            CAST(b.cents AS BIGINT) AS at_cents,
            CAST(CASE WHEN CAST(b.diff AS DOUBLE) / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE))
                      > CAST(1.358 AS DOUBLE)
@@ -1389,18 +1399,30 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c1").over(wc).alias("cum1"),
         F.sum("c2").over(wc).alias("cum2"),
     )
+    # 128-bit combine bridge (ADVICE r7): cum*n products and diff*10000
+    # only had int64 headroom through the probed 64x octave — widen the
+    # combine exactly as q_pareto_share did (decimal(38,0) <-> HUGEINT).
+    dec = "decimal(38,0)"
     diffs = cums.crossJoin(F.broadcast(tot)).select(
         "cents",
         "n1",
         "n2",
-        F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")).alias("diff"),
+        F.abs(
+            F.col("cum1").cast("decimal(19,0)") * F.col("n2").cast("decimal(19,0)")
+            - F.col("cum2").cast("decimal(19,0)") * F.col("n1").cast("decimal(19,0)")
+        )
+        .cast(dec)
+        .alias("diff"),
     )
     wb = Window.orderBy(F.desc("diff"), F.asc("cents"))
     best = diffs.withColumn("rn", F.row_number().over(wb)).where(F.col("rn") == 1)
     return best.select(
         F.col("n1").cast("long").alias("n1"),
         F.col("n2").cast("long").alias("n2"),
-        F.expr("CAST((diff * 10000) div (n1 * n2) AS BIGINT)").alias("d_e4"),
+        F.expr(
+            "CAST((diff * CAST(10000 AS decimal(38,0)))"
+            " div (CAST(n1 AS decimal(19,0)) * CAST(n2 AS decimal(19,0))) AS BIGINT)"
+        ).alias("d_e4"),
         F.col("cents").cast("long").alias("at_cents"),
         F.when(
             F.col("diff").cast("double")
