@@ -241,8 +241,8 @@ def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_contamination",
     sql="""
     WITH toks AS (
-      SELECT doc_id, source, string_split(text, ' ') AS t
-      FROM documents WHERE len(string_split(text, ' ')) >= 8
+      SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents WHERE len(string_split_regex(trim(text), '\\s+')) >= 8
     ), grams AS (
       SELECT doc_id, source,
              unnest(list_transform(generate_series(1, len(t) - 7),
@@ -257,7 +257,7 @@ def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY g.doc_id
     """,
 )
-def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_contamination(spark: SparkSession, sf_dir: str, mode: str = "ws") -> DataFrame:
     """Benchmark-contamination check: training docs sharing any token
     8-gram with the held-out eval set (source = src0), with the count
     of distinct shared grams — the standard decontamination primitive.
@@ -271,7 +271,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = (
         load(spark, sf_dir, "documents")
-        .withColumn("t", F.split("text", " "))
+        .withColumn("t", tokens(F.col("text"), mode))
         .where(F.size("t") >= 8)  # sequence(0, size-8) reverses if size<8
     )
     grams = d.select(
@@ -907,7 +907,7 @@ def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o.decile
     """,
 )
-def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_vocab_growth(spark: SparkSession, sf_dir: str, mode: str = "ws") -> DataFrame:
     """Vocabulary-growth (Heaps' law) curve over corpus prefixes: new
     and cumulative distinct token types per doc-id decile, against
     cumulative token occurrences — how a pipeline decides whether
@@ -925,7 +925,7 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(bounds))
         .select(
             F.expr("(10 * (doc_id - lo)) div (hi - lo + 1)").alias("decile"),
-            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+            F.explode(tokens(F.col("text"), mode)).alias("tok"),
         )
     )
     occ = toks.groupBy("decile").agg(F.count(F.lit(1)).alias("occurrences"))

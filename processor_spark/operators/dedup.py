@@ -685,7 +685,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH canon AS (
       SELECT source,
              md5(text) AS exact_h,
-             md5(array_to_string(list_sort(string_split(lower(trim(text)), ' ')), ' '))
+             md5(array_to_string(list_sort(string_split_regex(trim(lower(text)), '\\s+')), ' '))
                AS canon_h
       FROM documents
     )
@@ -697,7 +697,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY source
     """,
 )
-def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_canonical(spark: SparkSession, sf_dir: str, mode: str = "ws") -> DataFrame:
     """Canonicalized (token-set) dedup: documents are normalized —
     lowercase, trimmed, tokens SORTED — before hashing, so permuted /
     re-ordered copies collapse to one canonical id that byte-exact
@@ -712,7 +712,7 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.md5("text").alias("exact_h"),
         F.md5(
-            F.array_join(F.array_sort(F.split(F.lower(F.trim("text")), " ")), " ")
+            F.array_join(F.array_sort(_tokens(F.lower(F.col("text")), mode)), " ")
         ).alias("canon_h"),
     )
     return canon.groupBy("source").agg(

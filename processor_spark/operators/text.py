@@ -43,7 +43,7 @@ def tokens(col, mode: str = "ws") -> F.Column:
     LIMIT {TOP_TERMS}
     """,
 )
-def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_text_tokens(spark: SparkSession, sf_dir: str, mode: str = "ws") -> DataFrame:
     """Tokenize + global term frequency, top-20 terms.
 
     Ties at the cut line are broken by token text so the LIMIT is
@@ -51,7 +51,7 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load(spark, sf_dir, "documents")
     return (
-        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        d.select(F.explode(tokens(F.col("text"), mode)).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
         .orderBy(F.desc("freq"), F.asc("token"))
@@ -80,7 +80,7 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE tf.tf * ln(n.n_docs / df.df) > 0
     """,
 )
-def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_tfidf(spark: SparkSession, sf_dir: str, mode: str = "ws") -> DataFrame:
     """TF-IDF per (doc, term), fully relational.
 
     tf = in-doc term count; idf = ln(N/df).  The df table is small
@@ -90,7 +90,7 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load(spark, sf_dir, "documents")
     tf = (
-        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        d.select("doc_id", F.explode(tokens(F.col("text"), mode)).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -342,7 +342,7 @@ def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT source,
                list_transform(range(1, len(toks)),
                               i -> toks[i] || ' ' || toks[i + 1]) AS grams
-        FROM (SELECT source, string_split(text, ' ') AS toks FROM documents)
+        FROM (SELECT source, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
         WHERE len(toks) >= 2
       )
     )
@@ -356,7 +356,9 @@ def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY source
     """,
 )
-def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_quality_repetition(
+    spark: SparkSession, sf_dir: str, mode: str = "ws"
+) -> DataFrame:
     """Repeated-bigram quality signal (the Gopher 'duplicate n-gram
     fraction' rule): per document, total vs distinct word-2-grams, and
     a repetitive flag when >30 % of bigrams are repeats — aggregated
@@ -364,9 +366,11 @@ def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-multiplication (10*distinct < 7*total), so the oracle check
     is exact with zero float-boundary risk.  The grams never explode
     to rows: array lambdas (transform + array_distinct) keep the work
-    per-document inside codegen, and the agg is one partial+final pass."""
+    per-document inside codegen, and the agg is one partial+final pass.
+    Tokenization routes through the shared tokenizer (r8 unification);
+    ``mode='unicode'`` extends the signal to CJK corpora."""
     d = load(spark, sf_dir, "documents")
-    toks = d.select("source", F.split("text", " ").alias("toks")).where(
+    toks = d.select("source", tokens(F.col("text"), mode).alias("toks")).where(
         F.size("toks") >= 2
     )
     grams = toks.select(
@@ -395,7 +399,7 @@ def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_text_chunks",
     sql="""
     WITH t AS (
-      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
     ), starts AS (
       SELECT doc_id, toks, u.s,
              row_number() OVER (PARTITION BY doc_id ORDER BY u.s) AS chunk_idx
@@ -407,7 +411,7 @@ def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM starts
     """,
 )
-def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_text_chunks(spark: SparkSession, sf_dir: str, mode: str = "ws") -> DataFrame:
     """Overlapping document chunking — 64-token windows on a 48-token
     stride (16-token overlap), the context-window splitter every LLM
     training/RAG pipeline runs before embedding.  Chunk starts come
@@ -417,7 +421,7 @@ def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     geometry (start, length, head token) rather than the chunk text to
     keep the oracle diff small; real pipelines keep the slice."""
     d = load(spark, sf_dir, "documents")
-    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    t = d.select("doc_id", tokens(F.col("text"), mode).alias("toks"))
     starts = t.select(
         "doc_id",
         "toks",
@@ -987,7 +991,7 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM toks GROUP BY source
     """,
 )
-def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_oov_rate(spark: SparkSession, sf_dir: str, mode: str = "ws") -> DataFrame:
     """Out-of-vocabulary rate per source against the top-{VOCAB_TOP}
     corpus vocabulary (q_vocab_coverage's cut, same deterministic
     ordering) — the tokenizer-eval twin of the coverage curve: coverage
@@ -1007,7 +1011,7 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # that persisted agg (CLAUDE.md shared-subplan rule; the explode
     # otherwise runs twice)
     st = (
-        d.select("source", F.explode(tokens("text")).alias("token"))
+        d.select("source", F.explode(tokens(F.col("text"), mode)).alias("token"))
         .groupBy("source", "token")
         .agg(F.count(F.lit(1)).alias("freq"))
         .transform(scoped_persist)
