@@ -1,0 +1,298 @@
+"""Model-based quality scoring (VERDICT r7 missing #2).
+
+Every production LLM-corpus pipeline runs a LEARNED quality scorer
+next to its heuristic gates: the gates are binary and brittle, the
+scorer gives a smooth rankable signal that generalizes the gates'
+decision boundary.  This module distills the q_corpus_pipeline
+heuristic gate into a linear model fit ON the corpus itself — the
+classic rules-to-model distillation step — with the whole fit AND the
+scoring pass under a full hash oracle.
+
+Exactness design (the q_regression_slope / q_embed_pca playbook):
+
+- Features are exact winsorized integers per document (token count,
+  char count, stopword count, distinct-token count — all from the
+  shared tokenizer, caps bound both skew and overflow).
+- The fit is the DIAGONAL least-squares model: each weight is the
+  univariate OLS slope w_j = (n*C_j - S_j*Sy) / (n*Q_j - S_j^2),
+  a ratio of two exact integers assembled from five distributive sums
+  per feature.  Per-row products stay < 2^31; the sums and the final
+  combines are widened through the 128-bit bridge (Spark decimal ↔
+  DuckDB HUGEINT) so no octave of scale can overflow them (the
+  q_pareto_share lesson).
+- Each weight costs ONE double division of identical 128-bit-exact
+  integers; the per-doc score folds the four weight*deviation terms
+  in a fixed written order — +, *, / are IEEE-identical cross-engine
+  when the expression tree is byte-identical, so the score, the
+  keep/drop decision, and the reported weights all hash-match.
+- Constant features (zero variance) are skipped identically on both
+  sides via nullif/coalesce — never a division by zero.
+
+Scale shape: one tokenize pass reduces the corpus to a per-doc
+feature table (persisted — it feeds both the stats agg and the
+scoring join); the model stats are ONE map-side-combinable aggregate
+to a single broadcast row; scoring is a narrow codegen map over the
+feature table.  Nothing shuffles document text, and the model row is
+O(features) regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from processor_spark.caching import scoped_persist
+from processor_spark.operators.text import STOPWORDS, tokens
+from processor_spark.registry import register
+from processor_spark.sources import load
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+# Winsorization caps: bound per-row products (overflow) and tail skew
+# (a single 10 MB doc should not dominate a least-squares fit).
+_CAP_TOK = 4096
+_CAP_CHAR = 16384
+
+_FEATURES = ["n_tok", "n_char", "n_stop", "n_distinct"]
+
+# Shared CTE prefix: per-doc integer features + heuristic label, then
+# the one-row model-stats aggregate (HUGEINT sums).  The label is the
+# q_corpus_pipeline quality gate spelled in cross-multiplied integers
+# (5*stop <= 4*tokens ⇔ stopword ratio <= 0.8).
+_FEAT_STATS_CTES = f"""
+    feat AS (
+      SELECT doc_id, source,
+             least(nt, {_CAP_TOK}) AS x1,
+             least(n_chars, {_CAP_CHAR}) AS x2,
+             least(sc, {_CAP_TOK}) AS x3,
+             least(nd, {_CAP_TOK}) AS x4,
+             CASE WHEN nt BETWEEN 5 AND 2000 AND 5 * sc <= 4 * nt
+                  THEN 1 ELSE 0 END AS y
+      FROM (
+        SELECT doc_id, source, n_chars,
+               len(toks) AS nt,
+               len(list_filter(toks, t -> list_contains({_STOP_SQL}, t))) AS sc,
+               len(list_distinct(toks)) AS nd
+        FROM (
+          SELECT doc_id, source, n_chars,
+                 string_split_regex(trim(text), '\\s+') AS toks
+          FROM documents
+        )
+      )
+    ),
+    st AS (
+      SELECT count(*) AS n, sum(CAST(y AS HUGEINT)) AS sy,
+             sum(CAST(x1 AS HUGEINT)) AS s1, sum(CAST(x1 * x1 AS HUGEINT)) AS q1,
+             sum(CAST(x1 * y AS HUGEINT)) AS c1,
+             sum(CAST(x2 AS HUGEINT)) AS s2, sum(CAST(x2 * x2 AS HUGEINT)) AS q2,
+             sum(CAST(x2 * y AS HUGEINT)) AS c2,
+             sum(CAST(x3 AS HUGEINT)) AS s3, sum(CAST(x3 * x3 AS HUGEINT)) AS q3,
+             sum(CAST(x3 * y AS HUGEINT)) AS c3,
+             sum(CAST(x4 AS HUGEINT)) AS s4, sum(CAST(x4 * x4 AS HUGEINT)) AS q4,
+             sum(CAST(x4 * y AS HUGEINT)) AS c4
+      FROM feat
+    )"""
+
+
+def _w_sql(j: int) -> str:
+    """Oracle spelling of weight j: one double division of 128-bit
+    combines, NULL (skipped) when the feature is constant."""
+    return (
+        f"(CAST(CAST(st.n AS HUGEINT) * st.c{j} - st.s{j} * st.sy AS DOUBLE)"
+        f" / nullif(CAST(CAST(st.n AS HUGEINT) * st.q{j} - st.s{j} * st.s{j}"
+        f" AS DOUBLE), CAST(0 AS DOUBLE)))"
+    )
+
+
+def _term_sql(j: int) -> str:
+    """Oracle spelling of score term j: w_j * (n*x_j - S_j), deviation
+    kept integer-exact before its one double cast."""
+    return (
+        f"coalesce({_w_sql(j)}"
+        f" * CAST(CAST(st.n AS HUGEINT) * f.x{j} - st.s{j} AS DOUBLE),"
+        f" CAST(0 AS DOUBLE))"
+    )
+
+
+_SCORE_SQL = (
+    "(CAST(2 * st.sy - CAST(st.n AS HUGEINT) AS DOUBLE)"
+    " / CAST(2 * st.n AS DOUBLE))"
+    " + ((((" + _term_sql(1) + " + " + _term_sql(2) + ") + " + _term_sql(3) + ")"
+    " + " + _term_sql(4) + ") / CAST(st.n AS DOUBLE))"
+)
+
+
+def _feat_frame(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
+    toks = tokens(F.col("text"), mode)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    raw = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size(toks).alias("nt"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).alias("sc"),
+        F.size(F.array_distinct(toks)).alias("nd"),
+    )
+    return raw.select(
+        "doc_id",
+        "source",
+        F.least(F.col("nt"), F.lit(_CAP_TOK)).cast("long").alias("x1"),
+        F.least(F.col("n_chars"), F.lit(_CAP_CHAR)).cast("long").alias("x2"),
+        F.least(F.col("sc"), F.lit(_CAP_TOK)).cast("long").alias("x3"),
+        F.least(F.col("nd"), F.lit(_CAP_TOK)).cast("long").alias("x4"),
+        F.when(
+            F.col("nt").between(5, 2000) & (5 * F.col("sc") <= 4 * F.col("nt")), 1
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("y"),
+    )
+
+
+def _stats_frame(feat: DataFrame) -> DataFrame:
+    dec = "decimal(20,0)"
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+    ]
+    for j in range(1, 5):
+        x = F.col(f"x{j}")
+        aggs += [
+            F.sum(x.cast(dec)).alias(f"s{j}"),
+            F.sum((x * x).cast(dec)).alias(f"q{j}"),
+            F.sum((x * F.col("y")).cast(dec)).alias(f"c{j}"),
+        ]
+    return feat.groupBy().agg(*aggs)
+
+
+_D38 = "decimal(38,0)"
+
+
+def _w_col(j: int) -> F.Column:
+    num = (
+        F.col("n").cast(_D38) * F.col(f"c{j}").cast(_D38)
+        - F.col(f"s{j}").cast(_D38) * F.col("sy").cast(_D38)
+    ).cast("double")
+    den = (
+        F.col("n").cast(_D38) * F.col(f"q{j}").cast(_D38)
+        - F.col(f"s{j}").cast(_D38) * F.col(f"s{j}").cast(_D38)
+    ).cast("double")
+    return num / F.nullif(den, F.lit(0.0))
+
+
+def _term_col(j: int) -> F.Column:
+    dev = (
+        F.col("n").cast(_D38) * F.col(f"x{j}").cast(_D38)
+        - F.col(f"s{j}").cast(_D38)
+    ).cast("double")
+    return F.coalesce(_w_col(j) * dev, F.lit(0.0))
+
+
+def _score_col() -> F.Column:
+    base = (F.lit(2) * F.col("sy").cast(_D38) - F.col("n").cast(_D38)).cast(
+        "double"
+    ) / (F.lit(2) * F.col("n")).cast("double")
+    dev_sum = (
+        ((_term_col(1) + _term_col(2)) + _term_col(3)) + _term_col(4)
+    ) / F.col("n").cast("double")
+    return base + dev_sum
+
+
+@register(
+    "q_quality_model",
+    sql="WITH "
+    + _FEAT_STATS_CTES
+    + f""",
+    scored AS (
+      SELECT f.source, f.y,
+             CASE WHEN {_SCORE_SQL} > CAST(0 AS DOUBLE) THEN 1 ELSE 0 END AS pred
+      FROM feat f, st
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(y) AS BIGINT) AS n_label_keep,
+           CAST(sum(pred) AS BIGINT) AS n_pred_keep,
+           CAST(sum(CASE WHEN y = pred THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+           CAST((sum(pred) * 1000) // count(*) AS BIGINT) AS keep_permille
+    FROM scored GROUP BY source ORDER BY source
+    """,
+)
+def q_quality_model(spark: SparkSession, sf_dir: str, mode: str = "ws") -> DataFrame:
+    """Learned quality scorer: distill the heuristic quality gate into
+    a diagonal least-squares linear model (per-feature univariate OLS
+    slopes over winsorized integer features), score every document,
+    and report per-source keep rates plus agreement with the teacher
+    gate.  pred = predicted quality > 1/2 (score is centered so the
+    threshold is score > 0).  See module docstring for the exactness
+    and scale design — the fit is one distributive aggregate, the
+    scoring pass one narrow map, and every output is an exact count."""
+    feat = scoped_persist(_feat_frame(spark, sf_dir, mode))
+    stats = _stats_frame(feat)
+    scored = feat.crossJoin(F.broadcast(stats)).select(
+        "source",
+        "y",
+        F.when(_score_col() > F.lit(0.0), 1).otherwise(0).alias("pred"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("y").cast("long").alias("n_label_keep"),
+            F.sum("pred").cast("long").alias("n_pred_keep"),
+            F.sum(F.when(F.col("y") == F.col("pred"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_agree"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_label_keep",
+            "n_pred_keep",
+            "n_agree",
+            F.expr("(n_pred_keep * 1000) div n_docs").alias("keep_permille"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q_quality_model_weights",
+    sql="WITH "
+    + _FEAT_STATS_CTES
+    + "\n    SELECT * FROM (\n      "
+    + "\n      UNION ALL ".join(
+        f"SELECT CAST({j} AS BIGINT) AS feature_id, '{name}' AS feature,"
+        f" CAST(st.n AS BIGINT) AS n,"
+        f" CAST(floor((coalesce({_w_sql(j)}, CAST(0 AS DOUBLE))"
+        f" * CAST(1e9 AS DOUBLE)) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS w_e9"
+        f" FROM st"
+        for j, name in enumerate(_FEATURES, start=1)
+    )
+    + "\n    ) ORDER BY feature_id",
+)
+def q_quality_model_weights(
+    spark: SparkSession, sf_dir: str, mode: str = "ws"
+) -> DataFrame:
+    """The learned model itself: one row per feature with its OLS
+    slope in exact 1e-9 units (floor-integerized from the one double
+    division of 128-bit-exact combines, so the hash oracle certifies
+    the fitted weights bit-for-bit).  Constant features report 0."""
+    feat = _feat_frame(spark, sf_dir, mode)
+    stats = _stats_frame(feat)
+    rows = [
+        stats.select(
+            F.lit(j).cast("long").alias("feature_id"),
+            F.lit(name).alias("feature"),
+            F.col("n").cast("long").alias("n"),
+            F.floor(
+                (F.coalesce(_w_col(j), F.lit(0.0)) * F.lit(1e9)) + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("w_e9"),
+        )
+        for j, name in enumerate(_FEATURES, start=1)
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("feature_id")

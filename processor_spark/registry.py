@@ -60,6 +60,7 @@ _MODULES = [
     "processor_spark.operators.embedops",
     "processor_spark.operators.ranking",
     "processor_spark.operators.bpe",
+    "processor_spark.operators.quality_model",
     "processor_spark.functions.families",
     "processor_spark.functions.udx",
 ]

@@ -150,6 +150,10 @@ HEADLINE = [
     "q_pareto_share",
     "q_churn_rate",
     "q_dow_profile",
+    # r8: learned quality scorer (one persisted feature pass + stats
+    # broadcast — near-flat expected) and its weights twin
+    "q_quality_model",
+    "q_quality_model_weights",
 ]
 
 # per-table key columns to shift per replica so keys stay unique and
