@@ -600,3 +600,177 @@ def test_streaming_cms_cells_equal_batch_sketch(spark, events_chunks_dir):
     got_map = {(r.s, r.c): r.cnt for r in got.collect()}
     est = min(got_map[sc] for sc in cells)
     assert est >= uid["count"]
+
+
+def test_streaming_hll_daily_merge_equal_batch(spark, events_chunks_dir):
+    """r8 (VERDICT r7 #3): the DAILY HLL register table maintained by
+    the stream must equal the batch build exactly, AND the register-
+    wise max rollup of those daily sketches must equal a direct batch
+    build at the coarse grain — mergeability proven under incremental
+    execution, which is the whole 100 TB claim of the sketch tier."""
+    from processor_spark.operators.sketches import _hll_estimate_cols
+
+    stream = P.read_events_stream(spark, events_chunks_dir)
+    got = _drain(spark, P.hll_daily_registers(stream), "t_hll_daily", mode="complete")
+    want = P.hll_daily_registers(load(spark, SF_SMALL, "events"))
+    cols = ["day", "grp", "bucket", "r"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+    # rollup across days == direct build at (grp, bucket) grain
+    merged = got.groupBy("grp", "bucket").agg(F.max("r").alias("r"))
+    direct = P.hll_user_registers(load(spark, SF_SMALL, "events"))
+    assert _sorted_rows(merged, ["grp", "bucket", "r"]) == _sorted_rows(
+        direct, ["grp", "bucket", "r"]
+    )
+
+    # and therefore the rolled-up estimates agree too
+    aggs, est_col = _hll_estimate_cols()
+    est = lambda regs: {
+        r.grp: r.est
+        for r in regs.groupBy("grp")
+        .agg(*aggs)
+        .select("grp", est_col().alias("est"))
+        .collect()
+    }
+    assert est(merged) == est(direct)
+
+
+def test_streaming_hll_daily_registers_survive_restart(spark, tmp_path):
+    """The open day's registers live in the checkpoint: run 1 ends with
+    day 1 still open (watermark not yet past its end); run 2's events
+    extend day 1's registers AND close the day.  The emitted day-1
+    sketch must equal a batch build over BOTH runs' day-1 events —
+    impossible if register state were lost at restart."""
+    import pandas as pd
+
+    data = tmp_path / "inbox"
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    data.mkdir()
+
+    def run_once():
+        stream = P.read_events_stream(spark, str(data))
+        P.write_parquet_stream(
+            P.hll_daily_registers_windowed(stream, watermark="1 hour"), out, ckpt
+        )
+
+    # run 1: three day-1 users
+    _mk_events(
+        [(1, "2024-01-01 02:00:00", 11, "click"),
+         (2, "2024-01-01 03:00:00", 12, "click"),
+         (3, "2024-01-01 04:00:00", 13, "click")]
+    ).to_parquet(data / "c1.parquet", index=False)
+    run_once()
+    # run 2: two MORE day-1 users (late but above watermark), then a
+    # day-2 05:00 event pushing the watermark past day-1 end
+    _mk_events(
+        [(4, "2024-01-01 20:00:00", 14, "click"),
+         (5, "2024-01-01 21:00:00", 15, "click"),
+         (6, "2024-01-02 05:00:00", 16, "click")]
+    ).to_parquet(data / "c2.parquet", index=False)
+    run_once()
+
+    got = {
+        (r.day.isoformat(), r.grp, r.bucket): r.r
+        for r in spark.read.parquet(out).collect()
+    }
+    day1 = {k: v for k, v in got.items() if k[0] == "2024-01-01"}
+    ev = (
+        spark.createDataFrame(
+            pd.DataFrame({"user_id": [11, 12, 13, 14, 15]})
+        )
+        .select(F.col("user_id").cast("long"))
+        .withColumn("event_type", F.lit("click"))
+        .withColumn("ts", F.lit("2024-01-01 12:00:00").cast("timestamp"))
+    )
+    want = {
+        ("2024-01-01", r.grp, r.bucket): r.r
+        for r in P.hll_daily_registers(ev).collect()
+    }
+    assert day1 == want, (day1, want)
+
+
+def test_streaming_kmv_equal_batch(spark, events_chunks_dir):
+    """Streaming KMV (bounded k-long state per group via
+    applyInPandasWithState) must converge to the SAME k-th minimum
+    hash as the batch rank over distinct hashes — arrival order and
+    chunking never change the k smallest of a set."""
+    stream = P.read_events_stream(spark, events_chunks_dir)
+    got_df = _drain(spark, P.kmv_user_hashes(stream), "t_kmv", mode="update")
+    # update mode emits one row per (grp, batch); keep the latest per grp
+    latest = {}
+    for r in got_df.collect():
+        if r.grp not in latest or r.version > latest[r.grp].version:
+            latest[r.grp] = r
+    got = {g: (r.n_mins, r.kth_h) for g, r in latest.items()}
+
+    ev = load(spark, SF_SMALL, "events")
+    dig = F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string")).cast("binary"))
+    h = F.conv(F.substring(dig, 1, 12), 16, 10).cast("long")
+    hs = ev.select(F.col("event_type").alias("grp"), h.alias("h")).distinct()
+    w = Window.partitionBy("grp").orderBy("h")
+    ranked = hs.withColumn("rn", F.row_number().over(w))
+    from processor_spark.streaming.pipelines import KMV_STREAM_K
+
+    n_mins = {
+        r.grp: r.n
+        for r in ranked.groupBy("grp")
+        .agg(F.least(F.count(F.lit(1)), F.lit(KMV_STREAM_K)).alias("n"))
+        .collect()
+    }
+    kth = {
+        r.grp: r.h
+        for r in ranked.where(F.col("rn") == KMV_STREAM_K).collect()
+    }
+    want = {g: (int(n_mins[g]), int(kth.get(g, -1))) for g in n_mins}
+    assert got == want, (got, want)
+
+
+def test_streaming_kmv_state_survives_restart(spark, tmp_path):
+    """KMV state (the k smallest hashes) must be restored from the
+    checkpoint: run 2 alone carries fewer than K distinct users, so a
+    lost-state restart could never produce a k-th minimum — the final
+    sketch must equal a batch build over BOTH runs' events."""
+    import pandas as pd
+
+    from processor_spark.streaming.pipelines import KMV_STREAM_K
+
+    data = tmp_path / "inbox"
+    ckpt = str(tmp_path / "ckpt")
+    out = tmp_path / "out"
+    out.mkdir()
+    data.mkdir()
+
+    def sink(batch_df, batch_id):
+        if batch_df.count():
+            batch_df.write.mode("append").parquet(str(out / "rows"))
+
+    def run_once():
+        stream = P.read_events_stream(spark, str(data))
+        P.run_foreach_batch_ckpt(P.kmv_user_hashes(stream), sink, ckpt)
+
+    # run 1: 20 distinct users (> K) of one type
+    _mk_events(
+        [(i, "2024-01-01 00:00:00", 100 + i, "click") for i in range(1, 21)]
+    ).to_parquet(data / "c1.parquet", index=False)
+    run_once()
+    # run 2: 6 users — 3 new, 3 repeats; alone they could never fill K
+    _mk_events(
+        [(100 + i, "2024-01-01 01:00:00", u, "click")
+         for i, u in enumerate([101, 102, 103, 501, 502, 503])]
+    ).to_parquet(data / "c2.parquet", index=False)
+    run_once()
+
+    rows = spark.read.parquet(str(out / "rows")).collect()
+    final = max(rows, key=lambda r: r.version)
+    assert final.n_mins == KMV_STREAM_K
+
+    ev = spark.createDataFrame(
+        pd.DataFrame({"user_id": [100 + i for i in range(1, 21)] + [501, 502, 503]})
+    ).select(F.col("user_id").cast("long"))
+    dig = F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string")).cast("binary"))
+    h = F.conv(F.substring(dig, 1, 12), 16, 10).cast("long")
+    want_kth = sorted(r.h for r in ev.select(h.alias("h")).distinct().collect())[
+        KMV_STREAM_K - 1
+    ]
+    assert final.kth_h == want_kth, (final.kth_h, want_kth)
