@@ -271,6 +271,75 @@ def _orders_lake(spark: SparkSession, sf_dir: str, name: str) -> LakeTable:
     return t
 
 
+_CDC_FMT = 1  # bump to invalidate previously built shared CDC tables
+
+
+def _orders_lake_cdc(spark: SparkSession, sf_dir: str) -> LakeTable:
+    """Marker-cached create+MERGE table SHARED by the CDC read keys
+    (q_time_travel, q_change_feed, q_mv_maintain): the two commits are
+    deterministic per fixture, so they are written once per (sf_dir,
+    format version) and reused — the _orders_lake_ingest pattern that
+    took q_lake_pointlookup 7.8→1.5 s (r8, VERDICT r7 next #6).
+    q_merge_snapshot intentionally KEEPS the per-invocation rebuild
+    (_orders_lake) so the create+MERGE commit path stays covered
+    end-to-end every sweep; the read keys' oracles still replay
+    relationally, so their hash checks certify the snapshot/feed read
+    path on every run — only the write is amortized."""
+    import uuid
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join("/tmp", "processor_spark_lake", tag, "orders_cdc_shared")
+    t = LakeTable(path)
+    marker = os.path.join(path, "_READY")
+    try:
+        with open(marker) as fh:
+            if fh.read().strip() == str(_CDC_FMT) and t.current_version() == 2:
+                return t
+    except (OSError, FileNotFoundError):
+        pass
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t.create(spark, o, key="o_orderkey", mode="overwrite")
+    t.merge(spark, _merge_source(o), delete_col="del")
+    tmp = marker + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        fh.write(str(_CDC_FMT))
+    os.replace(tmp, marker)  # marker last: a crashed build is invisible
+    return t
+
+
+def _orders_lake_dv(spark: SparkSession, sf_dir: str) -> LakeTable:
+    """Marker-cached create+DELETE (deletion-vector) table for
+    q_delete_vectors — same amortization as _orders_lake_cdc; the
+    merge-on-read fold happens at READ time, so the oracle still
+    certifies the deletion-vector read path every run."""
+    import uuid
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join("/tmp", "processor_spark_lake", tag, "orders_dv_shared")
+    t = LakeTable(path)
+    marker = os.path.join(path, "_READY")
+    try:
+        with open(marker) as fh:
+            if fh.read().strip() == str(_CDC_FMT) and t.current_version() == 2:
+                return t
+    except (OSError, FileNotFoundError):
+        pass
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t.create(spark, o, key="o_orderkey", mode="overwrite")
+    t.delete_keys(
+        spark, o.where(F.col("o_orderkey") % 97 == 11).select("o_orderkey")
+    )
+    tmp = marker + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        fh.write(str(_CDC_FMT))
+    os.replace(tmp, marker)  # marker last: a crashed build is invisible
+    return t
+
+
 @register(
     "q_merge_snapshot",
     sql=f"""
@@ -342,7 +411,7 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifests plus rewritten-bucket deltas, never a table copy.  The
     oracle recomputes both versions relationally; matching hashes
     prove the old snapshot is still exactly the pre-merge table."""
-    t = _orders_lake(spark, sf_dir, "orders_travel")
+    t = _orders_lake_cdc(spark, sf_dir)
 
     def _agg(df: DataFrame, suffix: str) -> DataFrame:
         return df.groupBy("o_orderstatus").agg(
@@ -391,7 +460,7 @@ def q_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     storage-level diff reconstructs exactly the logical change set —
     including NOT flagging rows that were rewritten with identical
     values (null-safe column comparison)."""
-    t = _orders_lake(spark, sf_dir, "orders_feed")
+    t = _orders_lake_cdc(spark, sf_dir)
     ch = t.read_changes(spark, from_version=1, to_version=2)
     return ch.select(
         "change_type",
@@ -437,7 +506,7 @@ def q_mv_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     guaranteed by integer-cents arithmetic (floor(x*100+0.5), exact
     bigint sums; identical IEEE ops on both engines), since float sums
     would diverge by accumulation order between the two plans."""
-    t = _orders_lake(spark, sf_dir, "orders_incr")
+    t = _orders_lake_cdc(spark, sf_dir)
 
     def cents(col: str):
         return F.floor(F.col(col) * 100 + 0.5).cast("bigint")
@@ -506,15 +575,7 @@ def q_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     behaviors the hash can't see (data files untouched, append-after-
     delete not shadowed, OPTIMIZE purge) are pinned in
     tests/test_lakehouse.py."""
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    t = LakeTable(os.path.join("/tmp", "processor_spark_lake", tag, "orders_dv"))
-    o = load(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
-    )
-    t.create(spark, o, key="o_orderkey", mode="overwrite")
-    t.delete_keys(
-        spark, o.where(F.col("o_orderkey") % 97 == 11).select("o_orderkey")
-    )
+    t = _orders_lake_dv(spark, sf_dir)
     return t.read(spark).select(
         "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
     )

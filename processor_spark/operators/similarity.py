@@ -150,15 +150,19 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _table_bucket_expr(emb_col: str, table: int) -> Column:
-    """Sign-LSH bucket for one hash table: LSH_BITS sign bits taken from
-    that table's own dimension slice.  Fixed coordinate signs (not
-    random Gaussian planes) keep the function reproducible across
-    engines and rounds; swap in seeded hyperplanes for production."""
-    base = table * LSH_BITS
+def _table_bucket_expr(emb_col: str, table: int, bits: int | None = None) -> Column:
+    """Sign-LSH bucket for one hash table: ``bits`` sign bits taken from
+    that table's own dimension slice (default LSH_BITS).  Fixed
+    coordinate signs (not random Gaussian planes) keep the function
+    reproducible across engines and rounds; swap in seeded hyperplanes
+    for production.  ``bits`` is the deployment's scale knob — real
+    clusters set bits ≈ log2(n / target_bucket) as the corpus grows
+    (measured: tools/ann_bits_probe.py, SCALE.md r8)."""
+    bits = LSH_BITS if bits is None else bits
+    base = table * bits
     bit_terms = [
         F.when(F.element_at(F.col(emb_col), base + i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        for i in range(LSH_BITS)
+        for i in range(bits)
     ]
     out = bit_terms[0]
     for t in bit_terms[1:]:
@@ -1399,27 +1403,27 @@ def _graph_sql() -> str:
     """
 
 
-@register("q_ann_graph", sql=_graph_sql())
-def q_ann_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Graph-augmented ANN (see the family note above).
-
-    Build (offline at scale, amortized like build_ivf_index): LSH
-    candidate pairs — per-table bucket equi-joins, per-(table,bucket)
-    df cap bounding pair emission at C(cap,2) — deduped, exact-scored,
-    and cut to the top-GRAPH_DEGREE edges per vector (one window over
-    the candidate stream, partitioned by src).  Serve: the query's
-    bucket mates (exactly q_ann_lsh's candidates) plus one hop along
-    graph edges; exact cosine re-ranks the expanded set.  Every stage
-    is an equi-join or a partitioned window — nothing all-pairs,
-    nothing iterative, no mutable state — which is the Spark-native
-    answer to HNSW's serving-recall trick.  Deterministic end to end
-    (fixed-sign buckets, round-6 + id tie-breaks), so the full build
-    AND serve replay under the SQL oracle."""
+def graph_ann_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    bits: int | None = None,
+    tables: int | None = None,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Parameterized graph-ANN build+serve (the q_ann_graph pipeline
+    with the LSH width exposed): ``bits`` is the per-table sign-bit
+    count — THE knob a deployment turns as the corpus grows (bits ≈
+    log2(n / target_bucket)); defaults reproduce the registered key
+    exactly.  tools/ann_bits_probe.py measures recall + wall-clock at
+    64x embeddings under the re-parameterization (SCALE.md r8)."""
+    bits = LSH_BITS if bits is None else bits
+    n_tables = LSH_TABLES if tables is None else tables
+    cap = GRAPH_BUCKET_CAP if bucket_cap is None else bucket_cap
     e = load(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", _as_double("embedding").alias("emb")
     ).withColumn("nrm", l2norm(F.col("emb")))
-    for t in range(LSH_TABLES):
-        e = e.withColumn(f"bucket{t}", _table_bucket_expr("emb", t))
+    for t in range(n_tables):
+        e = e.withColumn(f"bucket{t}", _table_bucket_expr("emb", t, bits))
     # NOTE (r8, VERDICT r7 wrong #4): persisting shared frames here was
     # measured a DEAD END (isolated 3-pass, sf0.1, BASELINE.md v11):
     # no persist 5.8-8.0 s; scoped_persist(e) 7.3-8.8 s;
@@ -1430,7 +1434,7 @@ def q_ann_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # ---- build: degree-bounded k-NN graph over LSH-candidate pairs
     longf = None
-    for t in range(LSH_TABLES):
+    for t in range(n_tables):
         part = e.select(
             F.lit(t).alias("tbl"), F.col(f"bucket{t}").alias("bucket"), "vec_id"
         )
@@ -1438,7 +1442,7 @@ def q_ann_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     wcap = Window.partitionBy("tbl", "bucket")
     capped = (
         longf.withColumn("bsz", F.count(F.lit(1)).over(wcap))
-        .where(F.col("bsz") <= GRAPH_BUCKET_CAP)
+        .where(F.col("bsz") <= cap)
         .drop("bsz")
     )
     pair_ids = (
@@ -1479,10 +1483,10 @@ def q_ann_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"),
         F.col("emb").alias("qvec"),
         F.col("nrm").alias("qnrm"),
-        *[F.col(f"bucket{t}").alias(f"qbucket{t}") for t in range(LSH_TABLES)],
+        *[F.col(f"bucket{t}").alias(f"qbucket{t}") for t in range(n_tables)],
     )
     seeds = None
-    for t in range(LSH_TABLES):
+    for t in range(n_tables):
         st = (
             e.join(F.broadcast(q), on=e[f"bucket{t}"] == q[f"qbucket{t}"])
             .where(F.col("vec_id") != F.col("q_id"))
@@ -1512,6 +1516,27 @@ def q_ann_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= KNN_K)
         .select("q_id", F.col("vec_id").alias("neighbor_id"), "cos_sim", "rank")
     )
+
+
+@register("q_ann_graph", sql=_graph_sql())
+def q_ann_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-augmented ANN (see the family note above).
+
+    Build (offline at scale, amortized like build_ivf_index): LSH
+    candidate pairs — per-table bucket equi-joins, per-(table,bucket)
+    df cap bounding pair emission at C(cap,2) — deduped, exact-scored,
+    and cut to the top-GRAPH_DEGREE edges per vector (one window over
+    the candidate stream, partitioned by src).  Serve: the query's
+    bucket mates (exactly q_ann_lsh's candidates) plus one hop along
+    graph edges; exact cosine re-ranks the expanded set.  Every stage
+    is an equi-join or a partitioned window — nothing all-pairs,
+    nothing iterative, no mutable state — which is the Spark-native
+    answer to HNSW's serving-recall trick.  Deterministic end to end
+    (fixed-sign buckets, round-6 + id tie-breaks), so the full build
+    AND serve replay under the SQL oracle.  Body lives in
+    :func:`graph_ann_topk` (r8: LSH width parameterized for the
+    bits-scaling probe); defaults reproduce this key exactly."""
+    return graph_ann_topk(spark, sf_dir)
 
 
 def build_graph_index(
