@@ -921,6 +921,194 @@ def q_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- IVF with k-means centroids (r8)
+
+IVFK_NLIST = 8  # cells; the deployment knob — nlist ≈ n / target_cell
+
+_IVFK_SQL = f"""
+    WITH vecs AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(floor((x + 2.0) * 1000000 + 0.5) AS BIGINT)) AS vm
+      FROM embeddings
+    ), seeds AS (
+      SELECT vec_id AS cid, vm AS cm FROM vecs WHERE vec_id < {IVFK_NLIST}
+    ), d0 AS (
+      SELECT v.vec_id, s.cid,
+             list_reduce(list_transform(range(1, len(v.vm) + 1),
+                  i -> (v.vm[i] - s.cm[i]) * (v.vm[i] - s.cm[i])),
+               (acc, x) -> acc + x) AS sq
+      FROM vecs v CROSS JOIN seeds s
+    ), a0 AS (
+      SELECT vec_id, cid FROM d0
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sq, cid) = 1
+    ), elems AS (
+      SELECT a.cid, unnest(range(1, len(v.vm) + 1)) AS pos, unnest(v.vm) AS m
+      FROM a0 a JOIN vecs v USING (vec_id)
+    ), cmeans AS (
+      SELECT cid, pos, CAST(sum(m) AS BIGINT) // count(*) AS nm
+      FROM elems GROUP BY cid, pos
+    ), cents AS (
+      SELECT cid, list(nm ORDER BY pos) AS cm FROM cmeans GROUP BY cid
+    ), d1 AS (
+      SELECT v.vec_id, c.cid,
+             list_reduce(list_transform(range(1, len(v.vm) + 1),
+                  i -> (v.vm[i] - c.cm[i]) * (v.vm[i] - c.cm[i])),
+               (acc, x) -> acc + x) AS sq
+      FROM vecs v CROSS JOIN cents c
+    ), assign AS (
+      SELECT vec_id, cid AS cell FROM d1
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sq, cid) = 1
+    ), probes AS (
+      SELECT vec_id AS q_id, cid AS cell FROM d1 WHERE vec_id <= {KNN_QUERIES}
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sq, cid) <= {IVF_NPROBE}
+    ), scored AS (
+      SELECT p.q_id, a.vec_id,
+             list_reduce(list_transform(range(1, len(q.vm) + 1),
+                  i -> (q.vm[i] - t.vm[i]) * (q.vm[i] - t.vm[i])),
+               (acc, x) -> acc + x) AS sq
+      FROM probes p
+      JOIN assign a ON a.cell = p.cell
+      JOIN vecs q ON q.vec_id = p.q_id
+      JOIN vecs t ON t.vec_id = a.vec_id
+      WHERE a.vec_id <> p.q_id
+    )
+    SELECT q_id, vec_id AS neighbor_id,
+           CAST(sq AS BIGINT) AS sq_micro2, CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT q_id, vec_id, sq,
+             row_number() OVER (PARTITION BY q_id ORDER BY sq, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= {KNN_K}
+    """
+
+
+def _micro_arr(emb_col: str) -> Column:
+    """Positive integer micro-units (the q_kmeans_update shift: +2 keeps
+    Spark div and DuckDB // in agreement on the mean)."""
+    return F.transform(
+        _as_double(emb_col),
+        lambda x: F.floor((x + F.lit(2.0)) * F.lit(1000000.0) + F.lit(0.5)),
+    )
+
+
+def _int_sqdist(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 over micro-unit arrays — headroom:
+    diff ≤ 4e6 → sq ≤ 1.6e13, × 64 dims ≈ 1e15, well inside int64."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_kmeans_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    nlist: int | None = None,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """Parameterized IVF-with-trained-centroids build+serve (the
+    q_ann_ivf_kmeans pipeline with nlist exposed): nlist is the IVF
+    deployment knob — real clusters grow it ≈ n / target_cell as the
+    corpus grows so each cell stays scan-able and nprobe/nlist keeps
+    shrinking the scanned fraction.  Defaults reproduce the
+    registered key exactly; tools/ann_bits_probe.py measures recall +
+    wall-clock at 64x under the re-parameterization."""
+    nlist = IVFK_NLIST if nlist is None else nlist
+    nprobe = IVF_NPROBE if nprobe is None else nprobe
+    e = load(spark, sf_dir, "embeddings", spread=True)
+    vecs = e.select("vec_id", _micro_arr("embedding").alias("vm"))
+    seeds = vecs.where(F.col("vec_id") < nlist).select(
+        F.col("vec_id").alias("cid"), F.col("vm").alias("cm")
+    )
+    # one Lloyd round: nearest seed by exact integer L2, then exact
+    # integer per-(cell, dim) means (map-side min_by — one row per
+    # vector crosses the shuffle)
+    a0 = (
+        vecs.crossJoin(F.broadcast(seeds))
+        .select("vec_id", "vm", "cid", _int_sqdist(F.col("vm"), F.col("cm")).alias("sq"))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by("cid", F.struct(F.col("sq"), F.col("cid"))).alias("cid"),
+            F.first("vm").alias("vm"),
+        )
+    )
+    cents = (
+        a0.select("cid", F.posexplode("vm").alias("pos", "m"))
+        .groupBy("cid", "pos")
+        .agg(F.sum("m").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("cid", "pos", F.expr("s div n").alias("nm"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "nm"))), lambda s: s["nm"]
+            ).alias("cm")
+        )
+    )
+    # the trained centroid table feeds BOTH the corpus assignment and
+    # the query probes — nlist x d integers, cheap to cache, expensive
+    # to recompute (it embeds the full Lloyd pass)
+    cents = scoped_persist(cents)
+    d1 = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "vm", "cid", _int_sqdist(F.col("vm"), F.col("cm")).alias("sq")
+    )
+    assign = d1.groupBy("vec_id").agg(
+        F.min_by("cid", F.struct(F.col("sq"), F.col("cid"))).alias("cell"),
+        F.first("vm").alias("vm"),
+    )
+    qd = (
+        vecs.where(F.col("vec_id") <= KNN_QUERIES)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("vm").alias("qm"),
+            "cid",
+            _int_sqdist(F.col("vm"), F.col("cm")).alias("sq"),
+        )
+    )
+    wp = Window.partitionBy("q_id").orderBy("sq", "cid")
+    probes = (
+        qd.withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") <= nprobe)
+        .select("q_id", "qm", F.col("cid").alias("cell"))
+    )
+    cand = assign.join(probes, "cell").where(F.col("vec_id") != F.col("q_id"))
+    wr = Window.partitionBy("q_id").orderBy("sq", "vec_id")
+    return (
+        cand.select(
+            "q_id", "vec_id", _int_sqdist(F.col("qm"), F.col("vm")).alias("sq")
+        )
+        .withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= KNN_K)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("sq").cast("long").alias("sq_micro2"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+@register("q_ann_ivf_kmeans", sql=_IVFK_SQL)
+def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with TRAINED centroids: deterministic k-means seeds (the
+    nlist lowest vec_ids) refined by one exact-integer Lloyd round,
+    then the standard IVF assign/probe/re-rank — the honest nlist
+    story q_ann_ivf (label-mean cells) cannot tell, because label
+    count is fixed by the data while k-means nlist is a free knob a
+    deployment scales ≈ n / target_cell (measured at 64x in SCALE.md
+    r8).  Fully hash-oracled with ZERO float parity surface: vectors
+    are integerized once (the q_kmeans_update +2-shift micro-units)
+    and every distance — Lloyd, assignment, probe, final rank — is an
+    exact int64 squared-L2; centroid means are exact integer
+    divisions.  Scale shape: two O(n·nlist) broadcast passes (Lloyd +
+    assign, one row per vector crosses each shuffle via min_by), an
+    nlist×d cells agg, and a serve stage bounded by nprobe cells per
+    query."""
+    return ivf_kmeans_topk(spark, sf_dir)
+
+
 # Product-quantization parameters: 64-dim vectors → 4 subspaces of 16
 # dims, 16 centroids per subspace (codebook = the 16 lowest vec_ids —
 # a deterministic stand-in for a trained k-means codebook; the

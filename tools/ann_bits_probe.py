@@ -109,6 +109,37 @@ def exact_topk(spark):
     )
 
 
+def exact_l2_topk(spark):
+    """Exact integer-L2 top-K ground truth (the metric q_ann_ivf_kmeans
+    ranks by) for the fixed query set over the full N× corpus."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from processor_spark.operators.similarity import (
+        KNN_K,
+        KNN_QUERIES,
+        _int_sqdist,
+        _micro_arr,
+    )
+    from processor_spark.sources.fixtures import load
+
+    e = load(spark, DST, "embeddings", spread=True).select(
+        "vec_id", _micro_arr("embedding").alias("vm")
+    )
+    q = e.where(F.col("vec_id") <= KNN_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("vm").alias("qm")
+    )
+    w = Window.partitionBy("q_id").orderBy("sq", "vec_id")
+    return (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", _int_sqdist(F.col("vm"), F.col("qm")).alias("sq"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= KNN_K)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"))
+    )
+
+
 def recall_against(truth: set, got_df) -> float:
     got = {(r.q_id, r.neighbor_id) for r in got_df.collect()}
     return len(got & truth) / len(truth) if truth else float("nan")
@@ -172,6 +203,25 @@ def main() -> None:
             "wall_s": round(time.perf_counter() - t0, 2),
             "buckets_under_cap_t0": int(under.nb or 0),
             "members_in_build_t0": int(under.members or 0),
+        }
+
+    # ---- IVF-kmeans nlist scaling (the other deployment knob): hold
+    # per-cell occupancy at its base value — nlist ≈ n / target_cell
+    from processor_spark.operators.similarity import IVFK_NLIST, ivf_kmeans_topk
+
+    target_cell = max(1.0, n_base / float(IVFK_NLIST))
+    nlist_scaled = max(IVFK_NLIST, round(n / target_cell))
+    truth_l2 = {(r.q_id, r.neighbor_id) for r in exact_l2_topk(spark).collect()}
+    result["ivf_target_cell"] = round(target_cell, 1)
+    for tag, nlist in (("ivf_fixed_nlist", IVFK_NLIST), ("ivf_scaled_nlist", nlist_scaled)):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        df = ivf_kmeans_topk(spark, DST, nlist=nlist)
+        rec = recall_against(truth_l2, df)
+        result[tag] = {
+            "nlist": nlist,
+            "recall_at_5": round(rec, 4),
+            "wall_s": round(time.perf_counter() - t0, 2),
         }
     print(json.dumps(result))
 

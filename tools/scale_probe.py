@@ -151,9 +151,11 @@ HEADLINE = [
     "q_churn_rate",
     "q_dow_profile",
     # r8: learned quality scorer (one persisted feature pass + stats
-    # broadcast — near-flat expected) and its weights twin
+    # broadcast — near-flat expected) and its weights twin; IVF with
+    # trained centroids (two O(n·nlist) broadcast passes — linear)
     "q_quality_model",
     "q_quality_model_weights",
+    "q_ann_ivf_kmeans",
 ]
 
 # per-table key columns to shift per replica so keys stay unique and
