@@ -296,3 +296,162 @@ def q_quality_model_weights(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("feature_id")
+
+
+# ------------------------------------------------- full multivariate OLS (r8)
+#
+# The diagonal model above ignores feature correlation (token count
+# and distinct-token count are strongly collinear); the full
+# least-squares solve is the production scorer.  Exactness design:
+# the normal equations A w = b are assembled from exact integer
+# cross-sums (the same 128-bit-widened distributive aggs), and the
+# 5x5 solve is UNPIVOTED Gaussian elimination whose every scalar is
+# generated ONCE as a SQL arithmetic string and consumed verbatim by
+# BOTH engines (Spark F.expr == DuckDB SELECT list) — byte-identical
+# expression trees, so the + * / are IEEE-identical and the fitted
+# weights hash-match with no kernel and no rounding compromise.
+# Unpivoted elimination is safe here because A is the Gram matrix of
+# a bias column plus four non-degenerate features: positive definite,
+# every pivot positive in exact arithmetic.
+
+_NF = 4  # features (+ bias row 0)
+
+
+def _ols_init_exprs() -> list[tuple[str, str]]:
+    """Initial double matrix/vector from the integer stat columns:
+    a{i}{j} (5x5 symmetric Gram) and b{i} (X^T y)."""
+    out = []
+    for i in range(_NF + 1):
+        for j in range(_NF + 1):
+            if i == 0 and j == 0:
+                src = "CAST(n AS DOUBLE)"
+            elif i == 0:
+                src = f"CAST(s{j} AS DOUBLE)"
+            elif j == 0:
+                src = f"CAST(s{i} AS DOUBLE)"
+            else:
+                lo, hi = min(i, j), max(i, j)
+                src = f"CAST(g{lo}{hi} AS DOUBLE)"
+            out.append((f"a{i}{j}", src))
+        out.append((f"b{i}", "CAST(sy AS DOUBLE)" if i == 0 else f"CAST(c{i} AS DOUBLE)"))
+    return out
+
+
+def _ols_elim_exprs(k: int) -> list[tuple[str, str]]:
+    """One elimination round: rows i > k lose their a{i}{k} component
+    via the factor a{i}{k}/a{k}{k}.  Rows <= k carry through."""
+    out = []
+    for i in range(_NF + 1):
+        for j in range(_NF + 1):
+            if i > k:
+                out.append(
+                    (f"a{i}{j}", f"(a{i}{j} - ((a{i}{k} / a{k}{k}) * a{k}{j}))")
+                )
+            else:
+                out.append((f"a{i}{j}", f"a{i}{j}"))
+        if i > k:
+            out.append((f"b{i}", f"(b{i} - ((a{i}{k} / a{k}{k}) * b{k}))"))
+        else:
+            out.append((f"b{i}", f"b{i}"))
+    return out
+
+
+def _ols_backsub_exprs() -> list[tuple[str, str]]:
+    """Back-substitution on the upper-triangular system, fixed left
+    fold order."""
+    out = []
+    for i in range(_NF, -1, -1):
+        expr = f"b{i}"
+        for j in range(i + 1, _NF + 1):
+            expr = f"({expr} - (a{i}{j} * w{j}))"
+        out.append((f"w{i}", f"({expr} / a{i}{i})"))
+    return out
+
+
+def _ols_stages() -> list[list[tuple[str, str]]]:
+    stages = [_ols_init_exprs()]
+    for k in range(_NF):
+        stages.append(_ols_elim_exprs(k))
+    return stages
+
+
+_OLS_STATS_SQL = f"""
+    sto AS (
+      SELECT count(*) AS n, sum(CAST(y AS HUGEINT)) AS sy,
+             {", ".join(f"sum(CAST(x{j} AS HUGEINT)) AS s{j}" for j in range(1, _NF + 1))},
+             {", ".join(f"sum(CAST(x{j} * y AS HUGEINT)) AS c{j}" for j in range(1, _NF + 1))},
+             {", ".join(f"sum(CAST(x{i} * x{j} AS HUGEINT)) AS g{i}{j}"
+                        for i in range(1, _NF + 1) for j in range(i, _NF + 1))}
+      FROM feat
+    )"""
+
+
+def _ols_sql() -> str:
+    ctes = ["WITH " + _FEAT_STATS_CTES.split(",\n    st AS")[0], _OLS_STATS_SQL]
+    prev = "sto"
+    for r, stage in enumerate(_ols_stages()):
+        sel = ", ".join(f"{expr} AS {name}" for name, expr in stage)
+        ctes.append(f"r{r} AS (SELECT {sel} FROM {prev})")
+        prev = f"r{r}"
+    back = ", ".join(f"{expr} AS {name}" for name, expr in _ols_backsub_exprs())
+    ctes.append(f"solved AS (SELECT {back} FROM {prev})")
+    names = ["bias"] + _FEATURES
+    rows = "\n      UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS feature_id, '{names[i]}' AS feature,"
+        f" CAST(floor((w{i} * CAST(1e9 AS DOUBLE)) + CAST(0.5 AS DOUBLE))"
+        f" AS BIGINT) AS w_e9 FROM solved"
+        for i in range(_NF + 1)
+    )
+    return ",\n    ".join(ctes) + f"\n    SELECT * FROM (\n      {rows}\n    ) ORDER BY feature_id"
+
+
+@register("q_quality_model_ols", sql=_ols_sql())
+def q_quality_model_ols(
+    spark: SparkSession, sf_dir: str, mode: str = "ws"
+) -> DataFrame:
+    """FULL multivariate least-squares fit of the quality label on the
+    four winsorized features (+ bias): normal equations from exact
+    integer cross-sums, solved by unpivoted Gaussian elimination whose
+    scalar expressions are generated once and evaluated verbatim by
+    both engines (see the section comment — byte-identical float
+    trees, hash-exact fitted weights in 1e-9 units).  Scale shape:
+    ONE map-side-combinable aggregate (20 integer sums) over the
+    feature pass; the solve runs on a single broadcast row of 30
+    scalars — the 100 TB cost is the corpus pass, full stop."""
+    feat = _feat_frame(spark, sf_dir, mode)
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("y").cast("decimal(20,0)")).alias("sy"),
+    ]
+    for j in range(1, _NF + 1):
+        aggs.append(F.sum(F.col(f"x{j}").cast("decimal(20,0)")).alias(f"s{j}"))
+        aggs.append(
+            F.sum((F.col(f"x{j}") * F.col("y")).cast("decimal(20,0)")).alias(f"c{j}")
+        )
+    for i in range(1, _NF + 1):
+        for j in range(i, _NF + 1):
+            aggs.append(
+                F.sum((F.col(f"x{i}") * F.col(f"x{j}")).cast("decimal(20,0)")).alias(
+                    f"g{i}{j}"
+                )
+            )
+    row = feat.groupBy().agg(*aggs)
+    for stage in _ols_stages():
+        row = row.selectExpr(*[f"{expr} AS {name}" for name, expr in stage])
+    row = row.selectExpr(
+        *[f"{expr} AS {name}" for name, expr in _ols_backsub_exprs()]
+    )
+    names = ["bias"] + _FEATURES
+    outs = [
+        row.selectExpr(
+            f"CAST({i} AS BIGINT) AS feature_id",
+            f"'{names[i]}' AS feature",
+            f"CAST(floor((w{i} * CAST(1e9 AS DOUBLE)) + CAST(0.5 AS DOUBLE))"
+            f" AS BIGINT) AS w_e9",
+        )
+        for i in range(_NF + 1)
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("feature_id")

@@ -156,6 +156,7 @@ HEADLINE = [
     "q_quality_model",
     "q_quality_model_weights",
     "q_ann_ivf_kmeans",
+    "q_quality_model_ols",
 ]
 
 # per-table key columns to shift per replica so keys stay unique and
