@@ -783,3 +783,18 @@ def kmv_user_hashes(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def quality_model_stats(docs: DataFrame) -> DataFrame:
+    """Streaming quality-model fit statistics: the 20 integer
+    cross-sums of the OLS normal equations maintained as ONE
+    complete-mode aggregate over a documents stream.  All sums are
+    commutative and arrival-order-insensitive, so the streamed stats
+    row equals the batch fit's input EXACTLY — and since the solve is
+    a deterministic function of that row, so do the fitted weights
+    (the model-refresh-on-ingest pattern: the corpus pass is
+    incremental, the 30-scalar solve reruns per refresh for free).
+    State is ONE row of 20 sums regardless of stream length."""
+    from processor_spark.operators.quality_model import _feat_from, _ols_stats_frame
+
+    return _ols_stats_frame(_feat_from(docs))

@@ -774,3 +774,51 @@ def test_streaming_kmv_state_survives_restart(spark, tmp_path):
         KMV_STREAM_K - 1
     ]
     assert final.kth_h == want_kth, (final.kth_h, want_kth)
+
+
+def test_streaming_quality_model_stats_equal_batch(spark, tmp_path):
+    """r8: the learned-quality-model fit is streamable — its normal-
+    equation statistics are commutative integer sums, so the streamed
+    complete-mode stats row must equal the batch fit input exactly,
+    and therefore the solved weights are identical.  Documents arrive
+    as chunk files (the file-source analogue of continuous corpus
+    ingest)."""
+    from pyspark.sql import types as T
+
+    from processor_spark.operators.quality_model import (
+        _feat_from,
+        _ols_stats_frame,
+    )
+    from processor_spark.sources import load
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    batch = load(spark, SF_SMALL, "documents")
+    pdf = batch.toPandas()
+    n = len(pdf)
+    for i, lo in enumerate(range(0, n, max(1, n // 3 + 1))):
+        pdf.iloc[lo : lo + max(1, n // 3 + 1)].to_parquet(
+            docs_dir / f"chunk_{i:02d}.parquet", index=False
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(docs_dir))
+    )
+    got = _drain(spark, P.quality_model_stats(stream), "t_qm_stats", mode="complete")
+    want = _ols_stats_frame(_feat_from(batch))
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    grow = got.select(*cols).collect()[0]
+    wrow = want.select(*cols).collect()[0]
+    assert [str(v) for v in grow] == [str(v) for v in wrow]
