@@ -531,3 +531,93 @@ def q_quality_model_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("feature_id")
     )
+
+
+# ------------------------------------------------------------ OLS scoring
+
+
+def _ols_score_expr() -> str:
+    """Shared scoring expression: ŷ = w0 + Σ w_j·x_j, fixed left fold
+    — consumed verbatim by both engines (same rule as the solve)."""
+    expr = "w0"
+    for j in range(1, _NF + 1):
+        expr = f"({expr} + (w{j} * CAST(x{j} AS DOUBLE)))"
+    return expr
+
+
+def _ols_score_sql() -> str:
+    ctes = ["WITH " + _FEAT_STATS_CTES.split(",\n    st AS")[0], _OLS_STATS_SQL]
+    prev = "sto"
+    for r, stage in enumerate(_ols_stages()):
+        sel = ", ".join(f"{expr} AS {name}" for name, expr in stage)
+        ctes.append(f"r{r} AS (SELECT {sel} FROM {prev})")
+        prev = f"r{r}"
+    back = ", ".join(f"{expr} AS {name}" for name, expr in _ols_backsub_exprs())
+    ctes.append(f"solved AS (SELECT {back} FROM {prev})")
+    ctes.append(
+        f"""scored AS (
+      SELECT f.source, f.y,
+             CASE WHEN {_ols_score_expr()} > CAST(0.5 AS DOUBLE)
+                  THEN 1 ELSE 0 END AS pred
+      FROM feat f, solved
+    )"""
+    )
+    return (
+        ",\n    ".join(ctes)
+        + """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(y) AS BIGINT) AS n_label_keep,
+           CAST(sum(pred) AS BIGINT) AS n_pred_keep,
+           CAST(sum(CASE WHEN y = pred THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+           CAST((sum(pred) * 1000) // count(*) AS BIGINT) AS keep_permille
+    FROM scored GROUP BY source ORDER BY source
+    """
+    )
+
+
+@register("q_quality_model_score", sql=_ols_score_sql())
+def q_quality_model_score(
+    spark: SparkSession, sf_dir: str, mode: str = "ws"
+) -> DataFrame:
+    """Score the full corpus with the MULTIVARIATE OLS model (ŷ =
+    w0 + Σ w_j·x_j, keep when ŷ > 1/2) and report per-source keep
+    rates + agreement with the teacher gate — the production scoring
+    path the diagonal q_quality_model approximates.  The weight row is
+    solved once and broadcast (stats-as-columns rule: the scoring
+    expression reads w_j as COLUMNS of the 1-row solved frame, never
+    as re-parsed literals); the scoring pass is one narrow map over
+    the persisted feature table.  Every output is an exact count."""
+    feat = scoped_persist(_feat_frame(spark, sf_dir, mode))
+    row = _ols_stats_frame(feat)
+    for stage in _ols_stages():
+        row = row.selectExpr(*[f"{expr} AS {name}" for name, expr in stage])
+    solved = row.selectExpr(
+        *[f"{expr} AS {name}" for name, expr in _ols_backsub_exprs()]
+    )
+    scored = feat.crossJoin(F.broadcast(solved)).selectExpr(
+        "source",
+        "y",
+        f"CASE WHEN {_ols_score_expr()} > CAST(0.5 AS DOUBLE)"
+        f" THEN 1 ELSE 0 END AS pred",
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("y").cast("long").alias("n_label_keep"),
+            F.sum("pred").cast("long").alias("n_pred_keep"),
+            F.sum(F.when(F.col("y") == F.col("pred"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_agree"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_label_keep",
+            "n_pred_keep",
+            "n_agree",
+            F.expr("(n_pred_keep * 1000) div n_docs").alias("keep_permille"),
+        )
+        .orderBy("source")
+    )

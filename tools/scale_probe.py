@@ -157,6 +157,7 @@ HEADLINE = [
     "q_quality_model_weights",
     "q_ann_ivf_kmeans",
     "q_quality_model_ols",
+    "q_quality_model_score",
 ]
 
 # per-table key columns to shift per replica so keys stay unique and
