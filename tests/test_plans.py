@@ -556,3 +556,28 @@ def test_decay_popularity_single_corpus_agg(spark):
     window over raw events."""
     plan = explain_str(_df(spark, "q_decay_popularity"))
     assert "partial_sum" in plan or "partial_count" in plan, plan
+
+
+def test_quality_model_stats_broadcast_no_shuffle_of_features(spark):
+    """r8: the learned scorer's plan must be feature-pass + broadcast —
+    the fitted stats/weights row reaches the scoring map via
+    BroadcastExchange (never a shuffle keyed on anything data-sized),
+    and no cartesian/nested-loop appears (the crossJoin is 1-row)."""
+    plan = explain_str(_df(spark, "q_quality_model"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    plan_ols = explain_str(_df(spark, "q_quality_model_score"))
+    assert "CartesianProduct" not in plan_ols, plan_ols
+    assert "BroadcastExchange" in plan_ols or "BroadcastNestedLoopJoin" in plan_ols
+
+
+def test_ivf_kmeans_broadcasts_centroids_no_corpus_pair_join(spark):
+    """r8: both O(n·nlist) passes must see the centroid table via
+    broadcast (nlist×d rows), and the only equi-join keyed on
+    data-sized columns is the cell-membership probe join — never a
+    corpus×corpus product."""
+    plan = explain_str(_df(spark, "q_ann_ivf_kmeans"))
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # final candidate join is an equi hash join on the cell key
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan

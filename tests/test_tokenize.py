@@ -142,3 +142,42 @@ def test_tfidf_unicode_mode_end_to_end(spark, tmp_path):
     # the unicode stream really segmented CJK: per-Han-char terms exist
     terms = {r.term for r in got.select("term").collect()}
     assert any(len(t) == 1 and ord(t) >= 0x4E00 for t in terms), terms
+
+
+def test_quality_model_unicode_mode_end_to_end(spark, tmp_path):
+    """r8: the learned quality scorer reaches unicode mode end-to-end —
+    same harness as the tfidf test, proving the mode switch
+    re-tokenizes the FEATURE EXTRACTION on both engines (a CJK corpus
+    would otherwise collapse to one-token docs and the token-count
+    features would be garbage)."""
+    import duckdb
+
+    from processor_spark.functions.tokenize import UNICODE_TOKEN_PATTERN_RE2
+    from processor_spark.operators.quality_model import q_quality_model
+    from processor_spark.registry import get
+    from tests.oracle_utils import compare
+
+    docs = [
+        (1, "深度学习模型需要大规模高质量的训练数据来提升泛化能力和鲁棒性", "zh", "srcA", 30),
+        (2, "用Python写代码 然后部署到生产环境 的流程说明文档", "zh", "srcA", 25),
+        (3, "the quick brown fox jumps over the lazy dog and runs away", "en", "srcB", 57),
+        (4, "a of and to in is on for with the filler stopword heavy text", "en", "srcB", 60),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    got = q_quality_model.__wrapped__(spark, sf, mode="unicode")
+
+    ws_twin = r"string_split_regex(trim(text), '\s+')"
+    sql = get("q_quality_model").sql
+    assert ws_twin in sql
+    sql = sql.replace(ws_twin, f"regexp_extract_all(text, '{UNICODE_TOKEN_PATTERN_RE2}')")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    res = compare(got, con.execute(sql).fetchdf())
+    assert res["values_match"], res
