@@ -325,7 +325,14 @@ _NF = 4  # features (+ bias row 0)
 
 def _ols_init_exprs() -> list[tuple[str, str]]:
     """Initial double matrix/vector from the integer stat columns:
-    a{i}{j} (5x5 symmetric Gram) and b{i} (X^T y)."""
+    a{i}{j} (5x5 symmetric Gram) and b{i} (X^T y).  The diagonal
+    carries an exact integer RIDGE (+1): the raw Gram is only
+    positive SEMI-definite — a constant feature (e.g. a corpus with
+    zero stopwords) zeroes a pivot and the unpivoted elimination
+    divides by zero (found by the numpy cross-check property test).
+    A + I is positive definite for ANY corpus, the solve is total,
+    and the shift is negligible against diagonal entries that grow
+    with n — while staying byte-identical cross-engine."""
     out = []
     for i in range(_NF + 1):
         for j in range(_NF + 1):
@@ -338,6 +345,8 @@ def _ols_init_exprs() -> list[tuple[str, str]]:
             else:
                 lo, hi = min(i, j), max(i, j)
                 src = f"CAST(g{lo}{hi} AS DOUBLE)"
+            if i == j:
+                src = f"({src} + CAST(1 AS DOUBLE))"
             out.append((f"a{i}{j}", src))
         out.append((f"b{i}", "CAST(sy AS DOUBLE)" if i == 0 else f"CAST(c{i} AS DOUBLE)"))
     return out
@@ -473,7 +482,7 @@ def q_quality_model_ols(
 # ------------------------------------------------------------ persist/serve
 
 QM_INDEX_ROOT = "/tmp/processor_spark-quality-model"
-_QM_FMT = 1
+_QM_FMT = 2  # v2: ridge (+1 diagonal) added to the solve
 
 
 def build_quality_model(

@@ -839,3 +839,41 @@ def test_cms_join_size_within_variance_bound(spark):
         row.join_exact,
         sd,
     )
+
+
+def test_ols_solve_matches_numpy_lstsq(spark, tmp_path):
+    """r8: the Gaussian-elimination expression pipeline of
+    q_quality_model_ols must agree with an INDEPENDENT solver
+    (numpy.linalg.solve on the same normal equations) to float
+    tolerance — a third implementation guarding against a wrong
+    elimination formula that the cross-engine hash check (which only
+    proves Spark == DuckDB) could never catch."""
+    import numpy as np
+
+    from processor_spark.operators.quality_model import (
+        _feat_frame,
+        q_quality_model_ols,
+    )
+
+    docs = [
+        (i, " ".join(f"w{(i * 7 + k) % 23}" for k in range(5 + (i % 40))),
+         "en", f"src{i % 3}", 20 + 3 * i)
+        for i in range(1, 60)
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    got = {r.feature: r.w_e9 for r in q_quality_model_ols.__wrapped__(spark, sf).collect()}
+
+    feat = _feat_frame(spark, sf, "ws").toPandas()
+    X = np.column_stack(
+        [np.ones(len(feat))] + [feat[f"x{j}"].to_numpy(float) for j in range(1, 5)]
+    )
+    y = feat["y"].to_numpy(float)
+    w = np.linalg.solve(X.T @ X + np.eye(5), X.T @ y)  # same ridge as the operator
+    names = ["bias", "n_tok", "n_char", "n_stop", "n_distinct"]
+    for i, name in enumerate(names):
+        want = int(np.floor(w[i] * 1e9 + 0.5))
+        assert abs(got[name] - want) <= 2, (name, got[name], want)
