@@ -1607,6 +1607,12 @@ def graph_ann_topk(
     bits = LSH_BITS if bits is None else bits
     n_tables = LSH_TABLES if tables is None else tables
     cap = GRAPH_BUCKET_CAP if bucket_cap is None else bucket_cap
+    if n_tables * bits > IVF_DIM:
+        raise ValueError(
+            f"tables*bits = {n_tables * bits} sign planes exceed the "
+            f"{IVF_DIM}-dim embedding (ANSI element_at would throw "
+            f"mid-job); reduce bits or tables"
+        )
     e = load(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", _as_double("embedding").alias("emb")
     ).withColumn("nrm", l2norm(F.col("emb")))
