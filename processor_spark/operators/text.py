@@ -1208,7 +1208,7 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------- persisted inverted index
 
 TEXT_INDEX_ROOT = "/tmp/processor_spark_text_index"
-TEXT_INDEX_FMT = 1
+TEXT_INDEX_FMT = 2  # v2: positional postings (phrase serving)
 _TBUCKETS = 64  # term-hash partition dirs: a query reads |terms| dirs
 
 
@@ -1254,10 +1254,17 @@ def build_text_index(
     d = load(spark, sf_dir, "documents", spread=True)
     docs = d.select("doc_id", tokens(F.col("text")).alias("toks"))
     dl = docs.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    # positional postings (fmt 2): tf AND the sorted in-doc position
+    # list per (term, doc) — phrase adjacency serves from the index
+    # alone, never re-reading document text (q_phrase_search_serve);
+    # consumers that only need tf (BM25) prune the column at read
     postings = (
-        docs.select("doc_id", F.explode("toks").alias("term"))
+        docs.select("doc_id", F.posexplode("toks").alias("pos", "term"))
         .groupBy("term", "doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
         .join(dl, "doc_id")
         .withColumn(
             "tbucket",
@@ -1697,9 +1704,7 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PHRASE = ("slow", "query")  # the searched phrase, as adjacent tokens
 
 
-@register(
-    "q_phrase_search",
-    sql=f"""
+_PHRASE_SQL = f"""
     WITH toks AS (
       SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS t
       FROM documents
@@ -1710,8 +1715,10 @@ _PHRASE = ("slow", "query")  # the searched phrase, as adjacent tokens
       list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]),
       '{_PHRASE[0]} {_PHRASE[1]}')
     ORDER BY doc_id
-    """,
-)
+    """
+
+
+@register("q_phrase_search", sql=_PHRASE_SQL)
 def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phrase search through an inverted token index: candidate docs
     must contain EVERY phrase token (posting-list intersection — the
@@ -1758,3 +1765,47 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return verified.select("doc_id", "source").orderBy("doc_id")
+
+
+@register("q_phrase_search_serve", sql=_PHRASE_SQL)
+def q_phrase_search_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search SERVED from the persisted positional index: read
+    only the term-hash partition dirs the two phrase tokens map to
+    (planned driver-side from the shared md5 bucket function — no job,
+    no listing), intersect the two posting lists on doc_id, and verify
+    adjacency with a position-list probe (exists p in P1 with p+1 in
+    P2) — document text is NEVER touched except for a broadcast-
+    candidate source lookup.  At 100 TB this is the difference between
+    a corpus scan per query (q_phrase_search's index-then-verify
+    shape) and reading ~2/64 of a prebuilt postings table.  Shares the
+    rebuild twin's oracle, so the hash check certifies the positional
+    round trip end to end."""
+    import os
+
+    path = build_text_index(spark, sf_dir)
+    dirs = sorted(
+        {
+            os.path.join(path, "postings", f"tbucket={_term_bucket_py(t)}")
+            for t in _PHRASE
+        }
+    )
+    p = (
+        spark.read.schema("term string, doc_id bigint, positions array<int>")
+        .parquet(*dirs)
+        .where(F.col("term").isin(list(_PHRASE)))
+    )
+    p1 = p.where(F.col("term") == _PHRASE[0]).select(
+        "doc_id", F.col("positions").alias("ps1")
+    )
+    p2 = p.where(F.col("term") == _PHRASE[1]).select(
+        "doc_id", F.col("positions").alias("ps2")
+    )
+    cand = (
+        p1.join(p2, "doc_id")
+        .where(F.expr("exists(ps1, x -> array_contains(ps2, x + 1))"))
+        .select("doc_id")
+    )
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return d.join(F.broadcast(cand), "doc_id").select("doc_id", "source").orderBy(
+        "doc_id"
+    )
