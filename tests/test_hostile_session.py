@@ -63,6 +63,13 @@ HOSTILE_KEYS = [
     "q_decay_popularity",
     "q_churn_rate",
     "q_dow_profile",
+    # r8 keys with /tmp persisted state served under a foreign session
+    # (fitted weights, positional postings) plus the marker-cached CDC
+    # lake tables written by one session and read by another
+    "q_quality_model_serve",
+    "q_phrase_search_serve",
+    "q_time_travel",
+    "q_change_feed",
 ]
 
 
