@@ -1767,6 +1767,46 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.select("doc_id", "source").orderBy("doc_id")
 
 
+def phrase_candidates_from_index(
+    spark: SparkSession, sf_dir: str, terms: tuple[str, ...]
+) -> DataFrame:
+    """doc_ids containing ``terms`` as an exact adjacent phrase,
+    answered ENTIRELY from the positional index: read the |terms|
+    bucket-pruned posting dirs, intersect posting lists doc-wise, and
+    chain position probes (a phrase of length k is one start position
+    p in P1 with p+i in each P_i).  Generalizes q_phrase_search_serve
+    to any phrase length; cost is |terms|/64 of the postings table
+    regardless of corpus size."""
+    import os
+
+    if len(terms) < 2:
+        raise ValueError("phrase needs >= 2 tokens")
+    path = build_text_index(spark, sf_dir)
+    dirs = sorted(
+        {
+            os.path.join(path, "postings", f"tbucket={_term_bucket_py(t)}")
+            for t in terms
+        }
+    )
+    p = (
+        spark.read.schema("term string, doc_id bigint, positions array<int>")
+        .parquet(*dirs)
+        .where(F.col("term").isin(list(terms)))
+    )
+    out = p.where(F.col("term") == terms[0]).select(
+        "doc_id", F.col("positions").alias("ps0")
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = p.where(F.col("term") == t).select(
+            "doc_id", F.col("positions").alias(f"ps{i}")
+        )
+        out = out.join(nxt, "doc_id")
+    probe = " AND ".join(
+        f"array_contains(ps{i}, x + {i})" for i in range(1, len(terms))
+    )
+    return out.where(F.expr(f"exists(ps0, x -> {probe})")).select("doc_id")
+
+
 @register("q_phrase_search_serve", sql=_PHRASE_SQL)
 def q_phrase_search_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phrase search SERVED from the persisted positional index: read
@@ -1782,29 +1822,7 @@ def q_phrase_search_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     round trip end to end."""
     import os
 
-    path = build_text_index(spark, sf_dir)
-    dirs = sorted(
-        {
-            os.path.join(path, "postings", f"tbucket={_term_bucket_py(t)}")
-            for t in _PHRASE
-        }
-    )
-    p = (
-        spark.read.schema("term string, doc_id bigint, positions array<int>")
-        .parquet(*dirs)
-        .where(F.col("term").isin(list(_PHRASE)))
-    )
-    p1 = p.where(F.col("term") == _PHRASE[0]).select(
-        "doc_id", F.col("positions").alias("ps1")
-    )
-    p2 = p.where(F.col("term") == _PHRASE[1]).select(
-        "doc_id", F.col("positions").alias("ps2")
-    )
-    cand = (
-        p1.join(p2, "doc_id")
-        .where(F.expr("exists(ps1, x -> array_contains(ps2, x + 1))"))
-        .select("doc_id")
-    )
+    cand = phrase_candidates_from_index(spark, sf_dir, _PHRASE)
     d = load(spark, sf_dir, "documents").select("doc_id", "source")
     return d.join(F.broadcast(cand), "doc_id").select("doc_id", "source").orderBy(
         "doc_id"

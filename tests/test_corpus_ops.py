@@ -87,3 +87,44 @@ def test_gap_fill_locf_carries_forward_not_backward(spark):
             else:
                 # NULLs only allowed BEFORE the first observation
                 assert not seen_value, f"hole after first value at {r.day}"
+
+
+def test_phrase_candidates_from_index_k3_matches_naive_scan(spark):
+    """r8: the generalized k-token positional-index phrase search must
+    equal a naive bigram..k-gram scan for a 3-token phrase — proving
+    the chained position probe correct beyond the registered 2-token
+    key."""
+    from pyspark.sql import functions as F
+
+    from processor_spark.operators.text import (
+        phrase_candidates_from_index,
+        tokens,
+    )
+    from processor_spark.sources import load
+    from tests.conftest import SF_SMALL
+
+    # pick a 3-token phrase that actually occurs: take the first doc
+    # with >= 3 tokens and use its tokens [1:4]
+    d = load(spark, SF_SMALL, "documents")
+    toked = d.select("doc_id", tokens(F.col("text")).alias("t")).where(
+        F.size("t") >= 4
+    )
+    row = toked.orderBy("doc_id").first()
+    phrase = tuple(row.t[1:4])
+
+    got = {
+        r.doc_id
+        for r in phrase_candidates_from_index(spark, SF_SMALL, phrase).collect()
+    }
+    joined = " ".join(phrase)
+    want = {
+        r.doc_id
+        for r in toked.where(
+            F.expr(
+                "exists(transform(sequence(0, size(t) - 3),"
+                f" i -> concat_ws(' ', t[i], t[i+1], t[i+2])), g -> g = '{joined}')"
+            )
+        ).collect()
+    }
+    assert row.doc_id in want
+    assert got == want, (sorted(got)[:5], sorted(want)[:5])
