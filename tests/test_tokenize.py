@@ -181,3 +181,37 @@ def test_quality_model_unicode_mode_end_to_end(spark, tmp_path):
     )
     res = compare(got, con.execute(sql).fetchdf())
     assert res["values_match"], res
+
+
+def test_contamination_and_canonical_reach_unicode_mode(spark, tmp_path):
+    """r8: the remaining mode-plumbed operators actually segment CJK
+    when asked — q_contamination finds a shared 8-gram across sources
+    in spaceless Han text (zero recall in ws mode), and
+    q_dedup_canonical collapses a token-permuted CJK pair only under
+    unicode tokenization."""
+    from processor_spark.operators.corpus import q_contamination
+    from processor_spark.operators.dedup import q_dedup_canonical
+
+    base = "深度学习模型需要大规模高质量训练数据来提升泛化能力"
+    docs = [
+        (1, base, "zh", "src0", len(base)),                 # eval doc
+        (2, "前言 " + base + " 结语", "zh", "src1", len(base) + 6),  # train doc
+        (3, "深度 学习 模型 训练", "zh", "src2", 11),
+        (4, "训练 模型 学习 深度", "zh", "src2", 11),        # permuted twin of 3
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    ws = q_contamination.__wrapped__(spark, sf, mode="ws").collect()
+    assert ws == [], ws  # spaceless Han: no 8-grams at all in ws mode
+    uni = {r.doc_id for r in q_contamination.__wrapped__(spark, sf, mode="unicode").collect()}
+    assert uni == {2}, uni  # train doc 2 shares the eval doc's grams
+
+    canon = {
+        r.source: (r.n_docs, r.n_canonical_distinct)
+        for r in q_dedup_canonical.__wrapped__(spark, sf, mode="unicode").collect()
+    }
+    # the permuted pair (docs 3, 4) collapses to ONE canonical id
+    assert canon["src2"] == (2, 1), canon
