@@ -1109,6 +1109,130 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_kmeans_topk(spark, sf_dir)
 
 
+def build_ivf_kmeans_index(
+    spark: SparkSession, sf_dir: str, path: str | None = None, force: bool = False
+) -> str:
+    """Persist the trained-centroid IVF index ONCE: the Lloyd-refined
+    integer centroids plus the cell assignments (with the micro-unit
+    vectors, so serving never re-reads the fixture corpus),
+    partitioned BY CELL for directory-pruned probes — the
+    build_ivf_index contract with k-means centroids.  At 100 TB the
+    two O(n·nlist) passes happen once offline; every query batch pays
+    only nprobe cells."""
+    import json
+    import os
+    import shutil
+
+    if path is None:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        path = os.path.join(ANN_INDEX_ROOT, tag, "ivf_kmeans")
+    meta = os.path.join(path, "_INDEX_META.json")
+    if _index_is_current(meta) and not force:
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+
+    # identical derivation to ivf_kmeans_topk (shared oracle contract)
+    e = load(spark, sf_dir, "embeddings", spread=True)
+    vecs = e.select("vec_id", _micro_arr("embedding").alias("vm"))
+    seeds = vecs.where(F.col("vec_id") < IVFK_NLIST).select(
+        F.col("vec_id").alias("cid"), F.col("vm").alias("cm")
+    )
+    a0 = (
+        vecs.crossJoin(F.broadcast(seeds))
+        .select("vec_id", "vm", "cid", _int_sqdist(F.col("vm"), F.col("cm")).alias("sq"))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by("cid", F.struct(F.col("sq"), F.col("cid"))).alias("cid"),
+            F.first("vm").alias("vm"),
+        )
+    )
+    cents = (
+        a0.select("cid", F.posexplode("vm").alias("pos", "m"))
+        .groupBy("cid", "pos")
+        .agg(F.sum("m").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("cid", "pos", F.expr("s div n").alias("nm"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "nm"))), lambda x: x["nm"]
+            ).alias("cm")
+        )
+    )
+    cents = scoped_persist(cents)
+    assign = (
+        vecs.crossJoin(F.broadcast(cents))
+        .select("vec_id", "vm", "cid", _int_sqdist(F.col("vm"), F.col("cm")).alias("sq"))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by("cid", F.struct(F.col("sq"), F.col("cid"))).alias("cell"),
+            F.first("vm").alias("vm"),
+        )
+    )
+    cents.write.parquet(os.path.join(path, "centroids"))
+    assign.write.partitionBy("cell").parquet(os.path.join(path, "assignments"))
+    tmp = meta + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {"kind": "ivf_kmeans", "fmt": ANN_INDEX_FMT, "nlist": IVFK_NLIST,
+             "nprobe": IVF_NPROBE, "source": sf_dir},
+            fh,
+        )
+    os.replace(tmp, meta)  # marker last: a crashed build is invisible
+    return path
+
+
+@register("q_ann_ivf_kmeans_serve", sql=_IVFK_SQL)
+def q_ann_ivf_kmeans_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving path of the trained-centroid IVF: load the persisted
+    Lloyd centroids + cell assignments (build_ivf_kmeans_index),
+    score the query batch against the broadcast centroid table
+    (|Q| × nlist exact-integer distances), directory-prune to the
+    nprobe probed cells, and rank candidates by the same exact
+    integer squared-L2.  Shares the rebuild twin's oracle — the hash
+    match certifies the index round trip through parquet, including
+    the integerized vectors stored IN the assignments (serving never
+    touches the fixture corpus except for the query batch read)."""
+    import os
+
+    path = build_ivf_kmeans_index(spark, sf_dir)
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    qv = (
+        load(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") <= KNN_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), _micro_arr("embedding").alias("qm"))
+    )
+    qd = qv.crossJoin(F.broadcast(cents)).select(
+        "q_id", "qm", "cid", _int_sqdist(F.col("qm"), F.col("cm")).alias("sq")
+    )
+    wp = Window.partitionBy("q_id").orderBy("sq", "cid")
+    probes = (
+        qd.withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") <= IVF_NPROBE)
+        .select("q_id", "qm", F.col("cid").alias("cell"))
+    )
+    cells = sorted({r.cell for r in probes.select("cell").distinct().collect()})
+    assign = spark.read.parquet(os.path.join(path, "assignments")).where(
+        F.col("cell").isin(cells)
+    )
+    cand = assign.join(F.broadcast(probes), "cell").where(
+        F.col("vec_id") != F.col("q_id")
+    )
+    wr = Window.partitionBy("q_id").orderBy("sq", "vec_id")
+    return (
+        cand.select(
+            "q_id", "vec_id", _int_sqdist(F.col("qm"), F.col("vm")).alias("sq")
+        )
+        .withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= KNN_K)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("sq").cast("long").alias("sq_micro2"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 # Product-quantization parameters: 64-dim vectors → 4 subspaces of 16
 # dims, 16 centroids per subspace (codebook = the 16 lowest vec_ids —
 # a deterministic stand-in for a trained k-means codebook; the

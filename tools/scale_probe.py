@@ -159,6 +159,7 @@ HEADLINE = [
     "q_quality_model_ols",
     "q_quality_model_score",
     "q_phrase_search_serve",
+    "q_ann_ivf_kmeans_serve",
 ]
 
 # per-table key columns to shift per replica so keys stay unique and
