@@ -99,3 +99,23 @@ def test_stale_format_index_is_rebuilt(spark, tmp_path):
     assert os.path.getmtime(meta) > t_stale, "stale-format index was reused"
     with open(meta) as fh:
         assert json.load(fh)["fmt"] != -1
+
+
+def test_ivf_kmeans_index_layout_and_idempotence(spark, tmp_path):
+    """r8: the trained-centroid IVF index follows the same contract —
+    build once behind the marker, centroids + cell-partitioned
+    assignments on disk, second call reuses."""
+    from processor_spark.operators.similarity import build_ivf_kmeans_index
+
+    path = str(tmp_path / "ivf_kmeans")
+    p1 = build_ivf_kmeans_index(spark, SF_SMALL, path=path)
+    t1 = _meta_mtime(p1)
+    p2 = build_ivf_kmeans_index(spark, SF_SMALL, path=path)
+    assert p2 == p1 and _meta_mtime(p2) == t1
+    assert os.path.isdir(os.path.join(p1, "centroids"))
+    cells = [
+        d
+        for d in os.listdir(os.path.join(p1, "assignments"))
+        if d.startswith("cell=")
+    ]
+    assert len(cells) > 1, "assignments must be partitioned by cell"
