@@ -59,7 +59,10 @@ _FEATURES = ["n_tok", "n_char", "n_stop", "n_distinct"]
 # the one-row model-stats aggregate (HUGEINT sums).  The label is the
 # q_corpus_pipeline quality gate spelled in cross-multiplied integers
 # (5*stop <= 4*tokens ⇔ stopword ratio <= 0.8).
-_FEAT_STATS_CTES = f"""
+# The feat CTE stands alone so oracle builders that need only the
+# per-doc features (the OLS solve/score SQL) can compose it directly
+# instead of string-splitting the combined literal (ADVICE r8).
+_FEAT_CTE = f"""
     feat AS (
       SELECT doc_id, source,
              least(nt, {_CAP_TOK}) AS x1,
@@ -79,7 +82,9 @@ _FEAT_STATS_CTES = f"""
           FROM documents
         )
       )
-    ),
+    )"""
+
+_FEAT_STATS_CTES = _FEAT_CTE + """,
     st AS (
       SELECT count(*) AS n, sum(CAST(y AS HUGEINT)) AS sy,
              sum(CAST(x1 AS HUGEINT)) AS s1, sum(CAST(x1 * x1 AS HUGEINT)) AS q1,
@@ -402,7 +407,7 @@ _OLS_STATS_SQL = f"""
 
 
 def _ols_sql() -> str:
-    ctes = ["WITH " + _FEAT_STATS_CTES.split(",\n    st AS")[0], _OLS_STATS_SQL]
+    ctes = ["WITH " + _FEAT_CTE, _OLS_STATS_SQL]
     prev = "sto"
     for r, stage in enumerate(_ols_stages()):
         sel = ", ".join(f"{expr} AS {name}" for name, expr in stage)
@@ -555,7 +560,7 @@ def _ols_score_expr() -> str:
 
 
 def _ols_score_sql() -> str:
-    ctes = ["WITH " + _FEAT_STATS_CTES.split(",\n    st AS")[0], _OLS_STATS_SQL]
+    ctes = ["WITH " + _FEAT_CTE, _OLS_STATS_SQL]
     prev = "sto"
     for r, stage in enumerate(_ols_stages()):
         sel = ", ".join(f"{expr} AS {name}" for name, expr in stage)

@@ -1205,10 +1205,15 @@ def q_ann_ivf_kmeans_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id", "qm", "cid", _int_sqdist(F.col("qm"), F.col("cm")).alias("sq")
     )
     wp = Window.partitionBy("q_id").orderBy("sq", "cid")
+    # persist: the probe frame (|Q| x nprobe rows) feeds BOTH the
+    # driver-side cell-pruning collect and the broadcast candidate
+    # join — without it the query batch is re-scored against the
+    # centroid table in a second job (ADVICE r8)
     probes = (
         qd.withColumn("rn", F.row_number().over(wp))
         .where(F.col("rn") <= IVF_NPROBE)
         .select("q_id", "qm", F.col("cid").alias("cell"))
+        .transform(scoped_persist)
     )
     cells = sorted({r.cell for r in probes.select("cell").distinct().collect()})
     assign = spark.read.parquet(os.path.join(path, "assignments")).where(

@@ -1788,6 +1788,13 @@ def phrase_candidates_from_index(
             for t in terms
         }
     )
+    # An absent bucket directory PROVES its term never occurred (the
+    # writer creates a dir for every non-empty bucket): an
+    # out-of-vocabulary term means zero phrase matches, so answer
+    # empty instead of letting spark.read throw PATH_NOT_FOUND
+    # (ADVICE r8).
+    if any(not os.path.isdir(d) for d in dirs):
+        return spark.createDataFrame([], "doc_id bigint")
     p = (
         spark.read.schema("term string, doc_id bigint, positions array<int>")
         .parquet(*dirs)

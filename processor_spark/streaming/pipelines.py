@@ -772,8 +772,12 @@ def kmv_user_hashes(events: DataFrame) -> DataFrame:
         F.concat(F.lit("kmv:"), F.col("user_id").cast("string")).cast("binary")
     )
     h = F.conv(F.substring(dig, 1, 12), 16, 10).cast("long")
+    # a null user_id yields a null hash which pandas delivers as NaN —
+    # int(NaN) would kill the stateful query; nulls carry no identity
+    # and contribute nothing to a distinct-count sketch (ADVICE r8)
     return (
         events.select(F.col("event_type").alias("grp"), h.alias("h"))
+        .where(F.col("h").isNotNull())
         .groupBy("grp")
         .applyInPandasWithState(
             _kmv_fn,

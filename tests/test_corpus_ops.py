@@ -128,3 +128,17 @@ def test_phrase_candidates_from_index_k3_matches_naive_scan(spark):
     }
     assert row.doc_id in want
     assert got == want, (sorted(got)[:5], sorted(want)[:5])
+
+
+def test_phrase_candidates_oov_term_returns_empty(spark):
+    """r9 (ADVICE r8): a phrase term whose hash bucket directory does
+    not exist (out-of-vocabulary token) must answer zero candidates,
+    not throw PATH_NOT_FOUND from the partition-pruned read."""
+    from processor_spark.operators.text import phrase_candidates_from_index
+    from tests.conftest import SF_SMALL
+
+    out = phrase_candidates_from_index(
+        spark, SF_SMALL, ("zzz_no_such_token_zzz", "qqq_nor_this_one_qqq")
+    )
+    assert out.count() == 0
+    assert out.columns == ["doc_id"]

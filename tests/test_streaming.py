@@ -822,3 +822,50 @@ def test_streaming_quality_model_stats_equal_batch(spark, tmp_path):
     grow = got.select(*cols).collect()[0]
     wrow = want.select(*cols).collect()[0]
     assert [str(v) for v in grow] == [str(v) for v in wrow]
+
+
+def test_streaming_kmv_tolerates_null_user_ids(spark, tmp_path):
+    """r9 (ADVICE r8): a null user_id hashes to NULL, which pandas
+    delivers as NaN — the sketch must drop it relationally before the
+    stateful apply (the batch twin ignores nulls the same way), not
+    die on int(NaN) inside applyInPandasWithState."""
+    import pandas as pd
+
+    from processor_spark.sources import load as _load
+
+    base = tmp_path / "null_chunks"
+    base.mkdir()
+    ev = (
+        _load(spark, SF_SMALL, "events")
+        .limit(20)
+        .withColumn("ts", F.unix_micros("ts"))
+        .toPandas()
+    )
+    ev.loc[ev.index[:5], "user_id"] = pd.NA
+    ev["user_id"] = ev["user_id"].astype("Int64")
+    ev.to_parquet(base / "chunk_00.parquet", index=False)
+
+    stream = P.read_events_stream(spark, str(base))
+    got_df = _drain(spark, P.kmv_user_hashes(stream), "t_kmv_null", mode="update")
+    latest = {}
+    for r in got_df.collect():
+        if r.grp not in latest or r.version > latest[r.grp].version:
+            latest[r.grp] = r
+
+    src = spark.createDataFrame(ev).withColumn("ts", F.timestamp_micros("ts"))
+    dig = F.md5(
+        F.concat(F.lit("kmv:"), F.col("user_id").cast("string")).cast("binary")
+    )
+    h = F.conv(F.substring(dig, 1, 12), 16, 10).cast("long")
+    hs = (
+        src.where(F.col("user_id").isNotNull())
+        .select(F.col("event_type").alias("grp"), h.alias("h"))
+        .distinct()
+    )
+    want = {
+        r.grp: r.n for r in hs.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got = {g: r.n_mins for g, r in latest.items()}
+    from processor_spark.streaming.pipelines import KMV_STREAM_K
+
+    assert got == {g: min(n, KMV_STREAM_K) for g, n in want.items()}, (got, want)
