@@ -389,7 +389,9 @@ ANN_INDEX_ROOT = "/tmp/processor_spark_ann"
 # across sessions AND code revisions — a format change (new layout,
 # different hash family, changed parameters) must force a rebuild, not
 # serve stale bytes.  Bump when any build_*_index output changes shape.
-ANN_INDEX_FMT = 1
+# fmt 2 (r9): ivf_kmeans assignments carry the label column for
+# filtered serving.
+ANN_INDEX_FMT = 2
 
 
 def _index_is_current(meta_path: str) -> bool:
@@ -925,6 +927,13 @@ def q_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IVFK_NLIST = 8  # cells; the deployment knob — nlist ≈ n / target_cell
 
+# Filtered queries probe MORE cells: a label predicate keeps only
+# ~1/|labels| of each probed cell, so the same recall needs a wider
+# probe set (measured at 64x: tools/ann_bits_probe.py --filtered,
+# SCALE.md r9 — nprobe=2 recalls ~60% filtered vs ~90% unfiltered;
+# nprobe=4 restores the unfiltered level at 2x serve cost).
+IVFK_NPROBE_F = 4
+
 _IVFK_SQL = f"""
     WITH vecs AS (
       SELECT vec_id,
@@ -1002,29 +1011,15 @@ def _int_sqdist(a: Column, b: Column) -> Column:
     )
 
 
-def ivf_kmeans_topk(
-    spark: SparkSession,
-    sf_dir: str,
-    nlist: int | None = None,
-    nprobe: int | None = None,
-) -> DataFrame:
-    """Parameterized IVF-with-trained-centroids build+serve (the
-    q_ann_ivf_kmeans pipeline with nlist exposed): nlist is the IVF
-    deployment knob — real clusters grow it ≈ n / target_cell as the
-    corpus grows so each cell stays scan-able and nprobe/nlist keeps
-    shrinking the scanned fraction.  Defaults reproduce the
-    registered key exactly; tools/ann_bits_probe.py measures recall +
-    wall-clock at 64x under the re-parameterization."""
-    nlist = IVFK_NLIST if nlist is None else nlist
-    nprobe = IVF_NPROBE if nprobe is None else nprobe
-    e = load(spark, sf_dir, "embeddings", spread=True)
-    vecs = e.select("vec_id", _micro_arr("embedding").alias("vm"))
+def _ivfk_cents(vecs: DataFrame, nlist: int = IVFK_NLIST) -> DataFrame:
+    """One exact-integer Lloyd round from deterministic seeds (the
+    nlist lowest vec_ids) → persisted (cid, cm) centroid table.
+    ``vecs`` needs (vec_id, vm); extra columns are ignored.  Shared by
+    the in-plan key, the index builder, and the filtered variant so
+    all three train byte-identical centroids (one oracle contract)."""
     seeds = vecs.where(F.col("vec_id") < nlist).select(
         F.col("vec_id").alias("cid"), F.col("vm").alias("cm")
     )
-    # one Lloyd round: nearest seed by exact integer L2, then exact
-    # integer per-(cell, dim) means (map-side min_by — one row per
-    # vector crosses the shuffle)
     a0 = (
         vecs.crossJoin(F.broadcast(seeds))
         .select("vec_id", "vm", "cid", _int_sqdist(F.col("vm"), F.col("cm")).alias("sq"))
@@ -1049,7 +1044,30 @@ def ivf_kmeans_topk(
     # the trained centroid table feeds BOTH the corpus assignment and
     # the query probes — nlist x d integers, cheap to cache, expensive
     # to recompute (it embeds the full Lloyd pass)
-    cents = scoped_persist(cents)
+    return scoped_persist(cents)
+
+
+def ivf_kmeans_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    nlist: int | None = None,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """Parameterized IVF-with-trained-centroids build+serve (the
+    q_ann_ivf_kmeans pipeline with nlist exposed): nlist is the IVF
+    deployment knob — real clusters grow it ≈ n / target_cell as the
+    corpus grows so each cell stays scan-able and nprobe/nlist keeps
+    shrinking the scanned fraction.  Defaults reproduce the
+    registered key exactly; tools/ann_bits_probe.py measures recall +
+    wall-clock at 64x under the re-parameterization."""
+    nlist = IVFK_NLIST if nlist is None else nlist
+    nprobe = IVF_NPROBE if nprobe is None else nprobe
+    e = load(spark, sf_dir, "embeddings", spread=True)
+    vecs = e.select("vec_id", _micro_arr("embedding").alias("vm"))
+    # one Lloyd round: nearest seed by exact integer L2, then exact
+    # integer per-(cell, dim) means (map-side min_by — one row per
+    # vector crosses the shuffle)
+    cents = _ivfk_cents(vecs, nlist)
     d1 = vecs.crossJoin(F.broadcast(cents)).select(
         "vec_id", "vm", "cid", _int_sqdist(F.col("vm"), F.col("cm")).alias("sq")
     )
@@ -1131,41 +1149,24 @@ def build_ivf_kmeans_index(
         return path
     shutil.rmtree(path, ignore_errors=True)
 
-    # identical derivation to ivf_kmeans_topk (shared oracle contract)
+    # identical derivation to ivf_kmeans_topk (shared oracle contract);
+    # assignments additionally carry the label column (fmt 2) so
+    # filtered serving can evaluate metadata predicates INSIDE the
+    # cell-pruned scan without touching the fixture corpus
     e = load(spark, sf_dir, "embeddings", spread=True)
-    vecs = e.select("vec_id", _micro_arr("embedding").alias("vm"))
-    seeds = vecs.where(F.col("vec_id") < IVFK_NLIST).select(
-        F.col("vec_id").alias("cid"), F.col("vm").alias("cm")
-    )
-    a0 = (
-        vecs.crossJoin(F.broadcast(seeds))
-        .select("vec_id", "vm", "cid", _int_sqdist(F.col("vm"), F.col("cm")).alias("sq"))
-        .groupBy("vec_id")
-        .agg(
-            F.min_by("cid", F.struct(F.col("sq"), F.col("cid"))).alias("cid"),
-            F.first("vm").alias("vm"),
-        )
-    )
-    cents = (
-        a0.select("cid", F.posexplode("vm").alias("pos", "m"))
-        .groupBy("cid", "pos")
-        .agg(F.sum("m").alias("s"), F.count(F.lit(1)).alias("n"))
-        .select("cid", "pos", F.expr("s div n").alias("nm"))
-        .groupBy("cid")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "nm"))), lambda x: x["nm"]
-            ).alias("cm")
-        )
-    )
-    cents = scoped_persist(cents)
+    vecs = e.select("vec_id", "label", _micro_arr("embedding").alias("vm"))
+    cents = _ivfk_cents(vecs)
     assign = (
         vecs.crossJoin(F.broadcast(cents))
-        .select("vec_id", "vm", "cid", _int_sqdist(F.col("vm"), F.col("cm")).alias("sq"))
+        .select(
+            "vec_id", "label", "vm", "cid",
+            _int_sqdist(F.col("vm"), F.col("cm")).alias("sq"),
+        )
         .groupBy("vec_id")
         .agg(
             F.min_by("cid", F.struct(F.col("sq"), F.col("cid"))).alias("cell"),
             F.first("vm").alias("vm"),
+            F.first("label").alias("label"),
         )
     )
     cents.write.parquet(os.path.join(path, "centroids"))
@@ -1231,6 +1232,215 @@ def q_ann_ivf_kmeans_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= KNN_K)
         .select(
             "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("sq").cast("long").alias("sq_micro2"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+# ------------------------------------------------ filtered ANN serving (r9)
+
+_IVFK_FILTERED_SQL = f"""
+    WITH vecs AS (
+      SELECT vec_id, label,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(floor((x + 2.0) * 1000000 + 0.5) AS BIGINT)) AS vm
+      FROM embeddings
+    ), seeds AS (
+      SELECT vec_id AS cid, vm AS cm FROM vecs WHERE vec_id < {IVFK_NLIST}
+    ), d0 AS (
+      SELECT v.vec_id, s.cid,
+             list_reduce(list_transform(range(1, len(v.vm) + 1),
+                  i -> (v.vm[i] - s.cm[i]) * (v.vm[i] - s.cm[i])),
+               (acc, x) -> acc + x) AS sq
+      FROM vecs v CROSS JOIN seeds s
+    ), a0 AS (
+      SELECT vec_id, cid FROM d0
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sq, cid) = 1
+    ), elems AS (
+      SELECT a.cid, unnest(range(1, len(v.vm) + 1)) AS pos, unnest(v.vm) AS m
+      FROM a0 a JOIN vecs v USING (vec_id)
+    ), cmeans AS (
+      SELECT cid, pos, CAST(sum(m) AS BIGINT) // count(*) AS nm
+      FROM elems GROUP BY cid, pos
+    ), cents AS (
+      SELECT cid, list(nm ORDER BY pos) AS cm FROM cmeans GROUP BY cid
+    ), d1 AS (
+      SELECT v.vec_id, c.cid,
+             list_reduce(list_transform(range(1, len(v.vm) + 1),
+                  i -> (v.vm[i] - c.cm[i]) * (v.vm[i] - c.cm[i])),
+               (acc, x) -> acc + x) AS sq
+      FROM vecs v CROSS JOIN cents c
+    ), assign AS (
+      SELECT vec_id, cid AS cell FROM d1
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sq, cid) = 1
+    ), probes AS (
+      SELECT vec_id AS q_id, cid AS cell FROM d1 WHERE vec_id <= {KNN_QUERIES}
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sq, cid)
+              <= {IVFK_NPROBE_F}
+    ), scored AS (
+      SELECT p.q_id, q.label, a.vec_id,
+             list_reduce(list_transform(range(1, len(q.vm) + 1),
+                  i -> (q.vm[i] - t.vm[i]) * (q.vm[i] - t.vm[i])),
+               (acc, x) -> acc + x) AS sq
+      FROM probes p
+      JOIN assign a ON a.cell = p.cell
+      JOIN vecs q ON q.vec_id = p.q_id
+      JOIN vecs t ON t.vec_id = a.vec_id
+      WHERE a.vec_id <> p.q_id AND t.label = q.label
+    )
+    SELECT q_id, label, vec_id AS neighbor_id,
+           CAST(sq AS BIGINT) AS sq_micro2, CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT q_id, label, vec_id, sq,
+             row_number() OVER (PARTITION BY q_id ORDER BY sq, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= {KNN_K}
+    """
+
+
+def ivf_kmeans_filtered_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    nlist: int | None = None,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """Parameterized filtered (same-label) IVF top-k — q_ann_filtered
+    with the probe width exposed so tools/ann_bits_probe.py can
+    measure the predicate/nprobe recall interaction.  Defaults
+    reproduce the registered key exactly."""
+    nlist = IVFK_NLIST if nlist is None else nlist
+    nprobe = IVFK_NPROBE_F if nprobe is None else nprobe
+    e = load(spark, sf_dir, "embeddings", spread=True)
+    vecs = e.select("vec_id", "label", _micro_arr("embedding").alias("vm"))
+    cents = _ivfk_cents(vecs, nlist)
+    d1 = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "label", "vm", "cid",
+        _int_sqdist(F.col("vm"), F.col("cm")).alias("sq"),
+    )
+    assign = d1.groupBy("vec_id").agg(
+        F.min_by("cid", F.struct(F.col("sq"), F.col("cid"))).alias("cell"),
+        F.first("vm").alias("vm"),
+        F.first("label").alias("label"),
+    )
+    qd = (
+        vecs.where(F.col("vec_id") <= KNN_QUERIES)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("label").alias("q_label"),
+            F.col("vm").alias("qm"),
+            "cid",
+            _int_sqdist(F.col("vm"), F.col("cm")).alias("sq"),
+        )
+    )
+    wp = Window.partitionBy("q_id").orderBy("sq", "cid")
+    probes = (
+        qd.withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") <= nprobe)
+        .select("q_id", "q_label", "qm", F.col("cid").alias("cell"))
+    )
+    cand = assign.join(probes, "cell").where(
+        (F.col("vec_id") != F.col("q_id")) & (F.col("label") == F.col("q_label"))
+    )
+    wr = Window.partitionBy("q_id").orderBy("sq", "vec_id")
+    return (
+        cand.select(
+            "q_id", "label", "vec_id",
+            _int_sqdist(F.col("qm"), F.col("vm")).alias("sq"),
+        )
+        .withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= KNN_K)
+        .select(
+            "q_id",
+            "label",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("sq").cast("long").alias("sq_micro2"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+@register("q_ann_filtered", sql=_IVFK_FILTERED_SQL)
+def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN: same-label top-k over the trained-centroid IVF —
+    the "metadata predicate inside the index" query every production
+    vector store serves (find neighbors WHERE label = q.label /
+    tenant = X / source = Y), not post-filtering a generic top-k
+    (which silently under-fills k when the filter is selective).
+    The predicate is evaluated on the CANDIDATE SET — after cell
+    probing, before re-rank — so k survivors are ranked from the
+    full filtered candidate pool; the probe width is IVFK_NPROBE_F
+    (> IVF_NPROBE) because a selective predicate thins each probed
+    cell (the nprobe/recall interaction, measured in SCALE.md r9).
+    Same zero-float-parity design as q_ann_ivf_kmeans: exact integer
+    micro-unit vectors, int64 squared-L2 everywhere, integer-division
+    centroid means — full hash oracle through training, probing,
+    filtering and ranking."""
+    return ivf_kmeans_filtered_topk(spark, sf_dir)
+
+
+@register("q_ann_filtered_serve", sql=_IVFK_FILTERED_SQL)
+def q_ann_filtered_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving path of filtered ANN: the label predicate runs INSIDE
+    the persisted index scan — cells are directory-pruned to the
+    nprobe probed ones (plan-asserted), then the label filter cuts
+    the candidate stream BEFORE any distance is computed, so the
+    re-rank pays only |filtered candidates| int64 distances.  The
+    index carries the filter column in its cell-partitioned
+    assignments (build_ivf_kmeans_index fmt 2) — serving never joins
+    back to the corpus for metadata.  Shares the rebuild twin's
+    oracle: the hash match certifies the label round trip through
+    parquet alongside the vectors.  At 100 TB this layout serves any
+    conjunctive metadata predicate the assignments carry columns
+    for; a highly-selective predicate wants nprobe raised further or
+    the filter column promoted INTO the partitioning (label-sharded
+    cells), both build-time knobs."""
+    import os
+
+    path = build_ivf_kmeans_index(spark, sf_dir)
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    qv = (
+        load(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") <= KNN_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("label").alias("q_label"),
+            _micro_arr("embedding").alias("qm"),
+        )
+    )
+    qd = qv.crossJoin(F.broadcast(cents)).select(
+        "q_id", "q_label", "qm", "cid",
+        _int_sqdist(F.col("qm"), F.col("cm")).alias("sq"),
+    )
+    wp = Window.partitionBy("q_id").orderBy("sq", "cid")
+    # persist: feeds the driver-side cell-pruning collect AND the
+    # broadcast candidate join (the q_ann_ivf_kmeans_serve rule)
+    probes = (
+        qd.withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") <= IVFK_NPROBE_F)
+        .select("q_id", "q_label", "qm", F.col("cid").alias("cell"))
+        .transform(scoped_persist)
+    )
+    cells = sorted({r.cell for r in probes.select("cell").distinct().collect()})
+    assign = spark.read.parquet(os.path.join(path, "assignments")).where(
+        F.col("cell").isin(cells)
+    )
+    cand = assign.join(F.broadcast(probes), "cell").where(
+        (F.col("vec_id") != F.col("q_id")) & (F.col("label") == F.col("q_label"))
+    )
+    wr = Window.partitionBy("q_id").orderBy("sq", "vec_id")
+    return (
+        cand.select(
+            "q_id", "label", "vec_id",
+            _int_sqdist(F.col("qm"), F.col("vm")).alias("sq"),
+        )
+        .withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= KNN_K)
+        .select(
+            "q_id",
+            "label",
             F.col("vec_id").alias("neighbor_id"),
             F.col("sq").cast("long").alias("sq_micro2"),
             F.col("rank").cast("long").alias("rank"),

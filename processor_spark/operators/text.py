@@ -1222,6 +1222,97 @@ def _term_bucket_py(term: str) -> int:
     return int(hashlib.md5(("tb:" + term).encode()).hexdigest()[:8], 16) % _TBUCKETS
 
 
+def _postings_frame(d: DataFrame):
+    """Positional postings (fmt 2) from a documents frame: tf AND the
+    sorted in-doc position list per (term, doc), doc length
+    denormalized, 64-way md5 term bucket for partition-pruned serving.
+    Returns (postings, dl) — shared by the one-shot builder and the
+    incremental (generational) builder so both write byte-identical
+    posting rows for the same documents."""
+    docs = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    dl = docs.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    postings = (
+        docs.select("doc_id", F.posexplode("toks").alias("pos", "term"))
+        .groupBy("term", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+        .join(dl, "doc_id")
+        .withColumn(
+            "tbucket",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("tb:"), F.col("term")).cast("binary")),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(_TBUCKETS),
+            ),
+        )
+    )
+    return postings, dl
+
+
+def _bm25_rank_from_postings(
+    spark: SparkSession, p: DataFrame, n_docs: int, tot_toks: int
+) -> DataFrame:
+    """Rank the fixed BM25 query from a postings frame (term, doc_id,
+    tf, dl) + corpus stats — the serve-side scorer shared by
+    q_bm25_serve and the incremental-index key.  Stats enter as
+    COLUMNS so the score expression tree is spelled EXACTLY like
+    q_bm25's (literal stats would parse as Spark DECIMAL and take a
+    different arithmetic path than the oracle)."""
+    dfs = p.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    df_map = {r.term: r.df for r in dfs.collect()}  # |terms| rows
+    feat = p.groupBy("doc_id").agg(
+        F.first("dl").alias("dl"),
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("term") == t, F.col("tf"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"tf{i}")
+            for i, t in enumerate(BM25_TERMS, 1)
+        ],
+    )
+    stats = spark.createDataFrame(
+        [
+            (
+                n_docs,
+                tot_toks,
+                *[int(df_map.get(t, 0)) for t in BM25_TERMS],
+            )
+        ],
+        "n_docs bigint, tot_toks bigint, df1 bigint, df2 bigint, df3 bigint",
+    )
+    term = (
+        "(({n} - df{i} + 0.5) / (df{i} + 0.5)) * (tf{i} * 2.2)"
+        " / (tf{i} + 1.2 * (0.25 + 0.75 * (dl / (CAST(tot_toks AS DOUBLE) / {n}))))"
+    )
+    score = " + ".join(term.format(i=i, n="n_docs") for i in range(1, 4))
+    return (
+        feat.crossJoin(F.broadcast(stats))
+        .where(F.col("tf1") + F.col("tf2") + F.col("tf3") > 0)
+        .select(
+            "doc_id",
+            "dl",
+            "tf1",
+            "tf2",
+            "tf3",
+            F.expr(f"CAST(floor(({score}) * 10000 + 0.5) AS BIGINT)").alias(
+                "score_tenthmilli"
+            ),
+        )
+        .orderBy(F.desc("score_tenthmilli"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
 def build_text_index(
     spark: SparkSession, sf_dir: str, path: str | None = None, force: bool = False
 ) -> str:
@@ -1252,36 +1343,7 @@ def build_text_index(
     shutil.rmtree(path, ignore_errors=True)
 
     d = load(spark, sf_dir, "documents", spread=True)
-    docs = d.select("doc_id", tokens(F.col("text")).alias("toks"))
-    dl = docs.select("doc_id", F.size("toks").cast("long").alias("dl"))
-    # positional postings (fmt 2): tf AND the sorted in-doc position
-    # list per (term, doc) — phrase adjacency serves from the index
-    # alone, never re-reading document text (q_phrase_search_serve);
-    # consumers that only need tf (BM25) prune the column at read
-    postings = (
-        docs.select("doc_id", F.posexplode("toks").alias("pos", "term"))
-        .groupBy("term", "doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("tf"),
-            F.sort_array(F.collect_list("pos")).alias("positions"),
-        )
-        .join(dl, "doc_id")
-        .withColumn(
-            "tbucket",
-            F.pmod(
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.lit("tb:"), F.col("term")).cast("binary")),
-                        1,
-                        8,
-                    ),
-                    16,
-                    10,
-                ).cast("long"),
-                F.lit(_TBUCKETS),
-            ),
-        )
-    )
+    postings, dl = _postings_frame(d)
     postings.write.partitionBy("tbucket").parquet(os.path.join(path, "postings"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -1301,6 +1363,146 @@ def build_text_index(
         )
     os.replace(tmp, meta)  # marker last: a crashed build is invisible
     return path
+
+
+def build_text_index_incremental(
+    spark: SparkSession, sf_dir: str, path: str | None = None, force: bool = False
+) -> str:
+    """Two-GENERATION incremental text index (VERDICT r8 #2): gen=0 is
+    built from the existing corpus (doc_id % 10 != 0 — the standing
+    index), gen=1 is APPENDED from the new-batch delta (doc_id % 10
+    == 0, the q_dedup_incremental ingest split) without touching or
+    rewriting gen 0.  This is how a 100 TB index absorbs a daily
+    ingest: tokenize ONLY the delta, write its postings as a new
+    generation directory, and bump the corpus stats — never re-read
+    the base corpus.
+
+    Crash safety (marker pattern, extended to appends): the delta's
+    postings are written to a staging dir and atomically renamed to
+    ``postings/gen=1``; the meta marker (which alone advertises
+    ``gens: 2`` and the combined stats) is replaced LAST.  A crash at
+    any point leaves a marker that does not mention the partial
+    generation, and the retry wipes any unadvertised gen=1/staging
+    dir before redoing the append — so readers never see a
+    half-appended index and appends are idempotent."""
+    import json
+    import os
+    import shutil
+    import uuid
+
+    if path is None:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        path = os.path.join(TEXT_INDEX_ROOT, tag + "-incr")
+    meta_path = os.path.join(path, "_INDEX_META.json")
+    meta = None
+    try:
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        if meta.get("fmt") != TEXT_INDEX_FMT:
+            meta = None
+    except (OSError, ValueError):
+        meta = None
+    if force:
+        meta = None
+    if meta is not None and meta.get("gens") == 2:
+        return path
+
+    if meta is None:
+        # ---- base build (gen 0): the standing index
+        shutil.rmtree(path, ignore_errors=True)
+        base = load(spark, sf_dir, "documents", spread=True).where(
+            F.col("doc_id") % 10 != 0
+        )
+        postings, dl = _postings_frame(base)
+        postings.write.partitionBy("tbucket").parquet(
+            os.path.join(path, "postings", "gen=0")
+        )
+        st = dl.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("tot_toks"),
+        ).collect()[0]
+        meta = {
+            "kind": "text_incr",
+            "fmt": TEXT_INDEX_FMT,
+            "source": sf_dir,
+            "gens": 1,
+            "n_docs": st.n_docs,
+            "tot_toks": st.tot_toks,
+        }
+        tmp = meta_path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, meta_path)
+
+    # ---- append (gen 1): only the delta batch is tokenized.  Any
+    # gen=1 / staging dir present now is an UNADVERTISED partial
+    # append (marker still says gens=1) — wipe and redo.
+    gen1 = os.path.join(path, "postings", "gen=1")
+    stage = os.path.join(path, ".stage-gen1")
+    shutil.rmtree(gen1, ignore_errors=True)
+    shutil.rmtree(stage, ignore_errors=True)
+    delta = load(spark, sf_dir, "documents", spread=True).where(
+        F.col("doc_id") % 10 == 0
+    )
+    postings, dl = _postings_frame(delta)
+    postings.write.partitionBy("tbucket").parquet(stage)
+    dst = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("tot_toks"),
+    ).collect()[0]
+    os.replace(stage, gen1)  # atomic: readers see all of gen 1 or none
+    meta = dict(
+        meta,
+        gens=2,
+        n_docs=meta["n_docs"] + dst.n_docs,
+        tot_toks=meta["tot_toks"] + dst.tot_toks,
+    )
+    tmp = meta_path + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, meta_path)  # marker last: crashed append invisible
+    return path
+
+
+@register("q_text_index_append", sql=_BM25_SQL)
+def q_text_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from the INCREMENTALLY-built two-generation index —
+    the key's oracle is the FULL-CORPUS q_bm25 SQL, so the hash match
+    proves base-build + delta-append answers bit-identically to a
+    from-scratch rebuild over the unioned corpus (the strongest
+    incremental-correctness oracle available; same contract as the
+    serve twins).  Read side: the query's term-hash bucket dirs from
+    EACH generation (absent dirs prove the bucket is empty in that
+    generation — skip, don't crash), stats from the appended meta."""
+    import json
+    import os
+
+    path = build_text_index_incremental(spark, sf_dir)
+    with open(os.path.join(path, "_INDEX_META.json")) as fh:
+        meta = json.load(fh)
+    n_docs, tot_toks = meta["n_docs"], meta["tot_toks"]
+    dirs = sorted(
+        {
+            os.path.join(
+                path, "postings", f"gen={g}", f"tbucket={_term_bucket_py(t)}"
+            )
+            for t in BM25_TERMS
+            for g in range(meta["gens"])
+        }
+    )
+    dirs = [d for d in dirs if os.path.isdir(d)]
+    if not dirs:
+        return spark.createDataFrame(
+            [],
+            "doc_id bigint, dl bigint, tf1 bigint, tf2 bigint, tf3 bigint,"
+            " score_tenthmilli bigint",
+        )
+    p = (
+        spark.read.schema("term string, doc_id bigint, tf bigint, dl bigint")
+        .parquet(*dirs)
+        .where(F.col("term").isin(list(BM25_TERMS)))
+    )
+    return _bm25_rank_from_postings(spark, p, n_docs, tot_toks)
 
 
 @register("q_bm25_serve", sql=_BM25_SQL)
@@ -1335,53 +1537,7 @@ def q_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(*dirs)
         .where(F.col("term").isin(list(BM25_TERMS)))
     )
-    dfs = p.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    df_map = {r.term: r.df for r in dfs.collect()}  # |terms| rows
-    feat = p.groupBy("doc_id").agg(
-        F.first("dl").alias("dl"),
-        *[
-            F.coalesce(
-                F.max(F.when(F.col("term") == t, F.col("tf"))), F.lit(0)
-            )
-            .cast("long")
-            .alias(f"tf{i}")
-            for i, t in enumerate(BM25_TERMS, 1)
-        ],
-    )
-    # stats enter as COLUMNS so the score expression tree is spelled
-    # EXACTLY like q_bm25's (literal stats would parse as Spark
-    # DECIMAL and take a different arithmetic path than the oracle)
-    stats = spark.createDataFrame(
-        [
-            (
-                n_docs,
-                tot_toks,
-                *[int(df_map.get(t, 0)) for t in BM25_TERMS],
-            )
-        ],
-        "n_docs bigint, tot_toks bigint, df1 bigint, df2 bigint, df3 bigint",
-    )
-    term = (
-        "(({n} - df{i} + 0.5) / (df{i} + 0.5)) * (tf{i} * 2.2)"
-        " / (tf{i} + 1.2 * (0.25 + 0.75 * (dl / (CAST(tot_toks AS DOUBLE) / {n}))))"
-    )
-    score = " + ".join(term.format(i=i, n="n_docs") for i in range(1, 4))
-    return (
-        feat.crossJoin(F.broadcast(stats))
-        .where(F.col("tf1") + F.col("tf2") + F.col("tf3") > 0)
-        .select(
-            "doc_id",
-            "dl",
-            "tf1",
-            "tf2",
-            "tf3",
-            F.expr(f"CAST(floor(({score}) * 10000 + 0.5) AS BIGINT)").alias(
-                "score_tenthmilli"
-            ),
-        )
-        .orderBy(F.desc("score_tenthmilli"), F.asc("doc_id"))
-        .limit(20)
-    )
+    return _bm25_rank_from_postings(spark, p, n_docs, tot_toks)
 
 
 _RAKE_STOP_RE = "( (?:" + "|".join(STOPWORDS) + ") )"

@@ -119,3 +119,57 @@ def test_ivf_kmeans_index_layout_and_idempotence(spark, tmp_path):
         if d.startswith("cell=")
     ]
     assert len(cells) > 1, "assignments must be partitioned by cell"
+
+
+def test_incremental_text_index_crash_mid_append_is_idempotent(spark, tmp_path):
+    """r9: the generational append must be crash-safe — a retry after a
+    crash at EITHER failure point (staging written but not renamed;
+    gen=1 renamed but marker not yet bumped) wipes the unadvertised
+    partial state and converges to the same two-generation index."""
+    import json
+
+    from processor_spark.operators.text import build_text_index_incremental
+
+    path = str(tmp_path / "text_incr")
+    p1 = build_text_index_incremental(spark, SF_SMALL, path=path)
+    meta_path = os.path.join(p1, "_INDEX_META.json")
+    with open(meta_path) as fh:
+        done = json.load(fh)
+    assert done["gens"] == 2
+    gen1 = os.path.join(p1, "postings", "gen=1")
+    n_files = sorted(os.listdir(gen1))
+
+    # crash point A: gen=1 fully renamed, marker still gens=1 (the
+    # append's os.replace(meta) never ran) — gen=1 is unadvertised
+    rolled = dict(done, gens=1)
+    rolled["n_docs"] -= 0  # stats rollback not required: retry recomputes
+    with open(meta_path, "w") as fh:
+        json.dump({**done, "gens": 1, "n_docs": 1, "tot_toks": 1}, fh)
+    # sabotage the partial gen so we can prove it was wiped, not reused
+    with open(os.path.join(gen1, "JUNK.parquet"), "w") as fh:
+        fh.write("not parquet")
+    p2 = build_text_index_incremental(spark, SF_SMALL, path=path)
+    with open(meta_path) as fh:
+        redo = json.load(fh)
+    # retry redid the append from the delta: same layout, junk gone,
+    # and the base stats it started from were the marker's gen-1 stats
+    assert not os.path.exists(os.path.join(gen1, "JUNK.parquet"))
+    assert sorted(os.listdir(gen1)) == n_files
+    assert redo["gens"] == 2
+
+    # crash point B: staging dir written, rename never happened
+    with open(meta_path, "w") as fh:
+        json.dump({**done, "gens": 1, "n_docs": done["n_docs"], "tot_toks": done["tot_toks"]}, fh)
+    stage = os.path.join(p1, ".stage-gen1")
+    os.makedirs(stage, exist_ok=True)
+    with open(os.path.join(stage, "partial"), "w") as fh:
+        fh.write("x")
+    build_text_index_incremental(spark, SF_SMALL, path=path)
+    assert not os.path.exists(stage)
+    with open(meta_path) as fh:
+        assert json.load(fh)["gens"] == 2
+
+    # and a completed index is a no-op (marker mtime unchanged)
+    t1 = os.path.getmtime(meta_path)
+    build_text_index_incremental(spark, SF_SMALL, path=path)
+    assert os.path.getmtime(meta_path) == t1

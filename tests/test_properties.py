@@ -877,3 +877,45 @@ def test_ols_solve_matches_numpy_lstsq(spark, tmp_path):
     for i, name in enumerate(names):
         want = int(np.floor(w[i] * 1e9 + 0.5))
         assert abs(got[name] - want) <= 2, (name, got[name], want)
+
+
+def test_ann_filtered_recall_floor(spark):
+    """r9: filtered ANN (same-label top-k through the trained-centroid
+    IVF at IVFK_NPROBE_F probes) must recover most of the EXACT
+    same-label top-k — the widened probe set exists precisely because
+    a selective predicate thins each probed cell."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from processor_spark import registry
+    from processor_spark.operators.similarity import (
+        KNN_K,
+        KNN_QUERIES,
+        _int_sqdist,
+        _micro_arr,
+    )
+    from processor_spark.sources import load
+    from tests.conftest import SF_SMALL
+
+    vecs = load(spark, SF_SMALL, "embeddings").select(
+        "vec_id", "label", _micro_arr("embedding").alias("vm")
+    )
+    q = vecs.where(F.col("vec_id") <= KNN_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("vm").alias("qm"),
+    )
+    wr = Window.partitionBy("q_id").orderBy("sq", "vec_id")
+    exact = (
+        q.join(vecs, (vecs.label == q.q_label) & (vecs.vec_id != q.q_id))
+        .select("q_id", "vec_id", _int_sqdist(F.col("qm"), F.col("vm")).alias("sq"))
+        .withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= KNN_K)
+    )
+    want = {(r.q_id, r.vec_id) for r in exact.collect()}
+    got = {
+        (r.q_id, r.neighbor_id)
+        for r in registry.get("q_ann_filtered").fn(spark, SF_SMALL).collect()
+    }
+    recall = len(want & got) / len(want)
+    assert recall >= 0.6, f"filtered ANN recall collapsed: {recall:.2f}"

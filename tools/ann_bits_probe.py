@@ -34,6 +34,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPL = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+# optional section selector: "graph", "ivf", "filtered" (default: all)
+ONLY = sys.argv[2] if len(sys.argv) > 2 else None
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DST = f"/tmp/processor_spark-ann-bits-probe-{REPL}x"
 
@@ -169,15 +171,18 @@ def main() -> None:
     target_bucket = max(1.0, n_base / float(1 << LSH_BITS))
     bits_scaled = max(LSH_BITS, math.ceil(math.log2(n / target_bucket)))
 
-    truth = {(r.q_id, r.neighbor_id) for r in exact_topk(spark).collect()}
-
     result = {
         "replication": REPL,
         "n_vectors": n,
         "target_bucket": round(target_bucket, 1),
         "bits_scaled": bits_scaled,
     }
-    for tag, bits in (("fixed_bits", LSH_BITS), ("scaled_bits", bits_scaled)):
+    truth = (
+        {(r.q_id, r.neighbor_id) for r in exact_topk(spark).collect()}
+        if ONLY in (None, "graph")
+        else set()
+    )
+    for tag, bits in (("fixed_bits", LSH_BITS), ("scaled_bits", bits_scaled)) if ONLY in (None, "graph") else ():
         spark.catalog.clearCache()
         # bucket-occupancy diagnostics: how much of the corpus is still
         # visible to the capped BUILD at this width (the failure mode
@@ -211,15 +216,72 @@ def main() -> None:
 
     target_cell = max(1.0, n_base / float(IVFK_NLIST))
     nlist_scaled = max(IVFK_NLIST, round(n / target_cell))
-    truth_l2 = {(r.q_id, r.neighbor_id) for r in exact_l2_topk(spark).collect()}
+    truth_l2 = (
+        {(r.q_id, r.neighbor_id) for r in exact_l2_topk(spark).collect()}
+        if ONLY in (None, "ivf")
+        else set()
+    )
     result["ivf_target_cell"] = round(target_cell, 1)
-    for tag, nlist in (("ivf_fixed_nlist", IVFK_NLIST), ("ivf_scaled_nlist", nlist_scaled)):
+    for tag, nlist in (("ivf_fixed_nlist", IVFK_NLIST), ("ivf_scaled_nlist", nlist_scaled)) if ONLY in (None, "ivf") else ():
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         df = ivf_kmeans_topk(spark, DST, nlist=nlist)
         rec = recall_against(truth_l2, df)
         result[tag] = {
             "nlist": nlist,
+            "recall_at_5": round(rec, 4),
+            "wall_s": round(time.perf_counter() - t0, 2),
+        }
+
+    # ---- filtered ANN (r9): the predicate/nprobe recall interaction.
+    # Ground truth = exact same-label integer-L2 top-K; the filtered
+    # pipeline runs at the UNfiltered probe width (nprobe=2) and the
+    # widened IVFK_NPROBE_F — the gap is why filtered serving probes
+    # more cells.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from processor_spark.operators.similarity import (
+        IVF_NPROBE,
+        IVFK_NPROBE_F,
+        KNN_K,
+        KNN_QUERIES,
+        _int_sqdist,
+        _micro_arr,
+        ivf_kmeans_filtered_topk,
+    )
+
+    if ONLY not in (None, "filtered"):
+        print(json.dumps(result))
+        return
+    ef = load(spark, DST, "embeddings", spread=True).select(
+        "vec_id", "label", _micro_arr("embedding").alias("vm")
+    )
+    qf = ef.where(F.col("vec_id") <= KNN_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("vm").alias("qm"),
+    )
+    wf = Window.partitionBy("q_id").orderBy("sq", "vec_id")
+    truth_f = {
+        (r.q_id, r.vec_id)
+        for r in ef.crossJoin(F.broadcast(qf))
+        .where((F.col("label") == F.col("q_label")) & (F.col("vec_id") != F.col("q_id")))
+        .select("q_id", "vec_id", _int_sqdist(F.col("vm"), F.col("qm")).alias("sq"))
+        .withColumn("rank", F.row_number().over(wf))
+        .where(F.col("rank") <= KNN_K)
+        .collect()
+    }
+    for tag, nprobe in (
+        ("filtered_narrow_nprobe", IVF_NPROBE),
+        ("filtered_wide_nprobe", IVFK_NPROBE_F),
+    ):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        df = ivf_kmeans_filtered_topk(spark, DST, nprobe=nprobe)
+        rec = recall_against(truth_f, df)
+        result[tag] = {
+            "nprobe": nprobe,
             "recall_at_5": round(rec, 4),
             "wall_s": round(time.perf_counter() - t0, 2),
         }
