@@ -1145,7 +1145,7 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge (q_hll_sketch) with the same contract."""
     d = load(spark, sf_dir, "documents", spread=True)
     base = d.select(
-        "doc_id", "source", F.expr(r"split(trim(text), '\\s+')").alias("toks")
+        "doc_id", "source", _tokens(F.col("text")).alias("toks")
     )
     hashed = base.select("doc_id", "source", "toks", F.expr(_CDC_HS_SPARK).alias("hs"))
     poly = (

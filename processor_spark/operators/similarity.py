@@ -929,9 +929,8 @@ IVFK_NLIST = 8  # cells; the deployment knob — nlist ≈ n / target_cell
 
 # Filtered queries probe MORE cells: a label predicate keeps only
 # ~1/|labels| of each probed cell, so the same recall needs a wider
-# probe set (measured at 64x: tools/ann_bits_probe.py --filtered,
-# SCALE.md r9 — nprobe=2 recalls ~60% filtered vs ~90% unfiltered;
-# nprobe=4 restores the unfiltered level at 2x serve cost).
+# probe set (measured at 64x: `tools/ann_bits_probe.py 64 filtered`,
+# SCALE.md r10 — see the recorded narrow-vs-wide recall rows).
 IVFK_NPROBE_F = 4
 
 _IVFK_SQL = f"""
@@ -1217,8 +1216,13 @@ def q_ann_ivf_kmeans_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(scoped_persist)
     )
     cells = sorted({r.cell for r in probes.select("cell").distinct().collect()})
-    assign = spark.read.parquet(os.path.join(path, "assignments")).where(
-        F.col("cell").isin(cells)
+    # pin the read schema: fmt 2 assignments carry a label column the
+    # unfiltered serve never uses — old consumers pin what they read
+    # (same rule q_bm25_serve follows for positions; ADVICE r9)
+    assign = (
+        spark.read.schema("vec_id bigint, vm array<bigint>, cell int")
+        .parquet(os.path.join(path, "assignments"))
+        .where(F.col("cell").isin(cells))
     )
     cand = assign.join(F.broadcast(probes), "cell").where(
         F.col("vec_id") != F.col("q_id")
@@ -1341,7 +1345,7 @@ def ivf_kmeans_filtered_topk(
         .where(F.col("rn") <= nprobe)
         .select("q_id", "q_label", "qm", F.col("cid").alias("cell"))
     )
-    cand = assign.join(probes, "cell").where(
+    cand = assign.join(F.broadcast(probes), "cell").where(
         (F.col("vec_id") != F.col("q_id")) & (F.col("label") == F.col("q_label"))
     )
     wr = Window.partitionBy("q_id").orderBy("sq", "vec_id")
@@ -1373,7 +1377,7 @@ def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     probing, before re-rank — so k survivors are ranked from the
     full filtered candidate pool; the probe width is IVFK_NPROBE_F
     (> IVF_NPROBE) because a selective predicate thins each probed
-    cell (the nprobe/recall interaction, measured in SCALE.md r9).
+    cell (the nprobe/recall interaction, measured in SCALE.md r10).
     Same zero-float-parity design as q_ann_ivf_kmeans: exact integer
     micro-unit vectors, int64 squared-L2 everywhere, integer-division
     centroid means — full hash oracle through training, probing,

@@ -1398,7 +1398,14 @@ def build_text_index_incremental(
     try:
         with open(meta_path) as fh:
             meta = json.load(fh)
-        if meta.get("fmt") != TEXT_INDEX_FMT:
+        # fmt alone is not enough: a different builder's (or a different
+        # corpus') marker at the same explicit path= must not be served
+        # as a current incremental index (ADVICE r9)
+        if (
+            meta.get("fmt") != TEXT_INDEX_FMT
+            or meta.get("kind") != "text_incr"
+            or meta.get("source") != sf_dir
+        ):
             meta = None
     except (OSError, ValueError):
         meta = None

@@ -139,27 +139,55 @@ def test_incremental_text_index_crash_mid_append_is_idempotent(spark, tmp_path):
     gen1 = os.path.join(p1, "postings", "gen=1")
     n_files = sorted(os.listdir(gen1))
 
+    # the delta's stats, computed independently of the builder, so the
+    # retry's stat arithmetic (marker base + recomputed delta) is
+    # asserted exactly rather than just "gens bumped" (ADVICE r9)
+    from processor_spark.operators.text import _postings_frame
+    from processor_spark.sources.fixtures import load
+    from pyspark.sql import functions as F
+
+    _, dl = _postings_frame(
+        load(spark, SF_SMALL, "documents").where(F.col("doc_id") % 10 == 0)
+    )
+    drow = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("t")
+    ).collect()[0]
+    delta_docs, delta_toks = drow.n, drow.t
+
     # crash point A: gen=1 fully renamed, marker still gens=1 (the
-    # append's os.replace(meta) never ran) — gen=1 is unadvertised
-    rolled = dict(done, gens=1)
-    rolled["n_docs"] -= 0  # stats rollback not required: retry recomputes
+    # append's os.replace(meta) never ran) — gen=1 is unadvertised.
+    # Sabotage the base stats too: the retry must add the recomputed
+    # delta onto exactly what the marker advertises (1, 1)
     with open(meta_path, "w") as fh:
         json.dump({**done, "gens": 1, "n_docs": 1, "tot_toks": 1}, fh)
     # sabotage the partial gen so we can prove it was wiped, not reused
     with open(os.path.join(gen1, "JUNK.parquet"), "w") as fh:
         fh.write("not parquet")
     p2 = build_text_index_incremental(spark, SF_SMALL, path=path)
+    assert p2 == p1
     with open(meta_path) as fh:
         redo = json.load(fh)
     # retry redid the append from the delta: same layout, junk gone,
-    # and the base stats it started from were the marker's gen-1 stats
+    # and the stats are marker-base + recomputed-delta, nothing else
     assert not os.path.exists(os.path.join(gen1, "JUNK.parquet"))
     assert sorted(os.listdir(gen1)) == n_files
     assert redo["gens"] == 2
+    assert redo["n_docs"] == 1 + delta_docs
+    assert redo["tot_toks"] == 1 + delta_toks
 
-    # crash point B: staging dir written, rename never happened
+    # crash point B: staging dir written, rename never happened — the
+    # marker still carries the REAL base (gen-0) stats, so the retry
+    # must converge to exactly the original completed marker
     with open(meta_path, "w") as fh:
-        json.dump({**done, "gens": 1, "n_docs": done["n_docs"], "tot_toks": done["tot_toks"]}, fh)
+        json.dump(
+            {
+                **done,
+                "gens": 1,
+                "n_docs": done["n_docs"] - delta_docs,
+                "tot_toks": done["tot_toks"] - delta_toks,
+            },
+            fh,
+        )
     stage = os.path.join(p1, ".stage-gen1")
     os.makedirs(stage, exist_ok=True)
     with open(os.path.join(stage, "partial"), "w") as fh:
@@ -167,7 +195,8 @@ def test_incremental_text_index_crash_mid_append_is_idempotent(spark, tmp_path):
     build_text_index_incremental(spark, SF_SMALL, path=path)
     assert not os.path.exists(stage)
     with open(meta_path) as fh:
-        assert json.load(fh)["gens"] == 2
+        redo_b = json.load(fh)
+    assert redo_b == done, "crash-B retry must reproduce the completed marker"
 
     # and a completed index is a no-op (marker mtime unchanged)
     t1 = os.path.getmtime(meta_path)

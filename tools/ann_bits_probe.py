@@ -33,9 +33,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-REPL = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+# args: [N] [section] in either order; a leading "--" on the section
+# is tolerated ("64 filtered" == "64 --filtered" == "--filtered 64")
+_args = [a.lstrip("-") for a in sys.argv[1:]]
+REPL = next((int(a) for a in _args if a.isdigit()), 64)
 # optional section selector: "graph", "ivf", "filtered" (default: all)
-ONLY = sys.argv[2] if len(sys.argv) > 2 else None
+ONLY = next((a for a in _args if a and not a.isdigit()), None)
+_KNOWN = (None, "graph", "ivf", "filtered")
+if ONLY not in _KNOWN:
+    sys.exit(f"unknown section {ONLY!r}; expected one of {_KNOWN[1:]}")
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DST = f"/tmp/processor_spark-ann-bits-probe-{REPL}x"
 
