@@ -394,7 +394,11 @@ ANN_INDEX_ROOT = "/tmp/processor_spark_ann"
 ANN_INDEX_FMT = 2
 
 
-def _index_is_current(meta_path: str) -> bool:
+def _index_is_current(meta_path: str, kind: str | None = None) -> bool:
+    """fmt (and, when given, KIND) gate on a persisted-index marker —
+    a different builder's marker at the same explicit path= must not
+    be trusted as current (same rule text.py's incremental marker
+    follows; ADVICE r9)."""
     import json
     import os
 
@@ -402,7 +406,10 @@ def _index_is_current(meta_path: str) -> bool:
         return False
     try:
         with open(meta_path) as fh:
-            return json.load(fh).get("fmt") == ANN_INDEX_FMT
+            m = json.load(fh)
+        return m.get("fmt") == ANN_INDEX_FMT and (
+            kind is None or m.get("kind") == kind
+        )
     except (OSError, ValueError):
         return False
 
@@ -431,7 +438,7 @@ def build_ivf_index(
         tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
         path = os.path.join(ANN_INDEX_ROOT, tag, "ivf")
     meta = os.path.join(path, "_INDEX_META.json")
-    if _index_is_current(meta) and not force:
+    if _index_is_current(meta, kind="ivf") and not force:
         return path
     shutil.rmtree(path, ignore_errors=True)
 
@@ -928,9 +935,10 @@ def q_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVFK_NLIST = 8  # cells; the deployment knob — nlist ≈ n / target_cell
 
 # Filtered queries probe MORE cells: a label predicate keeps only
-# ~1/|labels| of each probed cell, so the same recall needs a wider
-# probe set (measured at 64x: `tools/ann_bits_probe.py 64 filtered`,
-# SCALE.md r10 — see the recorded narrow-vs-wide recall rows).
+# ~1/|labels| of each probed cell, so recall needs a wider probe set
+# (measured at 64x: `tools/ann_bits_probe.py 64 filtered`, SCALE.md
+# r10 — same-label recall@5 is 0.867 at nprobe=2 and 0.990 at
+# nprobe=4, at roughly equal serve wall-clock).
 IVFK_NPROBE_F = 4
 
 _IVFK_SQL = f"""
@@ -1144,7 +1152,7 @@ def build_ivf_kmeans_index(
         tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
         path = os.path.join(ANN_INDEX_ROOT, tag, "ivf_kmeans")
     meta = os.path.join(path, "_INDEX_META.json")
-    if _index_is_current(meta) and not force:
+    if _index_is_current(meta, kind="ivf_kmeans") and not force:
         return path
     shutil.rmtree(path, ignore_errors=True)
 
@@ -1593,7 +1601,7 @@ def build_pq_index(
         tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
         path = os.path.join(ANN_INDEX_ROOT, tag, "pq")
     meta = os.path.join(path, "_INDEX_META.json")
-    if _index_is_current(meta) and not force:
+    if _index_is_current(meta, kind="pq") and not force:
         return path
     shutil.rmtree(path, ignore_errors=True)
 
@@ -1677,6 +1685,307 @@ def q_ann_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("adc_micro"), F.asc("vec_id"))
         .limit(PQ_TOP)
     )
+
+
+# --------------------------------------------------- IVF-PQ composite (r10)
+#
+# The production memory-bound ANN layout: IVF narrows the search to
+# nprobe cells, PQ compresses what is scanned inside them.  At 100 TB
+# the serving tier holds ONLY the centroid table (nlist x d ints), the
+# 16-entry codebook, and 4 small ints per vector partitioned by cell —
+# a probe touches nprobe directories of codes and never reads a float
+# vector.  Both halves reuse their proven-exact building blocks
+# (trained integer Lloyd centroids from q_ann_ivf_kmeans; the
+# _pq_dmicro micro-quantized subspace distances from q_ann_pq), so the
+# composite keeps a FULL hash oracle: every ranking quantity is an
+# int64 and the one float expression tree (_pq_dmicro) is written
+# byte-identically on both engines.
+
+_IVFPQ_SQL = f"""
+    WITH vecs AS (
+      SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS evec,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(floor((x + 2.0) * 1000000 + 0.5) AS BIGINT)) AS vm
+      FROM embeddings
+    ), seeds AS (
+      SELECT vec_id AS cid, vm AS cm FROM vecs WHERE vec_id < {IVFK_NLIST}
+    ), d0 AS (
+      SELECT v.vec_id, s.cid,
+             list_reduce(list_transform(range(1, len(v.vm) + 1),
+                  i -> (v.vm[i] - s.cm[i]) * (v.vm[i] - s.cm[i])),
+               (acc, x) -> acc + x) AS sq
+      FROM vecs v CROSS JOIN seeds s
+    ), a0 AS (
+      SELECT vec_id, cid FROM d0
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sq, cid) = 1
+    ), elems AS (
+      SELECT a.cid, unnest(range(1, len(v.vm) + 1)) AS pos, unnest(v.vm) AS m
+      FROM a0 a JOIN vecs v USING (vec_id)
+    ), cmeans AS (
+      SELECT cid, pos, CAST(sum(m) AS BIGINT) // count(*) AS nm
+      FROM elems GROUP BY cid, pos
+    ), cents AS (
+      SELECT cid, list(nm ORDER BY pos) AS cm FROM cmeans GROUP BY cid
+    ), d1 AS (
+      SELECT v.vec_id, c.cid,
+             list_reduce(list_transform(range(1, len(v.vm) + 1),
+                  i -> (v.vm[i] - c.cm[i]) * (v.vm[i] - c.cm[i])),
+               (acc, x) -> acc + x) AS sq
+      FROM vecs v CROSS JOIN cents c
+    ), assign AS (
+      SELECT vec_id, cid AS cell FROM d1
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sq, cid) = 1
+    ), probes AS (
+      SELECT vec_id AS q_id, cid AS cell FROM d1 WHERE vec_id <= {KNN_QUERIES}
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sq, cid) <= {IVF_NPROBE}
+    ), cb AS (
+      SELECT vec_id AS cid, evec AS cvec FROM vecs WHERE vec_id < {PQ_K}
+    ), sub AS (
+      SELECT v.vec_id, b.cid, m.m,
+        CAST(floor(list_reduce(list_transform(range(m.m * {PQ_DS}, m.m * {PQ_DS} + {PQ_DS}),
+               j -> (v.evec[j + 1] - b.cvec[j + 1]) * (v.evec[j + 1] - b.cvec[j + 1])),
+             (a, x) -> a + x) * 1000000 + 0.5) AS BIGINT) AS dmicro
+      FROM vecs v
+      CROSS JOIN cb b
+      CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m) m
+    ), codes AS (
+      SELECT vec_id, m, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dmicro, cid) AS rn
+        FROM sub
+      ) WHERE rn = 1
+    ), qtab AS (
+      SELECT vec_id AS q_id, m, cid, dmicro AS qdmicro
+      FROM sub WHERE vec_id <= {KNN_QUERIES}
+    ), cand AS (
+      SELECT p.q_id, c.vec_id, c.m, c.cid
+      FROM probes p
+      JOIN assign a ON a.cell = p.cell
+      JOIN codes c ON c.vec_id = a.vec_id
+      WHERE c.vec_id <> p.q_id
+    ), adc AS (
+      SELECT d.q_id, d.vec_id, CAST(sum(q.qdmicro) AS BIGINT) AS adc_micro
+      FROM cand d
+      JOIN qtab q ON q.q_id = d.q_id AND q.m = d.m AND q.cid = d.cid
+      GROUP BY d.q_id, d.vec_id
+    )
+    SELECT q_id, vec_id AS neighbor_id, adc_micro, CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT q_id, vec_id, adc_micro,
+             row_number() OVER (PARTITION BY q_id ORDER BY adc_micro, vec_id) AS rn
+      FROM adc
+    ) WHERE rn <= {KNN_K}
+    """
+
+
+def _ivfpq_frames(spark: SparkSession, sf_dir: str):
+    """Shared build derivation for the in-plan key and the index
+    builder: (cents, codebook, codes) where ``codes`` carries the IVF
+    cell of each vector alongside its PQ subspace codes — cell rides
+    through the encode agg (F.first) so assignment and encoding never
+    meet in a corpus-sized join."""
+    e = load(spark, sf_dir, "embeddings", spread=True)
+    base = e.select(
+        "vec_id",
+        _as_double("embedding").alias("evec"),
+        _micro_arr("embedding").alias("vm"),
+    )
+    cents = _ivfk_cents(base.select("vec_id", "vm"))
+    cb = F.broadcast(
+        base.where(F.col("vec_id") < PQ_K).select(
+            F.col("vec_id").alias("cid"), F.col("evec").alias("cvec")
+        )
+    )
+    # assign each vector its IVF cell (map-side min_by — one row per
+    # vector crosses the shuffle), keeping evec for the PQ encode
+    assign = (
+        base.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "evec", "cid",
+            _int_sqdist(F.col("vm"), F.col("cm")).alias("sq"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.min_by("cid", F.struct(F.col("sq"), F.col("cid"))).alias("cell"),
+            F.first("evec").alias("evec"),
+        )
+    )
+    sub = assign.crossJoin(cb).select(
+        "vec_id",
+        "cell",
+        "cid",
+        F.posexplode(F.array(*[_pq_dmicro(m) for m in range(PQ_M)])).alias(
+            "m", "dmicro"
+        ),
+    )
+    codes = (
+        sub.groupBy("vec_id", "m")
+        .agg(
+            F.min(F.struct("dmicro", "cid")).alias("mc"),
+            F.first("cell").alias("cell"),
+        )
+        .select("vec_id", "m", F.col("mc.cid").alias("cid"), "cell")
+    )
+    return cents, cb, codes
+
+
+def _ivfpq_rank(codes: DataFrame, probes: DataFrame, qtab: DataFrame) -> DataFrame:
+    """Probe-pruned ADC ranking shared by the in-plan key and the serve
+    twin: candidates = codes in probed cells, scored by the integer
+    asymmetric-distance sum against the broadcast query table."""
+    cand = codes.join(F.broadcast(probes), "cell").where(
+        F.col("vec_id") != F.col("q_id")
+    )
+    adc = (
+        cand.join(F.broadcast(qtab), ["q_id", "m", "cid"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("qdmicro").cast("long").alias("adc_micro"))
+    )
+    wr = Window.partitionBy("q_id").orderBy("adc_micro", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= KNN_K)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "adc_micro",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+@register("q_ann_ivfpq", sql=_IVFPQ_SQL)
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN (VERDICT r9 missing #1): trained-centroid
+    IVF cells narrow the scan to nprobe cells per query; inside them
+    candidates are ranked by the PQ asymmetric-distance sum (ADC) —
+    the table-lookup integer sum over 4 codes per vector that replaces
+    full-vector math.  The query batch (vec_id <= KNN_QUERIES, fixed
+    size — never grows with the corpus) probes IVF_NPROBE cells each.
+
+    Exactness: IVF half is the q_ann_ivf_kmeans integer pipeline
+    (micro-unit vectors, exact int64 squared-L2, integer-division
+    Lloyd round); PQ half is the q_ann_pq micro-quantized subspace
+    fold (_pq_dmicro, byte-identical expression tree both engines);
+    ADC is an integer sum with id tie-breaks — zero float parity
+    surface, full hash oracle.
+
+    Scale shape: one O(n·nlist) broadcast assign pass and one
+    O(n·K·M) broadcast encode pass (both map-side-combinable aggs, one
+    row per vector or per (vector, subspace) crosses each shuffle);
+    serving is bounded by nprobe cells × 4 codes — see
+    q_ann_ivfpq_serve for the persisted layout."""
+    cents, cb, codes = _ivfpq_frames(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings")
+    qv = e.where(F.col("vec_id") <= KNN_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        _as_double("embedding").alias("evec"),
+        _micro_arr("embedding").alias("qm"),
+    )
+    wp = Window.partitionBy("q_id").orderBy("sq", "cid")
+    probes = (
+        qv.crossJoin(F.broadcast(cents))
+        .select("q_id", "cid", _int_sqdist(F.col("qm"), F.col("cm")).alias("sq"))
+        .withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") <= IVF_NPROBE)
+        .select("q_id", F.col("cid").alias("cell"))
+    )
+    qtab = qv.crossJoin(cb).select(
+        "q_id",
+        "cid",
+        F.posexplode(F.array(*[_pq_dmicro(m) for m in range(PQ_M)])).alias(
+            "m", "qdmicro"
+        ),
+    ).select("q_id", "m", "cid", "qdmicro")
+    return _ivfpq_rank(codes, probes, qtab)
+
+
+def build_ivfpq_index(
+    spark: SparkSession, sf_dir: str, path: str | None = None, force: bool = False
+) -> str:
+    """Persist the IVF-PQ layout once (idempotent marker contract):
+    ``centroids/`` (nlist trained integer Lloyd centroids),
+    ``codebook/`` (16 raw centroid vectors for ADT construction), and
+    ``codes/`` — 4 subspace codes per vector PARTITIONED BY IVF CELL,
+    so a probe opens nprobe directories and scans ~nprobe/nlist of the
+    compressed corpus.  This is the memory-bound production layout:
+    at 100 TB the serving tier stores ~4 small ints per vector and
+    never touches a float."""
+    import json
+    import os
+    import shutil
+
+    if path is None:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        path = os.path.join(ANN_INDEX_ROOT, tag, "ivfpq")
+    meta = os.path.join(path, "_INDEX_META.json")
+    if _index_is_current(meta, kind="ivfpq") and not force:
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+
+    cents, cb, codes = _ivfpq_frames(spark, sf_dir)
+    cents.write.parquet(os.path.join(path, "centroids"))
+    cb.write.parquet(os.path.join(path, "codebook"))
+    codes.write.partitionBy("cell").parquet(os.path.join(path, "codes"))
+    tmp = meta + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {"kind": "ivfpq", "fmt": ANN_INDEX_FMT, "nlist": IVFK_NLIST,
+             "nprobe": IVF_NPROBE, "m": PQ_M, "k": PQ_K, "source": sf_dir},
+            fh,
+        )
+    os.replace(tmp, meta)  # marker last: a crashed build is invisible
+    return path
+
+
+@register("q_ann_ivfpq_serve", sql=_IVFPQ_SQL)
+def q_ann_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ *serving* path: centroids + codebook load as two tiny
+    broadcasts, the query batch is scored against the centroid table
+    (|Q| × nlist integer distances), and the ADC scan reads ONLY the
+    probed cells' code directories (partition-pruned; pinned read
+    schema).  Shares the rebuild twin's oracle — the hash match
+    certifies the codes/codebook/centroid round trip through parquet.
+    Per-query serve cost is nprobe/nlist of the code table and is
+    independent of corpus growth once nlist scales ≈ n / target_cell
+    (the q_ann_ivf_kmeans knob, SCALE.md r8)."""
+    import os
+
+    path = build_ivfpq_index(spark, sf_dir)
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    cb = F.broadcast(spark.read.parquet(os.path.join(path, "codebook")))
+    e = load(spark, sf_dir, "embeddings")
+    qv = e.where(F.col("vec_id") <= KNN_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        _as_double("embedding").alias("evec"),
+        _micro_arr("embedding").alias("qm"),
+    )
+    wp = Window.partitionBy("q_id").orderBy("sq", "cid")
+    # persist: the probe frame feeds BOTH the driver-side cell-pruning
+    # collect and the candidate join (the ADVICE-r8 rule the kmeans
+    # serve follows)
+    probes = (
+        qv.crossJoin(F.broadcast(cents))
+        .select("q_id", "cid", _int_sqdist(F.col("qm"), F.col("cm")).alias("sq"))
+        .withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") <= IVF_NPROBE)
+        .select("q_id", F.col("cid").alias("cell"))
+        .transform(scoped_persist)
+    )
+    cells = sorted({r.cell for r in probes.select("cell").distinct().collect()})
+    codes = (
+        spark.read.schema("vec_id bigint, m int, cid bigint, cell bigint")
+        .parquet(os.path.join(path, "codes"))
+        .where(F.col("cell").isin(cells))
+    )
+    qtab = qv.crossJoin(cb).select(
+        "q_id",
+        "cid",
+        F.posexplode(F.array(*[_pq_dmicro(m) for m in range(PQ_M)])).alias(
+            "m", "qdmicro"
+        ),
+    ).select("q_id", "m", "cid", "qdmicro")
+    return _ivfpq_rank(codes, probes, qtab)
 
 
 @register(
@@ -2094,7 +2403,7 @@ def build_graph_index(
         tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
         path = os.path.join(ANN_INDEX_ROOT, tag, "graph")
     meta = os.path.join(path, "_INDEX_META.json")
-    if _index_is_current(meta) and not force:
+    if _index_is_current(meta, kind="graph") and not force:
         return path
     shutil.rmtree(path, ignore_errors=True)
 

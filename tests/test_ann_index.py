@@ -121,6 +121,38 @@ def test_ivf_kmeans_index_layout_and_idempotence(spark, tmp_path):
     assert len(cells) > 1, "assignments must be partitioned by cell"
 
 
+def test_ivfpq_index_layout_and_idempotence(spark, tmp_path):
+    """r10: the IVF-PQ composite index persists centroids + codebook +
+    cell-partitioned codes behind the marker; a second build reuses,
+    and a different-kind marker at the same path is NOT trusted."""
+    import json
+
+    from processor_spark.operators.similarity import build_ivfpq_index
+
+    path = str(tmp_path / "ivfpq")
+    p1 = build_ivfpq_index(spark, SF_SMALL, path=path)
+    t1 = _meta_mtime(p1)
+    p2 = build_ivfpq_index(spark, SF_SMALL, path=path)
+    assert p2 == p1 and _meta_mtime(p2) == t1
+    for sub in ("centroids", "codebook"):
+        assert os.path.isdir(os.path.join(p1, sub))
+    cells = [
+        d for d in os.listdir(os.path.join(p1, "codes")) if d.startswith("cell=")
+    ]
+    assert len(cells) > 1, "codes must be partitioned by IVF cell"
+
+    # a same-fmt marker of a DIFFERENT kind must trigger a rebuild
+    meta = os.path.join(p1, "_INDEX_META.json")
+    with open(meta) as fh:
+        m = json.load(fh)
+    m["kind"] = "pq"
+    with open(meta, "w") as fh:
+        json.dump(m, fh)
+    build_ivfpq_index(spark, SF_SMALL, path=path)
+    with open(meta) as fh:
+        assert json.load(fh)["kind"] == "ivfpq"
+
+
 def test_incremental_text_index_crash_mid_append_is_idempotent(spark, tmp_path):
     """r9: the generational append must be crash-safe — a retry after a
     crash at EITHER failure point (staging written but not renamed;

@@ -418,6 +418,20 @@ def test_ann_filtered_serve_scan_is_partition_pruned(spark):
     assert plan.count("Scan parquet") >= 2  # centroids + assignments
 
 
+def test_ann_ivfpq_serve_scan_is_partition_pruned(spark):
+    """r10: the IVF-PQ serve twin's ADC scan must open ONLY the probed
+    cells' code directories — the property that makes the composite
+    layout memory-bound (nprobe/nlist of 4-ints-per-vector codes, no
+    float vector ever read)."""
+    plan = explain_str(_df(spark, "q_ann_ivfpq_serve"))
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "cell" in seg and "IN" in seg.upper()
+    # the code scan must NOT read the raw embedding column: the only
+    # embeddings scan in the plan is the fixed-size query batch
+    assert plan.count("Scan parquet") >= 3  # centroids + codebook + codes
+
+
 def test_hll_register_build_is_two_phase_no_window(spark):
     """The sketch posture (r7): the HLL register build must be a
     TWO-PHASE hash aggregate (partial_max map-side — each executor

@@ -160,6 +160,15 @@ HEADLINE = [
     "q_quality_model_score",
     "q_phrase_search_serve",
     "q_ann_ivf_kmeans_serve",
+    # r9/r10: filtered ANN (label predicate inside the cell-pruned
+    # scan — linear assign pass + nprobe-bounded serve), generational
+    # text-index append (delta-only tokenize — index-shaped), IVF-PQ
+    # composite (codes-per-cell ADC scan — near-flat serve)
+    "q_ann_filtered",
+    "q_ann_filtered_serve",
+    "q_text_index_append",
+    "q_ann_ivfpq",
+    "q_ann_ivfpq_serve",
 ]
 
 # per-table key columns to shift per replica so keys stay unique and
