@@ -789,6 +789,149 @@ def kmv_user_hashes(events: DataFrame) -> DataFrame:
     )
 
 
+# ------------------- streaming near-dup: MinHash band state (r10,
+# VERDICT r9 missing #2).  A daily-ingest pipeline wants each new doc
+# probed against the STANDING corpus' LSH band buckets without
+# re-reading the corpus: the bucket registry is stream state.
+
+MINHASH_BAND_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("band_id", T.IntegerType()),
+        T.StructField("dup_of", T.LongType()),
+    ]
+)
+# ONE int64 per non-empty bucket: the earliest member is all a dup
+# probe needs (min-of-bucket is the same O(1)-per-bucket trick the
+# batch ladder's "min(key) != max(key) OVER bucket" rule uses) — no
+# posting lists, so state never grows with bucket occupancy.
+MINHASH_BAND_STATE_SCHEMA = T.StructType(
+    [T.StructField("min_doc", T.LongType())]
+)
+
+
+def _band_state_fn(key, pdfs: Iterator[pd.DataFrame], state):
+    """Per-bucket state machine: remember the earliest doc_id ever seen
+    in this (band_id, band_key) bucket; every later arrival is flagged
+    as a near-dup candidate of that standing member.  Rows are
+    processed in doc_id order within the batch so intra-batch pairs
+    flag exactly like cross-batch ones (matching the batch twin's
+    "earliest band-mate by doc_id" semantics when ingest is id-ordered)."""
+    band_id = int(key[0])
+    min_doc = int(state.get[0]) if state.exists else None
+    docs: list[int] = []
+    for pdf in pdfs:
+        docs.extend(int(d) for d in pdf["doc_id"])
+    docs.sort()
+    out_doc, out_dup = [], []
+    for d in docs:
+        if min_doc is None:
+            min_doc = d
+        elif d > min_doc:
+            out_doc.append(d)
+            out_dup.append(min_doc)
+        else:  # d < min_doc: late arrival becomes the new standing member
+            min_doc = d
+    state.update((min_doc,))
+    yield pd.DataFrame(
+        {
+            "doc_id": pd.Series(out_doc, dtype="int64"),
+            "band_id": pd.Series([band_id] * len(out_doc), dtype="int32"),
+            "dup_of": pd.Series(out_dup, dtype="int64"),
+        }
+    )
+
+
+def _minhash_bands_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_key) LSH index rows as a PURE PROJECTION
+    — array-native 3-grams + array_min over per-seed digest arrays, no
+    shuffle and no pre-aggregation, so it binds to a streaming source
+    without adding a second stateful operator.  Same hash family and
+    banding algebra as q_dedup_minhash_md5 (dedup._md5_sig: 2 seeded
+    digests -> 8 exact 32-bit chunk perms, 4 bands of 2); the batch
+    twin in tests runs this identical frame through a window min."""
+    from processor_spark.operators.dedup import (
+        _GRAM3_EXPR,
+        _MD5_BANDS,
+        _MD5_SEEDS,
+    )
+
+    toks = docs.select(
+        "doc_id", F.expr(r"split(trim(text), '\s+')").alias("toks")
+    ).where(F.size("toks") >= 3)
+    grams = toks.select(
+        "doc_id", F.array_distinct(F.expr(_GRAM3_EXPR)).alias("grams")
+    )
+    # one digest ARRAY column per seed, materialized before chunk
+    # slicing (Spark does not CSE a repeated md5 across projections —
+    # the sketches.py rule, applied to array lambdas)
+    digs = grams.select(
+        "doc_id",
+        *[
+            F.expr(
+                f"transform(grams, g -> md5(cast(concat('{s}:', g) as binary)))"
+            ).alias(f"d{s}")
+            for s in range(_MD5_SEEDS)
+        ],
+    )
+    sig = digs.select(
+        "doc_id",
+        *[
+            F.expr(
+                f"array_min(transform(d{s}, d -> cast(conv(substring(d, {1 + 8 * j}, 8), 16, 10) as bigint)))"
+            ).alias(f"mh{4 * s + j}")
+            for s in range(_MD5_SEEDS)
+            for j in range(4)
+        ],
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "_",
+                            F.col(f"mh{2 * b}").cast("string"),
+                            F.col(f"mh{2 * b + 1}").cast("string"),
+                        ).alias("band_key"),
+                    )
+                    for b in range(_MD5_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
+    return bands
+
+
+def minhash_band_flags(docs: DataFrame) -> DataFrame:
+    """Streaming MinHash near-dup flags (VERDICT r9 missing #2): each
+    new doc's _MD5_BANDS band keys probe the STANDING corpus' bucket
+    registry held as stream state — the daily-ingest shape where the
+    corpus is never re-read.  Emits (doc_id, band_id, dup_of) for
+    every band agreement with the bucket's standing earliest member;
+    a doc's consolidated dup verdict is min(dup_of) over its emitted
+    bands (the consumer-side agg, same as the batch ladder's
+    bucket-min trick).
+
+    Update mode; NoTimeout — standing corpus buckets are the product,
+    never evicted; state is ONE long per non-empty bucket (earliest
+    member), so state size is bucket-count-bounded and independent of
+    bucket occupancy — the property that keeps a 100 TB/day ingest's
+    state store from becoming the corpus itself."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    bands = _minhash_bands_frame(docs)
+    return bands.groupBy("band_id", "band_key").applyInPandasWithState(
+        _band_state_fn,
+        outputStructType=MINHASH_BAND_OUT_SCHEMA,
+        stateStructType=MINHASH_BAND_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def quality_model_stats(docs: DataFrame) -> DataFrame:
     """Streaming quality-model fit statistics: the 20 integer
     cross-sums of the OLS normal equations maintained as ONE
