@@ -919,3 +919,55 @@ def test_ann_filtered_recall_floor(spark):
     }
     recall = len(want & got) / len(want)
     assert recall >= 0.6, f"filtered ANN recall collapsed: {recall:.2f}"
+
+
+def test_quality_holdout_learns_planted_signal_and_matches_numpy(spark, tmp_path):
+    """r10: on a corpus where the independent label IS learnable (en
+    docs are stopword-dense, others stopword-free), the holdout fit
+    must actually generalize — held-out en docs predicted en, others
+    not — and the per-lang agreement counts must match an independent
+    numpy implementation of the same train/score pipeline (the
+    cross-engine hash check cannot catch a shared wrong formula)."""
+    import numpy as np
+
+    from processor_spark.operators.quality_model import (
+        _feat_indep_frame,
+        q_quality_model_holdout,
+    )
+
+    stop_text = "the a of in is on and to for with"
+    rng_words = lambda i: " ".join(f"w{(i * 13 + k) % 29}" for k in range(10))
+    docs = []
+    for i in range(1, 121):
+        if i % 2:
+            docs.append((i, stop_text + " " + rng_words(i), "en",
+                         f"src{i % 3}", 60 + i % 7))
+        else:
+            docs.append((i, rng_words(i) + " " + rng_words(i + 1), "de",
+                         f"src{i % 3}", 60 + i % 7))
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    got = {r.lang: r for r in q_quality_model_holdout.__wrapped__(spark, sf).collect()}
+    assert got["en"].n_pred_en == got["en"].n_docs, got["en"]
+    assert got["de"].n_pred_en == 0, got["de"]
+    assert got["en"].agree_permille == 1000 and got["de"].agree_permille == 1000
+
+    # independent replay: numpy ridge fit on the train split, threshold
+    # at 0.5, per-lang agreement on the held-out split
+    feat = _feat_indep_frame(spark, sf).toPandas()
+    tr, te = feat[~feat.is_test], feat[feat.is_test]
+    X = np.column_stack(
+        [np.ones(len(tr))] + [tr[f"x{j}"].to_numpy(float) for j in range(1, 5)]
+    )
+    w = np.linalg.solve(X.T @ X + np.eye(5), X.T @ tr["y"].to_numpy(float))
+    Xt = np.column_stack(
+        [np.ones(len(te))] + [te[f"x{j}"].to_numpy(float) for j in range(1, 5)]
+    )
+    pred = (Xt @ w > 0.5).astype(int)
+    for lang in ("en", "de"):
+        m = (te["lang"] == lang).to_numpy()
+        want_agree = int((pred[m] == te["y"].to_numpy()[m]).sum())
+        assert got[lang].n_agree == want_agree, (lang, got[lang].n_agree, want_agree)

@@ -169,6 +169,7 @@ HEADLINE = [
     "q_text_index_append",
     "q_ann_ivfpq",
     "q_ann_ivfpq_serve",
+    "q_quality_model_holdout",
 ]
 
 # per-table key columns to shift per replica so keys stay unique and
