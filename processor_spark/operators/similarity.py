@@ -1701,8 +1701,9 @@ def q_ann_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 # int64 and the one float expression tree (_pq_dmicro) is written
 # byte-identically on both engines.
 
-_IVFPQ_SQL = f"""
-    WITH vecs AS (
+# shared CTE prefix (vecs .. adc) — _IVFPQ_SQL ranks the ADC sums
+# directly; the refine twin widens to top-R then re-ranks exactly
+_IVFPQ_CTES = f"""vecs AS (
       SELECT vec_id,
              CAST(embedding AS DOUBLE[]) AS evec,
              list_transform(CAST(embedding AS DOUBLE[]),
@@ -1768,7 +1769,10 @@ _IVFPQ_SQL = f"""
       FROM cand d
       JOIN qtab q ON q.q_id = d.q_id AND q.m = d.m AND q.cid = d.cid
       GROUP BY d.q_id, d.vec_id
-    )
+    )"""
+
+_IVFPQ_SQL = f"""
+    WITH {_IVFPQ_CTES}
     SELECT q_id, vec_id AS neighbor_id, adc_micro, CAST(rn AS BIGINT) AS rank
     FROM (
       SELECT q_id, vec_id, adc_micro,
@@ -1876,27 +1880,7 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     serving is bounded by nprobe cells × 4 codes — see
     q_ann_ivfpq_serve for the persisted layout."""
     cents, cb, codes = _ivfpq_frames(spark, sf_dir)
-    e = load(spark, sf_dir, "embeddings")
-    qv = e.where(F.col("vec_id") <= KNN_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        _as_double("embedding").alias("evec"),
-        _micro_arr("embedding").alias("qm"),
-    )
-    wp = Window.partitionBy("q_id").orderBy("sq", "cid")
-    probes = (
-        qv.crossJoin(F.broadcast(cents))
-        .select("q_id", "cid", _int_sqdist(F.col("qm"), F.col("cm")).alias("sq"))
-        .withColumn("rn", F.row_number().over(wp))
-        .where(F.col("rn") <= IVF_NPROBE)
-        .select("q_id", F.col("cid").alias("cell"))
-    )
-    qtab = qv.crossJoin(cb).select(
-        "q_id",
-        "cid",
-        F.posexplode(F.array(*[_pq_dmicro(m) for m in range(PQ_M)])).alias(
-            "m", "qdmicro"
-        ),
-    ).select("q_id", "m", "cid", "qdmicro")
+    probes, qtab, _ = _ivfpq_query_frames(spark, sf_dir, cents, cb)
     return _ivfpq_rank(codes, probes, qtab)
 
 
@@ -1954,6 +1938,159 @@ def q_ann_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = build_ivfpq_index(spark, sf_dir)
     cents = spark.read.parquet(os.path.join(path, "centroids"))
     cb = F.broadcast(spark.read.parquet(os.path.join(path, "codebook")))
+    probes, qtab, _ = _ivfpq_query_frames(spark, sf_dir, cents, cb)
+    # persist: the probe frame feeds BOTH the driver-side cell-pruning
+    # collect and the candidate join (the ADVICE-r8 rule the kmeans
+    # serve follows)
+    probes = scoped_persist(probes)
+    cells = sorted({r.cell for r in probes.select("cell").distinct().collect()})
+    codes = (
+        spark.read.schema("vec_id bigint, m int, cid bigint, cell bigint")
+        .parquet(os.path.join(path, "codes"))
+        .where(F.col("cell").isin(cells))
+    )
+    return _ivfpq_rank(codes, probes, qtab)
+
+
+# ------------------------------------------- IVF-PQ refine + recall (r10)
+
+# ADC candidates re-ranked exactly: the refine step fetches the RAW
+# vectors for only top-R ids per query (a point lookup against primary
+# storage), recovering the recall PQ's 4-code compression gives up.
+IVFPQ_REFINE_R = 4 * KNN_K
+
+_KNN_L2_SQL = f"""
+    WITH vecs AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(floor((x + 2.0) * 1000000 + 0.5) AS BIGINT)) AS vm
+      FROM embeddings
+    ), qs AS (
+      SELECT vec_id AS q_id, vm AS qm FROM vecs WHERE vec_id <= {KNN_QUERIES}
+    ), scored AS (
+      SELECT q.q_id, v.vec_id,
+             list_reduce(list_transform(range(1, len(v.vm) + 1),
+                  i -> (q.qm[i] - v.vm[i]) * (q.qm[i] - v.vm[i])),
+               (acc, x) -> acc + x) AS sq
+      FROM qs q JOIN vecs v ON v.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id AS neighbor_id,
+           CAST(sq AS BIGINT) AS sq_micro2, CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT q_id, vec_id, sq,
+             row_number() OVER (PARTITION BY q_id ORDER BY sq, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= {KNN_K}
+    """
+
+
+@register("q_knn_l2", sql=_KNN_L2_SQL)
+def q_knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer-L2 brute-force k-NN for the fixed query batch —
+    the squared-L2 twin of q_knn_join (which ranks by cosine) and the
+    ground truth every integer-distance ANN key in this module
+    approximates.  Broadcast query side (|Q| is fixed — never grows
+    with the corpus), one narrow scan of the vectors, map-side top-k
+    via the rank window on the |Q|-keyed partitioning.  All-integer:
+    full hash oracle."""
+    e = load(spark, sf_dir, "embeddings", spread=True)
+    vecs = e.select("vec_id", _micro_arr("embedding").alias("vm"))
+    qv = (
+        load(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") <= KNN_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), _micro_arr("embedding").alias("qm"))
+    )
+    wr = Window.partitionBy("q_id").orderBy("sq", "vec_id")
+    return (
+        vecs.crossJoin(F.broadcast(qv))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "vec_id", _int_sqdist(F.col("qm"), F.col("vm")).alias("sq")
+        )
+        .withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= KNN_K)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("sq").cast("long").alias("sq_micro2"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+_IVFPQ_REFINE_SQL = f"""
+    WITH {_IVFPQ_CTES}, cand_r AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY adc_micro, vec_id) AS rn
+        FROM adc
+      ) WHERE rn <= {IVFPQ_REFINE_R}
+    ), refined AS (
+      SELECT c.q_id, c.vec_id,
+             list_reduce(list_transform(range(1, len(q.vm) + 1),
+                  i -> (q.vm[i] - t.vm[i]) * (q.vm[i] - t.vm[i])),
+               (acc, x) -> acc + x) AS sq
+      FROM cand_r c
+      JOIN vecs q ON q.vec_id = c.q_id
+      JOIN vecs t ON t.vec_id = c.vec_id
+    )
+    SELECT q_id, vec_id AS neighbor_id,
+           CAST(sq AS BIGINT) AS sq_micro2, CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT q_id, vec_id, sq,
+             row_number() OVER (PARTITION BY q_id ORDER BY sq, vec_id) AS rn
+      FROM refined
+    ) WHERE rn <= {KNN_K}
+    """
+
+
+def _ivfpq_refine(
+    spark: SparkSession, sf_dir: str, codes: DataFrame, probes: DataFrame,
+    qtab: DataFrame, qv: DataFrame
+) -> DataFrame:
+    """ADC top-R -> exact re-rank shared by the in-plan refine key and
+    its serve twin: the R-per-query candidate list broadcasts into the
+    raw-vector scan (a point lookup at 100 TB — candidates are the
+    ONLY full vectors ever read), then the exact integer squared-L2
+    picks the final top-k."""
+    cand = codes.join(F.broadcast(probes), "cell").where(
+        F.col("vec_id") != F.col("q_id")
+    )
+    adc = (
+        cand.join(F.broadcast(qtab), ["q_id", "m", "cid"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("qdmicro").cast("long").alias("adc_micro"))
+    )
+    wa = Window.partitionBy("q_id").orderBy("adc_micro", "vec_id")
+    cand_r = (
+        adc.withColumn("rn", F.row_number().over(wa))
+        .where(F.col("rn") <= IVFPQ_REFINE_R)
+        .select("q_id", "vec_id")
+    )
+    vecs = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _micro_arr("embedding").alias("vm")
+    )
+    ref = (
+        vecs.join(F.broadcast(cand_r), "vec_id")
+        .join(F.broadcast(qv.select("q_id", "qm")), "q_id")
+        .select("q_id", "vec_id", _int_sqdist(F.col("qm"), F.col("vm")).alias("sq"))
+    )
+    wr = Window.partitionBy("q_id").orderBy("sq", "vec_id")
+    return (
+        ref.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= KNN_K)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("sq").cast("long").alias("sq_micro2"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def _ivfpq_query_frames(spark: SparkSession, sf_dir: str, cents: DataFrame, cb):
+    """(probes, qtab, qv) for the fixed query batch against given IVF
+    centroids + PQ codebook — shared by the ivfpq family."""
     e = load(spark, sf_dir, "embeddings")
     qv = e.where(F.col("vec_id") <= KNN_QUERIES).select(
         F.col("vec_id").alias("q_id"),
@@ -1961,22 +2098,12 @@ def q_ann_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         _micro_arr("embedding").alias("qm"),
     )
     wp = Window.partitionBy("q_id").orderBy("sq", "cid")
-    # persist: the probe frame feeds BOTH the driver-side cell-pruning
-    # collect and the candidate join (the ADVICE-r8 rule the kmeans
-    # serve follows)
     probes = (
         qv.crossJoin(F.broadcast(cents))
         .select("q_id", "cid", _int_sqdist(F.col("qm"), F.col("cm")).alias("sq"))
         .withColumn("rn", F.row_number().over(wp))
         .where(F.col("rn") <= IVF_NPROBE)
         .select("q_id", F.col("cid").alias("cell"))
-        .transform(scoped_persist)
-    )
-    cells = sorted({r.cell for r in probes.select("cell").distinct().collect()})
-    codes = (
-        spark.read.schema("vec_id bigint, m int, cid bigint, cell bigint")
-        .parquet(os.path.join(path, "codes"))
-        .where(F.col("cell").isin(cells))
     )
     qtab = qv.crossJoin(cb).select(
         "q_id",
@@ -1985,7 +2112,360 @@ def q_ann_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "m", "qdmicro"
         ),
     ).select("q_id", "m", "cid", "qdmicro")
-    return _ivfpq_rank(codes, probes, qtab)
+    return probes, qtab, qv
+
+
+@register("q_ann_ivfpq_refine", sql=_IVFPQ_REFINE_SQL)
+def q_ann_ivfpq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with exact re-ranking: ADC ranks the probed cells'
+    compressed codes, the top-R (R = 4k) candidates fetch their RAW
+    vectors (broadcast-join point lookup — the only full-vector read
+    in the query path), and the exact integer squared-L2 picks the
+    final top-k.  This is the standard production refinement: PQ
+    compression quantizes distances, so pure-ADC ranking swaps
+    near-ties; re-ranking a small R recovers exact-metric ordering at
+    R/corpus cost.  q_ann_ivfpq_recall measures exactly how much it
+    recovers.  All-integer end to end: full hash oracle."""
+    cents, cb, codes = _ivfpq_frames(spark, sf_dir)
+    probes, qtab, qv = _ivfpq_query_frames(spark, sf_dir, cents, cb)
+    return _ivfpq_refine(spark, sf_dir, codes, probes, qtab, qv)
+
+
+@register("q_ann_ivfpq_refine_serve", sql=_IVFPQ_REFINE_SQL)
+def q_ann_ivfpq_refine_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving twin of the refine path: codes/codebook/centroids from
+    the persisted IVF-PQ index (partition-pruned to the probed cells),
+    refine vectors from primary storage filtered by the broadcast
+    candidate list.  Shares the rebuild twin's oracle — the hash match
+    certifies the full serve round trip including the refine lookup."""
+    import os
+
+    path = build_ivfpq_index(spark, sf_dir)
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    cb = F.broadcast(spark.read.parquet(os.path.join(path, "codebook")))
+    probes, qtab, qv = _ivfpq_query_frames(spark, sf_dir, cents, cb)
+    probes = scoped_persist(probes)
+    cells = sorted({r.cell for r in probes.select("cell").distinct().collect()})
+    codes = (
+        spark.read.schema("vec_id bigint, m int, cid bigint, cell bigint")
+        .parquet(os.path.join(path, "codes"))
+        .where(F.col("cell").isin(cells))
+    )
+    return _ivfpq_refine(spark, sf_dir, codes, probes, qtab, qv)
+
+
+_IVFPQ_RECALL_SQL = f"""
+    WITH approx AS (
+      SELECT q_id, neighbor_id FROM ({_IVFPQ_REFINE_SQL}) ra
+    ), exact AS (
+      SELECT q_id, neighbor_id FROM ({_KNN_L2_SQL}) re
+    ), hits AS (
+      SELECT e.q_id, count(a.neighbor_id) AS n_hits
+      FROM exact e
+      LEFT JOIN approx a ON a.q_id = e.q_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY e.q_id
+    )
+    SELECT q_id, CAST(n_hits AS BIGINT) AS n_hits,
+           CAST((n_hits * 100) // {KNN_K} AS BIGINT) AS recall_pct
+    FROM hits ORDER BY q_id
+"""
+
+
+@register("q_ann_ivfpq_recall", sql=_IVFPQ_RECALL_SQL)
+def q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the REFINED IVF-PQ pipeline against exact
+    integer-L2 k-NN (q_knn_l2) — the acceptance gate for the
+    composite layout, fully hash-oracled by composing the two
+    registered twins as CTEs (the q_ann_recall pattern).  Both
+    pipelines are deterministic integer ranks, so the recall integers
+    are exact on both engines."""
+    a = q_ann_ivfpq_refine.__wrapped__(spark, sf_dir).select(
+        "q_id", "neighbor_id"
+    ).withColumn("hit", F.lit(1))
+    ex = q_knn_l2.__wrapped__(spark, sf_dir).select("q_id", "neighbor_id")
+    return (
+        ex.join(a, ["q_id", "neighbor_id"], "left")
+        .groupBy("q_id")
+        .agg(F.count("hit").alias("n_hits"))
+        .select(
+            "q_id",
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.expr(f"CAST((n_hits * 100) div {KNN_K} AS BIGINT)").alias("recall_pct"),
+        )
+        .orderBy("q_id")
+    )
+
+
+# --------------------------------- generational IVF (vector ingest, r10)
+#
+# The ANN analog of r9's text-index append: a daily vector ingest must
+# join the index WITHOUT retraining centroids or rewriting the base
+# assignments.  Standard IVF practice: centroids are FROZEN at train
+# time (here: trained on the base split), new vectors are assigned to
+# the frozen cells and appended as a new generation directory; serving
+# reads the probed cells from every generation.  Retraining is a
+# separate offline event that bumps the index format.
+#
+# Split convention: base = vec_id % 10 != 0, delta = vec_id % 10 == 0
+# (the q_dedup_incremental / text-append ingest split).  Seeds are the
+# nlist lowest BASE vec_ids — ids 1..8 (0 is delta), a fixed literal
+# on both engines.
+
+_IVFA_SQL = f"""
+    WITH vecs AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(floor((x + 2.0) * 1000000 + 0.5) AS BIGINT)) AS vm
+      FROM embeddings
+    ), base AS (
+      SELECT * FROM vecs WHERE vec_id % 10 <> 0
+    ), seeds AS (
+      SELECT vec_id AS cid, vm AS cm FROM base
+      WHERE vec_id BETWEEN 1 AND {IVFK_NLIST}
+    ), d0 AS (
+      SELECT v.vec_id, s.cid,
+             list_reduce(list_transform(range(1, len(v.vm) + 1),
+                  i -> (v.vm[i] - s.cm[i]) * (v.vm[i] - s.cm[i])),
+               (acc, x) -> acc + x) AS sq
+      FROM base v CROSS JOIN seeds s
+    ), a0 AS (
+      SELECT vec_id, cid FROM d0
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sq, cid) = 1
+    ), elems AS (
+      SELECT a.cid, unnest(range(1, len(v.vm) + 1)) AS pos, unnest(v.vm) AS m
+      FROM a0 a JOIN base v USING (vec_id)
+    ), cmeans AS (
+      SELECT cid, pos, CAST(sum(m) AS BIGINT) // count(*) AS nm
+      FROM elems GROUP BY cid, pos
+    ), cents AS (
+      SELECT cid, list(nm ORDER BY pos) AS cm FROM cmeans GROUP BY cid
+    ), d1 AS (
+      SELECT v.vec_id, c.cid,
+             list_reduce(list_transform(range(1, len(v.vm) + 1),
+                  i -> (v.vm[i] - c.cm[i]) * (v.vm[i] - c.cm[i])),
+               (acc, x) -> acc + x) AS sq
+      FROM vecs v CROSS JOIN cents c
+    ), assign AS (
+      SELECT vec_id, cid AS cell FROM d1
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sq, cid) = 1
+    ), probes AS (
+      SELECT vec_id AS q_id, cid AS cell FROM d1 WHERE vec_id <= {KNN_QUERIES}
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sq, cid) <= {IVF_NPROBE}
+    ), scored AS (
+      SELECT p.q_id, a.vec_id,
+             list_reduce(list_transform(range(1, len(q.vm) + 1),
+                  i -> (q.vm[i] - t.vm[i]) * (q.vm[i] - t.vm[i])),
+               (acc, x) -> acc + x) AS sq
+      FROM probes p
+      JOIN assign a ON a.cell = p.cell
+      JOIN vecs q ON q.vec_id = p.q_id
+      JOIN vecs t ON t.vec_id = a.vec_id
+      WHERE a.vec_id <> p.q_id
+    )
+    SELECT q_id, vec_id AS neighbor_id,
+           CAST(sq AS BIGINT) AS sq_micro2, CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT q_id, vec_id, sq,
+             row_number() OVER (PARTITION BY q_id ORDER BY sq, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= {KNN_K}
+    """
+
+
+def _ivfa_cents(vecs_base: DataFrame) -> DataFrame:
+    """Frozen centroids for the generational index: one exact-integer
+    Lloyd round over the BASE split, seeded by base vec_ids 1..nlist
+    (0 is in the delta split)."""
+    seeds = vecs_base.where(
+        F.col("vec_id").between(1, IVFK_NLIST)
+    ).select(F.col("vec_id").alias("cid"), F.col("vm").alias("cm"))
+    a0 = (
+        vecs_base.crossJoin(F.broadcast(seeds))
+        .select("vec_id", "vm", "cid", _int_sqdist(F.col("vm"), F.col("cm")).alias("sq"))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by("cid", F.struct(F.col("sq"), F.col("cid"))).alias("cid"),
+            F.first("vm").alias("vm"),
+        )
+    )
+    return scoped_persist(
+        a0.select("cid", F.posexplode("vm").alias("pos", "m"))
+        .groupBy("cid", "pos")
+        .agg(F.sum("m").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("cid", "pos", F.expr("s div n").alias("nm"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "nm"))), lambda s: s["nm"]
+            ).alias("cm")
+        )
+    )
+
+
+def _ivfa_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cell, vm) against FROZEN centroids — map-side min_by,
+    one row per vector across the shuffle."""
+    return (
+        vecs.crossJoin(F.broadcast(cents))
+        .select("vec_id", "vm", "cid", _int_sqdist(F.col("vm"), F.col("cm")).alias("sq"))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by("cid", F.struct(F.col("sq"), F.col("cid"))).alias("cell"),
+            F.first("vm").alias("vm"),
+        )
+    )
+
+
+def build_ivf_append_index(
+    spark: SparkSession, sf_dir: str, path: str | None = None, force: bool = False
+) -> str:
+    """Two-GENERATION IVF index: gen 0 holds the base corpus' cell
+    assignments under centroids trained on the base alone; the delta
+    batch is assigned to the SAME frozen centroids and appended as
+    ``assignments/gen=1`` without touching gen 0 — only the delta is
+    ever scored against the centroid table, which is how a 100 TB
+    vector lake absorbs a daily ingest.
+
+    Crash safety (the text-append marker contract): the delta's
+    assignments are staged then atomically renamed; the meta marker —
+    which alone advertises ``gens: 2`` — is replaced LAST, and a retry
+    wipes any unadvertised gen=1/staging dir before redoing the
+    append, so appends are idempotent and readers never see a
+    half-appended generation."""
+    import json
+    import os
+    import shutil
+    import uuid
+
+    if path is None:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        path = os.path.join(ANN_INDEX_ROOT, tag, "ivf_append")
+    meta_path = os.path.join(path, "_INDEX_META.json")
+    meta = None
+    try:
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        if (
+            meta.get("fmt") != ANN_INDEX_FMT
+            or meta.get("kind") != "ivf_append"
+            or meta.get("source") != sf_dir
+        ):
+            meta = None
+    except (OSError, ValueError):
+        meta = None
+    if force:
+        meta = None
+    if meta is not None and meta.get("gens") == 2:
+        return path
+
+    if meta is None:
+        # ---- base build (gen 0): train + assign the standing corpus
+        shutil.rmtree(path, ignore_errors=True)
+        e = load(spark, sf_dir, "embeddings", spread=True)
+        base = e.where(F.col("vec_id") % 10 != 0).select(
+            "vec_id", _micro_arr("embedding").alias("vm")
+        )
+        cents = _ivfa_cents(base)
+        cents.write.parquet(os.path.join(path, "centroids"))
+        _ivfa_assign(base, cents).write.partitionBy("cell").parquet(
+            os.path.join(path, "assignments", "gen=0")
+        )
+        meta = {
+            "kind": "ivf_append",
+            "fmt": ANN_INDEX_FMT,
+            "nlist": IVFK_NLIST,
+            "source": sf_dir,
+            "gens": 1,
+        }
+        tmp = meta_path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, meta_path)
+
+    # ---- append (gen 1): FROZEN centroids, delta-only scoring.  Any
+    # gen=1 / staging dir present now is an UNADVERTISED partial
+    # append (marker still says gens=1) — wipe and redo.
+    gen1 = os.path.join(path, "assignments", "gen=1")
+    stage = os.path.join(path, ".stage-gen1")
+    shutil.rmtree(gen1, ignore_errors=True)
+    shutil.rmtree(stage, ignore_errors=True)
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    e = load(spark, sf_dir, "embeddings", spread=True)
+    delta = e.where(F.col("vec_id") % 10 == 0).select(
+        "vec_id", _micro_arr("embedding").alias("vm")
+    )
+    _ivfa_assign(delta, cents).write.partitionBy("cell").parquet(stage)
+    os.replace(stage, gen1)  # atomic: readers see all of gen 1 or none
+    meta = dict(meta, gens=2)
+    tmp = meta_path + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, meta_path)  # marker last: crashed append invisible
+    return path
+
+
+@register("q_ann_ivf_append", sql=_IVFA_SQL)
+def q_ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN served from the GENERATIONAL IVF index (base build + delta
+    append under frozen centroids): probes from the persisted centroid
+    table, candidates from the probed cells of BOTH generation
+    directories (partition-pruned reads; an absent cell dir in a
+    generation means that generation holds no vectors in the cell —
+    skip, don't crash).  The oracle is the FULL-corpus assignment
+    under the same frozen base-trained centroids, so the hash match
+    proves base-build + delta-append answers bit-identically to a
+    from-scratch rebuild over the unioned corpus — the strongest
+    incremental-correctness oracle available (the text-append
+    contract, applied to vectors)."""
+    import os
+
+    path = build_ivf_append_index(spark, sf_dir)
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    qv = (
+        load(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") <= KNN_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), _micro_arr("embedding").alias("qm"))
+    )
+    wp = Window.partitionBy("q_id").orderBy("sq", "cid")
+    # persist: feeds both the cell-pruning collect and the candidate join
+    probes = (
+        qv.crossJoin(F.broadcast(cents))
+        .select("q_id", "qm", "cid", _int_sqdist(F.col("qm"), F.col("cm")).alias("sq"))
+        .withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") <= IVF_NPROBE)
+        .select("q_id", "qm", F.col("cid").alias("cell"))
+        .transform(scoped_persist)
+    )
+    cells = sorted({r.cell for r in probes.select("cell").distinct().collect()})
+    gen_frames = []
+    for g in range(2):
+        gdir = os.path.join(path, "assignments", f"gen={g}")
+        if os.path.isdir(gdir):
+            gen_frames.append(
+                spark.read.schema("vec_id bigint, vm array<bigint>, cell bigint")
+                .parquet(gdir)
+                .where(F.col("cell").isin(cells))
+            )
+    assign = gen_frames[0]
+    for gf in gen_frames[1:]:
+        assign = assign.unionByName(gf)
+    cand = assign.join(F.broadcast(probes), "cell").where(
+        F.col("vec_id") != F.col("q_id")
+    )
+    wr = Window.partitionBy("q_id").orderBy("sq", "vec_id")
+    return (
+        cand.select(
+            "q_id", "vec_id", _int_sqdist(F.col("qm"), F.col("vm")).alias("sq")
+        )
+        .withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= KNN_K)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("sq").cast("long").alias("sq_micro2"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
 
 
 @register(

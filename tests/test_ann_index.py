@@ -234,3 +234,68 @@ def test_incremental_text_index_crash_mid_append_is_idempotent(spark, tmp_path):
     t1 = os.path.getmtime(meta_path)
     build_text_index_incremental(spark, SF_SMALL, path=path)
     assert os.path.getmtime(meta_path) == t1
+
+
+def test_ivf_append_index_crash_mid_append_is_idempotent(spark, tmp_path):
+    """r10: the generational IVF append must be crash-safe at both
+    failure points (staging written but not renamed; gen=1 renamed but
+    marker not bumped) — a retry wipes the unadvertised partial state
+    and converges to the same two-generation index, and centroids stay
+    FROZEN across the append (byte-identical to the base build's)."""
+    import json
+
+    from processor_spark.operators.similarity import build_ivf_append_index
+
+    path = str(tmp_path / "ivf_append")
+    p1 = build_ivf_append_index(spark, SF_SMALL, path=path)
+    meta_path = os.path.join(p1, "_INDEX_META.json")
+    with open(meta_path) as fh:
+        done = json.load(fh)
+    assert done["gens"] == 2
+    for g in (0, 1):
+        cells = [
+            d
+            for d in os.listdir(os.path.join(p1, "assignments", f"gen={g}"))
+            if d.startswith("cell=")
+        ]
+        assert cells, f"gen={g} must hold cell-partitioned assignments"
+    cents_before = sorted(
+        r.cid for r in spark.read.parquet(os.path.join(p1, "centroids")).collect()
+    )
+    gen1 = os.path.join(p1, "assignments", "gen=1")
+    n_entries = sorted(os.listdir(gen1))
+
+    # crash point A: gen=1 renamed, marker still gens=1 — unadvertised
+    with open(meta_path, "w") as fh:
+        json.dump({**done, "gens": 1}, fh)
+    with open(os.path.join(gen1, "JUNK.parquet"), "w") as fh:
+        fh.write("not parquet")
+    p2 = build_ivf_append_index(spark, SF_SMALL, path=path)
+    assert p2 == p1
+    assert not os.path.exists(os.path.join(gen1, "JUNK.parquet"))
+    assert sorted(os.listdir(gen1)) == n_entries
+    with open(meta_path) as fh:
+        assert json.load(fh) == done
+
+    # crash point B: staging written, rename never happened
+    with open(meta_path, "w") as fh:
+        json.dump({**done, "gens": 1}, fh)
+    stage = os.path.join(p1, ".stage-gen1")
+    os.makedirs(stage, exist_ok=True)
+    with open(os.path.join(stage, "partial"), "w") as fh:
+        fh.write("x")
+    build_ivf_append_index(spark, SF_SMALL, path=path)
+    assert not os.path.exists(stage)
+    with open(meta_path) as fh:
+        assert json.load(fh) == done
+
+    # centroids were never retrained by the appends
+    cents_after = sorted(
+        r.cid for r in spark.read.parquet(os.path.join(p1, "centroids")).collect()
+    )
+    assert cents_after == cents_before
+
+    # completed index is a no-op (marker mtime unchanged)
+    t1 = os.path.getmtime(meta_path)
+    build_ivf_append_index(spark, SF_SMALL, path=path)
+    assert os.path.getmtime(meta_path) == t1

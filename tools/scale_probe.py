@@ -170,6 +170,11 @@ HEADLINE = [
     "q_ann_ivfpq",
     "q_ann_ivfpq_serve",
     "q_quality_model_holdout",
+    "q_knn_l2",
+    "q_ann_ivfpq_refine",
+    "q_ann_ivfpq_refine_serve",
+    "q_ann_ivfpq_recall",
+    "q_ann_ivf_append",
 ]
 
 # per-table key columns to shift per replica so keys stay unique and

@@ -44,10 +44,16 @@ def main() -> None:
         qs[key](spark, sf_dir).toPandas()
         times[key] = round(time.perf_counter() - t0, 3)
 
+    from tools.canary import canary
+
     out = {
         "n": len(times),
         "sf_dir": sf_dir,
         "total_sec": round(sum(times.values()), 2),
+        # machine canary recorded IN the artifact so future diffs can
+        # ambient-normalize (tools/sweep_confirm.py) — run after the
+        # sweep so it doesn't warm anything the sweep sees
+        "canary": canary(),
         "queries": times,
     }
     line = json.dumps(out)

@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""De-noised sweep regression confirmation (VERDICT r8 #5 / r9 next
+#4): one-JVM full-registry sweeps carry up to 5x per-key noise, so a
+raw sweep_diff flag is an UPPER BOUND, never a verdict.  This tool
+mechanizes the adjudication CLAUDE.md prescribes by hand:
+
+1. run the machine canary (tools/canary.py) — if the old artifact
+   recorded one, per-key old values are ambient-normalized by the
+   canary ratio before comparison;
+2. diff OLD vs NEW sweep artifacts (same rule as sweep_diff: keys
+   >= 0.3 s in OLD, in-sweep ratio > threshold);
+3. isolated 3-pass re-measure of every flagged key in THIS process
+   (fresh JVM relative to the sweep; one warm pass, then three timed
+   passes with clearCache between) — the MEDIAN is canonical;
+4. a key is CONFIRMED regressed only if its isolated median still
+   exceeds threshold x (canary-normalized) old.
+
+Usage: python3 tools/sweep_confirm.py OLD.json NEW.json [thr=1.3]
+Prints one JSON line; $SPARK_GRAFT_CONFIRM_OUT writes it to a file.
+NEVER run while another Spark job holds the cores.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.canary import canary  # noqa: E402
+
+
+def main() -> None:
+    if len(sys.argv) < 3:
+        sys.exit(__doc__)
+    old = json.load(open(sys.argv[1]))
+    new = json.load(open(sys.argv[2]))
+    thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
+    oq, nq = old["queries"], new["queries"]
+
+    can = canary()
+    # ambient normalization: if the old artifact recorded a canary,
+    # scale its per-key times to TODAY's machine speed before ratioing
+    # (md5 chain tracks the digest-dense keys; the python loop tracks
+    # driver-side work — use their mean as a scalar machine factor)
+    norm = 1.0
+    if isinstance(old.get("canary"), dict):
+        oc = old["canary"]
+        r1 = can["md5_2m_s"] / oc["md5_2m_s"]
+        r2 = can["loop_20m_s"] / oc["loop_20m_s"]
+        norm = round((r1 + r2) / 2, 3)
+
+    flagged = sorted(
+        k
+        for k in oq
+        if k in nq and oq[k] >= 0.3 and nq[k] / (oq[k] * norm) > thr
+    )
+
+    result: dict = {
+        "threshold": thr,
+        "canary": can,
+        "ambient_norm": norm,
+        "flagged_in_sweep": len(flagged),
+        "keys": {},
+        "confirmed": [],
+    }
+    if flagged:
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+        from processor_spark import registry
+        from processor_spark.session import build_session
+
+        spark = build_session(app_name="processor_spark-sweep-confirm")
+        qs = registry.queries()
+        for key in flagged:
+            qs[key](spark, sf_dir).toPandas()  # warm (plan+codegen)
+            passes = []
+            for _ in range(3):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                qs[key](spark, sf_dir).toPandas()
+                passes.append(round(time.perf_counter() - t0, 3))
+            med = round(statistics.median(passes), 3)
+            confirmed = med > thr * oq[key] * norm
+            result["keys"][key] = {
+                "old": oq[key],
+                "old_normalized": round(oq[key] * norm, 3),
+                "in_sweep": nq[key],
+                "isolated": passes,
+                "median": med,
+                "confirmed": confirmed,
+            }
+            if confirmed:
+                result["confirmed"].append(key)
+
+    line = json.dumps(result)
+    print(line)
+    dest = os.environ.get("SPARK_GRAFT_CONFIRM_OUT")
+    if dest:
+        with open(dest, "w") as fh:
+            fh.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
