@@ -2196,6 +2196,214 @@ def q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- trained-codebook PQ (r10)
+#
+# q_ann_pq quantizes against an UNtrained codebook (the first K raw
+# vectors) — honest about the algebra but not the deployment: real PQ
+# trains each subspace's codebook with k-means.  This key does for PQ
+# what q_ann_ivf_kmeans did for IVF: one exact-integer Lloyd round PER
+# SUBSPACE from deterministic seeds, then encode + ADC-rank the query
+# batch against the trained codebooks.  All-integer (micro-unit
+# subvectors, int64 squared-L2, integer-division centroid means) →
+# full hash oracle through the training round; q_ann_pq_trained_recall
+# composes it against the exact-L2 twin.
+
+def _pqt_dist_sql(a: str, b: str, d: int = PQ_DS) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, {d} + 1),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (acc, x) -> acc + x)"
+    )
+
+
+_PQT_SQL = f"""
+    WITH vecs AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(floor((x + 2.0) * 1000000 + 0.5) AS BIGINT)) AS vm
+      FROM embeddings
+    ), sub AS (
+      SELECT vec_id, m.m,
+             list_transform(range(m.m * {PQ_DS} + 1, m.m * {PQ_DS} + {PQ_DS} + 1),
+               i -> vm[i]) AS sv
+      FROM vecs CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m) m
+    ), seeds AS (
+      SELECT m, vec_id AS cid, sv AS cm FROM sub WHERE vec_id < {PQ_K}
+    ), a0 AS (
+      SELECT vec_id, m, cid FROM (
+        SELECT s.vec_id, s.m, d.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY {_pqt_dist_sql("s.sv", "d.cm")}, d.cid) AS rn
+        FROM sub s JOIN seeds d ON d.m = s.m
+      ) WHERE rn = 1
+    ), elems AS (
+      SELECT a.m, a.cid, unnest(range(1, {PQ_DS} + 1)) AS pos, unnest(s.sv) AS v
+      FROM a0 a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m
+    ), tmeans AS (
+      SELECT m, cid, pos, CAST(sum(v) AS BIGINT) // count(*) AS nv
+      FROM elems GROUP BY m, cid, pos
+    ), tcents AS (
+      SELECT m, cid, list(nv ORDER BY pos) AS cm FROM tmeans GROUP BY m, cid
+    ), codes AS (
+      SELECT vec_id, m, cid FROM (
+        SELECT s.vec_id, s.m, t.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY {_pqt_dist_sql("s.sv", "t.cm")}, t.cid) AS rn
+        FROM sub s JOIN tcents t ON t.m = s.m
+      ) WHERE rn = 1
+    ), qtab AS (
+      SELECT s.vec_id AS q_id, s.m, t.cid,
+             {_pqt_dist_sql("s.sv", "t.cm")} AS qd
+      FROM sub s JOIN tcents t ON t.m = s.m
+      WHERE s.vec_id <= {KNN_QUERIES}
+    ), adc AS (
+      SELECT q.q_id, c.vec_id, CAST(sum(q.qd) AS BIGINT) AS adc_micro2
+      FROM codes c
+      JOIN qtab q ON q.m = c.m AND q.cid = c.cid
+      WHERE c.vec_id <> q.q_id
+      GROUP BY q.q_id, c.vec_id
+    )
+    SELECT q_id, vec_id AS neighbor_id, adc_micro2, CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT q_id, vec_id, adc_micro2,
+             row_number() OVER (PARTITION BY q_id ORDER BY adc_micro2, vec_id) AS rn
+      FROM adc
+    ) WHERE rn <= {KNN_K}
+    """
+
+
+@register("q_ann_pq_trained", sql=_PQT_SQL)
+def q_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ with TRAINED per-subspace codebooks: deterministic seeds (the
+    K lowest vec_ids' subvectors) refined by one exact-integer Lloyd
+    round per subspace, then the standard encode → ADC ranking of the
+    query batch.  Zero float parity surface — subvectors are micro-unit
+    integers, every distance (training, encode, ADT) is an exact int64
+    squared-L2, centroid means are integer divisions — so the oracle
+    hash-matches THROUGH the training round (the q_ann_ivf_kmeans
+    contract, applied to PQ's codebooks).
+
+    Scale shape: training + encode are two O(n·K) broadcast passes per
+    subspace expressed as ONE frame keyed by (vec, m) — map-side
+    min_by aggs, one row per (vector, subspace) across each shuffle;
+    the trained codebook table is K·M rows of d integers (tiny,
+    broadcast everywhere)."""
+    e = load(spark, sf_dir, "embeddings", spread=True)
+    vecs = e.select("vec_id", _micro_arr("embedding").alias("vm"))
+    sub = vecs.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice(F.col("vm"), m * PQ_DS + 1, PQ_DS).alias("sv"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.m", "s.sv")
+    seeds = sub.where(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").alias("cid"), F.col("sv").alias("cm")
+    )
+    a0 = (
+        sub.join(F.broadcast(seeds), "m")
+        .select(
+            "vec_id", "m", "sv", "cid",
+            _int_sqdist(F.col("sv"), F.col("cm")).alias("sq"),
+        )
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min_by("cid", F.struct(F.col("sq"), F.col("cid"))).alias("cid"),
+            F.first("sv").alias("sv"),
+        )
+    )
+    tcents = (
+        a0.select("m", "cid", F.posexplode("sv").alias("pos", "v"))
+        .groupBy("m", "cid", "pos")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("m", "cid", "pos", F.expr("s div n").alias("nv"))
+        .groupBy("m", "cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "nv"))), lambda x: x["nv"]
+            ).alias("cm")
+        )
+        # K*M rows of d integers embedding a full Lloyd pass — the
+        # expensive-to-rebuild / cheap-to-store persist profile
+        .transform(scoped_persist)
+    )
+    scored = sub.join(F.broadcast(tcents), "m").select(
+        "vec_id", "m", "cid",
+        _int_sqdist(F.col("sv"), F.col("cm")).alias("sq"),
+    )
+    codes = scored.groupBy("vec_id", "m").agg(
+        F.min_by("cid", F.struct(F.col("sq"), F.col("cid"))).alias("cid")
+    )
+    qtab = (
+        sub.where(F.col("vec_id") <= KNN_QUERIES)
+        .join(F.broadcast(tcents), "m")
+        .select(
+            F.col("vec_id").alias("q_id"), "m", "cid",
+            _int_sqdist(F.col("sv"), F.col("cm")).alias("qd"),
+        )
+    )
+    wr = Window.partitionBy("q_id").orderBy("adc_micro2", "vec_id")
+    return (
+        codes.join(F.broadcast(qtab), ["m", "cid"])
+        .where(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("qd").cast("long").alias("adc_micro2"))
+        .withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= KNN_K)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "adc_micro2",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+_PQT_RECALL_SQL = f"""
+    WITH approx AS (
+      SELECT q_id, neighbor_id FROM ({_PQT_SQL}) ta
+    ), exact AS (
+      SELECT q_id, neighbor_id FROM ({_KNN_L2_SQL}) te
+    ), hits AS (
+      SELECT e.q_id, count(a.neighbor_id) AS n_hits
+      FROM exact e
+      LEFT JOIN approx a ON a.q_id = e.q_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY e.q_id
+    )
+    SELECT q_id, CAST(n_hits AS BIGINT) AS n_hits,
+           CAST((n_hits * 100) // {KNN_K} AS BIGINT) AS recall_pct
+    FROM hits ORDER BY q_id
+"""
+
+
+@register("q_ann_pq_trained_recall", sql=_PQT_RECALL_SQL)
+def q_ann_pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of trained-codebook PQ's flat ADC ranking against
+    exact integer-L2 k-NN — the composed-oracle acceptance gate (the
+    q_ann_recall pattern) for the trained quantizer."""
+    a = q_ann_pq_trained.__wrapped__(spark, sf_dir).select(
+        "q_id", "neighbor_id"
+    ).withColumn("hit", F.lit(1))
+    ex = q_knn_l2.__wrapped__(spark, sf_dir).select("q_id", "neighbor_id")
+    return (
+        ex.join(a, ["q_id", "neighbor_id"], "left")
+        .groupBy("q_id")
+        .agg(F.count("hit").alias("n_hits"))
+        .select(
+            "q_id",
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.expr(f"CAST((n_hits * 100) div {KNN_K} AS BIGINT)").alias("recall_pct"),
+        )
+        .orderBy("q_id")
+    )
+
+
 # --------------------------------- generational IVF (vector ingest, r10)
 #
 # The ANN analog of r9's text-index append: a daily vector ingest must

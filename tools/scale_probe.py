@@ -175,6 +175,8 @@ HEADLINE = [
     "q_ann_ivfpq_refine_serve",
     "q_ann_ivfpq_recall",
     "q_ann_ivf_append",
+    "q_ann_pq_trained",
+    "q_ann_pq_trained_recall",
 ]
 
 # per-table key columns to shift per replica so keys stay unique and
