@@ -1424,3 +1424,139 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN (count(hit) * 1000000) div count(*) ELSE 0 END AS BIGINT)"
         ).alias("recall_e6"),
     )
+
+
+# -------------------------------- exact set-similarity join (PPJoin, r10)
+
+SETSIM_GRAMS = 3  # shingle width (the ladder's 3-gram unit)
+# Jaccard threshold 4/5 as an exact rational: 5*inter >= 4*union — the
+# integer cross-multiply keeps the whole key float-free.  4/5 is the
+# high-similarity regime this join exists for (the fixture's true
+# near-dup pairs all sit at J >= 0.9); it buys a ~t/5 prefix instead
+# of the ~t/2 a 0.5 threshold would force, which is the whole
+# selectivity story of prefix filtering.
+
+_SETSIM_SQL = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(tk) - 1),
+               i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS s
+      FROM toks WHERE len(tk) >= 3
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.s, b.s)) AS inter,
+             len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter AS BIGINT) AS inter_grams,
+           CAST(uni AS BIGINT) AS union_grams,
+           CAST((inter * 1000) // uni AS BIGINT) AS jaccard_permille
+    FROM pairs WHERE 5 * inter >= 4 * uni
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register("q_join_setsim", sql=_SETSIM_SQL)
+def q_join_setsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join at Jaccard >= 4/5 over 3-gram
+    shingle sets, computed with prefix filtering instead of the
+    all-pairs join the oracle runs: under a global rarest-first
+    (df, gram) order, any pair with J >= t must share a gram in each
+    side's first |s| - ceil(t*|s|) + 1 grams — so only those ~|s|/5
+    prefix grams are posted, candidates are pairs sharing a posted
+    gram, and a pre-verify length filter (5*min(|a|,|b|) >= 4*max:
+    J >= 4/5 forces it) prunes size-mismatched candidates before the
+    exact array_intersect verification.  The oracle is the naive
+    theta join, so the hash match PROVES the prefix cover is complete
+    (the q_join_spatial contract, applied to similarity joins).
+
+    Everything is integer (sizes, intersections, cross-multiplied
+    threshold, permille division) — no float surface.  Scale shape:
+    one df window over the distinct gram stream (the q_dedup_ngram
+    exchange), per-doc sort of its own grams, posting lists only for
+    PREFIX grams (the rarest fifth of each doc — posting mass
+    concentrates on low-df grams), local pair generation from sorted
+    posting arrays, and a verification join bounded by the candidate
+    count.  At 100 TB add PPJoin's positional filter (sound
+    implementation needed — a naive first-site bound drops true
+    pairs) and a df cap on postings before the exact verify."""
+    d = load(spark, sf_dir, "documents", spread=True)
+    base = d.select("doc_id", _tokens(F.col("text")).alias("toks")).where(
+        F.size("toks") >= 3
+    )
+    grams = base.select(
+        "doc_id", F.explode(F.array_distinct(F.expr(_GRAM3_EXPR))).alias("gram")
+    )
+    wdf = Window.partitionBy("gram")
+    ranked = grams.withColumn("df", F.count(F.lit(1)).over(wdf))
+    # per-doc shingle array in global rarest-first order + set size;
+    # referenced by the prefix stream AND both verify joins (cheap to
+    # rebuild — persist adjudicated a wash at sf0.1, r10)
+    sets = ranked.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("df", "gram"))),
+            lambda s: s["gram"],
+        ).alias("s")
+    ).withColumn("t", F.size("s"))
+    # prefix length for theta = 4/5: t - ceil(4t/5) + 1
+    prefix = sets.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.slice(F.col("s"), 1, F.expr("t - ((4 * t + 4) div 5) + 1"))
+        ).alias("gram"),
+    )
+    # local pair generation from each prefix gram's sorted posting
+    # array (the q_dedup_minhash_md5 pattern), with the length filter
+    # applied INSIDE the pair lambda so oversize mismatches never
+    # materialize
+    pair_expr = (
+        "flatten(transform(ds, (x, i) -> "
+        "filter(transform(slice(ds, i + 2, size(ds)), "
+        "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, x.t AS ta, y.t AS tb)), "
+        "p -> 5 * least(p.ta, p.tb) >= 4 * greatest(p.ta, p.tb))))"
+    )
+    cands = (
+        prefix.groupBy("gram")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "t"))).alias("ds"))
+        .where(F.size("ds") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    verified = (
+        cands.join(
+            F.broadcast(
+                sets.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("s").alias("sa"),
+                    F.col("t").alias("ta"),
+                )
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                sets.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("s").alias("sb"),
+                    F.col("t").alias("tb"),
+                )
+            ),
+            "doc_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("sa", "sb")).cast("long"))
+        .withColumn("uni", (F.col("ta") + F.col("tb") - F.col("inter")).cast("long"))
+        .where(5 * F.col("inter") >= 4 * F.col("uni"))
+    )
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        F.col("inter").alias("inter_grams"),
+        F.col("uni").alias("union_grams"),
+        F.expr("(inter * 1000) div uni").alias("jaccard_permille"),
+    ).orderBy("doc_a", "doc_b")

@@ -177,6 +177,7 @@ HEADLINE = [
     "q_ann_ivf_append",
     "q_ann_pq_trained",
     "q_ann_pq_trained_recall",
+    "q_join_setsim",
 ]
 
 # per-table key columns to shift per replica so keys stay unique and
