@@ -1051,3 +1051,98 @@ def q_reshard_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_moved").cast("long").alias("n_moved"),
         F.expr("CAST((n_moved * 1000000) div n_docs AS BIGINT)").alias("moved_e6"),
     ).orderBy("scheme")
+
+
+# --------------------------------------- curriculum sharding (r10)
+
+CURRICULUM_SHARDS = 8
+
+
+@register(
+    "q_curriculum_shards",
+    sql=f"""
+    WITH feat AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS nt,
+             len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS nd
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, nt,
+             CAST((nd * 1000) // nt AS BIGINT) AS diversity_permille
+      FROM feat WHERE nt > 0
+    ), ranked AS (
+      SELECT doc_id, nt, diversity_permille,
+             row_number() OVER (ORDER BY diversity_permille, nt, doc_id) AS r
+      FROM scored
+    ), assigned AS (
+      SELECT *,
+             CASE WHEN ((r - 1) // {CURRICULUM_SHARDS}) % 2 = 0
+                  THEN (r - 1) % {CURRICULUM_SHARDS}
+                  ELSE {CURRICULUM_SHARDS} - 1 - ((r - 1) % {CURRICULUM_SHARDS})
+             END AS shard
+      FROM ranked
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(diversity_permille) AS BIGINT) AS sum_diversity,
+           CAST(min(diversity_permille) AS BIGINT) AS min_diversity,
+           CAST(max(diversity_permille) AS BIGINT) AS max_diversity,
+           CAST(sum(nt) AS BIGINT) AS sum_tokens
+    FROM assigned GROUP BY shard ORDER BY shard
+    """,
+)
+def q_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difficulty-BALANCED curriculum sharding: rank every document by
+    an exact integer difficulty proxy (lexical diversity —
+    distinct-token permille of the token count — tie-broken by length
+    and id for a total order), then deal ranks to shards in SNAKE
+    order (0..S-1, S-1..0, ...), so every shard receives one document
+    from each consecutive difficulty band.  This is how a training
+    run gets S readers with near-identical difficulty distributions
+    instead of hash-routing's difficulty-blind spread; the per-shard
+    sum/min/max columns ARE the balance audit (sum_diversity spread
+    across shards is bounded by one band's width).
+
+    All integer (permille division, snake arithmetic) — full hash
+    oracle.  Scale note: the global row_number is a single total
+    order; at 100 TB replace it with range-partitioned ranking over
+    approxQuantile difficulty bounds (the q_zorder_layout trick) —
+    the snake allocation then rides each range partition with a
+    rank offset, no global sort."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    feat = d.select(
+        "doc_id",
+        F.size(toks).alias("nt"),
+        F.size(F.array_distinct(toks)).alias("nd"),
+    ).where(F.col("nt") > 0)
+    scored = feat.select(
+        "doc_id",
+        "nt",
+        F.expr("CAST((nd * 1000) div nt AS BIGINT)").alias("diversity_permille"),
+    )
+    w = Window.orderBy("diversity_permille", "nt", "doc_id")
+    S = CURRICULUM_SHARDS
+    assigned = scored.withColumn("r", F.row_number().over(w)).withColumn(
+        "shard",
+        F.expr(
+            f"CASE WHEN ((r - 1) div {S}) % 2 = 0 THEN (r - 1) % {S}"
+            f" ELSE {S} - 1 - ((r - 1) % {S}) END"
+        ),
+    )
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("diversity_permille").cast("long").alias("sum_diversity"),
+            F.min("diversity_permille").cast("long").alias("min_diversity"),
+            F.max("diversity_permille").cast("long").alias("max_diversity"),
+            F.sum("nt").cast("long").alias("sum_tokens"),
+        )
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            "n_docs", "sum_diversity", "min_diversity", "max_diversity",
+            "sum_tokens",
+        )
+        .orderBy("shard")
+    )

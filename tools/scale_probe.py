@@ -178,6 +178,7 @@ HEADLINE = [
     "q_ann_pq_trained",
     "q_ann_pq_trained_recall",
     "q_join_setsim",
+    "q_curriculum_shards",
 ]
 
 # per-table key columns to shift per replica so keys stay unique and
