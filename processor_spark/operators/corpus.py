@@ -1104,11 +1104,13 @@ def q_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     across shards is bounded by one band's width).
 
     All integer (permille division, snake arithmetic) — full hash
-    oracle.  Scale note: the global row_number is a single total
-    order; at 100 TB replace it with range-partitioned ranking over
-    approxQuantile difficulty bounds (the q_zorder_layout trick) —
-    the snake allocation then rides each range partition with a
-    rank offset, no global sort."""
+    oracle.  The global rank is DISTRIBUTED: repartitionByRange on
+    the (unique) difficulty total order, local row_number per range
+    partition, plus a collected per-partition count offset (a ~32-row
+    scalar action) — no single-partition window anywhere
+    (plan-asserted in tests/test_plans.py); rank values are exactly
+    the global row_number because the order key is unique and range
+    partitioning preserves it across partitions."""
     d = load(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     feat = d.select(
@@ -1121,9 +1123,27 @@ def q_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nt",
         F.expr("CAST((nd * 1000) div nt AS BIGINT)").alias("diversity_permille"),
     )
-    w = Window.orderBy("diversity_permille", "nt", "doc_id")
+    order_cols = ["diversity_permille", "nt", "doc_id"]
+    parts = scored.repartitionByRange(32, *[F.col(c) for c in order_cols]).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    # one pass materializes the partition sizes (scalar-sized collect);
+    # the persist makes the ranked pass below reuse the same partition
+    # layout instead of re-sampling range boundaries
+    parts = scoped_persist(parts)
+    sizes = {r.pid: r.n for r in parts.groupBy("pid").count().withColumnRenamed("count", "n").collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off_expr = "CASE pid " + " ".join(
+        f"WHEN {pid} THEN {off}" for pid, off in offsets.items()
+    ) + " ELSE 0 END"
+    w = Window.partitionBy("pid").orderBy(*order_cols)
     S = CURRICULUM_SHARDS
-    assigned = scored.withColumn("r", F.row_number().over(w)).withColumn(
+    assigned = parts.withColumn(
+        "r", F.row_number().over(w) + F.expr(off_expr)
+    ).withColumn(
         "shard",
         F.expr(
             f"CASE WHEN ((r - 1) div {S}) % 2 = 0 THEN (r - 1) % {S}"

@@ -612,3 +612,13 @@ def test_ivf_kmeans_broadcasts_centroids_no_corpus_pair_join(spark):
     assert "CartesianProduct" not in plan, plan
     # final candidate join is an equi hash join on the cell key
     assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_curriculum_shards_has_no_single_partition_window(spark):
+    """r10: the curriculum rank must be distributed — a per-range-
+    partition row_number (windowspecdefinition over pid), never an
+    unpartitioned global window."""
+    plan = explain_str(_df(spark, "q_curriculum_shards"))
+    assert "windowspecdefinition(pid" in plan, plan
+    assert "windowspecdefinition(diversity_permille" not in plan, plan
+    assert "rangepartitioning" in plan.lower(), plan
