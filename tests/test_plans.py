@@ -622,3 +622,16 @@ def test_curriculum_shards_has_no_single_partition_window(spark):
     assert "windowspecdefinition(pid" in plan, plan
     assert "windowspecdefinition(diversity_permille" not in plan, plan
     assert "rangepartitioning" in plan.lower(), plan
+
+
+def test_ann_ivfpq_refine_serve_is_pruned_and_point_lookup(spark):
+    """r10: the refine serve twin must keep the code scan partition-
+    pruned to the probed cells AND fetch refine vectors through a
+    broadcast join (a point lookup against primary storage), never a
+    shuffle of the corpus."""
+    plan = explain_str(_df(spark, "q_ann_ivfpq_refine_serve"))
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "cell" in seg and "IN" in seg.upper()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
