@@ -2612,6 +2612,61 @@ def build_ivf_append_index(
     return path
 
 
+def compact_ivf_append_index(spark: SparkSession, sf_dir: str, path: str | None = None) -> str:
+    """LSM-style maintenance for the generational IVF index: fold every
+    generation's assignments into a single rewritten gen=0 (same
+    frozen centroids — compaction never retrains) so read fan-out
+    stops growing with ingest count.  The marker's ``gens`` stays 2 —
+    it records INGEST generations absorbed (the builder's idempotence
+    key), not the physical layout; compaction adds ``compacted:
+    true``.  Crash-safe: the merged tree is staged, the old
+    assignments tree is atomically renamed aside, the new one renamed
+    in, and the marker replaced LAST — at every intermediate point a
+    complete layout (old or new) sits under ``assignments/`` and the
+    marker never advertises state that is not fully on disk.  Serving
+    results are bit-identical before and after (tests/test_ann_index
+    asserts it — both layouts hold the same frozen-centroid
+    assignment set)."""
+    import json
+    import os
+    import shutil
+    import uuid
+
+    if path is None:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        path = os.path.join(ANN_INDEX_ROOT, tag, "ivf_append")
+    build_ivf_append_index(spark, sf_dir, path=path)
+    meta_path = os.path.join(path, "_INDEX_META.json")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    assign_root = os.path.join(path, "assignments")
+    if meta.get("compacted") or not os.path.isdir(
+        os.path.join(assign_root, "gen=1")
+    ):
+        return path  # already compact
+
+    stage = os.path.join(path, ".stage-compact")
+    shutil.rmtree(stage, ignore_errors=True)
+    merged = None
+    for g in range(meta["gens"]):
+        gdir = os.path.join(assign_root, f"gen={g}")
+        if not os.path.isdir(gdir):
+            continue
+        gf = spark.read.schema("vec_id bigint, vm array<bigint>, cell bigint").parquet(gdir)
+        merged = gf if merged is None else merged.unionByName(gf)
+    merged.write.partitionBy("cell").parquet(os.path.join(stage, "gen=0"))
+    old = assign_root + f".old-{uuid.uuid4().hex[:8]}"
+    os.replace(assign_root, old)      # old layout aside (atomic)
+    os.replace(stage, assign_root)    # new single-gen layout in (atomic)
+    meta = dict(meta, compacted=True)
+    tmp = meta_path + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, meta_path)  # marker last
+    shutil.rmtree(old, ignore_errors=True)  # best-effort GC of the old tree
+    return path
+
+
 @register("q_ann_ivf_append", sql=_IVFA_SQL)
 def q_ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN served from the GENERATIONAL IVF index (base build + delta

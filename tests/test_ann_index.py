@@ -299,3 +299,61 @@ def test_ivf_append_index_crash_mid_append_is_idempotent(spark, tmp_path):
     t1 = os.path.getmtime(meta_path)
     build_ivf_append_index(spark, SF_SMALL, path=path)
     assert os.path.getmtime(meta_path) == t1
+
+
+def test_ivf_append_compaction_preserves_results(spark, tmp_path):
+    """r10: folding the generations into one gen=0 must not change a
+    single served row (same frozen-centroid assignment set), must
+    leave a single-generation layout, and must be idempotent."""
+    import json
+
+    from processor_spark.operators.similarity import (
+        build_ivf_append_index,
+        compact_ivf_append_index,
+        q_ann_ivf_append,
+    )
+
+    path = str(tmp_path / "ivf_append")
+    build_ivf_append_index(spark, SF_SMALL, path=path)
+
+    def served():
+        import processor_spark.operators.similarity as S
+        import os as _os
+        # route the registered key at this explicit path by calling the
+        # builder first (idempotent), then reproducing its serve read
+        return sorted(
+            tuple(r) for r in q_ann_ivf_append.__wrapped__(spark, SF_SMALL).collect()
+        )
+
+    # default-path index must also exist for the registered key; build
+    # the explicit-path twin and compare ITS layout level instead
+    before = served()
+    compact_ivf_append_index(spark, SF_SMALL, path=path)
+    gens = sorted(
+        d
+        for d in os.listdir(os.path.join(path, "assignments"))
+        if d.startswith("gen=")
+    )
+    assert gens == ["gen=0"], gens
+    with open(os.path.join(path, "_INDEX_META.json")) as fh:
+        meta = json.load(fh)
+    assert meta["compacted"] is True and meta["gens"] == 2
+
+    # the merged gen=0 holds base + delta rows exactly once
+    merged = spark.read.parquet(os.path.join(path, "assignments", "gen=0"))
+    from processor_spark.sources import load as _load
+
+    n_all = _load(spark, SF_SMALL, "embeddings").count()
+    assert merged.count() == n_all
+    assert merged.select("vec_id").distinct().count() == n_all
+
+    # idempotent: second compaction is a no-op (marker mtime unchanged)
+    t1 = os.path.getmtime(os.path.join(path, "_INDEX_META.json"))
+    compact_ivf_append_index(spark, SF_SMALL, path=path)
+    assert os.path.getmtime(os.path.join(path, "_INDEX_META.json")) == t1
+
+    # compact the DEFAULT-path index too and assert the registered key
+    # serves identical rows from the single-generation layout
+    compact_ivf_append_index(spark, SF_SMALL)
+    after = served()
+    assert after == before and len(after) > 0
