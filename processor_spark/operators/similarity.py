@@ -1782,7 +1782,7 @@ _IVFPQ_SQL = f"""
     """
 
 
-def _ivfpq_frames(spark: SparkSession, sf_dir: str):
+def _ivfpq_frames(spark: SparkSession, sf_dir: str, nlist: int | None = None):
     """Shared build derivation for the in-plan key and the index
     builder: (cents, codebook, codes) where ``codes`` carries the IVF
     cell of each vector alongside its PQ subspace codes — cell rides
@@ -1794,7 +1794,7 @@ def _ivfpq_frames(spark: SparkSession, sf_dir: str):
         _as_double("embedding").alias("evec"),
         _micro_arr("embedding").alias("vm"),
     )
-    cents = _ivfk_cents(base.select("vec_id", "vm"))
+    cents = _ivfk_cents(base.select("vec_id", "vm"), nlist or IVFK_NLIST)
     cb = F.broadcast(
         base.where(F.col("vec_id") < PQ_K).select(
             F.col("vec_id").alias("cid"), F.col("evec").alias("cvec")
@@ -2046,7 +2046,7 @@ _IVFPQ_REFINE_SQL = f"""
 
 def _ivfpq_refine(
     spark: SparkSession, sf_dir: str, codes: DataFrame, probes: DataFrame,
-    qtab: DataFrame, qv: DataFrame
+    qtab: DataFrame, qv: DataFrame, r: int | None = None
 ) -> DataFrame:
     """ADC top-R -> exact re-rank shared by the in-plan refine key and
     its serve twin: the R-per-query candidate list broadcasts into the
@@ -2064,7 +2064,7 @@ def _ivfpq_refine(
     wa = Window.partitionBy("q_id").orderBy("adc_micro", "vec_id")
     cand_r = (
         adc.withColumn("rn", F.row_number().over(wa))
-        .where(F.col("rn") <= IVFPQ_REFINE_R)
+        .where(F.col("rn") <= (r or IVFPQ_REFINE_R))
         .select("q_id", "vec_id")
     )
     vecs = load(spark, sf_dir, "embeddings").select(
@@ -2088,7 +2088,9 @@ def _ivfpq_refine(
     )
 
 
-def _ivfpq_query_frames(spark: SparkSession, sf_dir: str, cents: DataFrame, cb):
+def _ivfpq_query_frames(
+    spark: SparkSession, sf_dir: str, cents: DataFrame, cb, nprobe: int | None = None
+):
     """(probes, qtab, qv) for the fixed query batch against given IVF
     centroids + PQ codebook — shared by the ivfpq family."""
     e = load(spark, sf_dir, "embeddings")
@@ -2102,7 +2104,7 @@ def _ivfpq_query_frames(spark: SparkSession, sf_dir: str, cents: DataFrame, cb):
         qv.crossJoin(F.broadcast(cents))
         .select("q_id", "cid", _int_sqdist(F.col("qm"), F.col("cm")).alias("sq"))
         .withColumn("rn", F.row_number().over(wp))
-        .where(F.col("rn") <= IVF_NPROBE)
+        .where(F.col("rn") <= (nprobe or IVF_NPROBE))
         .select("q_id", F.col("cid").alias("cell"))
     )
     qtab = qv.crossJoin(cb).select(
@@ -2113,6 +2115,38 @@ def _ivfpq_query_frames(spark: SparkSession, sf_dir: str, cents: DataFrame, cb):
         ),
     ).select("q_id", "m", "cid", "qdmicro")
     return probes, qtab, qv
+
+
+def ivfpq_adc_topk(
+    spark: SparkSession, sf_dir: str,
+    nlist: int | None = None, nprobe: int | None = None,
+) -> DataFrame:
+    """Parameterized IVF-PQ ADC pipeline (q_ann_ivfpq with the nlist /
+    nprobe deployment knobs exposed for tools/ann_bits_probe.py);
+    defaults reproduce the registered key exactly."""
+    cents, cb, codes = _ivfpq_frames(spark, sf_dir, nlist)
+    probes, qtab, _ = _ivfpq_query_frames(spark, sf_dir, cents, cb, nprobe)
+    return _ivfpq_rank(codes, probes, qtab)
+
+
+def ivfpq_refine_topk(
+    spark: SparkSession, sf_dir: str,
+    nlist: int | None = None, nprobe: int | None = None,
+    r: int | None = None,
+) -> DataFrame:
+    """Parameterized IVF-PQ + exact-refine pipeline (q_ann_ivfpq_refine
+    with the knobs exposed); defaults reproduce the registered key.
+    The refine width ``r`` is the recall knob that must SCALE with
+    per-cell occupancy: at a 16-bit code budget the ADC ordering
+    inside a cell is near-tie-dense, so a fixed r loses exactly the
+    neighbors the probe coverage still allows — measured at 64x
+    (SCALE.md r10): r=20 recalls 0.219, r=100 recalls 0.857, r=500
+    hits the 0.8667 exact-in-probed-cells ceiling.  Rule: hold
+    r / cell_occupancy at its base value (~= 20/250), the same
+    base-occupancy re-parameterization as nlist and LSH bits."""
+    cents, cb, codes = _ivfpq_frames(spark, sf_dir, nlist)
+    probes, qtab, qv = _ivfpq_query_frames(spark, sf_dir, cents, cb, nprobe)
+    return _ivfpq_refine(spark, sf_dir, codes, probes, qtab, qv, r)
 
 
 @register("q_ann_ivfpq_refine", sql=_IVFPQ_REFINE_SQL)

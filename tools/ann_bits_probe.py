@@ -39,7 +39,7 @@ _args = [a.lstrip("-") for a in sys.argv[1:]]
 REPL = next((int(a) for a in _args if a.isdigit()), 64)
 # optional section selector: "graph", "ivf", "filtered" (default: all)
 ONLY = next((a for a in _args if a and not a.isdigit()), None)
-_KNOWN = (None, "graph", "ivf", "filtered")
+_KNOWN = (None, "graph", "ivf", "filtered", "ivfpq")
 if ONLY not in _KNOWN:
     sys.exit(f"unknown section {ONLY!r}; expected one of {_KNOWN[1:]}")
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -256,6 +256,33 @@ def main() -> None:
         _micro_arr,
         ivf_kmeans_filtered_topk,
     )
+
+    # ---- IVF-PQ composite (r10): does the composite hold recall at
+    # 64x under the same nlist re-parameterization, and how much does
+    # the exact-refine stage recover over raw ADC ranking?
+    if ONLY in (None, "ivfpq"):
+        from processor_spark.operators.similarity import (
+            ivfpq_adc_topk,
+            ivfpq_refine_topk,
+        )
+
+        truth_pq = truth_l2 or {
+            (r.q_id, r.neighbor_id) for r in exact_l2_topk(spark).collect()
+        }
+        for tag, fn, nl in (
+            ("ivfpq_adc_fixed", ivfpq_adc_topk, IVFK_NLIST),
+            ("ivfpq_refine_fixed", ivfpq_refine_topk, IVFK_NLIST),
+            ("ivfpq_refine_scaled", ivfpq_refine_topk, nlist_scaled),
+        ):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df = fn(spark, DST, nlist=nl)
+            rec = recall_against(truth_pq, df)
+            result[tag] = {
+                "nlist": nl,
+                "recall_at_5": round(rec, 4),
+                "wall_s": round(time.perf_counter() - t0, 2),
+            }
 
     if ONLY not in (None, "filtered"):
         print(json.dumps(result))
