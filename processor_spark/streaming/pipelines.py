@@ -945,3 +945,142 @@ def quality_model_stats(docs: DataFrame) -> DataFrame:
     from processor_spark.operators.quality_model import _feat_from, _ols_stats_frame
 
     return _ols_stats_frame(_feat_from(docs))
+
+
+# ------------------- streaming vector ingest into a generational IVF
+# index (r10).  The batch half (build_ivf_append_index /
+# compact_ivf_append_index) absorbs a two-way split; this is the
+# continuous form: every micro-batch of embeddings becomes a new
+# generation directory under frozen centroids, written idempotently
+# so foreachBatch replays after a crash converge to the same layout.
+
+
+def stream_ivf_ingest(spark: SparkSession, chunks_dir: str, path: str, ckpt: str) -> str:
+    """Consume embeddings chunk files as a stream and maintain an IVF
+    index incrementally: the FIRST batch trains the frozen centroid
+    table (one exact-integer Lloyd round — the offline-training stand-
+    in); every batch (including the first) is assigned against those
+    frozen centroids and written as ``assignments/gen=<batch_id>``
+    partitioned by cell.  Writes are idempotent per batch id (staging
+    dir + atomic rename; a replayed batch after a crash re-stages and
+    re-renames the SAME generation), so exactly-once layout follows
+    from foreachBatch's at-least-once replay + idempotent sink — the
+    standard Structured Streaming sink contract.  Serving reads the
+    centroid table + every generation's probed cells
+    (serve_ivf_stream_index); compaction is the batch half's
+    compact_ivf_append_index generalized — fold gens, keep centroids.
+
+    State: NONE in the state store (the index IS the state); the
+    checkpoint carries only source offsets."""
+    import json
+    import os
+    import shutil
+    import uuid
+
+    from processor_spark.operators.similarity import (
+        _int_sqdist,
+        _ivfa_assign,
+        _ivfa_cents,
+        _micro_arr,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("label", T.IntegerType()),
+            T.StructField(
+                "embedding", T.ArrayType(T.FloatType())
+            ),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunks_dir)
+    )
+
+    def sink(batch_df, batch_id):
+        if not batch_df.count():
+            return
+        vecs = batch_df.select("vec_id", _micro_arr("embedding").alias("vm"))
+        cents_dir = os.path.join(path, "centroids")
+        if not os.path.isdir(cents_dir):
+            # first batch trains the frozen centroids (idempotent: a
+            # replay of batch 0 retrains from the identical batch)
+            stage_c = os.path.join(path, f".stage-cents-{uuid.uuid4().hex[:8]}")
+            _ivfa_cents(vecs).write.parquet(stage_c)
+            try:
+                os.replace(stage_c, cents_dir)
+            except OSError:
+                shutil.rmtree(stage_c, ignore_errors=True)  # lost the race
+        cents = spark.read.parquet(cents_dir)
+        gen_dir = os.path.join(path, "assignments", f"gen={batch_id}")
+        stage = os.path.join(path, f".stage-gen-{batch_id}")
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(gen_dir, ignore_errors=True)  # replayed batch: redo
+        _ivfa_assign(vecs, cents).write.partitionBy("cell").parquet(stage)
+        os.makedirs(os.path.dirname(gen_dir), exist_ok=True)
+        os.replace(stage, gen_dir)
+
+    run_foreach_batch_ckpt(stream, sink, ckpt)
+    return path
+
+
+def serve_ivf_stream_index(spark: SparkSession, path: str, query_df: DataFrame) -> DataFrame:
+    """k-NN against the stream-maintained IVF index: probe the frozen
+    centroids with the query batch, then read ONLY the probed cells
+    from every generation directory (an absent cell dir in a
+    generation means no vectors landed there — skip).  Same exact
+    integer ranking as the batch serve keys."""
+    import os
+
+    from pyspark.sql import Window
+
+    from processor_spark.operators.similarity import (
+        IVF_NPROBE,
+        KNN_K,
+        _int_sqdist,
+    )
+    from processor_spark.caching import scoped_persist
+
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    wp = Window.partitionBy("q_id").orderBy("sq", "cid")
+    probes = (
+        query_df.crossJoin(F.broadcast(cents))
+        .select("q_id", "qm", "cid", _int_sqdist(F.col("qm"), F.col("cm")).alias("sq"))
+        .withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") <= IVF_NPROBE)
+        .select("q_id", "qm", F.col("cid").alias("cell"))
+        .transform(scoped_persist)
+    )
+    cells = sorted({r.cell for r in probes.select("cell").distinct().collect()})
+    root = os.path.join(path, "assignments")
+    frames = []
+    for g in sorted(os.listdir(root)):
+        if not g.startswith("gen="):
+            continue
+        frames.append(
+            spark.read.schema("vec_id bigint, vm array<bigint>, cell bigint")
+            .parquet(os.path.join(root, g))
+            .where(F.col("cell").isin(cells))
+        )
+    assign = frames[0]
+    for fr in frames[1:]:
+        assign = assign.unionByName(fr)
+    cand = assign.join(F.broadcast(probes), "cell").where(
+        F.col("vec_id") != F.col("q_id")
+    )
+    wr = Window.partitionBy("q_id").orderBy("sq", "vec_id")
+    return (
+        cand.select(
+            "q_id", "vec_id", _int_sqdist(F.col("qm"), F.col("vm")).alias("sq")
+        )
+        .withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= KNN_K)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("sq").cast("long").alias("sq_micro2"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

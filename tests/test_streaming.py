@@ -969,3 +969,75 @@ def test_streaming_minhash_band_state_survives_restart(spark, tmp_path):
     for r in rows:
         if r.doc_id in new_ids:
             assert r.dup_of in base_ids or r.dup_of < min(new_ids)
+
+
+def test_stream_ivf_ingest_equals_batch_assignment_and_replay_safe(spark, tmp_path):
+    """r10: embeddings chunks streamed into the generational IVF index
+    must serve EXACTLY what a batch assignment of the full corpus
+    under the same frozen centroids serves; and a full replay (wiped
+    checkpoint, same chunks) must converge to the identical layout —
+    the idempotent-sink half of the exactly-once contract."""
+    import os
+
+    from processor_spark.operators.similarity import (
+        KNN_QUERIES,
+        _ivfa_assign,
+        _micro_arr,
+    )
+
+    chunks = tmp_path / "chunks"
+    chunks.mkdir()
+    pdf = load(spark, SF_SMALL, "embeddings").toPandas().sort_values("vec_id")
+    n = len(pdf)
+    step = n // 3 + 1
+    for i, lo in enumerate(range(0, n, step)):
+        pdf.iloc[lo : lo + step].to_parquet(chunks / f"chunk_{i:02d}.parquet", index=False)
+
+    path = str(tmp_path / "ivf_stream")
+    ckpt = str(tmp_path / "ckpt")
+    P.stream_ivf_ingest(spark, str(chunks), path, ckpt)
+
+    gens = sorted(
+        d for d in os.listdir(os.path.join(path, "assignments")) if d.startswith("gen=")
+    )
+    assert len(gens) == 3, gens
+
+    qv = (
+        load(spark, SF_SMALL, "embeddings")
+        .where(F.col("vec_id") <= KNN_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), _micro_arr("embedding").alias("qm"))
+    )
+    got = sorted(
+        tuple(r) for r in P.serve_ivf_stream_index(spark, path, qv).collect()
+    )
+    assert len(got) > 0
+
+    # batch twin: assign the FULL corpus against the stream-trained
+    # frozen centroids into a single-generation layout, serve identically
+    batch_path = str(tmp_path / "ivf_batch")
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    cents.write.parquet(os.path.join(batch_path, "centroids"))
+    vecs = load(spark, SF_SMALL, "embeddings").select(
+        "vec_id", _micro_arr("embedding").alias("vm")
+    )
+    _ivfa_assign(vecs, cents).write.partitionBy("cell").parquet(
+        os.path.join(batch_path, "assignments", "gen=0")
+    )
+    want = sorted(
+        tuple(r) for r in P.serve_ivf_stream_index(spark, batch_path, qv).collect()
+    )
+    assert got == want
+
+    # full replay with a fresh checkpoint: idempotent sink, same layout
+    import shutil
+
+    shutil.rmtree(ckpt)
+    P.stream_ivf_ingest(spark, str(chunks), path, str(tmp_path / "ckpt2"))
+    gens2 = sorted(
+        d for d in os.listdir(os.path.join(path, "assignments")) if d.startswith("gen=")
+    )
+    assert gens2 == gens
+    again = sorted(
+        tuple(r) for r in P.serve_ivf_stream_index(spark, path, qv).collect()
+    )
+    assert again == got
