@@ -2305,25 +2305,16 @@ _PQT_SQL = f"""
     """
 
 
-@register("q_ann_pq_trained", sql=_PQT_SQL)
-def q_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ with TRAINED per-subspace codebooks: deterministic seeds (the
-    K lowest vec_ids' subvectors) refined by one exact-integer Lloyd
-    round per subspace, then the standard encode → ADC ranking of the
-    query batch.  Zero float parity surface — subvectors are micro-unit
-    integers, every distance (training, encode, ADT) is an exact int64
-    squared-L2, centroid means are integer divisions — so the oracle
-    hash-matches THROUGH the training round (the q_ann_ivf_kmeans
-    contract, applied to PQ's codebooks).
-
-    Scale shape: training + encode are two O(n·K) broadcast passes per
-    subspace expressed as ONE frame keyed by (vec, m) — map-side
-    min_by aggs, one row per (vector, subspace) across each shuffle;
-    the trained codebook table is K·M rows of d integers (tiny,
-    broadcast everywhere)."""
-    e = load(spark, sf_dir, "embeddings", spread=True)
+def _pqt_sub_frame(
+    spark: SparkSession, sf_dir: str, queries_only: bool = False
+) -> DataFrame:
+    """(vec_id, m, sv): micro-unit subvectors, one row per (vector,
+    subspace) — the frame every trained-PQ stage runs over."""
+    e = load(spark, sf_dir, "embeddings", spread=not queries_only)
+    if queries_only:
+        e = e.where(F.col("vec_id") <= KNN_QUERIES)
     vecs = e.select("vec_id", _micro_arr("embedding").alias("vm"))
-    sub = vecs.select(
+    return vecs.select(
         "vec_id",
         F.explode(
             F.array(
@@ -2337,6 +2328,11 @@ def q_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     ).select("vec_id", "s.m", "s.sv")
+
+
+def _pqt_trained_cents(sub: DataFrame) -> DataFrame:
+    """One exact-integer Lloyd round per subspace from deterministic
+    seeds (the K lowest vec_ids' subvectors) -> (m, cid, cm)."""
     seeds = sub.where(F.col("vec_id") < PQ_K).select(
         "m", F.col("vec_id").alias("cid"), F.col("sv").alias("cm")
     )
@@ -2352,7 +2348,7 @@ def q_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("sv").alias("sv"),
         )
     )
-    tcents = (
+    return (
         a0.select("m", "cid", F.posexplode("sv").alias("pos", "v"))
         .groupBy("m", "cid", "pos")
         .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
@@ -2367,16 +2363,119 @@ def q_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         # expensive-to-rebuild / cheap-to-store persist profile
         .transform(scoped_persist)
     )
-    scored = sub.join(F.broadcast(tcents), "m").select(
-        "vec_id", "m", "cid",
-        _int_sqdist(F.col("sv"), F.col("cm")).alias("sq"),
+
+
+def _pqt_encode(sub: DataFrame, tcents: DataFrame) -> DataFrame:
+    """(vec_id, m, cid): argmin trained-centroid code per subspace."""
+    return (
+        sub.join(F.broadcast(tcents), "m")
+        .select(
+            "vec_id", "m", "cid",
+            _int_sqdist(F.col("sv"), F.col("cm")).alias("sq"),
+        )
+        .groupBy("vec_id", "m")
+        .agg(F.min_by("cid", F.struct(F.col("sq"), F.col("cid"))).alias("cid"))
     )
-    codes = scored.groupBy("vec_id", "m").agg(
-        F.min_by("cid", F.struct(F.col("sq"), F.col("cid"))).alias("cid")
-    )
+
+
+@register("q_ann_pq_trained", sql=_PQT_SQL)
+def q_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ with TRAINED per-subspace codebooks: deterministic seeds (the
+    K lowest vec_ids' subvectors) refined by one exact-integer Lloyd
+    round per subspace, then the standard encode → ADC ranking of the
+    query batch.  Zero float parity surface — subvectors are micro-unit
+    integers, every distance (training, encode, ADT) is an exact int64
+    squared-L2, centroid means are integer divisions — so the oracle
+    hash-matches THROUGH the training round (the q_ann_ivf_kmeans
+    contract, applied to PQ's codebooks).
+
+    Scale shape: training + encode are two O(n·K) broadcast passes per
+    subspace expressed as ONE frame keyed by (vec, m) — map-side
+    min_by aggs, one row per (vector, subspace) across each shuffle;
+    the trained codebook table is K·M rows of d integers (tiny,
+    broadcast everywhere).  q_ann_pq_trained_serve answers from the
+    persisted codebooks + codes without re-training."""
+    sub = _pqt_sub_frame(spark, sf_dir)
+    tcents = _pqt_trained_cents(sub)
+    codes = _pqt_encode(sub, tcents)
     qtab = (
         sub.where(F.col("vec_id") <= KNN_QUERIES)
         .join(F.broadcast(tcents), "m")
+        .select(
+            F.col("vec_id").alias("q_id"), "m", "cid",
+            _int_sqdist(F.col("sv"), F.col("cm")).alias("qd"),
+        )
+    )
+    wr = Window.partitionBy("q_id").orderBy("adc_micro2", "vec_id")
+    return (
+        codes.join(F.broadcast(qtab), ["m", "cid"])
+        .where(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("qd").cast("long").alias("adc_micro2"))
+        .withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= KNN_K)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "adc_micro2",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def build_pq_trained_index(
+    spark: SparkSession, sf_dir: str, path: str | None = None, force: bool = False
+) -> str:
+    """Persist the trained-PQ artifacts once: ``codebooks/`` (K x M
+    trained integer subspace centroids) and ``codes/`` (M rows of
+    (vec_id, m, cid) per vector) — the deployable form of
+    q_ann_pq_trained, same idempotent marker contract as the other
+    index builders."""
+    import json
+    import os
+    import shutil
+
+    if path is None:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        path = os.path.join(ANN_INDEX_ROOT, tag, "pq_trained")
+    meta = os.path.join(path, "_INDEX_META.json")
+    if _index_is_current(meta, kind="pq_trained") and not force:
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+
+    sub = _pqt_sub_frame(spark, sf_dir)
+    tcents = _pqt_trained_cents(sub)
+    codes = _pqt_encode(sub, tcents)
+    tcents.write.parquet(os.path.join(path, "codebooks"))
+    codes.write.parquet(os.path.join(path, "codes"))
+    tmp = meta + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {"kind": "pq_trained", "fmt": ANN_INDEX_FMT, "m": PQ_M, "k": PQ_K,
+             "source": sf_dir},
+            fh,
+        )
+    os.replace(tmp, meta)  # marker last: a crashed build is invisible
+    return path
+
+
+@register("q_ann_pq_trained_serve", sql=_PQT_SQL)
+def q_ann_pq_trained_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving twin of q_ann_pq_trained: trained codebooks + code
+    table load from the persisted index (the corpus is never
+    re-encoded, never re-trained); query-time work is the |Q| x K x M
+    integer ADT against the broadcast codebooks plus one broadcast
+    join over the code column.  Shares the rebuild twin's oracle —
+    the hash match certifies the trained-codebook round trip through
+    parquet."""
+    import os
+
+    path = build_pq_trained_index(spark, sf_dir)
+    tcents = F.broadcast(spark.read.parquet(os.path.join(path, "codebooks")))
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    qsub = _pqt_sub_frame(spark, sf_dir, queries_only=True)
+    qtab = (
+        qsub.join(tcents, "m")
         .select(
             F.col("vec_id").alias("q_id"), "m", "cid",
             _int_sqdist(F.col("sv"), F.col("cm")).alias("qd"),

@@ -179,6 +179,7 @@ HEADLINE = [
     "q_ann_pq_trained_recall",
     "q_join_setsim",
     "q_curriculum_shards",
+    "q_ann_pq_trained_serve",
 ]
 
 # per-table key columns to shift per replica so keys stay unique and
