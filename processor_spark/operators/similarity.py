@@ -3960,3 +3960,49 @@ def q_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id", "rank")
     )
+
+
+# ------------------------------------------- graph-ANN recall eval (r10)
+
+_GRAPH_RECALL_SQL = f"""
+    WITH approx AS (
+      SELECT q_id, neighbor_id
+      FROM ({_registry_mod._REGISTRY["q_ann_graph_serve"].sql}) ga
+    ), exact AS (
+      SELECT q_id, neighbor_id
+      FROM ({_registry_mod._REGISTRY["q_knn_join"].sql}) ge
+    ), hits AS (
+      SELECT e.q_id, count(a.neighbor_id) AS n_hits
+      FROM exact e
+      LEFT JOIN approx a ON a.q_id = e.q_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY e.q_id
+    )
+    SELECT q_id, CAST(n_hits AS BIGINT) AS n_hits,
+           CAST((n_hits * 100) // {KNN_K} AS BIGINT) AS recall_pct
+    FROM hits ORDER BY q_id
+"""
+
+
+@register("q_ann_graph_recall", sql=_GRAPH_RECALL_SQL)
+def q_ann_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the served bucket-seeded graph ANN against exact
+    brute-force cosine k-NN — the acceptance gate for the graph tier,
+    hash-oracled by composing the two registered twins as CTEs (the
+    q_ann_recall pattern).  Completes the per-tier recall ladder:
+    IVF (q_ann_recall), IVF-PQ+refine (q_ann_ivfpq_recall), trained
+    PQ (q_ann_pq_trained_recall), graph (this key)."""
+    a = q_ann_graph_serve.__wrapped__(spark, sf_dir).select(
+        "q_id", "neighbor_id"
+    ).withColumn("hit", F.lit(1))
+    ex = q_knn_join.__wrapped__(spark, sf_dir).select("q_id", "neighbor_id")
+    return (
+        ex.join(a, ["q_id", "neighbor_id"], "left")
+        .groupBy("q_id")
+        .agg(F.count("hit").alias("n_hits"))
+        .select(
+            "q_id",
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.expr(f"CAST((n_hits * 100) div {KNN_K} AS BIGINT)").alias("recall_pct"),
+        )
+        .orderBy("q_id")
+    )
