@@ -1084,3 +1084,102 @@ def serve_ivf_stream_index(spark: SparkSession, path: str, query_df: DataFrame) 
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+# ------------------- streaming text-index ingest (r10): the text twin
+# of stream_ivf_ingest — every micro-batch of documents becomes a new
+# posting GENERATION (partitioned by term bucket), with that batch's
+# corpus stats sealed INSIDE the staged generation tree so a replayed
+# batch overwrites both atomically (idempotent sink; no state-store
+# state — the index is the state, the checkpoint holds offsets only).
+
+
+def stream_text_index_ingest(
+    spark: SparkSession, chunks_dir: str, path: str, ckpt: str
+) -> str:
+    """Consume documents chunk files as a stream and maintain the
+    positional text index incrementally: each batch's postings are
+    written as ``postings/gen=<batch_id>`` (64-way term-bucket
+    partitioned, exactly the batch builder's layout) with a
+    ``_GEN_STATS.json`` (n_docs, tot_toks) sealed in the same staged
+    tree before the atomic rename.  Readers sum the per-generation
+    stats instead of trusting a mutable global marker, so replays
+    can't double-count: a replayed batch re-stages and re-renames the
+    SAME generation, data and stats together."""
+    import json
+    import os
+    import shutil
+
+    from processor_spark.operators.text import _postings_frame
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunks_dir)
+    )
+
+    def sink(batch_df, batch_id):
+        if not batch_df.count():
+            return
+        postings, dl = _postings_frame(batch_df)
+        st = dl.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("tot_toks"),
+        ).collect()[0]
+        gen_dir = os.path.join(path, "postings", f"gen={batch_id}")
+        stage = os.path.join(path, f".stage-gen-{batch_id}")
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(gen_dir, ignore_errors=True)  # replayed batch: redo
+        postings.write.partitionBy("tbucket").parquet(stage)
+        with open(os.path.join(stage, "_GEN_STATS.json"), "w") as fh:
+            json.dump({"n_docs": st.n_docs, "tot_toks": st.tot_toks}, fh)
+        os.makedirs(os.path.dirname(gen_dir), exist_ok=True)
+        os.replace(stage, gen_dir)
+
+    run_foreach_batch_ckpt(stream, sink, ckpt)
+    return path
+
+
+def serve_text_stream_bm25(spark: SparkSession, path: str) -> DataFrame:
+    """BM25 for the fixed query against the stream-maintained index:
+    corpus stats are the SUM of every generation's sealed stats; the
+    read opens only the query terms' term-bucket directories in each
+    generation (absent dir = bucket empty in that generation)."""
+    import json
+    import os
+
+    from processor_spark.operators.text import (
+        BM25_TERMS,
+        _bm25_rank_from_postings,
+        _term_bucket_py,
+    )
+
+    root = os.path.join(path, "postings")
+    gens = sorted(g for g in os.listdir(root) if g.startswith("gen="))
+    n_docs = tot_toks = 0
+    for g in gens:
+        with open(os.path.join(root, g, "_GEN_STATS.json")) as fh:
+            st = json.load(fh)
+        n_docs += st["n_docs"]
+        tot_toks += st["tot_toks"]
+    dirs = [
+        os.path.join(root, g, f"tbucket={_term_bucket_py(t)}")
+        for g in gens
+        for t in BM25_TERMS
+    ]
+    dirs = sorted({d for d in dirs if os.path.isdir(d)})
+    p = (
+        spark.read.schema("term string, doc_id bigint, tf bigint, dl bigint")
+        .parquet(*dirs)
+        .where(F.col("term").isin(list(BM25_TERMS)))
+    )
+    return _bm25_rank_from_postings(spark, p, n_docs, tot_toks)

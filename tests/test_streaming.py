@@ -1041,3 +1041,42 @@ def test_stream_ivf_ingest_equals_batch_assignment_and_replay_safe(spark, tmp_pa
         tuple(r) for r in P.serve_ivf_stream_index(spark, path, qv).collect()
     )
     assert again == got
+
+
+def test_stream_text_index_bm25_equals_full_rebuild_and_replay_safe(spark, tmp_path):
+    """r10: documents streamed into the generational text index must
+    answer the BM25 query EXACTLY like the one-shot full-corpus key
+    (q_bm25 — the registered oracle contract), and a full replay with
+    a fresh checkpoint must converge to the identical answer (the
+    sealed per-generation stats make double-counting impossible)."""
+    import os
+
+    from processor_spark.operators.text import q_bm25
+
+    chunks = tmp_path / "docs"
+    chunks.mkdir()
+    pdf = load(spark, SF_SMALL, "documents").toPandas().sort_values("doc_id")
+    n = len(pdf)
+    step = n // 3 + 1
+    for i, lo in enumerate(range(0, n, step)):
+        pdf.iloc[lo : lo + step].to_parquet(chunks / f"chunk_{i:02d}.parquet", index=False)
+
+    path = str(tmp_path / "text_stream")
+    P.stream_text_index_ingest(spark, str(chunks), path, str(tmp_path / "ckpt"))
+    gens = sorted(
+        g for g in os.listdir(os.path.join(path, "postings")) if g.startswith("gen=")
+    )
+    assert len(gens) == 3, gens
+
+    got = sorted(tuple(r) for r in P.serve_text_stream_bm25(spark, path).collect())
+    want = sorted(tuple(r) for r in q_bm25.__wrapped__(spark, SF_SMALL).collect())
+    assert got == want and len(got) > 0
+
+    # full replay, fresh checkpoint: same generations, same answer
+    P.stream_text_index_ingest(spark, str(chunks), path, str(tmp_path / "ckpt2"))
+    gens2 = sorted(
+        g for g in os.listdir(os.path.join(path, "postings")) if g.startswith("gen=")
+    )
+    assert gens2 == gens
+    again = sorted(tuple(r) for r in P.serve_text_stream_bm25(spark, path).collect())
+    assert again == want
