@@ -1183,3 +1183,46 @@ def serve_text_stream_bm25(spark: SparkSession, path: str) -> DataFrame:
         .where(F.col("term").isin(list(BM25_TERMS)))
     )
     return _bm25_rank_from_postings(spark, p, n_docs, tot_toks)
+
+
+def compact_text_stream_index(spark: SparkSession, path: str) -> str:
+    """Fold every posting generation into a single rewritten gen=0 —
+    the text twin of compact_ivf_append_index: read fan-out stops
+    growing with ingest count, stats are summed into the merged
+    generation's sealed stats file, and the swap is crash-safe (stage
+    the full new tree, rename the old postings root aside, rename the
+    new one in — a reader always sees one complete layout).  Serving
+    (serve_text_stream_bm25) is layout-agnostic: it sums whatever
+    generations exist, so answers are bit-identical before and after
+    (asserted in tests/test_streaming.py)."""
+    import json
+    import os
+    import shutil
+    import uuid
+
+    root = os.path.join(path, "postings")
+    gens = sorted(g for g in os.listdir(root) if g.startswith("gen="))
+    if len(gens) <= 1:
+        return path  # already compact
+
+    n_docs = tot_toks = 0
+    merged = None
+    for g in gens:
+        with open(os.path.join(root, g, "_GEN_STATS.json")) as fh:
+            st = json.load(fh)
+        n_docs += st["n_docs"]
+        tot_toks += st["tot_toks"]
+        gf = spark.read.schema(
+            "term string, doc_id bigint, tf bigint,"
+            " positions array<int>, dl bigint, tbucket bigint"
+        ).parquet(os.path.join(root, g))
+        merged = gf if merged is None else merged.unionByName(gf)
+    stage = os.path.join(path, f".stage-compact-{uuid.uuid4().hex[:8]}")
+    merged.write.partitionBy("tbucket").parquet(os.path.join(stage, "gen=0"))
+    with open(os.path.join(stage, "gen=0", "_GEN_STATS.json"), "w") as fh:
+        json.dump({"n_docs": n_docs, "tot_toks": tot_toks}, fh)
+    old = root + f".old-{uuid.uuid4().hex[:8]}"
+    os.replace(root, old)    # old layout aside (atomic)
+    os.replace(stage, root)  # new single-gen layout in (atomic)
+    shutil.rmtree(old, ignore_errors=True)  # best-effort GC
+    return path

@@ -1080,3 +1080,19 @@ def test_stream_text_index_bm25_equals_full_rebuild_and_replay_safe(spark, tmp_p
     assert gens2 == gens
     again = sorted(tuple(r) for r in P.serve_text_stream_bm25(spark, path).collect())
     assert again == want
+
+    # compaction folds the generations and changes NOTHING served
+    P.compact_text_stream_index(spark, path)
+    gens3 = sorted(
+        g for g in os.listdir(os.path.join(path, "postings")) if g.startswith("gen=")
+    )
+    assert gens3 == ["gen=0"], gens3
+    compacted = sorted(
+        tuple(r) for r in P.serve_text_stream_bm25(spark, path).collect()
+    )
+    assert compacted == want
+    # idempotent: compacting a compact index is a no-op
+    P.compact_text_stream_index(spark, path)
+    assert sorted(
+        g for g in os.listdir(os.path.join(path, "postings")) if g.startswith("gen=")
+    ) == ["gen=0"]
