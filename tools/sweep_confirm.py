@@ -96,6 +96,27 @@ def main() -> None:
             if confirmed:
                 result["confirmed"].append(key)
 
+    # ambient-shift heuristic (r10 close): when the OLD artifact has no
+    # canary to normalize against, a machine-day shift confirms many
+    # UNRELATED keys at a uniform ratio.  If >= 5 keys confirm and
+    # their median-ratio spread is tight (max/min <= 1.6) across >= 4
+    # distinct key families (prefix after "q_"), the confirmation set
+    # is flagged ambient — real code regressions localize.
+    if len(result["confirmed"]) >= 5:
+        ratios = [
+            result["keys"][k]["median"] / result["keys"][k]["old_normalized"]
+            for k in result["confirmed"]
+        ]
+        fams = {k.split("_")[1][:4] for k in result["confirmed"]}
+        if len(fams) >= 4 and max(ratios) / min(ratios) <= 1.6:
+            result["ambient_shift_suspected"] = {
+                "ratio_band": [round(min(ratios), 2), round(max(ratios), 2)],
+                "families": sorted(fams),
+                "note": "uniform shift across unrelated families — "
+                "treat as machine-day ambient unless a shared "
+                "dependency changed; re-run under a fresh canary",
+            }
+
     line = json.dumps(result)
     print(line)
     dest = os.environ.get("SPARK_GRAFT_CONFIRM_OUT")
