@@ -1560,3 +1560,125 @@ def q_join_setsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("uni").alias("union_grams"),
         F.expr("(inter * 1000) div uni").alias("jaccard_permille"),
     ).orderBy("doc_a", "doc_b")
+
+
+# ------------------------------- winnowing fingerprints (MOSS, r10)
+
+WINNOW_K = 4      # k-gram width (tokens per gram)
+WINNOW_W = 5      # winnowing window (grams per window)
+# guarantee: any shared token run of length >= K + W - 1 (= 8) yields
+# at least one shared fingerprint — the MOSS coverage bound.
+_WINNOW_POS_CAP = 32000  # 15-bit position packs beside the 48-bit hash
+
+_WINNOW_HS = (
+    "slice(transform(sequence(0, size(toks) - 4),"
+    " i -> cast(conv(substring(md5(cast("
+    "concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3])"
+    " as binary)), 1, 12), 16, 10) as bigint)), 1, 32000)"
+)
+_WINNOW_SEL = (
+    "array_distinct(transform(sequence(0, size(hs) - 5), i -> "
+    "array_min(slice(hs, i + 1, 5)) * 32768"
+    " + i + array_position(slice(hs, i + 1, 5), array_min(slice(hs, i + 1, 5)))))"
+)
+
+_WINNOW_SQL = """
+    WITH toks AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS tk
+      FROM documents
+    ), hsd AS (
+      SELECT doc_id, source,
+             (list_transform(range(1, len(tk) - 2),
+                i -> CAST(('0x' || substr(md5(
+                  tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+                ), 1, 12)) AS BIGINT)))[1:32000] AS hs
+      FROM toks WHERE len(tk) >= 8
+    ), sel AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(range(0, len(hs) - 4),
+               i -> list_min(hs[i+1 : i+5]) * 32768
+                    + i + list_position(hs[i+1 : i+5], list_min(hs[i+1 : i+5])))) AS fps
+      FROM hsd WHERE len(hs) >= 5
+    ), fp AS (
+      SELECT doc_id, source, unnest(fps) // 32768 AS fph FROM sel
+    ), dfp AS (
+      SELECT DISTINCT doc_id, source, fph FROM fp
+    ), marked AS (
+      SELECT source, fph,
+             min(doc_id) OVER (PARTITION BY fph) <> max(doc_id) OVER (PARTITION BY fph) AS shared
+      FROM dfp
+    )
+    SELECT s.source,
+           CAST(count(DISTINCT s.doc_id) AS BIGINT) AS n_docs,
+           CAST(sum(len(s.fps)) AS BIGINT) AS n_fps,
+           CAST((SELECT count(DISTINCT m.fph) FROM marked m
+                 WHERE m.source = s.source) AS BIGINT) AS n_distinct_hash,
+           CAST((SELECT count(DISTINCT m.fph) FROM marked m
+                 WHERE m.source = s.source AND m.shared) AS BIGINT) AS n_shared_hash
+    FROM sel s GROUP BY s.source ORDER BY s.source
+    """
+
+
+@register("q_winnow_fingerprints", sql=_WINNOW_SQL)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm): hash every
+    4-token gram (48-bit md5 prefix — the engine-portable family),
+    slide a 5-gram window, and keep each window's minimum hash tagged
+    with its POSITION (leftmost-min tie-break; fingerprint = packed
+    hash*2^15 + pos so the per-doc set dedups as plain int64s) — any
+    shared token run of >= 8 tokens is GUARANTEED to surface at least
+    one shared fingerprint, the coverage bound naive sampling lacks.
+    Per-source report: fingerprint mass, distinct hash values, and the
+    cross-document shared-hash count (the plagiarism/duplication mass,
+    computed with the one-window min!=max trick — no self-join).
+
+    All-integer after the digests -> full hash oracle.  Scale shape:
+    one md5-dense narrow map per doc (spread=True), array-native
+    window minima (no explode of the gram stream), then one exploded
+    distinct-fingerprint stream into two hash aggs and a single
+    fph-partitioned window.  Positions cap at 32000 grams/doc so the
+    pack stays in 63 bits (at 100 TB, fingerprint long docs in
+    32k-gram chunks)."""
+    d = load(spark, sf_dir, "documents", spread=True)
+    base = d.select(
+        "doc_id", "source", _tokens(F.col("text")).alias("toks")
+    ).where(F.size("toks") >= 8)
+    # NO size(hs) filter here: size(toks) >= 8 already guarantees >= 5
+    # grams, and a predicate referencing hs would inline the whole
+    # md5-transform expression into the Filter AND into every hs
+    # reference inside the winnow lambda (the r7 Catalyst
+    # project-collapse hazard) — measured 20x slower at sf0.1.
+    hsd = base.select("doc_id", "source", F.expr(_WINNOW_HS).alias("hs"))
+    sel = hsd.select("doc_id", "source", F.expr(_WINNOW_SEL).alias("fps"))
+    sel = scoped_persist(sel)  # feeds the per-source size agg AND the fp stream
+    fp = sel.select(
+        "doc_id", "source", F.explode("fps").alias("p")
+    ).select("doc_id", "source", F.expr("p div 32768").alias("fph")).distinct()
+    # shared flag per hash as a HASH AGG (min(doc)!=max(doc) — map-side
+    # combinable), not a window: no consumer needs per-row flags here,
+    # so the window's sort is pure cost (the inverse of the
+    # q_dedup_substring trade, where rows must keep their identity)
+    gstat = fp.groupBy("fph").agg(
+        (F.min("doc_id") != F.max("doc_id")).alias("shared")
+    )
+    per_source_hash = (
+        fp.select("source", "fph")
+        .distinct()
+        .join(gstat, "fph")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_hash"),
+            F.sum(F.when(F.col("shared"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared_hash"),
+        )
+    )
+    per_source_mass = sel.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.sum(F.size("fps")).cast("long").alias("n_fps"),
+    )
+    return (
+        per_source_mass.join(per_source_hash, "source")
+        .select("source", "n_docs", "n_fps", "n_distinct_hash", "n_shared_hash")
+        .orderBy("source")
+    )

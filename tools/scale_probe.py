@@ -180,6 +180,7 @@ HEADLINE = [
     "q_join_setsim",
     "q_curriculum_shards",
     "q_ann_pq_trained_serve",
+    "q_winnow_fingerprints",
 ]
 
 # per-table key columns to shift per replica so keys stay unique and
