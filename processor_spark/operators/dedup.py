@@ -1429,6 +1429,12 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -------------------------------- exact set-similarity join (PPJoin, r10)
 
 SETSIM_GRAMS = 3  # shingle width (the ladder's 3-gram unit)
+SETSIM_POST_CAP = NGRAM_DF_CAP  # per-gram prefix-posting size above which
+# pair generation switches from a local sorted-array expansion to a
+# distributed self-join on the gram — the cap picks the STRATEGY, never
+# the coverage, so the join stays exact at every scale (unlike
+# NGRAM_DF_CAP, which may drop grams because near-dup candidate
+# generation tolerates it; an exact join cannot).
 # Jaccard threshold 4/5 as an exact rational: 5*inter >= 4*union — the
 # integer cross-multiply keeps the whole key float-free.  4/5 is the
 # high-similarity regime this join exists for (the fixture's true
@@ -1474,16 +1480,35 @@ def q_join_setsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     theta join, so the hash match PROVES the prefix cover is complete
     (the q_join_spatial contract, applied to similarity joins).
 
-    Everything is integer (sizes, intersections, cross-multiplied
-    threshold, permille division) — no float surface.  Scale shape:
-    one df window over the distinct gram stream (the q_dedup_ngram
-    exchange), per-doc sort of its own grams, posting lists only for
-    PREFIX grams (the rarest fifth of each doc — posting mass
-    concentrates on low-df grams), local pair generation from sorted
-    posting arrays, and a verification join bounded by the candidate
-    count.  At 100 TB add PPJoin's positional filter (sound
-    implementation needed — a naive first-site bound drops true
-    pairs) and a df cap on postings before the exact verify."""
+    PPJoin positional filter (sound, r11): every candidate site
+    carries the gram's 1-indexed position (pa, pb) in each doc's
+    rarest-first sorted array.  Per pair, let c = number of shared
+    prefix sites and (pa*, pb*) the positions at the globally-largest
+    shared site (arrays share one total (df, gram) order, so max(pa)
+    and max(pb) are the same site).  Any OTHER shared gram lies
+    beyond at least one prefix, hence globally after that site, hence
+    after position pa* in a AND pb* in b — so
+    inter <= c + min(ta - pa*, tb - pb*), and pairs with
+    9*ubound < 4*(ta + tb) (the J >= 4/5 overlap requirement,
+    cross-multiplied) are pruned BEFORE the exact verify.  The naive
+    oracle hash-proves soundness: a dropped true pair would mismatch.
+
+    Posting-size cap (exact, r11): prefix posting lists larger than
+    SETSIM_POST_CAP switch from single-task local array expansion to
+    a distributed self-join on the gram (AQE skew-join splits the
+    heavy partitions) — the cap bounds per-task work, never coverage,
+    so exactness survives 100 TB.  The verify joins are plain equi
+    joins sized by the runtime (r10's corpus-sized F.broadcast wraps
+    removed — the session's AQE broadcast policy decides, matching
+    q_dedup_ngram's verify join).
+
+    Everything is integer (sizes, positions, intersections,
+    cross-multiplied thresholds, permille division) — no float
+    surface.  Scale shape: one df window over the distinct gram
+    stream, per-doc sort of its own grams, posting lists only for
+    PREFIX grams (the rarest fifth of each doc), bounded-task pair
+    generation, per-pair positional prune, then a verification join
+    bounded by the surviving candidate count."""
     d = load(spark, sf_dir, "documents", spread=True)
     base = d.select("doc_id", _tokens(F.col("text")).alias("toks")).where(
         F.size("toks") >= 3
@@ -1493,60 +1518,103 @@ def q_join_setsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wdf = Window.partitionBy("gram")
     ranked = grams.withColumn("df", F.count(F.lit(1)).over(wdf))
-    # per-doc shingle array in global rarest-first order + set size;
-    # referenced by the prefix stream AND both verify joins (cheap to
-    # rebuild — persist adjudicated a wash at sf0.1, r10)
+    # per-doc (df, gram) struct array in global rarest-first order +
+    # set size; referenced by the prefix stream AND both verify joins
+    # (cheap to rebuild — persist adjudicated a wash at sf0.1, r10).
+    # Keeping df INSIDE the struct lets the posting-size split reuse
+    # the already-computed document frequency (prefix posting count
+    # <= full df, so df <= cap soundly implies posting <= cap) —
+    # no second window over the prefix stream.
     sets = ranked.groupBy("doc_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("df", "gram"))),
-            lambda s: s["gram"],
-        ).alias("s")
-    ).withColumn("t", F.size("s"))
-    # prefix length for theta = 4/5: t - ceil(4t/5) + 1
+        F.array_sort(F.collect_list(F.struct("df", "gram"))).alias("sg")
+    ).withColumn("t", F.size("sg"))
+    # prefix length for theta = 4/5: t - ceil(4t/5) + 1; posexplode
+    # keeps each gram's 1-indexed position for the positional filter
     prefix = sets.select(
         "doc_id",
         "t",
-        F.explode(
-            F.slice(F.col("s"), 1, F.expr("t - ((4 * t + 4) div 5) + 1"))
-        ).alias("gram"),
+        F.posexplode(
+            F.slice(F.col("sg"), 1, F.expr("t - ((4 * t + 4) div 5) + 1"))
+        ).alias("pos0", "g"),
+    ).select(
+        "doc_id",
+        "t",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("g.gram").alias("gram"),
+        F.col("g.df").alias("df"),
     )
-    # local pair generation from each prefix gram's sorted posting
-    # array (the q_dedup_minhash_md5 pattern), with the length filter
-    # applied INSIDE the pair lambda so oversize mismatches never
-    # materialize
+    # candidate SITES (one per shared prefix gram per pair), with the
+    # length filter (5*min(ta,tb) >= 4*max: J >= 4/5 forces it)
+    # applied at the site so oversize mismatches never materialize.
+    # Small postings: local pair generation from the sorted array.
     pair_expr = (
         "flatten(transform(ds, (x, i) -> "
         "filter(transform(slice(ds, i + 2, size(ds)), "
-        "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, x.t AS ta, y.t AS tb)), "
+        "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+        "x.t AS ta, y.t AS tb, x.pos AS pa, y.pos AS pb)), "
         "p -> 5 * least(p.ta, p.tb) >= 4 * greatest(p.ta, p.tb))))"
     )
-    cands = (
-        prefix.groupBy("gram")
-        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "t"))).alias("ds"))
+    low_sites = (
+        prefix.where(F.col("df") <= SETSIM_POST_CAP)
+        .groupBy("gram")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "t", "pos"))).alias("ds"))
         .where(F.size("ds") >= 2)
         .select(F.explode(F.expr(pair_expr)).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
+        .select("p.*")
     )
+    # heavy postings (empty at fixture scale, the 100 TB guard):
+    # distributed equi self-join on the gram — C(df, 2) pairs spread
+    # by AQE skew handling instead of one C(df, 2)-dense array task
+    ph = prefix.where(F.col("df") > SETSIM_POST_CAP)
+    hx, hy = ph.alias("hx"), ph.alias("hy")
+    high_sites = (
+        hx.join(hy, "gram")
+        .where(F.col("hx.doc_id") < F.col("hy.doc_id"))
+        .where(
+            5 * F.least("hx.t", "hy.t") >= 4 * F.greatest("hx.t", "hy.t")
+        )
+        .select(
+            F.col("hx.doc_id").alias("doc_a"),
+            F.col("hy.doc_id").alias("doc_b"),
+            F.col("hx.t").alias("ta"),
+            F.col("hy.t").alias("tb"),
+            F.col("hx.pos").alias("pa"),
+            F.col("hy.pos").alias("pb"),
+        )
+    )
+    # per-pair positional prune: ubound = c + min(ta - pa*, tb - pb*)
+    cands = (
+        low_sites.unionByName(high_sites)
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.max("ta").alias("ta"),
+            F.max("tb").alias("tb"),
+            F.max("pa").alias("pa_max"),
+            F.max("pb").alias("pb_max"),
+        )
+        .where(
+            9
+            * (
+                F.col("c")
+                + F.least(
+                    F.col("ta") - F.col("pa_max"), F.col("tb") - F.col("pb_max")
+                )
+            )
+            >= 4 * (F.col("ta") + F.col("tb"))
+        )
+        .select("doc_a", "doc_b")
+    )
+    gram_arr = F.transform(F.col("sg"), lambda x: x["gram"])
     verified = (
         cands.join(
-            F.broadcast(
-                sets.select(
-                    F.col("doc_id").alias("doc_a"),
-                    F.col("s").alias("sa"),
-                    F.col("t").alias("ta"),
-                )
-            ),
+            sets.select(F.col("doc_id").alias("doc_a"), gram_arr.alias("sa"),
+                        F.col("t").alias("ta")),
             "doc_a",
         )
         .join(
-            F.broadcast(
-                sets.select(
-                    F.col("doc_id").alias("doc_b"),
-                    F.col("s").alias("sb"),
-                    F.col("t").alias("tb"),
-                )
-            ),
+            sets.select(F.col("doc_id").alias("doc_b"), gram_arr.alias("sb"),
+                        F.col("t").alias("tb")),
             "doc_b",
         )
         .withColumn("inter", F.size(F.array_intersect("sa", "sb")).cast("long"))
