@@ -56,6 +56,21 @@ def main() -> None:
     except ValueError:
         sf = -1.0  # unknown layout name; timings still valid
 
+    # Machine canary + load average stamped INTO the artifact (v13
+    # protocol: the r10 driver row landed in a contention window and
+    # could not be normalized after the fact — the rule "never record
+    # a bench row without a canary + uptime next to it" is now
+    # enforced by the tool, not by discipline).  Import guarded so a
+    # bench checkout without tools/ still runs.
+    canary_fields: dict = {}
+    try:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tools.canary import canary
+
+        canary_fields = dict(canary(), loadavg_1m=round(os.getloadavg()[0], 2))
+    except Exception:
+        pass
+
     from processor_spark import registry
     from processor_spark.session import build_session
 
@@ -118,6 +133,7 @@ def main() -> None:
         "n_queries": len(timings),
         "cold_runs": cold,
         "cold_total": round(sum(cold.values()), 4),
+        **({"canary": canary_fields} if canary_fields else {}),
     }
     print(json.dumps(out))
     spark.stop()

@@ -1136,9 +1136,18 @@ def q_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     for pid in sorted(sizes):
         offsets[pid] = acc
         acc += sizes[pid]
+    # unknown pid = the persisted range layout was evicted and
+    # re-sampled between the sizes collect and the final job; stale
+    # offsets would silently mis-shard — fail the run instead
+    # (ADVICE r10)
     off_expr = "CASE pid " + " ".join(
         f"WHEN {pid} THEN {off}" for pid, off in offsets.items()
-    ) + " ELSE 0 END"
+    ) + (
+        " ELSE raise_error(concat('q_curriculum_shards: pid ',"
+        " cast(pid AS string),"
+        " ' not in the collected size map — range layout recomputed"
+        " after the offsets were built')) END"
+    )
     w = Window.partitionBy("pid").orderBy(*order_cols)
     S = CURRICULUM_SHARDS
     assigned = parts.withColumn(

@@ -2613,13 +2613,18 @@ _IVFA_SQL = f"""
     """
 
 
-def _ivfa_cents(vecs_base: DataFrame) -> DataFrame:
+def _ivfa_cents(vecs_base: DataFrame, seeds: DataFrame | None = None) -> DataFrame:
     """Frozen centroids for the generational index: one exact-integer
     Lloyd round over the BASE split, seeded by base vec_ids 1..nlist
-    (0 is in the delta split)."""
-    seeds = vecs_base.where(
-        F.col("vec_id").between(1, IVFK_NLIST)
-    ).select(F.col("vec_id").alias("cid"), F.col("vm").alias("cm"))
+    (0 is in the delta split).  Callers whose input has no guaranteed
+    id range (the streaming first batch — file listing order is not
+    contractual) pass their own (cid, cm) seed frame instead; absolute
+    id seeding there silently trains an EMPTY centroid table and every
+    later assign emits zero rows (ADVICE r10)."""
+    if seeds is None:
+        seeds = vecs_base.where(
+            F.col("vec_id").between(1, IVFK_NLIST)
+        ).select(F.col("vec_id").alias("cid"), F.col("vm").alias("cm"))
     a0 = (
         vecs_base.crossJoin(F.broadcast(seeds))
         .select("vec_id", "vm", "cid", _int_sqdist(F.col("vm"), F.col("cm")).alias("sq"))
@@ -2745,6 +2750,34 @@ def build_ivf_append_index(
     return path
 
 
+def heal_swapped_root(root: str) -> None:
+    """Recover the two-rename compaction window (ADVICE r10): the swap
+    is `os.replace(root, old); os.replace(stage, root)` — a crash
+    between the two strands ALL data in an unadvertised ``.old-*``
+    sibling and leaves serving broken with no root.  On entry to any
+    compactor (and safe to call from serve paths), if the root is
+    missing but exactly one ``.old-*`` sibling survives, rename it
+    back — the old layout was complete by construction.  Multiple
+    survivors would mean two interrupted compactions of the same root
+    (impossible under the single-writer contract) — fail loudly
+    rather than guess."""
+    import os
+
+    if os.path.isdir(root):
+        return
+    parent, base = os.path.dirname(root), os.path.basename(root)
+    if not os.path.isdir(parent):
+        return
+    olds = [d for d in os.listdir(parent) if d.startswith(base + ".old-")]
+    if len(olds) > 1:
+        raise RuntimeError(
+            f"{root} missing with {len(olds)} .old-* survivors {olds} — "
+            "refusing to pick one; restore manually"
+        )
+    if olds:
+        os.replace(os.path.join(parent, olds[0]), root)
+
+
 def compact_ivf_append_index(spark: SparkSession, sf_dir: str, path: str | None = None) -> str:
     """LSM-style maintenance for the generational IVF index: fold every
     generation's assignments into a single rewritten gen=0 (same
@@ -2754,9 +2787,12 @@ def compact_ivf_append_index(spark: SparkSession, sf_dir: str, path: str | None 
     key), not the physical layout; compaction adds ``compacted:
     true``.  Crash-safe: the merged tree is staged, the old
     assignments tree is atomically renamed aside, the new one renamed
-    in, and the marker replaced LAST — at every intermediate point a
-    complete layout (old or new) sits under ``assignments/`` and the
-    marker never advertises state that is not fully on disk.  Serving
+    in, and the marker replaced LAST.  Each rename is atomic but the
+    PAIR is not — a crash between them leaves no ``assignments/``
+    root and a complete ``.old-*`` survivor; heal_swapped_root on
+    entry renames the survivor back, so a retried compaction
+    self-heals and the marker never advertises state that is not
+    fully on disk.  Serving
     results are bit-identical before and after (tests/test_ann_index
     asserts it — both layouts hold the same frozen-centroid
     assignment set)."""
@@ -2768,6 +2804,7 @@ def compact_ivf_append_index(spark: SparkSession, sf_dir: str, path: str | None 
     if path is None:
         tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
         path = os.path.join(ANN_INDEX_ROOT, tag, "ivf_append")
+    heal_swapped_root(os.path.join(path, "assignments"))
     build_ivf_append_index(spark, sf_dir, path=path)
     meta_path = os.path.join(path, "_INDEX_META.json")
     with open(meta_path) as fh:

@@ -978,6 +978,7 @@ def stream_ivf_ingest(spark: SparkSession, chunks_dir: str, path: str, ckpt: str
     import uuid
 
     from processor_spark.operators.similarity import (
+        IVFK_NLIST,
         _int_sqdist,
         _ivfa_assign,
         _ivfa_cents,
@@ -1006,9 +1007,34 @@ def stream_ivf_ingest(spark: SparkSession, chunks_dir: str, path: str, ckpt: str
         cents_dir = os.path.join(path, "centroids")
         if not os.path.isdir(cents_dir):
             # first batch trains the frozen centroids (idempotent: a
-            # replay of batch 0 retrains from the identical batch)
+            # replay of batch 0 retrains from the identical batch).
+            # Seeds come from THIS batch's lowest vec_ids — file
+            # listing order is not contractual, so absolute-id seeding
+            # (vec_id 1..nlist) can land on a batch without those ids
+            # and silently train an empty table (ADVICE r10); a
+            # degenerate first batch now fails loudly instead.
+            from pyspark.sql import Window
+
+            seeds = (
+                vecs.orderBy("vec_id")
+                .limit(IVFK_NLIST)
+                .select(
+                    F.row_number().over(Window.orderBy("vec_id"))
+                    .cast("long")
+                    .alias("cid"),
+                    F.col("vm").alias("cm"),
+                )
+            )
             stage_c = os.path.join(path, f".stage-cents-{uuid.uuid4().hex[:8]}")
-            _ivfa_cents(vecs).write.parquet(stage_c)
+            _ivfa_cents(vecs, seeds=seeds).write.parquet(stage_c)
+            n_c = spark.read.parquet(stage_c).count()
+            if n_c != IVFK_NLIST:
+                shutil.rmtree(stage_c, ignore_errors=True)
+                raise ValueError(
+                    f"degenerate first batch: trained {n_c} centroids, "
+                    f"expected {IVFK_NLIST} — refusing to freeze an "
+                    "under-seeded index"
+                )
             try:
                 os.replace(stage_c, cents_dir)
             except OSError:
@@ -1189,9 +1215,12 @@ def compact_text_stream_index(spark: SparkSession, path: str) -> str:
     """Fold every posting generation into a single rewritten gen=0 —
     the text twin of compact_ivf_append_index: read fan-out stops
     growing with ingest count, stats are summed into the merged
-    generation's sealed stats file, and the swap is crash-safe (stage
+    generation's sealed stats file, and the swap is crash-safe: stage
     the full new tree, rename the old postings root aside, rename the
-    new one in — a reader always sees one complete layout).  Serving
+    new one in.  The two renames are individually atomic but the pair
+    is not — a crash between them leaves no postings root and a
+    complete ``.old-*`` survivor, so entry self-heals by renaming the
+    survivor back (heal_swapped_root, ADVICE r10).  Serving
     (serve_text_stream_bm25) is layout-agnostic: it sums whatever
     generations exist, so answers are bit-identical before and after
     (asserted in tests/test_streaming.py)."""
@@ -1200,7 +1229,10 @@ def compact_text_stream_index(spark: SparkSession, path: str) -> str:
     import shutil
     import uuid
 
+    from processor_spark.operators.similarity import heal_swapped_root
+
     root = os.path.join(path, "postings")
+    heal_swapped_root(root)
     gens = sorted(g for g in os.listdir(root) if g.startswith("gen="))
     if len(gens) <= 1:
         return path  # already compact

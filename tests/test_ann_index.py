@@ -357,3 +357,42 @@ def test_ivf_append_compaction_preserves_results(spark, tmp_path):
     compact_ivf_append_index(spark, SF_SMALL)
     after = served()
     assert after == before and len(after) > 0
+
+
+def test_compaction_heals_interrupted_swap(spark, tmp_path):
+    """ADVICE r10: the compaction swap is two renames; a crash between
+    them leaves NO assignments root and a complete .old-* survivor —
+    serving breaks with no self-heal.  heal_swapped_root on entry must
+    rename the survivor back, and a retried compaction must produce
+    the same layout as an uninterrupted one."""
+    import json
+
+    from processor_spark.operators.similarity import (
+        build_ivf_append_index,
+        compact_ivf_append_index,
+        heal_swapped_root,
+    )
+
+    path = str(tmp_path / "ivf_append")
+    build_ivf_append_index(spark, SF_SMALL, path=path)
+    root = os.path.join(path, "assignments")
+
+    # simulate the crash window: first rename done, second never ran
+    os.replace(root, root + ".old-deadbeef")
+    assert not os.path.isdir(root)
+
+    compact_ivf_append_index(spark, SF_SMALL, path=path)  # self-heals
+    gens = sorted(d for d in os.listdir(root) if d.startswith("gen="))
+    assert gens == ["gen=0"], gens
+    with open(os.path.join(path, "_INDEX_META.json")) as fh:
+        assert json.load(fh)["compacted"] is True
+
+    # two survivors = two interrupted compactions: refuse, don't guess
+    os.replace(root, root + ".old-aaaa")
+    os.makedirs(root + ".old-bbbb")
+    try:
+        heal_swapped_root(root)
+        raised = False
+    except RuntimeError:
+        raised = True
+    assert raised

@@ -1043,6 +1043,48 @@ def test_stream_ivf_ingest_equals_batch_assignment_and_replay_safe(spark, tmp_pa
     assert again == got
 
 
+def test_stream_ivf_ingest_first_batch_without_low_ids(spark, tmp_path):
+    """ADVICE r10 (medium): centroid seeding used absolute vec_ids
+    1..nlist, so a first micro-batch that happens to lack those ids
+    (file listing order is not contractual) trained an EMPTY centroid
+    table and every later assign silently emitted zero rows.  Seeds
+    now come from the batch's own lowest vec_ids — this feeds the
+    HIGHEST third of the corpus first and asserts the whole corpus is
+    visible in the index afterward."""
+    import os
+
+    from processor_spark.operators.similarity import KNN_QUERIES, _micro_arr
+
+    chunks = tmp_path / "chunks"
+    chunks.mkdir()
+    pdf = load(spark, SF_SMALL, "embeddings").toPandas().sort_values("vec_id")
+    n = len(pdf)
+    step = n // 3 + 1
+    # reverse the chunk order: chunk_00 = highest vec_ids (no 1..nlist)
+    splits = [pdf.iloc[lo : lo + step] for lo in range(0, n, step)]
+    for i, part in enumerate(reversed(splits)):
+        part.to_parquet(chunks / f"chunk_{i:02d}.parquet", index=False)
+
+    path = str(tmp_path / "ivf_stream")
+    P.stream_ivf_ingest(spark, str(chunks), path, str(tmp_path / "ckpt"))
+
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    from processor_spark.operators.similarity import IVFK_NLIST
+
+    assert cents.count() == IVFK_NLIST
+    assigned = spark.read.schema("vec_id bigint, vm array<bigint>, cell bigint").parquet(
+        os.path.join(path, "assignments")
+    )
+    assert assigned.count() == n, "every ingested vector must be indexed"
+
+    qv = (
+        load(spark, SF_SMALL, "embeddings")
+        .where(F.col("vec_id") <= KNN_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), _micro_arr("embedding").alias("qm"))
+    )
+    assert len(P.serve_ivf_stream_index(spark, path, qv).collect()) > 0
+
+
 def test_stream_text_index_bm25_equals_full_rebuild_and_replay_safe(spark, tmp_path):
     """r10: documents streamed into the generational text index must
     answer the BM25 query EXACTLY like the one-shot full-corpus key
