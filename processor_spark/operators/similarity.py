@@ -1701,9 +1701,9 @@ def q_ann_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 # int64 and the one float expression tree (_pq_dmicro) is written
 # byte-identically on both engines.
 
-# shared CTE prefix (vecs .. adc) — _IVFPQ_SQL ranks the ADC sums
-# directly; the refine twin widens to top-R then re-ranks exactly
-_IVFPQ_CTES = f"""vecs AS (
+# shared IVF CTE prefix (vecs .. probes) — reused by the raw-vector
+# PQ chain below AND the residual-encoded chain (r11)
+_IVF_CTES = f"""vecs AS (
       SELECT vec_id,
              CAST(embedding AS DOUBLE[]) AS evec,
              list_transform(CAST(embedding AS DOUBLE[]),
@@ -1740,7 +1740,11 @@ _IVFPQ_CTES = f"""vecs AS (
     ), probes AS (
       SELECT vec_id AS q_id, cid AS cell FROM d1 WHERE vec_id <= {KNN_QUERIES}
       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sq, cid) <= {IVF_NPROBE}
-    ), cb AS (
+    )"""
+
+# raw-vector PQ chain (vecs .. adc) — _IVFPQ_SQL ranks the ADC sums
+# directly; the refine twin widens to top-R then re-ranks exactly
+_IVFPQ_CTES = f"""{_IVF_CTES}, cb AS (
       SELECT vec_id AS cid, evec AS cvec FROM vecs WHERE vec_id < {PQ_K}
     ), sub AS (
       SELECT v.vec_id, b.cid, m.m,
@@ -2230,6 +2234,512 @@ def q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pqt_dist_sql(a: str, b: str, d: int = PQ_DS) -> str:
+    """Integer subspace squared-L2 as DuckDB SQL — shared by the
+    trained-PQ chain (r10) and the residual IVF-PQ chain (r11)."""
+    return (
+        f"list_reduce(list_transform(range(1, {d} + 1),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (acc, x) -> acc + x)"
+    )
+
+
+# ---------------------------------------- residual-encoded IVF-PQ (r11)
+#
+# Production IVF-PQ encodes RESIDUALS (vector - assigned cell
+# centroid), not raw vectors: after the IVF assignment every vector in
+# a cell is within a cell-radius of its centroid, so the PQ codebook
+# only has to cover that small ball instead of the whole embedding
+# space — this is where most of the recall at a small code budget
+# comes from (VERDICT r10 missing #2: raw-vector ADC-only recall at
+# 64x measured 0.086).  The integer pipeline extends exactly:
+# residual = vm - cm is already exact int64, subspace distances are
+# int64 squared-L2 over residual dims (NO float tree at all — the raw
+# chain still needs _pq_dmicro's float fold; the residual chain is the
+# first fully-integer PQ in the module), and the query-side ADT is
+# built per PROBED CELL (the query's residual depends on which cell it
+# probes — the defining asymmetry of residual IVF-PQ).
+
+_IVFPQ_RES_CTES = f"""{_IVF_CTES}, res AS (
+      SELECT a.vec_id, a.cell,
+             list_transform(range(1, len(v.vm) + 1), i -> v.vm[i] - c.cm[i]) AS rv
+      FROM assign a
+      JOIN vecs v USING (vec_id)
+      JOIN cents c ON c.cid = a.cell
+    ), rsub AS (
+      SELECT vec_id, cell, m.m,
+             list_transform(range(m.m * {PQ_DS} + 1, m.m * {PQ_DS} + {PQ_DS} + 1),
+               i -> rv[i]) AS sv
+      FROM res CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m) m
+    ), rseeds AS (
+      SELECT m, vec_id AS cid, sv AS cm FROM rsub WHERE vec_id < {PQ_K}
+    ), ra0 AS (
+      SELECT vec_id, m, cid FROM (
+        SELECT s.vec_id, s.m, d.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY {_pqt_dist_sql("s.sv", "d.cm")}, d.cid) AS rn
+        FROM rsub s JOIN rseeds d ON d.m = s.m
+      ) WHERE rn = 1
+    ), relems AS (
+      SELECT a.m, a.cid, unnest(range(1, {PQ_DS} + 1)) AS pos, unnest(s.sv) AS v
+      FROM ra0 a JOIN rsub s ON s.vec_id = a.vec_id AND s.m = a.m
+    ), rtmeans AS (
+      SELECT m, cid, pos, CAST(sum(v) AS BIGINT) // count(*) AS nv
+      FROM relems GROUP BY m, cid, pos
+    ), rtcents AS (
+      SELECT m, cid, list(nv ORDER BY pos) AS cm FROM rtmeans GROUP BY m, cid
+    ), rcodes AS (
+      SELECT vec_id, cell, m, cid FROM (
+        SELECT s.vec_id, s.cell, s.m, t.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY {_pqt_dist_sql("s.sv", "t.cm")}, t.cid) AS rn
+        FROM rsub s JOIN rtcents t ON t.m = s.m
+      ) WHERE rn = 1
+    ), qres AS (
+      SELECT p.q_id, p.cell,
+             list_transform(range(1, len(v.vm) + 1), i -> v.vm[i] - c.cm[i]) AS rq
+      FROM probes p
+      JOIN vecs v ON v.vec_id = p.q_id
+      JOIN cents c ON c.cid = p.cell
+    ), qrsub AS (
+      SELECT q_id, cell, m.m,
+             list_transform(range(m.m * {PQ_DS} + 1, m.m * {PQ_DS} + {PQ_DS} + 1),
+               i -> rq[i]) AS sv
+      FROM qres CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m) m
+    ), rqtab AS (
+      SELECT s.q_id, s.cell, s.m, t.cid,
+             {_pqt_dist_sql("s.sv", "t.cm")} AS qdint
+      FROM qrsub s JOIN rtcents t ON t.m = s.m
+    ), radc AS (
+      SELECT p.q_id, c.vec_id, CAST(sum(q.qdint) AS BIGINT) AS adc_micro2
+      FROM probes p
+      JOIN rcodes c ON c.cell = p.cell
+      JOIN rqtab q ON q.q_id = p.q_id AND q.cell = c.cell
+                  AND q.m = c.m AND q.cid = c.cid
+      WHERE c.vec_id <> p.q_id
+      GROUP BY p.q_id, c.vec_id
+    )"""
+
+_IVFPQ_RES_SQL = f"""
+    WITH {_IVFPQ_RES_CTES}
+    SELECT q_id, vec_id AS neighbor_id, adc_micro2, CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT q_id, vec_id, adc_micro2,
+             row_number() OVER (PARTITION BY q_id ORDER BY adc_micro2, vec_id) AS rn
+      FROM radc
+    ) WHERE rn <= {KNN_K}
+    """
+
+
+def _res_subvectors(
+    res: DataFrame, arr: str = "rv", m_sub: int = PQ_M
+) -> DataFrame:
+    """Slice a residual frame into per-subspace rows: (…keys…, m, sv).
+    Keeps every non-array column of ``res``.  ``m_sub`` is the code-
+    budget knob (more subspaces = more bits per vector); subspace
+    width is derived so m_sub always tiles the full dimension."""
+    ds = (PQ_M * PQ_DS) // m_sub
+    keep = [c for c in res.columns if c != arr]
+    return res.select(
+        *keep,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice(F.col(arr), m * ds + 1, ds).alias("sv"),
+                    )
+                    for m in range(m_sub)
+                ]
+            )
+        ).alias("s"),
+    ).select(*keep, "s.m", "s.sv")
+
+
+def _ivfpq_res_frames(
+    spark: SparkSession, sf_dir: str, nlist: int | None = None,
+    m_sub: int = PQ_M,
+):
+    """(cents, rtcents, codes) for the residual chain: trained integer
+    IVF centroids; a TRAINED residual codebook — one exact-integer
+    Lloyd round per subspace over residual subvectors, seeded by the
+    PQ_K lowest vec_ids' residual subvectors (the _pqt_trained_cents
+    machinery applied in residual space: integer headroom holds, a
+    residual element is in ±4e6 so a subspace diff ≤ 8e6 → the
+    16-dim fold ≤ 1.0e15, inside int64; negative sums divide
+    identically on both engines — the r7s2 negative-numerator
+    bridge); and per-vector subspace codes carrying the IVF cell."""
+    e = load(spark, sf_dir, "embeddings", spread=True)
+    base = e.select("vec_id", _micro_arr("embedding").alias("vm"))
+    cents = _ivfk_cents(base, nlist or IVFK_NLIST)
+    assign = (
+        base.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "vm", "cid",
+            _int_sqdist(F.col("vm"), F.col("cm")).alias("sq"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.min_by("cid", F.struct(F.col("sq"), F.col("cid"))).alias("cell"),
+            F.first("vm").alias("vm"),
+        )
+    )
+    res = assign.join(
+        F.broadcast(cents.select(F.col("cid").alias("cell"), "cm")), "cell"
+    ).select("vec_id", "cell", F.zip_with("vm", "cm", lambda a, b: a - b).alias("rv"))
+    rsub = _res_subvectors(res, m_sub=m_sub)
+    rtcents = _pqt_trained_cents(rsub.select("vec_id", "m", "sv"))
+    codes = (
+        rsub.join(F.broadcast(rtcents), "m")
+        .select(
+            "vec_id", "cell", "m", "cid",
+            _int_sqdist(F.col("sv"), F.col("cm")).alias("sq"),
+        )
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min_by("cid", F.struct(F.col("sq"), F.col("cid"))).alias("cid"),
+            F.first("cell").alias("cell"),
+        )
+    )
+    return cents, rtcents, codes
+
+
+def _ivfpq_res_query_frames(
+    spark: SparkSession, sf_dir: str, cents: DataFrame, rtcents: DataFrame,
+    nprobe: int | None = None, m_sub: int = PQ_M,
+):
+    """(probes, rqtab, qv) for the fixed query batch: probes carry the
+    query's residual AGAINST EACH PROBED CELL (rq = qm - cm_cell —
+    the defining asymmetry of residual IVF-PQ), and the ADT is
+    |Q| x nprobe x M x K integer rows, broadcast; qv keeps the raw
+    micro-unit query vectors for the refine twin."""
+    qv = (
+        load(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") <= KNN_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), _micro_arr("embedding").alias("qm"))
+    )
+    wp = Window.partitionBy("q_id").orderBy("sq", "cid")
+    probes = (
+        qv.crossJoin(F.broadcast(cents))
+        .select(
+            "q_id", "qm", "cid", "cm",
+            _int_sqdist(F.col("qm"), F.col("cm")).alias("sq"),
+        )
+        .withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") <= (nprobe or IVF_NPROBE))
+        .select(
+            "q_id",
+            F.col("cid").alias("cell"),
+            F.zip_with("qm", "cm", lambda a, b: a - b).alias("rq"),
+        )
+    )
+    rqtab = (
+        _res_subvectors(probes, "rq", m_sub=m_sub)
+        .join(F.broadcast(rtcents), "m")
+        .select(
+            "q_id", "cell", "m", "cid",
+            _int_sqdist(F.col("sv"), F.col("cm")).alias("qdint"),
+        )
+    )
+    return probes, rqtab, qv
+
+
+def _ivfpq_res_adc(codes: DataFrame, probes: DataFrame, rqtab: DataFrame) -> DataFrame:
+    """Probe-pruned residual-ADC scores (q_id, vec_id, adc_micro2):
+    candidates = codes in probed cells, scored by the per-cell integer
+    ADT sum — shared by the rank and refine tails."""
+    cand = codes.join(F.broadcast(probes.select("q_id", "cell")), "cell").where(
+        F.col("vec_id") != F.col("q_id")
+    )
+    return (
+        cand.join(F.broadcast(rqtab), ["q_id", "cell", "m", "cid"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("qdint").cast("long").alias("adc_micro2"))
+    )
+
+
+def _ivfpq_res_rank(codes: DataFrame, probes: DataFrame, rqtab: DataFrame) -> DataFrame:
+    """Residual-ADC top-k ranking."""
+    adc = _ivfpq_res_adc(codes, probes, rqtab)
+    wr = Window.partitionBy("q_id").orderBy("adc_micro2", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= KNN_K)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "adc_micro2",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def _ivfpq_res_refine(
+    spark: SparkSession, sf_dir: str, codes: DataFrame, probes: DataFrame,
+    rqtab: DataFrame, qv: DataFrame, r: int | None = None,
+) -> DataFrame:
+    """Residual-ADC top-R -> exact integer re-rank (the _ivfpq_refine
+    tail on residual candidates): the R-per-query candidate list
+    broadcasts into the raw-vector scan (point lookup at 100 TB),
+    then exact int64 squared-L2 picks the final top-k."""
+    adc = _ivfpq_res_adc(codes, probes, rqtab)
+    wa = Window.partitionBy("q_id").orderBy("adc_micro2", "vec_id")
+    cand_r = (
+        adc.withColumn("rn", F.row_number().over(wa))
+        .where(F.col("rn") <= (r or IVFPQ_REFINE_R))
+        .select("q_id", "vec_id")
+    )
+    vecs = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _micro_arr("embedding").alias("vm")
+    )
+    ref = (
+        vecs.join(F.broadcast(cand_r), "vec_id")
+        .join(F.broadcast(qv.select("q_id", "qm")), "q_id")
+        .select("q_id", "vec_id", _int_sqdist(F.col("qm"), F.col("vm")).alias("sq"))
+    )
+    wr = Window.partitionBy("q_id").orderBy("sq", "vec_id")
+    return (
+        ref.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= KNN_K)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("sq").cast("long").alias("sq_micro2"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def ivfpq_res_adc_topk(
+    spark: SparkSession, sf_dir: str,
+    nlist: int | None = None, nprobe: int | None = None,
+    m_sub: int = PQ_M,
+) -> DataFrame:
+    """Parameterized residual-ADC pipeline (q_ann_ivfpq_res with the
+    nlist / nprobe / code-budget knobs exposed for
+    tools/ann_bits_probe.py); defaults reproduce the registered key
+    exactly.  ``m_sub`` raises the code budget (m_sub * log2(K) bits
+    per vector) — the production knob when cell occupancy grows and
+    ADC ordering inside a cell goes near-tie-dense."""
+    cents, rtcents, codes = _ivfpq_res_frames(spark, sf_dir, nlist, m_sub=m_sub)
+    probes, rqtab, _ = _ivfpq_res_query_frames(
+        spark, sf_dir, cents, rtcents, nprobe, m_sub=m_sub
+    )
+    return _ivfpq_res_rank(codes, probes, rqtab)
+
+
+@register("q_ann_ivfpq_res", sql=_IVFPQ_RES_SQL)
+def q_ann_ivfpq_res(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-encoded IVF-PQ (VERDICT r10 missing #2): identical IVF
+    half to q_ann_ivfpq (trained integer Lloyd centroids, nprobe cell
+    pruning), but the PQ half encodes RESIDUALS (vm - cell centroid)
+    against a TRAINED residual codebook — one exact-integer Lloyd
+    round per subspace over residual subvectors — and the query ADT
+    is built per probed cell from the query's residual w.r.t. THAT
+    cell.  Fully integer end to end — unlike the raw chain there is
+    no float subspace fold anywhere — so the whole pipeline (through
+    BOTH training rounds, IVF and PQ) carries a full hash oracle.
+
+    Why residuals: after assignment every vector sits within a
+    cell-radius of its centroid, so the codebook must only cover that
+    ball, not the whole space — at the same 16-bit/vector code budget
+    this is where production recall comes from (q_ann_ivfpq_res_recall
+    and the ann_bits_probe residual rows quantify it against the
+    raw-vector 0.086 ADC-only floor).
+
+    Scale shape: one O(n*nlist) broadcast assign pass, one broadcast
+    join to attach centroids, training + encode as two O(n*K)
+    broadcast passes per subspace on one (vec, m)-keyed frame — one
+    row per vector or (vector, subspace) across each shuffle; serving
+    is nprobe cells x M codes per vector with a |Q|*nprobe*M*K
+    broadcast ADT."""
+    cents, rtcents, codes = _ivfpq_res_frames(spark, sf_dir)
+    probes, rqtab, _ = _ivfpq_res_query_frames(spark, sf_dir, cents, rtcents)
+    return _ivfpq_res_rank(codes, probes, rqtab)
+
+
+def build_ivfpq_res_index(
+    spark: SparkSession, sf_dir: str, path: str | None = None, force: bool = False
+) -> str:
+    """Persist the residual IVF-PQ layout (idempotent marker contract):
+    ``centroids/`` (IVF), ``rcodebook/`` (the TRAINED residual
+    codebook — M*K rows of PQ_DS integers), ``codes/`` partitioned by
+    cell — same memory-bound posture as build_ivfpq_index, 4 small
+    ints per vector at serve time."""
+    import json
+    import os
+    import shutil
+
+    if path is None:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        path = os.path.join(ANN_INDEX_ROOT, tag, "ivfpq_res")
+    meta = os.path.join(path, "_INDEX_META.json")
+    if _index_is_current(meta, kind="ivfpq_res") and not force:
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+
+    cents, rtcents, codes = _ivfpq_res_frames(spark, sf_dir)
+    cents.write.parquet(os.path.join(path, "centroids"))
+    rtcents.write.parquet(os.path.join(path, "rcodebook"))
+    codes.write.partitionBy("cell").parquet(os.path.join(path, "codes"))
+    tmp = meta + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {"kind": "ivfpq_res", "fmt": ANN_INDEX_FMT, "nlist": IVFK_NLIST,
+             "nprobe": IVF_NPROBE, "m": PQ_M, "k": PQ_K, "source": sf_dir},
+            fh,
+        )
+    os.replace(tmp, meta)  # marker last: a crashed build is invisible
+    return path
+
+
+@register("q_ann_ivfpq_res_serve", sql=_IVFPQ_RES_SQL)
+def q_ann_ivfpq_res_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving twin of the residual chain: centroids + residual
+    codebook load as tiny broadcasts, the ADC scan reads ONLY the
+    probed cells' code directories (partition-pruned, pinned read
+    schema).  Shares the rebuild twin's oracle — the hash match
+    certifies the codes/rcodebook/centroid parquet round trip."""
+    import os
+
+    path = build_ivfpq_res_index(spark, sf_dir)
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    rtcents = spark.read.schema("m int, cid bigint, cm array<bigint>").parquet(
+        os.path.join(path, "rcodebook")
+    )
+    probes, rqtab, _ = _ivfpq_res_query_frames(spark, sf_dir, cents, rtcents)
+    probes = scoped_persist(probes)
+    cells = sorted({r.cell for r in probes.select("cell").distinct().collect()})
+    codes = (
+        spark.read.schema("vec_id bigint, m int, cid bigint, cell bigint")
+        .parquet(os.path.join(path, "codes"))
+        .where(F.col("cell").isin(cells))
+    )
+    return _ivfpq_res_rank(codes, probes, rqtab)
+
+
+_IVFPQ_RES_REFINE_SQL = f"""
+    WITH {_IVFPQ_RES_CTES}, cand_r AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY adc_micro2, vec_id) AS rn
+        FROM radc
+      ) WHERE rn <= {IVFPQ_REFINE_R}
+    ), refined AS (
+      SELECT c.q_id, c.vec_id,
+             list_reduce(list_transform(range(1, len(q.vm) + 1),
+                  i -> (q.vm[i] - t.vm[i]) * (q.vm[i] - t.vm[i])),
+               (acc, x) -> acc + x) AS sq
+      FROM cand_r c
+      JOIN vecs q ON q.vec_id = c.q_id
+      JOIN vecs t ON t.vec_id = c.vec_id
+    )
+    SELECT q_id, vec_id AS neighbor_id,
+           CAST(sq AS BIGINT) AS sq_micro2, CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT q_id, vec_id, sq,
+             row_number() OVER (PARTITION BY q_id ORDER BY sq, vec_id) AS rn
+      FROM refined
+    ) WHERE rn <= {KNN_K}
+    """
+
+
+def ivfpq_res_refine_topk(
+    spark: SparkSession, sf_dir: str,
+    nlist: int | None = None, nprobe: int | None = None,
+    r: int | None = None, m_sub: int = PQ_M,
+) -> DataFrame:
+    """Parameterized residual IVF-PQ + exact-refine pipeline (knobs
+    exposed for tools/ann_bits_probe.py); defaults reproduce
+    q_ann_ivfpq_res_refine exactly."""
+    cents, rtcents, codes = _ivfpq_res_frames(spark, sf_dir, nlist, m_sub=m_sub)
+    probes, rqtab, qv = _ivfpq_res_query_frames(
+        spark, sf_dir, cents, rtcents, nprobe, m_sub=m_sub
+    )
+    return _ivfpq_res_refine(spark, sf_dir, codes, probes, rqtab, qv, r)
+
+
+@register("q_ann_ivfpq_res_refine", sql=_IVFPQ_RES_REFINE_SQL)
+def q_ann_ivfpq_res_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ with exact re-ranking — the deployment shape of
+    the residual chain, and where residual encoding's candidate
+    quality pays off measurably: at 64x with the SAME refine width
+    (r=20) and nlist=8, raw-vector candidates recall 0.219 while
+    residual candidates recall 0.267 (m_sub=4) / 0.295 (m_sub=16) —
+    better than raw even after scaling nlist to 512 at 7x the build
+    cost (0.257); see SCALE.md r11.  All-integer end to end: full
+    hash oracle through both training rounds and the refine."""
+    cents, rtcents, codes = _ivfpq_res_frames(spark, sf_dir)
+    probes, rqtab, qv = _ivfpq_res_query_frames(spark, sf_dir, cents, rtcents)
+    return _ivfpq_res_refine(spark, sf_dir, codes, probes, rqtab, qv)
+
+
+@register("q_ann_ivfpq_res_refine_serve", sql=_IVFPQ_RES_REFINE_SQL)
+def q_ann_ivfpq_res_refine_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving twin of the residual refine path: codes/rcodebook/
+    centroids from the persisted index (partition-pruned to probed
+    cells, pinned read schemas), refine vectors from primary storage
+    filtered by the broadcast candidate list.  Shares the rebuild
+    twin's oracle."""
+    import os
+
+    path = build_ivfpq_res_index(spark, sf_dir)
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    rtcents = spark.read.schema("m int, cid bigint, cm array<bigint>").parquet(
+        os.path.join(path, "rcodebook")
+    )
+    probes, rqtab, qv = _ivfpq_res_query_frames(spark, sf_dir, cents, rtcents)
+    probes = scoped_persist(probes)
+    cells = sorted({r.cell for r in probes.select("cell").distinct().collect()})
+    codes = (
+        spark.read.schema("vec_id bigint, m int, cid bigint, cell bigint")
+        .parquet(os.path.join(path, "codes"))
+        .where(F.col("cell").isin(cells))
+    )
+    return _ivfpq_res_refine(spark, sf_dir, codes, probes, rqtab, qv)
+
+
+_IVFPQ_RES_RECALL_SQL = f"""
+    WITH approx AS (
+      SELECT q_id, neighbor_id FROM ({_IVFPQ_RES_SQL}) ra
+    ), exact AS (
+      SELECT q_id, neighbor_id FROM ({_KNN_L2_SQL}) re
+    ), hits AS (
+      SELECT e.q_id, count(a.neighbor_id) AS n_hits
+      FROM exact e
+      LEFT JOIN approx a ON a.q_id = e.q_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY e.q_id
+    )
+    SELECT q_id, CAST(n_hits AS BIGINT) AS n_hits,
+           CAST((n_hits * 100) // {KNN_K} AS BIGINT) AS recall_pct
+    FROM hits ORDER BY q_id
+"""
+
+
+@register("q_ann_ivfpq_res_recall", sql=_IVFPQ_RES_RECALL_SQL)
+def q_ann_ivfpq_res_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of residual ADC-ONLY ranking (no exact refine) against
+    exact integer-L2 k-NN — deliberately excludes the refine rescue so
+    the number isolates what the ENCODING buys: compare directly with
+    the raw-vector chain's ADC-only row (0.086 at 64x, SCALE.md r10).
+    Fully hash-oracled by composing the two registered twins as CTEs
+    (the q_ann_recall pattern)."""
+    a = q_ann_ivfpq_res.__wrapped__(spark, sf_dir).select(
+        "q_id", "neighbor_id"
+    ).withColumn("hit", F.lit(1))
+    ex = q_knn_l2.__wrapped__(spark, sf_dir).select("q_id", "neighbor_id")
+    return (
+        ex.join(a, ["q_id", "neighbor_id"], "left")
+        .groupBy("q_id")
+        .agg(F.count("hit").alias("n_hits"))
+        .select(
+            "q_id",
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.expr(f"CAST((n_hits * 100) div {KNN_K} AS BIGINT)").alias("recall_pct"),
+        )
+        .orderBy("q_id")
+    )
+
+
 # ------------------------------------------- trained-codebook PQ (r10)
 #
 # q_ann_pq quantizes against an UNtrained codebook (the first K raw
@@ -2242,12 +2752,8 @@ def q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # full hash oracle through the training round; q_ann_pq_trained_recall
 # composes it against the exact-L2 twin.
 
-def _pqt_dist_sql(a: str, b: str, d: int = PQ_DS) -> str:
-    return (
-        f"list_reduce(list_transform(range(1, {d} + 1),"
-        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (acc, x) -> acc + x)"
-    )
-
+# (_pqt_dist_sql is defined above the residual IVF-PQ section, which
+# also uses it)
 
 _PQT_SQL = f"""
     WITH vecs AS (

@@ -264,22 +264,40 @@ def main() -> None:
         from processor_spark.operators.similarity import (
             ivfpq_adc_topk,
             ivfpq_refine_topk,
+            ivfpq_res_adc_topk,
+            ivfpq_res_refine_topk,
         )
 
         truth_pq = truth_l2 or {
             (r.q_id, r.neighbor_id) for r in exact_l2_topk(spark).collect()
         }
-        for tag, fn, nl in (
-            ("ivfpq_adc_fixed", ivfpq_adc_topk, IVFK_NLIST),
-            ("ivfpq_refine_fixed", ivfpq_refine_topk, IVFK_NLIST),
-            ("ivfpq_refine_scaled", ivfpq_refine_topk, nlist_scaled),
+        for tag, fn, nl, kw in (
+            ("ivfpq_adc_fixed", ivfpq_adc_topk, IVFK_NLIST, {}),
+            # residual encoding (r11): same code budget, codebook covers
+            # the cell-radius ball — ADC-only rows to compare against
+            # the raw-vector ADC floor; the m_sub rows raise the code
+            # budget (m_sub*4 bits/vector), the production knob once
+            # cell occupancy makes 16-bit ADC near-tie-dense
+            ("ivfpq_res_adc_fixed", ivfpq_res_adc_topk, IVFK_NLIST, {}),
+            ("ivfpq_res_adc_m16", ivfpq_res_adc_topk, IVFK_NLIST,
+             {"m_sub": 16}),
+            ("ivfpq_res_adc_m16_scaled", ivfpq_res_adc_topk, nlist_scaled,
+             {"m_sub": 16}),
+            ("ivfpq_refine_fixed", ivfpq_refine_topk, IVFK_NLIST, {}),
+            ("ivfpq_refine_scaled", ivfpq_refine_topk, nlist_scaled, {}),
+            # residual candidates + exact refine at the SAME r: where
+            # the encoding's candidate quality shows up in deployment
+            ("ivfpq_res_refine_fixed", ivfpq_res_refine_topk, IVFK_NLIST, {}),
+            ("ivfpq_res_refine_m16", ivfpq_res_refine_topk, IVFK_NLIST,
+             {"m_sub": 16}),
         ):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
-            df = fn(spark, DST, nlist=nl)
+            df = fn(spark, DST, nlist=nl, **kw)
             rec = recall_against(truth_pq, df)
             result[tag] = {
                 "nlist": nl,
+                **kw,
                 "recall_at_5": round(rec, 4),
                 "wall_s": round(time.perf_counter() - t0, 2),
             }
