@@ -1085,6 +1085,71 @@ def test_stream_ivf_ingest_first_batch_without_low_ids(spark, tmp_path):
     assert len(P.serve_ivf_stream_index(spark, path, qv).collect()) > 0
 
 
+def test_stream_ivf_retrain_compaction_handles_drift(spark, tmp_path):
+    """VERDICT r10 missing #3: stream_ivf_ingest freezes first-batch
+    centroids forever, so a drifting embedding distribution degrades
+    the index with no recovery path.  compact_ivf_stream_index(
+    retrain=True) must (a) fold generations to one, (b) actually move
+    the centroids, and (c) converge to EXACTLY the layout a fresh
+    single-batch ingest of the full corpus builds — served rows
+    identical — because the retrain uses the ingest's own seeding
+    rule (lowest vec_ids, cid by rank)."""
+    import os
+
+    import numpy as np
+
+    from processor_spark.operators.similarity import KNN_QUERIES, _micro_arr
+
+    pdf = load(spark, SF_SMALL, "embeddings").toPandas().sort_values("vec_id")
+    half = len(pdf) // 2
+    base = pdf.iloc[:half]
+    drift = pdf.iloc[half:].copy()
+    drift["vec_id"] = drift["vec_id"] + 10_000_000
+    # distribution shift: every element moves +0.75 — batch 2 lives in
+    # a region the frozen batch-1 centroids never saw
+    drift["embedding"] = drift["embedding"].apply(
+        lambda a: (np.asarray(a, dtype=np.float32) + np.float32(0.75))
+    )
+
+    chunks = tmp_path / "chunks"
+    chunks.mkdir()
+    base.to_parquet(chunks / "chunk_00.parquet", index=False)
+    drift.to_parquet(chunks / "chunk_01.parquet", index=False)
+    path = str(tmp_path / "ivf_stream")
+    P.stream_ivf_ingest(spark, str(chunks), path, str(tmp_path / "ckpt"))
+    frozen = sorted(
+        tuple(r) for r in spark.read.parquet(os.path.join(path, "centroids")).collect()
+    )
+
+    P.compact_ivf_stream_index(spark, path, retrain=True)
+    gens = sorted(
+        d for d in os.listdir(os.path.join(path, "assignments")) if d.startswith("gen=")
+    )
+    assert gens == ["gen=0"], gens
+    retrained = sorted(
+        tuple(r) for r in spark.read.parquet(os.path.join(path, "centroids")).collect()
+    )
+    assert retrained != frozen, "retrain must move the centroids under drift"
+
+    # rebuild twin: the FULL corpus as one chunk -> one-batch ingest
+    full = tmp_path / "full"
+    full.mkdir()
+    import pandas as pd
+
+    pd.concat([base, drift]).to_parquet(full / "chunk_00.parquet", index=False)
+    path2 = str(tmp_path / "ivf_fresh")
+    P.stream_ivf_ingest(spark, str(full), path2, str(tmp_path / "ckpt2"))
+
+    qv = (
+        load(spark, SF_SMALL, "embeddings")
+        .where(F.col("vec_id") <= KNN_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), _micro_arr("embedding").alias("qm"))
+    )
+    got = sorted(tuple(r) for r in P.serve_ivf_stream_index(spark, path, qv).collect())
+    want = sorted(tuple(r) for r in P.serve_ivf_stream_index(spark, path2, qv).collect())
+    assert got == want and len(got) > 0
+
+
 def test_stream_text_index_bm25_equals_full_rebuild_and_replay_safe(spark, tmp_path):
     """r10: documents streamed into the generational text index must
     answer the BM25 query EXACTLY like the one-shot full-corpus key
