@@ -391,7 +391,10 @@ ANN_INDEX_ROOT = "/tmp/processor_spark_ann"
 # serve stale bytes.  Bump when any build_*_index output changes shape.
 # fmt 2 (r9): ivf_kmeans assignments carry the label column for
 # filtered serving.
-ANN_INDEX_FMT = 2
+# fmt 3 (r11): ivf_kmeans assignments are partitioned by (cell, label)
+# — label-sharded cells, so a selective metadata predicate prunes
+# DIRECTORIES instead of filtering rows inside probed cells.
+ANN_INDEX_FMT = 3
 
 
 def _index_is_current(meta_path: str, kind: str | None = None) -> bool:
@@ -1177,7 +1180,17 @@ def build_ivf_kmeans_index(
         )
     )
     cents.write.parquet(os.path.join(path, "centroids"))
-    assign.write.partitionBy("cell").parquet(os.path.join(path, "assignments"))
+    # (cell, label) two-level partitioning (fmt 3): the unfiltered
+    # serve prunes on cell alone (label dirs are transparent to it —
+    # pinned read schema), the filtered serve prunes BOTH levels, so a
+    # selective predicate skips whole directories instead of filtering
+    # rows inside probed cells.  Cost: nlist x |labels| directories —
+    # the knob is only worth promoting for low-cardinality filter
+    # columns (10 labels here; a high-cardinality column would shatter
+    # the layout into tiny files).
+    assign.write.partitionBy("cell", "label").parquet(
+        os.path.join(path, "assignments")
+    )
     tmp = meta + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(
@@ -1404,11 +1417,16 @@ def q_ann_filtered_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignments (build_ivf_kmeans_index fmt 2) — serving never joins
     back to the corpus for metadata.  Shares the rebuild twin's
     oracle: the hash match certifies the label round trip through
-    parquet alongside the vectors.  At 100 TB this layout serves any
-    conjunctive metadata predicate the assignments carry columns
-    for; a highly-selective predicate wants nprobe raised further or
-    the filter column promoted INTO the partitioning (label-sharded
-    cells), both build-time knobs."""
+    parquet alongside the vectors.  fmt 3 (r11) promotes the filter
+    column INTO the partitioning — (cell, label)-sharded assignments
+    — so the query batch's labels prune DIRECTORIES (plan-asserted
+    two-level PartitionFilters) and a selective predicate's serve
+    cost drops to |probed cells ∩ query labels| instead of scanning
+    whole cells and filtering rows; at 100 TB this is the difference
+    between reading nprobe/nlist of the corpus and nprobe/(nlist·L)
+    of it.  A highly-selective predicate beyond the label sharding
+    still wants nprobe raised (the measured ladder in SCALE.md
+    r10)."""
     import os
 
     path = build_ivf_kmeans_index(spark, sf_dir)
@@ -1435,9 +1453,13 @@ def q_ann_filtered_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "q_label", "qm", F.col("cid").alias("cell"))
         .transform(scoped_persist)
     )
-    cells = sorted({r.cell for r in probes.select("cell").distinct().collect()})
+    pruned = probes.select("cell", "q_label").distinct().collect()
+    cells = sorted({r.cell for r in pruned})
+    labels = sorted({r.q_label for r in pruned})
+    # two-level directory pruning (fmt 3): probed cells AND the query
+    # batch's labels — both partition columns, both scan-pushed
     assign = spark.read.parquet(os.path.join(path, "assignments")).where(
-        F.col("cell").isin(cells)
+        F.col("cell").isin(cells) & F.col("label").isin(labels)
     )
     cand = assign.join(F.broadcast(probes), "cell").where(
         (F.col("vec_id") != F.col("q_id")) & (F.col("label") == F.col("q_label"))

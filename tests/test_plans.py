@@ -403,18 +403,19 @@ def test_ann_serve_scan_is_partition_pruned_to_probed_cells(spark):
 
 def test_ann_filtered_serve_scan_is_partition_pruned(spark):
     """r9: the FILTERED serve twin must keep the cell partition pruning
-    intact — the label predicate is applied on the candidate stream
-    inside the pruned scan, never by widening the read back to all
-    cells."""
+    intact.  r11 (fmt 3): assignments are (cell, label)-sharded, so
+    the scan must prune BOTH levels — probed cells AND the query
+    batch's labels as PartitionFilters — turning a selective metadata
+    predicate into skipped directories instead of filtered rows."""
     plan = explain_str(_df(spark, "q_ann_filtered_serve"))
     assert "PartitionFilters" in plan
     seg = plan.split("PartitionFilters")[1].split("]")[0]
     assert "cell" in seg and "IN" in seg.upper()
-    # the label equality references both join sides, so it cannot be
-    # scan-pushed — but it must run BEFORE the re-rank distance project
-    # (Catalyst places the join-condition filter under the project that
-    # evaluates the int64 sqdist), which the shared-oracle hash already
-    # certifies semantically; here we just pin the pruning shape
+    assert "label" in seg, seg  # two-level pruning (label-sharded cells)
+    # the per-candidate label == q_label equality still runs on the
+    # candidate stream (a query batch holds several labels; the dir
+    # pruning is the union of them), which the shared-oracle hash
+    # certifies semantically; here we pin the pruning shape
     assert plan.count("Scan parquet") >= 2  # centroids + assignments
 
 
