@@ -3429,6 +3429,281 @@ def q_ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------- residual IVF-PQ generational append (r11): the
+# q_ann_ivf_append lifecycle applied to the residual chain — base
+# split trains IVF centroids AND residual codebooks; the delta is
+# assigned + residual-encoded against both FROZEN tables and appended
+# as gen=1; the oracle encodes the FULL corpus against the same
+# base-trained tables in one shot, so the hash match proves
+# base-build + delta-append == from-scratch rebuild.
+
+_IVFPQ_RES_APPEND_SQL = f"""
+    WITH vecs AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(floor((x + 2.0) * 1000000 + 0.5) AS BIGINT)) AS vm
+      FROM embeddings
+    ), base AS (
+      SELECT * FROM vecs WHERE vec_id % 10 <> 0
+    ), seeds AS (
+      SELECT vec_id AS cid, vm AS cm FROM base
+      WHERE vec_id BETWEEN 1 AND {IVFK_NLIST}
+    ), d0 AS (
+      SELECT v.vec_id, s.cid,
+             list_reduce(list_transform(range(1, len(v.vm) + 1),
+                  i -> (v.vm[i] - s.cm[i]) * (v.vm[i] - s.cm[i])),
+               (acc, x) -> acc + x) AS sq
+      FROM base v CROSS JOIN seeds s
+    ), a0 AS (
+      SELECT vec_id, cid FROM d0
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sq, cid) = 1
+    ), elems AS (
+      SELECT a.cid, unnest(range(1, len(v.vm) + 1)) AS pos, unnest(v.vm) AS m
+      FROM a0 a JOIN base v USING (vec_id)
+    ), cmeans AS (
+      SELECT cid, pos, CAST(sum(m) AS BIGINT) // count(*) AS nm
+      FROM elems GROUP BY cid, pos
+    ), cents AS (
+      SELECT cid, list(nm ORDER BY pos) AS cm FROM cmeans GROUP BY cid
+    ), d1 AS (
+      SELECT v.vec_id, c.cid,
+             list_reduce(list_transform(range(1, len(v.vm) + 1),
+                  i -> (v.vm[i] - c.cm[i]) * (v.vm[i] - c.cm[i])),
+               (acc, x) -> acc + x) AS sq
+      FROM vecs v CROSS JOIN cents c
+    ), assign AS (
+      SELECT vec_id, cid AS cell FROM d1
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sq, cid) = 1
+    ), probes AS (
+      SELECT vec_id AS q_id, cid AS cell FROM d1 WHERE vec_id <= {KNN_QUERIES}
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sq, cid) <= {IVF_NPROBE}
+    ), res AS (
+      SELECT a.vec_id, a.cell,
+             list_transform(range(1, len(v.vm) + 1), i -> v.vm[i] - c.cm[i]) AS rv
+      FROM assign a
+      JOIN vecs v USING (vec_id)
+      JOIN cents c ON c.cid = a.cell
+    ), rsub AS (
+      SELECT vec_id, cell, m.m,
+             list_transform(range(m.m * {PQ_DS} + 1, m.m * {PQ_DS} + {PQ_DS} + 1),
+               i -> rv[i]) AS sv
+      FROM res CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m) m
+    ), rsub_base AS (
+      SELECT * FROM rsub WHERE vec_id % 10 <> 0
+    ), rseeds AS (
+      SELECT m, vec_id AS cid, sv AS cm FROM rsub_base WHERE vec_id < {PQ_K}
+    ), ra0 AS (
+      SELECT vec_id, m, cid FROM (
+        SELECT s.vec_id, s.m, d.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY {_pqt_dist_sql("s.sv", "d.cm")}, d.cid) AS rn
+        FROM rsub_base s JOIN rseeds d ON d.m = s.m
+      ) WHERE rn = 1
+    ), relems AS (
+      SELECT a.m, a.cid, unnest(range(1, {PQ_DS} + 1)) AS pos, unnest(s.sv) AS v
+      FROM ra0 a JOIN rsub_base s ON s.vec_id = a.vec_id AND s.m = a.m
+    ), rtmeans AS (
+      SELECT m, cid, pos, CAST(sum(v) AS BIGINT) // count(*) AS nv
+      FROM relems GROUP BY m, cid, pos
+    ), rtcents AS (
+      SELECT m, cid, list(nv ORDER BY pos) AS cm FROM rtmeans GROUP BY m, cid
+    ), rcodes AS (
+      SELECT vec_id, cell, m, cid FROM (
+        SELECT s.vec_id, s.cell, s.m, t.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY {_pqt_dist_sql("s.sv", "t.cm")}, t.cid) AS rn
+        FROM rsub s JOIN rtcents t ON t.m = s.m
+      ) WHERE rn = 1
+    ), qres AS (
+      SELECT p.q_id, p.cell,
+             list_transform(range(1, len(v.vm) + 1), i -> v.vm[i] - c.cm[i]) AS rq
+      FROM probes p
+      JOIN vecs v ON v.vec_id = p.q_id
+      JOIN cents c ON c.cid = p.cell
+    ), qrsub AS (
+      SELECT q_id, cell, m.m,
+             list_transform(range(m.m * {PQ_DS} + 1, m.m * {PQ_DS} + {PQ_DS} + 1),
+               i -> rq[i]) AS sv
+      FROM qres CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m) m
+    ), rqtab AS (
+      SELECT s.q_id, s.cell, s.m, t.cid,
+             {_pqt_dist_sql("s.sv", "t.cm")} AS qdint
+      FROM qrsub s JOIN rtcents t ON t.m = s.m
+    ), radc AS (
+      SELECT p.q_id, c.vec_id, CAST(sum(q.qdint) AS BIGINT) AS adc_micro2
+      FROM probes p
+      JOIN rcodes c ON c.cell = p.cell
+      JOIN rqtab q ON q.q_id = p.q_id AND q.cell = c.cell
+                  AND q.m = c.m AND q.cid = c.cid
+      WHERE c.vec_id <> p.q_id
+      GROUP BY p.q_id, c.vec_id
+    )
+    SELECT q_id, vec_id AS neighbor_id, adc_micro2, CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT q_id, vec_id, adc_micro2,
+             row_number() OVER (PARTITION BY q_id ORDER BY adc_micro2, vec_id) AS rn
+      FROM radc
+    ) WHERE rn <= {KNN_K}
+    """
+
+
+def build_ivfpq_res_append_index(
+    spark: SparkSession, sf_dir: str, path: str | None = None, force: bool = False
+) -> str:
+    """Two-GENERATION residual IVF-PQ index: gen 0 holds the base
+    split's residual codes under IVF centroids AND residual codebooks
+    trained on the base alone; the delta split (vec_id % 10 = 0) is
+    assigned to the frozen centroids, residual-encoded against the
+    frozen codebooks, and appended as ``codes/gen=1`` — only the delta
+    is ever scored at append time.  Crash safety is the
+    build_ivf_append_index marker contract: staged writes, atomic
+    renames, marker (which alone advertises ``gens: 2``) replaced
+    LAST; a retry wipes any unadvertised gen=1 before redoing the
+    append."""
+    import json
+    import os
+    import shutil
+
+    if path is None:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        path = os.path.join(ANN_INDEX_ROOT, tag, "ivfpq_res_append")
+    meta_path = os.path.join(path, "_INDEX_META.json")
+    meta = None
+    try:
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        if (
+            meta.get("fmt") != ANN_INDEX_FMT
+            or meta.get("kind") != "ivfpq_res_append"
+            or meta.get("source") != sf_dir
+        ):
+            meta = None
+    except (OSError, ValueError):
+        meta = None
+    if force:
+        meta = None
+    if meta is not None and meta.get("gens") == 2:
+        return path
+    if meta is None:
+        shutil.rmtree(path, ignore_errors=True)
+
+        e = load(spark, sf_dir, "embeddings", spread=True)
+        all_vecs = e.select("vec_id", _micro_arr("embedding").alias("vm"))
+        base = all_vecs.where(F.col("vec_id") % 10 != 0)
+        cents = _ivfa_cents(base)
+        res_b = _ivfa_assign(base, cents).join(
+            F.broadcast(cents.select(F.col("cid").alias("cell"), "cm")), "cell"
+        ).select(
+            "vec_id", "cell", F.zip_with("vm", "cm", lambda a, b: a - b).alias("rv")
+        )
+        rsub_b = _res_subvectors(res_b)
+        rtcents = _pqt_trained_cents(rsub_b.select("vec_id", "m", "sv"))
+        codes_b = (
+            rsub_b.join(F.broadcast(rtcents), "m")
+            .select(
+                "vec_id", "cell", "m", "cid",
+                _int_sqdist(F.col("sv"), F.col("cm")).alias("sq"),
+            )
+            .groupBy("vec_id", "m")
+            .agg(
+                F.min_by("cid", F.struct(F.col("sq"), F.col("cid"))).alias("cid"),
+                F.first("cell").alias("cell"),
+            )
+        )
+        cents.write.parquet(os.path.join(path, "centroids"))
+        rtcents.write.parquet(os.path.join(path, "rcodebook"))
+        codes_b.write.partitionBy("cell").parquet(
+            os.path.join(path, "codes", "gen=0")
+        )
+        meta = {
+            "kind": "ivfpq_res_append", "fmt": ANN_INDEX_FMT,
+            "nlist": IVFK_NLIST, "nprobe": IVF_NPROBE, "m": PQ_M, "k": PQ_K,
+            "source": sf_dir, "gens": 1,
+        }
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, meta_path)
+
+    # append the delta under the FROZEN tables (idempotent retry:
+    # wipe any unadvertised gen=1 staging first)
+    import uuid
+
+    gen1 = os.path.join(path, "codes", "gen=1")
+    shutil.rmtree(gen1, ignore_errors=True)
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    rtcents = spark.read.schema("m int, cid bigint, cm array<bigint>").parquet(
+        os.path.join(path, "rcodebook")
+    )
+    e = load(spark, sf_dir, "embeddings")
+    delta = e.where(F.col("vec_id") % 10 == 0).select(
+        "vec_id", _micro_arr("embedding").alias("vm")
+    )
+    res_d = _ivfa_assign(delta, cents).join(
+        F.broadcast(cents.select(F.col("cid").alias("cell"), "cm")), "cell"
+    ).select(
+        "vec_id", "cell", F.zip_with("vm", "cm", lambda a, b: a - b).alias("rv")
+    )
+    codes_d = (
+        _res_subvectors(res_d).join(F.broadcast(rtcents), "m")
+        .select(
+            "vec_id", "cell", "m", "cid",
+            _int_sqdist(F.col("sv"), F.col("cm")).alias("sq"),
+        )
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min_by("cid", F.struct(F.col("sq"), F.col("cid"))).alias("cid"),
+            F.first("cell").alias("cell"),
+        )
+    )
+    stage = os.path.join(path, f".stage-gen1-{uuid.uuid4().hex[:8]}")
+    codes_d.write.partitionBy("cell").parquet(stage)
+    os.replace(stage, gen1)  # atomic: readers see all of gen 1 or none
+    meta = dict(meta, gens=2)
+    tmp = meta_path + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, meta_path)  # marker last: crashed append invisible
+    return path
+
+
+@register("q_ann_ivfpq_res_append", sql=_IVFPQ_RES_APPEND_SQL)
+def q_ann_ivfpq_res_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-ADC k-NN served from the GENERATIONAL residual IVF-PQ
+    index (base build + delta append under frozen centroids AND
+    frozen residual codebooks): probes + per-cell query ADT from the
+    persisted tables, candidates from the probed cells of BOTH code
+    generations (partition-pruned reads; an absent cell dir in a
+    generation holds no codes — skip).  The oracle encodes the FULL
+    corpus against the same base-trained tables in one shot, so the
+    hash match proves base-build + delta-append answers bit-
+    identically to a from-scratch rebuild — the q_ann_ivf_append
+    contract extended through BOTH frozen quantizers."""
+    import os
+
+    path = build_ivfpq_res_append_index(spark, sf_dir)
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    rtcents = spark.read.schema("m int, cid bigint, cm array<bigint>").parquet(
+        os.path.join(path, "rcodebook")
+    )
+    probes, rqtab, _ = _ivfpq_res_query_frames(spark, sf_dir, cents, rtcents)
+    probes = scoped_persist(probes)
+    cells = sorted({r.cell for r in probes.select("cell").distinct().collect()})
+    gen_frames = []
+    for g in range(2):
+        gdir = os.path.join(path, "codes", f"gen={g}")
+        if os.path.isdir(gdir):
+            gen_frames.append(
+                spark.read.schema("vec_id bigint, m int, cid bigint, cell bigint")
+                .parquet(gdir)
+                .where(F.col("cell").isin(cells))
+            )
+    codes = gen_frames[0]
+    for gf in gen_frames[1:]:
+        codes = codes.unionByName(gf)
+    return _ivfpq_res_rank(codes, probes, rqtab)
+
+
 @register(
     "q_auc_ranksum",
     sql="""

@@ -545,6 +545,123 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPELLFIX_MIN_LEN = 4   # vocab terms shorter than this skip the index
+SPELLFIX_QUERIES = 30  # fixed-size query set (the _QCAP rule)
+
+_SPELLFIX_SQL = f"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term FROM documents
+    ), vocab AS (
+      SELECT term, count(*) AS freq FROM toks
+      WHERE len(term) >= {SPELLFIX_MIN_LEN} GROUP BY term
+    ), queries AS (
+      SELECT DISTINCT substr(term, 1, 1) || substr(term, 3) AS qterm
+      FROM (
+        SELECT term, row_number() OVER (ORDER BY freq DESC, term) AS rn
+        FROM vocab WHERE len(term) >= {SPELLFIX_MIN_LEN + 1}
+      ) WHERE rn <= {SPELLFIX_QUERIES}
+    ), vdel AS (
+      SELECT term, freq,
+             unnest(list_prepend(term, list_transform(range(1, len(term) + 1),
+               i -> substr(term, 1, i - 1) || substr(term, i + 1)))) AS dkey
+      FROM vocab
+    ), qdel AS (
+      SELECT DISTINCT qterm,
+             unnest(list_prepend(qterm, list_transform(range(1, len(qterm) + 1),
+               i -> substr(qterm, 1, i - 1) || substr(qterm, i + 1)))) AS dkey
+      FROM queries
+    ), cand AS (
+      SELECT DISTINCT q.qterm, v.term, v.freq FROM qdel q JOIN vdel v USING (dkey)
+    ), verified AS (
+      SELECT qterm, term, freq, levenshtein(qterm, term) AS dist
+      FROM cand WHERE levenshtein(qterm, term) <= 1
+    )
+    SELECT qterm, term AS correction,
+           CAST(dist AS BIGINT) AS dist, CAST(freq AS BIGINT) AS freq
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY qterm
+        ORDER BY dist, freq DESC, term) AS rn
+      FROM verified
+    ) WHERE rn = 1 ORDER BY qterm
+    """
+
+_SPELLFIX_DEL_EXPR = (
+    "concat(array({c}), transform(sequence(1, length({c})),"
+    " i -> concat(substring({c}, 1, i - 1), substring({c}, i + 1))))"
+)
+
+
+@register("q_spellfix", sql=_SPELLFIX_SQL)
+def q_spellfix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell-style spelling correction: a symmetric-delete index
+    over the corpus vocabulary answers "nearest dictionary term within
+    edit distance 1" WITHOUT a quadratic fuzzy join and WITHOUT the
+    blocking heuristic q_fuzzy_join relies on (blocking can miss pairs
+    whose block key itself is the corrupted token; the delete cover is
+    COMPLETE for d<=1: any substitution/insertion/deletion shares a
+    1-delete key with the original — verified here by the exact
+    levenshtein check the candidates must pass).
+
+    Query set: deterministic edit-1 corruptions (2nd character
+    deleted) of the top-{q} most frequent terms — fixed size, the
+    _QCAP rule, so the probe side broadcasts and the index side
+    streams: no skew hazard at any corpus size.  Ranking is
+    (distance, freq DESC, term) with a total-order tie-break;
+    levenshtein is the same classic DP integer on both engines
+    (the q_fuzzy_join bridge), so the key carries a full hash oracle.
+
+    Scale shape: vocabulary is corpus-sublinear, the delete index is
+    O(vocab * avg_len) rows built by one explode (no shuffle beyond
+    the vocab agg), and each query pays |deletes(q)| broadcast-joined
+    probes.  The persisted-index variant would partition vdel by a
+    dkey hash bucket — the text-index layout, noted not built."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("term"))
+    vocab = (
+        toks.where(F.length("term") >= SPELLFIX_MIN_LEN)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    queries = (
+        vocab.where(F.length("term") >= SPELLFIX_MIN_LEN + 1)
+        .orderBy(F.desc("freq"), "term")
+        .limit(SPELLFIX_QUERIES)
+        .select(
+            F.expr("concat(substring(term, 1, 1), substring(term, 3))").alias("qterm")
+        )
+        .distinct()
+    )
+    vdel = vocab.select(
+        "term", "freq",
+        F.explode(F.expr(_SPELLFIX_DEL_EXPR.format(c="term"))).alias("dkey"),
+    )
+    qdel = queries.select(
+        "qterm",
+        F.explode(F.expr(_SPELLFIX_DEL_EXPR.format(c="qterm"))).alias("dkey"),
+    ).distinct()
+    cand = (
+        vdel.join(F.broadcast(qdel), "dkey")
+        .select("qterm", "term", "freq")
+        .distinct()
+        .withColumn("dist", F.levenshtein("qterm", "term"))
+        .where(F.col("dist") <= 1)
+    )
+    w = Window.partitionBy("qterm").orderBy("dist", F.desc("freq"), "term")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "qterm",
+            F.col("term").alias("correction"),
+            F.col("dist").cast("long").alias("dist"),
+            F.col("freq").cast("long").alias("freq"),
+        )
+        .orderBy("qterm")
+    )
+
+
 @register(
     "q_doc_entropy",
     sql="""

@@ -35,7 +35,7 @@ def main() -> None:
         oracle = "SQL" if q.sql is not None else "rows-only"
         rows.append(f"| {q.key} | {module} | {oracle} | {first_line} |")
 
-    section = f"""{MARKER} (v1, round 1 — generated from the registry)
+    section = f"""{MARKER} (regenerated from the registry each round — tools/gen_inventory.py)
 
 Every key below is registered in ``__spark_entry__.py::queries()``;
 ``oracle=SQL`` keys carry a DuckDB twin in ``oracle_sql()`` and pass
