@@ -4846,3 +4846,153 @@ def q_ann_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+# ---------------------------------------------------- SemDeDup (r11)
+
+# ε for the within-cell near-duplicate ball, in int64 micro-units² of
+# the +2-shifted micro-unit space (≈ 1.14 L2 in raw embedding units —
+# calibrated on the fixture so ~15% of vectors fall in a lower-id
+# ball at BOTH sf0.001 and sf0.01; data-dependent thresholds must be
+# gated at sf0.01, CLAUDE.md).
+SEMDEDUP_EPS = 1_300_000_000_000
+
+# Shared CTE prefix: byte-identical to _IVFK_SQL's training/assignment
+# chain (same seeds, same one-Lloyd-round integer centroids, same
+# exact-int64 assignment) so the SemDeDup cells ARE the q_ann_ivf_kmeans
+# cells — one training contract across the ANN and dedup families.
+_SEMDEDUP_ASSIGN = f"""vecs AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(floor((x + 2.0) * 1000000 + 0.5) AS BIGINT)) AS vm
+      FROM embeddings
+    ), seeds AS (
+      SELECT vec_id AS cid, vm AS cm FROM vecs WHERE vec_id < {IVFK_NLIST}
+    ), d0 AS (
+      SELECT v.vec_id, s.cid,
+             list_reduce(list_transform(range(1, len(v.vm) + 1),
+                  i -> (v.vm[i] - s.cm[i]) * (v.vm[i] - s.cm[i])),
+               (acc, x) -> acc + x) AS sq
+      FROM vecs v CROSS JOIN seeds s
+    ), a0 AS (
+      SELECT vec_id, cid FROM d0
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sq, cid) = 1
+    ), elems AS (
+      SELECT a.cid, unnest(range(1, len(v.vm) + 1)) AS pos, unnest(v.vm) AS m
+      FROM a0 a JOIN vecs v USING (vec_id)
+    ), cmeans AS (
+      SELECT cid, pos, CAST(sum(m) AS BIGINT) // count(*) AS nm
+      FROM elems GROUP BY cid, pos
+    ), cents AS (
+      SELECT cid, list(nm ORDER BY pos) AS cm FROM cmeans GROUP BY cid
+    ), d1 AS (
+      SELECT v.vec_id, c.cid,
+             list_reduce(list_transform(range(1, len(v.vm) + 1),
+                  i -> (v.vm[i] - c.cm[i]) * (v.vm[i] - c.cm[i])),
+               (acc, x) -> acc + x) AS sq
+      FROM vecs v CROSS JOIN cents c
+    ), assign AS (
+      SELECT vec_id, cid AS cell FROM d1
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sq, cid) = 1
+    )"""
+
+_SEMDEDUP_SQL = f"""
+    WITH {_SEMDEDUP_ASSIGN}, near AS (
+      SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+      FROM assign a
+      JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN vecs p ON p.vec_id = a.vec_id
+      JOIN vecs q ON q.vec_id = b.vec_id
+      WHERE list_reduce(list_transform(range(1, len(p.vm) + 1),
+                 i -> (p.vm[i] - q.vm[i]) * (p.vm[i] - q.vm[i])),
+              (acc, x) -> acc + x) <= {SEMDEDUP_EPS}
+      GROUP BY b.vec_id
+    )
+    SELECT s.vec_id, CAST(s.cell AS BIGINT) AS cell,
+           CAST(CASE WHEN n.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept,
+           CAST(COALESCE(n.dup_of, -1) AS BIGINT) AS dup_of
+    FROM assign s LEFT JOIN near n ON n.vec_id = s.vec_id
+    """
+
+
+@register("q_semdedup", sql=_SEMDEDUP_SQL)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by k-means
+    clustering + within-cluster ε-ball pruning.  Vectors are assigned
+    to the q_ann_ivf_kmeans trained cells (shared CTE prefix — one
+    training contract), then within each cell any vector with a
+    LOWER-ID neighbor inside ε is dropped (the chain's lowest-id
+    member survives — the deterministic spelling of the paper's
+    keep-one-per-duplicate-group rule).  Emits one verdict row per
+    vector: (vec_id, cell, kept, dup_of).
+
+    All-integer (micro-unit vectors, int64 squared-L2, integer
+    centroid means) → full hash oracle THROUGH the k-means round.
+
+    Scale: the pair stage is within-cell only — O(Σ cell²).  A
+    deployment grows nlist ≈ n / target_cell (the IVFK knob, SCALE.md
+    r8) so per-cell occupancy is constant and total pair work is
+    LINEAR in the corpus; that bound is the entire point of
+    clustering before comparing (same blocking role as the LSH bands
+    in q_dedup_minhash_md5)."""
+    e = load(spark, sf_dir, "embeddings", spread=True)
+    vecs = e.select("vec_id", _micro_arr("embedding").alias("vm"))
+    cents = _ivfk_cents(vecs)
+    # three readers of the assignment (both pair sides + the verdict
+    # left-join base): persist the O(n·nlist) assign pass once
+    assign = scoped_persist(
+        vecs.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "vm", "cid",
+            _int_sqdist(F.col("vm"), F.col("cm")).alias("sq"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.min_by("cid", F.struct(F.col("sq"), F.col("cid"))).alias("cell"),
+            F.first("vm").alias("vm"),
+        )
+    )
+    a = assign.select(
+        "cell", F.col("vec_id").alias("va"), F.col("vm").alias("vma")
+    )
+    b = assign.select("cell", "vec_id", F.col("vm").alias("vmb"))
+    near = (
+        a.join(b, "cell")
+        .where(F.col("va") < F.col("vec_id"))
+        .where(_int_sqdist(F.col("vma"), F.col("vmb")) <= F.lit(SEMDEDUP_EPS))
+        .groupBy("vec_id")
+        .agg(F.min("va").alias("dup_of"))
+    )
+    return (
+        assign.join(near, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            F.when(F.col("dup_of").isNull(), 1).otherwise(0).cast("long").alias("kept"),
+            F.coalesce(F.col("dup_of"), F.lit(-1)).cast("long").alias("dup_of"),
+        )
+    )
+
+
+_SEMDEDUP_STATS_SQL = f"""
+    WITH sd AS ({_SEMDEDUP_SQL})
+    SELECT cell,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(kept) AS BIGINT) AS n_kept,
+           CAST(count(*) - sum(kept) AS BIGINT) AS n_dropped
+    FROM sd GROUP BY cell
+    """
+
+
+@register("q_semdedup_stats", sql=_SEMDEDUP_STATS_SQL)
+def q_semdedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell SemDeDup retention report (the number a curation run
+    actually monitors: how much each semantic cluster shrank).
+    Composes q_semdedup's full oracle as a CTE (the registered-oracles-
+    compose pattern) — the hash certifies the whole pipeline again."""
+    sd = q_semdedup.__wrapped__(spark, sf_dir)
+    return sd.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("kept").cast("long").alias("n_kept"),
+        (F.count(F.lit(1)) - F.sum("kept")).cast("long").alias("n_dropped"),
+    )

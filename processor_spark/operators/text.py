@@ -2114,3 +2114,91 @@ def q_phrase_search_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.join(F.broadcast(cand), "doc_id").select("doc_id", "source").orderBy(
         "doc_id"
     )
+
+
+# --------------------------------------- Gopher repetition rules (r11)
+
+# Gopher-style repetition thresholds (Rae et al. 2021 §A1.1 use 0.20
+# for the top-2-gram character fraction; these token-based ppm cuts
+# are calibrated on the fixture so ~10-15% of docs flag at sf0.01 —
+# exact integers on both engines, no rounding-boundary hazard).
+GOPHER_TOP2_PPM = 70_000    # top bigram occupies >= 7% of bigram slots
+GOPHER_DUP2_PPM = 125_000   # >= 12.5% of bigram slots are repeats
+
+_GOPHER_SQL = rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ), pos AS (
+      SELECT doc_id, t, unnest(range(1, len(t))) AS i
+      FROM toks WHERE len(t) >= 2
+    ), grams AS (
+      SELECT doc_id, t[i] || ' ' || t[i + 1] AS gram FROM pos
+    ), gcnt AS (
+      SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram
+    ), rep AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_bigrams,
+             CAST(max(c) AS BIGINT) AS top_c,
+             CAST(COALESCE(sum(CASE WHEN c >= 2 THEN c END), 0) AS BIGINT) AS dup_pos
+      FROM gcnt GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           CAST((top_c * 1000000) // n_bigrams AS BIGINT) AS top_bigram_ppm,
+           CAST((dup_pos * 1000000) // n_bigrams AS BIGINT) AS dup_bigram_ppm,
+           CAST(CASE WHEN (top_c * 1000000) // n_bigrams >= {GOPHER_TOP2_PPM}
+                       OR (dup_pos * 1000000) // n_bigrams >= {GOPHER_DUP2_PPM}
+                     THEN 0 ELSE 1 END AS BIGINT) AS passes
+    FROM rep
+    """
+
+
+@register("q_gopher_repetition", sql=_GOPHER_SQL)
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, §A1.1
+    'repetitious text' filters), token-bigram flavor: per document,
+    the share of bigram slots held by the single most frequent bigram
+    (top_bigram_ppm) and the share of slots whose bigram occurs more
+    than once (dup_bigram_ppm), plus the keep/drop verdict a curation
+    pipeline consumes.  Integer ppm via the `div`/`//` bridge — full
+    hash oracle, no float surface.  Complements q_quality_repetition
+    (the per-SOURCE distinct-vs-total aggregate): this key emits the
+    per-document verdict rows a filter stage actually joins on, and
+    the top-single-bigram share is a separate Gopher rule the
+    distinct-fraction signal cannot see (one gram repeated 20 times
+    vs 20 grams each repeated twice).
+
+    Bigrams come from the array-native transform trick (CLAUDE.md:
+    sequence + t[i] indexing, guarded size >= 2 so sequence never
+    counts down) — no posexplode + window sort of the token stream.
+    Scale: explode → two hash aggs, all map-side-combinable; nothing
+    data-sized crosses a window."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokenize(F.col("text")).alias("t"))
+    grams = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))")
+            ).alias("gram"),
+        )
+    )
+    gcnt = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    rep = gcnt.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.max("c").cast("long").alias("top_c"),
+        F.coalesce(F.sum(F.when(F.col("c") >= 2, F.col("c"))), F.lit(0))
+        .cast("long")
+        .alias("dup_pos"),
+    )
+    return rep.select(
+        "doc_id",
+        "n_bigrams",
+        F.expr("CAST((top_c * 1000000) div n_bigrams AS BIGINT)").alias("top_bigram_ppm"),
+        F.expr("CAST((dup_pos * 1000000) div n_bigrams AS BIGINT)").alias("dup_bigram_ppm"),
+        F.expr(
+            f"CAST(CASE WHEN (top_c * 1000000) div n_bigrams >= {GOPHER_TOP2_PPM}"
+            f" OR (dup_pos * 1000000) div n_bigrams >= {GOPHER_DUP2_PPM}"
+            " THEN 0 ELSE 1 END AS BIGINT)"
+        ).alias("passes"),
+    )
