@@ -388,3 +388,123 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+# ------------------------------------ label propagation (r11)
+
+_LPA_ITERS = 3
+
+
+def _lpa_iter_sql(i: int) -> str:
+    prev = f"lab{i - 1}"
+    return f"""
+    lab{i} AS (
+      SELECT p.node, COALESCE(b.lab, p.lab) AS lab
+      FROM {prev} p
+      LEFT JOIN (
+        SELECT node, lab FROM (
+          SELECT node, lab, tw,
+                 row_number() OVER (PARTITION BY node
+                                    ORDER BY tw DESC, lab) AS rn
+          FROM (
+            SELECT u.node, q.lab, CAST(sum(u.w) AS BIGINT) AS tw
+            FROM und u JOIN {prev} q ON q.node = u.nbr
+            GROUP BY u.node, q.lab
+          )
+        ) WHERE rn = 1
+      ) b ON b.node = p.node
+    )"""
+
+
+@register(
+    "q_label_propagation",
+    sql=f"""
+    WITH raw AS (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS w
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ), und AS (
+      SELECT node, nbr, CAST(sum(w) AS BIGINT) AS w FROM (
+        SELECT src AS node, dst AS nbr, w FROM raw WHERE src <> dst
+        UNION ALL
+        SELECT dst AS node, src AS nbr, w FROM raw WHERE src <> dst
+      ) GROUP BY node, nbr
+    ), lab0 AS (
+      SELECT n_nationkey AS node, n_nationkey AS lab FROM nation
+    ),{",".join(_lpa_iter_sql(i) for i in range(1, _LPA_ITERS + 1))}
+    SELECT n.n_name AS node, CAST(l.lab AS BIGINT) AS community
+    FROM lab{_LPA_ITERS} l JOIN nation n ON n.n_nationkey = l.node
+    """,
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous weighted label propagation
+    (Raghavan et al. 2007) over the undirected nation trade graph —
+    {_LPA_ITERS} fixed rounds, each node adopting the label with the
+    largest total incident edge weight among its neighbors (tie →
+    smallest label; isolated nodes keep their label).  Labels are
+    nation keys and edge weights are lineitem counts, so every round
+    is pure int64 — full hash oracle with zero float surface (vs
+    q_pagerank, whose mass updates are rounded doubles).
+
+    Scale shape: the edge list is built once from the fact join and
+    persisted (scanned every round); each round is one join of the
+    label vector (node-sized, broadcast at any scale) against the
+    edge list + a (node, lab) hash-agg + a per-node argmax — the
+    standard LPA plan, linear in edges per round.  The label vector
+    is localCheckpoint(eager=True)ed so lineage stays O(1) across
+    rounds (the q_dedup_clusters rule)."""
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    raw = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("src") != F.col("dst"))
+    )
+    und = (
+        raw.select(F.col("src").alias("node"), F.col("dst").alias("nbr"), "w")
+        .unionByName(
+            raw.select(F.col("dst").alias("node"), F.col("src").alias("nbr"), "w")
+        )
+        .groupBy("node", "nbr")
+        .agg(F.sum("w").cast("long").alias("w"))
+        .transform(scoped_persist)
+    )
+    lab = n.select("n_nationkey").select(
+        F.col("n_nationkey").alias("node"), F.col("n_nationkey").alias("lab")
+    )
+    from pyspark.sql import Window
+
+    for _ in range(_LPA_ITERS):
+        votes = (
+            und.join(
+                lab.select(F.col("node").alias("nbr"), F.col("lab").alias("nlab")),
+                "nbr",
+            )
+            .groupBy("node", "nlab")
+            .agg(F.sum("w").cast("long").alias("tw"))
+        )
+        wv = Window.partitionBy("node").orderBy(F.col("tw").desc(), F.col("nlab"))
+        best = (
+            votes.withColumn("rn", F.row_number().over(wv))
+            .where(F.col("rn") == 1)
+            .select("node", F.col("nlab").alias("best_lab"))
+        )
+        lab = (
+            lab.join(best, "node", "left")
+            .select("node", F.coalesce("best_lab", "lab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+    return lab.join(
+        F.broadcast(n), lab.node == n.n_nationkey
+    ).select(F.col("n_name").alias("node"), F.col("lab").cast("long").alias("community"))

@@ -4934,10 +4934,32 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     r8) so per-cell occupancy is constant and total pair work is
     LINEAR in the corpus; that bound is the entire point of
     clustering before comparing (same blocking role as the LSH bands
-    in q_dedup_minhash_md5)."""
+    in q_dedup_minhash_md5).  Measured on the jittered N× layout
+    (tools/ann_bits_probe.py semdedup, SCALE.md r11): fixed nlist=8
+    at 64× runs 2321 s — occupancy² pair work AND parallelism capped
+    at 8 cells — while nlist=512 (occupancy held at base) runs 80.5 s
+    with equal dedup quality (126.6k vs 126.1k of 128k dropped; the
+    jitter clones collapse as they should).  The scaled path is then
+    assign-bound (O(n·nlist) broadcast distances); at index-backed
+    deployments even that vanishes — reuse the persisted IVF
+    assignments (build_ivf_kmeans_index) instead of re-assigning."""
+    return semdedup_verdicts(spark, sf_dir)
+
+
+def semdedup_verdicts(
+    spark: SparkSession,
+    sf_dir: str,
+    nlist: int = IVFK_NLIST,
+    eps: int = SEMDEDUP_EPS,
+) -> DataFrame:
+    """Parameterized SemDeDup (the q_semdedup pipeline with the nlist
+    and ε knobs exposed): a deployment grows nlist ≈ n / target_cell
+    so the within-cell pair stage stays linear — the same
+    re-parameterization rule every family in this module carries
+    (SCALE.md r8).  Defaults reproduce the registered key exactly."""
     e = load(spark, sf_dir, "embeddings", spread=True)
     vecs = e.select("vec_id", _micro_arr("embedding").alias("vm"))
-    cents = _ivfk_cents(vecs)
+    cents = _ivfk_cents(vecs, nlist)
     # three readers of the assignment (both pair sides + the verdict
     # left-join base): persist the O(n·nlist) assign pass once
     assign = scoped_persist(
@@ -4959,7 +4981,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     near = (
         a.join(b, "cell")
         .where(F.col("va") < F.col("vec_id"))
-        .where(_int_sqdist(F.col("vma"), F.col("vmb")) <= F.lit(SEMDEDUP_EPS))
+        .where(_int_sqdist(F.col("vma"), F.col("vmb")) <= F.lit(eps))
         .groupBy("vec_id")
         .agg(F.min("va").alias("dup_of"))
     )

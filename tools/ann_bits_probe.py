@@ -39,7 +39,7 @@ _args = [a.lstrip("-") for a in sys.argv[1:]]
 REPL = next((int(a) for a in _args if a.isdigit()), 64)
 # optional section selector: "graph", "ivf", "filtered" (default: all)
 ONLY = next((a for a in _args if a and not a.isdigit()), None)
-_KNOWN = (None, "graph", "ivf", "filtered", "ivfpq")
+_KNOWN = (None, "graph", "ivf", "filtered", "ivfpq", "semdedup")
 if ONLY not in _KNOWN:
     sys.exit(f"unknown section {ONLY!r}; expected one of {_KNOWN[1:]}")
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -299,6 +299,30 @@ def main() -> None:
                 "nlist": nl,
                 **kw,
                 "recall_at_5": round(rec, 4),
+                "wall_s": round(time.perf_counter() - t0, 2),
+            }
+
+    # ---- SemDeDup nlist scaling (r11): the within-cell pair stage is
+    # O(occupancy²) per cell, so fixed nlist goes quadratic as the
+    # corpus grows; re-parameterizing nlist ≈ n / target_cell holds
+    # occupancy constant and keeps total pair work linear.  The
+    # jittered replicas land inside SEMDEDUP_EPS of their originals,
+    # so n_dropped also shows the dedup actually firing at N×.
+    if ONLY in (None, "semdedup"):
+        from processor_spark.operators.similarity import semdedup_verdicts
+
+        for tag, nl, src in (
+            ("semdedup_base", IVFK_NLIST, SRC),
+            ("semdedup_fixed_nlist", IVFK_NLIST, DST),
+            ("semdedup_scaled_nlist", nlist_scaled, DST),
+        ):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            pdf = semdedup_verdicts(spark, src, nlist=nl).toPandas()
+            result[tag] = {
+                "nlist": nl,
+                "n_vecs": int(len(pdf)),
+                "n_dropped": int((pdf["kept"] == 0).sum()),
                 "wall_s": round(time.perf_counter() - t0, 2),
             }
 

@@ -181,6 +181,14 @@ HEADLINE = [
     "q_curriculum_shards",
     "q_ann_pq_trained_serve",
     "q_winnow_fingerprints",
+    # r11: SemDeDup (within-cell pair stage — per-cell occupancy grows
+    # with the corpus at fixed nlist, so the fixture ratio is the
+    # WORST case; a deployment re-parameterizes nlist ≈ n/target_cell
+    # to keep it linear), its per-cell report, and the per-doc Gopher
+    # repetition signals (explode + two map-side-combinable aggs)
+    "q_semdedup",
+    "q_semdedup_stats",
+    "q_gopher_repetition",
 ]
 
 # per-table key columns to shift per replica so keys stay unique and
