@@ -4974,6 +4974,15 @@ def semdedup_verdicts(
             F.first("vm").alias("vm"),
         )
     )
+    return _semdedup_from_assign(assign, eps)
+
+
+def _semdedup_from_assign(assign: DataFrame, eps: int) -> DataFrame:
+    """Pair + verdict stages over an (vec_id, vm, cell) assignment
+    frame — shared by the in-plan key (computed assign, persisted)
+    and the index-backed serve twin (parquet assign, NOT persisted:
+    three cheap pruned scans fuse into their own stages, the r8
+    persist adjudication rule)."""
     a = assign.select(
         "cell", F.col("vec_id").alias("va"), F.col("vm").alias("vma")
     )
@@ -4994,6 +5003,28 @@ def semdedup_verdicts(
             F.coalesce(F.col("dup_of"), F.lit(-1)).cast("long").alias("dup_of"),
         )
     )
+
+
+@register("q_semdedup_serve", sql=_SEMDEDUP_SQL)
+def q_semdedup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup served from the persisted trained-centroid IVF index:
+    read build_ivf_kmeans_index's materialized (vec_id, vm, cell)
+    assignments instead of re-running the O(n·nlist) assign crossJoin
+    — the deployment shape the SCALE.md r11 probe points at (the
+    re-parameterized path's residual cost is the assign; an
+    index-backed run pays zero, because the ANN build already wrote
+    the identical assignment).  Shares the rebuild twin's oracle, so
+    the hash certifies both the parquet round trip and the derivation
+    contract between the ANN index and the dedup family.  Read schema
+    pinned (fmt-3 assignments carry a label column this key never
+    uses — the q_bm25_serve rule)."""
+    import os
+
+    path = build_ivf_kmeans_index(spark, sf_dir)
+    assign = spark.read.schema("vec_id bigint, vm array<bigint>, cell int").parquet(
+        os.path.join(path, "assignments")
+    )
+    return _semdedup_from_assign(assign, SEMDEDUP_EPS)
 
 
 _SEMDEDUP_STATS_SQL = f"""

@@ -636,3 +636,15 @@ def test_ann_ivfpq_refine_serve_is_pruned_and_point_lookup(spark):
     assert "cell" in seg and "IN" in seg.upper()
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_semdedup_serve_skips_the_assign_crossjoin(spark):
+    """r11: the index-backed SemDeDup serve must answer from the
+    persisted assignments — no centroid crossJoin (the in-plan key's
+    O(n·nlist) Lloyd/assign passes), no Python boundary; just parquet
+    scans of the index + the within-cell pair join."""
+    plan = explain_str(_df(spark, "q_semdedup_serve"))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    in_plan = explain_str(_df(spark, "q_semdedup"))
+    assert "BroadcastNestedLoopJoin" in in_plan  # the assign crossJoins

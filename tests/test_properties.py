@@ -971,3 +971,202 @@ def test_quality_holdout_learns_planted_signal_and_matches_numpy(spark, tmp_path
         m = (te["lang"] == lang).to_numpy()
         want_agree = int((pred[m] == te["y"].to_numpy()[m]).sum())
         assert got[lang].n_agree == want_agree, (lang, got[lang].n_agree, want_agree)
+
+
+# ---------------------------------------------------------------- r11
+
+
+def test_semdedup_matches_numpy_bruteforce(spark):
+    """Full INDEPENDENT replay of q_semdedup in numpy (the r8 rule:
+    cross-engine hash parity cannot catch a wrong formula both
+    engines share, because the expression trees are identical by
+    construction).  Re-derives micro-unit integerization, the seeded
+    one-Lloyd-round k-means, the assignment, and the within-cell
+    ε-ball drop rule from scratch and compares every verdict row."""
+    import numpy as np
+    import pandas as pd
+
+    from processor_spark.operators.similarity import (
+        IVFK_NLIST,
+        SEMDEDUP_EPS,
+        q_semdedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        q_semdedup.__wrapped__(spark, sf)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+    raw = pd.read_parquet(f"{sf}/embeddings.parquet")
+    ids = raw["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    ids = ids[order]
+    emb = np.stack(raw["embedding"].to_numpy()[order]).astype(np.float64)
+    vm = np.floor((emb + 2.0) * 1e6 + 0.5).astype(np.int64)
+    assert (vm >= 0).all()  # +2 shift: div == floordiv for the means
+
+    seeds = vm[ids < IVFK_NLIST]
+    seed_ids = ids[ids < IVFK_NLIST]
+
+    def nearest(points, cents, cent_ids):
+        # exact int64 squared L2, tie -> lowest centroid id
+        d = ((points[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        o = np.argsort(cent_ids)
+        d = d[:, o]
+        return np.asarray(cent_ids)[o][np.argmin(d, axis=1)]
+
+    a0 = nearest(vm, seeds, seed_ids)
+    cents, cids = [], []
+    for cid in sorted(set(a0.tolist())):
+        members = vm[a0 == cid]
+        cents.append(members.sum(axis=0) // len(members))  # exact int div (non-neg)
+        cids.append(cid)
+    cents = np.stack(cents)
+    cell = nearest(vm, cents, np.array(cids))
+
+    dup_of = {}
+    for c in set(cell.tolist()):
+        m_ids = ids[cell == c]
+        m_vm = vm[cell == c]
+        for j in range(len(m_ids)):
+            lower = [
+                m_ids[i]
+                for i in range(len(m_ids))
+                if m_ids[i] < m_ids[j]
+                and int(((m_vm[i] - m_vm[j]) ** 2).sum()) <= SEMDEDUP_EPS
+            ]
+            if lower:
+                dup_of[int(m_ids[j])] = min(lower)
+
+    exp = pd.DataFrame(
+        {
+            "vec_id": ids,
+            "cell": cell.astype("int64"),
+            "kept": np.array([0 if int(v) in dup_of else 1 for v in ids], dtype="int64"),
+            "dup_of": np.array(
+                [dup_of.get(int(v), -1) for v in ids], dtype="int64"
+            ),
+        }
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_gopher_repetition_matches_python_recount(spark):
+    """Independent Counter-based recount of every per-doc Gopher
+    signal (whitespace tokenization replayed with re.split)."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from processor_spark.operators.text import (
+        GOPHER_DUP2_PPM,
+        GOPHER_TOP2_PPM,
+        q_gopher_repetition,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        q_gopher_repetition.__wrapped__(spark, sf)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    docs = pd.read_parquet(f"{sf}/documents.parquet").sort_values("doc_id")
+    rows = []
+    for _, r in docs.iterrows():
+        toks = re.split(r"\s+", r["text"].strip())
+        if len(toks) < 2:
+            continue
+        grams = Counter(
+            f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)
+        )
+        n = len(toks) - 1
+        top = max(grams.values())
+        dup = sum(c for c in grams.values() if c >= 2)
+        top_ppm = (top * 1_000_000) // n
+        dup_ppm = (dup * 1_000_000) // n
+        rows.append(
+            {
+                "doc_id": r["doc_id"],
+                "n_bigrams": n,
+                "top_bigram_ppm": top_ppm,
+                "dup_bigram_ppm": dup_ppm,
+                "passes": 0
+                if (top_ppm >= GOPHER_TOP2_PPM or dup_ppm >= GOPHER_DUP2_PPM)
+                else 1,
+            }
+        )
+    exp = pd.DataFrame(rows).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_label_propagation_matches_python_replay(spark):
+    """Pure-Python replay of the 3-round weighted LPA from an
+    independently derived edge list (pandas merges, no Spark)."""
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from processor_spark.operators.graph import _LPA_ITERS, q_label_propagation
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.node: r.community
+        for r in q_label_propagation.__wrapped__(spark, sf).collect()
+    }
+
+    l = pd.read_parquet(f"{sf}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"])
+    o = pd.read_parquet(f"{sf}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    s = pd.read_parquet(f"{sf}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    c = pd.read_parquet(f"{sf}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    n = pd.read_parquet(f"{sf}/nation.parquet", columns=["n_nationkey", "n_name"])
+    j = (
+        l.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(s, left_on="l_suppkey", right_on="s_suppkey")
+        .merge(c, left_on="o_custkey", right_on="c_custkey")
+    )
+    w = defaultdict(int)
+    for src, dst in zip(j["s_nationkey"], j["c_nationkey"]):
+        if src != dst:
+            w[(int(src), int(dst))] += 1
+    und = defaultdict(int)
+    for (src, dst), cnt in w.items():
+        und[(src, dst)] += cnt
+        und[(dst, src)] += cnt
+    nbrs = defaultdict(list)
+    for (a, b), cnt in und.items():
+        nbrs[a].append((b, cnt))
+    lab = {int(k): int(k) for k in n["n_nationkey"]}
+    for _ in range(_LPA_ITERS):
+        new = dict(lab)
+        for node in lab:
+            votes = defaultdict(int)
+            for b, cnt in nbrs.get(node, []):
+                votes[lab[b]] += cnt
+            if votes:
+                new[node] = min(
+                    votes, key=lambda kk: (-votes[kk], kk)
+                )  # max weight, tie -> smallest label
+        lab = new
+    names = dict(zip(n["n_nationkey"], n["n_name"]))
+    exp = {names[k]: v for k, v in lab.items()}
+    assert got == exp
+
+
+def test_semdedup_serve_equals_inplan(spark):
+    """The index-backed serve twin returns EXACTLY the in-plan key's
+    verdicts (the shared-oracle contract, asserted directly)."""
+    from processor_spark.operators.similarity import q_semdedup, q_semdedup_serve
+
+    sf = "/root/testdata/sf0.001"
+    a = q_semdedup.__wrapped__(spark, sf).toPandas().sort_values("vec_id")
+    b = q_semdedup_serve.__wrapped__(spark, sf).toPandas().sort_values("vec_id")
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
