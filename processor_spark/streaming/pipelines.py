@@ -1344,3 +1344,137 @@ def compact_text_stream_index(spark: SparkSession, path: str) -> str:
     os.replace(stage, root)  # new single-gen layout in (atomic)
     shutil.rmtree(old, ignore_errors=True)  # best-effort GC
     return path
+
+
+# ------------------- streaming semantic dedup (r11): new embeddings
+# probe the STANDING corpus' k-means cells held as stream state — the
+# semantic rung of the streaming dedup ladder (exact dedup:
+# dropDuplicates; near-dup: minhash_band_flags; semantic: this).
+
+SEMDEDUP_STREAM_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("kept", T.LongType()),
+        T.StructField("dup_of", T.LongType()),
+    ]
+)
+# Per-cell state = EVERY member seen (ids + row-major flattened
+# micro-unit vectors).  Unlike the band registry (one long per
+# bucket), SemDeDup's ε-ball probe needs the member VECTORS, so state
+# is the cell's integer corpus — it grows linearly with ingest.  That
+# is inherent to the operator (the batch twin scans the same
+# vectors); the production knobs are nlist ∝ n (cells stay
+# occupancy-bounded, and each state row stays small) and the
+# generational batch path (build_ivf_append_index) once cells exceed
+# state-store comfort.  Documented, not hidden.
+SEMDEDUP_STREAM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("vms", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _semdedup_state_fn(key, pdfs: Iterator[pd.DataFrame], state):
+    """Per-cell ε-ball verdict machine, exactly the batch drop rule:
+    a vector is dropped iff SOME lower-id member of its cell sits
+    within SEMDEDUP_EPS (dup_of = the smallest such id).  Rows are
+    processed in vec_id order within the batch, so with id-ordered
+    ingest the streamed verdicts equal the batch twin's exactly;
+    out-of-order arrivals get the band-state semantics (verdicts are
+    emitted once, never retracted — a late low-id vector joins the
+    standing membership for FUTURE probes only)."""
+    import numpy as np
+
+    from processor_spark.operators.similarity import SEMDEDUP_EPS
+
+    cell = int(key[0])
+    if state.exists:
+        ids = list(state.get[0])
+        flat = list(state.get[1])
+    else:
+        ids, flat = [], []
+    rows = []
+    for pdf in pdfs:
+        for v, x in zip(pdf["vec_id"], pdf["vm"]):
+            rows.append((int(v), [int(e) for e in x]))
+    rows.sort()
+    d = len(rows[0][1]) if rows else 0
+    mem = (
+        np.asarray(flat, dtype=np.int64).reshape(len(ids), -1)
+        if ids
+        else np.zeros((0, d), dtype=np.int64)
+    )
+    mem_ids = np.asarray(ids, dtype=np.int64)
+    out = {"vec_id": [], "kept": [], "dup_of": []}
+    for v, x in rows:
+        xv = np.asarray(x, dtype=np.int64)
+        lower = mem_ids < v
+        dup = -1
+        if lower.any():
+            dist = ((mem[lower] - xv) ** 2).sum(axis=1)
+            hits = mem_ids[lower][dist <= SEMDEDUP_EPS]
+            if len(hits):
+                dup = int(hits.min())
+        out["vec_id"].append(v)
+        out["kept"].append(1 if dup == -1 else 0)
+        out["dup_of"].append(dup)
+        mem = np.concatenate([mem, xv[None, :]], axis=0)
+        mem_ids = np.concatenate([mem_ids, np.asarray([v], dtype=np.int64)])
+    state.update((mem_ids.tolist(), mem.flatten().tolist()))
+    yield pd.DataFrame(
+        {
+            "vec_id": pd.Series(out["vec_id"], dtype="int64"),
+            "cell": pd.Series([cell] * len(out["vec_id"]), dtype="int32"),
+            "kept": pd.Series(out["kept"], dtype="int64"),
+            "dup_of": pd.Series(out["dup_of"], dtype="int64"),
+        }
+    )
+
+
+def semdedup_assign_frame(vecs: DataFrame, cents_rows: list) -> DataFrame:
+    """(vec_id, vm, cell) assignment as a PURE PROJECTION against
+    centroid LITERALS (cents_rows = [(cid, [64 ints]), ...] collected
+    from the frozen centroid table): streaming-safe — no aggregation
+    before the stateful operator, no stream-static join state.  The
+    argmin is array_min over an nlist-element array of (sq, cid)
+    structs — lexicographic struct ordering IS the batch min_by
+    (sq, cid) tie-break, so cells match the batch twin exactly."""
+    from processor_spark.operators.similarity import _int_sqdist, _micro_arr
+
+    vm = _micro_arr("embedding")
+    structs = [
+        F.struct(
+            _int_sqdist(
+                vm, F.array(*[F.lit(int(e)) for e in cm])
+            ).alias("sq"),
+            F.lit(int(cid)).cast("int").alias("cid"),
+        )
+        for cid, cm in cents_rows
+    ]
+    return vecs.select(
+        "vec_id",
+        vm.alias("vm"),
+        F.array_min(F.array(*structs))["cid"].alias("cell"),
+    )
+
+
+def semdedup_stream_flags(vecs: DataFrame, cents_rows: list) -> DataFrame:
+    """Streaming SemDeDup: each arriving embedding is assigned to its
+    frozen k-means cell by a shuffle-free literal projection, then
+    probed against the cell's standing membership (stream state) with
+    the exact batch ε-ball rule — (vec_id, cell, kept, dup_of) per
+    arrival.  Update mode; NoTimeout (the standing corpus is the
+    product).  Centroids are frozen exactly like stream_ivf_ingest's
+    — drift handling is the retrain compaction on the batch side."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    assigned = semdedup_assign_frame(vecs, cents_rows)
+    return assigned.groupBy("cell").applyInPandasWithState(
+        _semdedup_state_fn,
+        outputStructType=SEMDEDUP_STREAM_OUT_SCHEMA,
+        stateStructType=SEMDEDUP_STREAM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

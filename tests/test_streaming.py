@@ -1203,3 +1203,129 @@ def test_stream_text_index_bm25_equals_full_rebuild_and_replay_safe(spark, tmp_p
     assert sorted(
         g for g in os.listdir(os.path.join(path, "postings")) if g.startswith("gen=")
     ) == ["gen=0"]
+
+
+def _emb_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+
+
+def test_streaming_semdedup_equals_batch(spark, tmp_path):
+    """r11: streaming SemDeDup — arriving embeddings probe the
+    standing corpus' k-means cells held as stream state.  With
+    id-ordered ingest the streamed verdicts must equal the batch
+    twin (same frozen centroids through _semdedup_from_assign)
+    EXACTLY, including planted cross-batch clones."""
+    from processor_spark.operators.similarity import (
+        SEMDEDUP_EPS,
+        _ivfk_cents,
+        _micro_arr,
+        _semdedup_from_assign,
+    )
+
+    chunks = tmp_path / "emb_chunks"
+    chunks.mkdir()
+    pdf = load(spark, SF_SMALL, "embeddings").toPandas().sort_values("vec_id")
+    n = len(pdf)
+    step = n // 2 + 1
+    for i, lo in enumerate(range(0, n, step)):
+        pdf.iloc[lo : lo + step].to_parquet(
+            chunks / f"chunk_{i:02d}.parquet", index=False
+        )
+    # planted clones of the two LOWEST-id vectors in a later chunk:
+    # distance-0 cross-batch near-dups, guaranteed dropped
+    planted = pdf.head(2).copy()
+    planted["vec_id"] = [int(pdf["vec_id"].max()) + 1 + k for k in range(2)]
+    planted.to_parquet(chunks / "chunk_99.parquet", index=False)
+
+    static = spark.read.schema(_emb_schema()).parquet(str(chunks))
+    cents = _ivfk_cents(static.select("vec_id", _micro_arr("embedding").alias("vm")))
+    cents_rows = [(r.cid, list(r.cm)) for r in cents.collect()]
+
+    stream = (
+        spark.readStream.schema(_emb_schema())
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(chunks))
+    )
+    got_df = _drain(
+        spark, P.semdedup_stream_flags(stream, cents_rows), "t_semdedup", mode="update"
+    )
+    got = {
+        (r.vec_id, int(r.cell), r.kept, r.dup_of) for r in got_df.collect()
+    }
+
+    twin = _semdedup_from_assign(
+        P.semdedup_assign_frame(static, cents_rows), SEMDEDUP_EPS
+    )
+    want = {(r.vec_id, int(r.cell), r.kept, r.dup_of) for r in twin.collect()}
+    assert got == want
+    planted_ids = {int(v) for v in planted["vec_id"]}
+    origin_ids = {int(v) for v in pdf.head(2)["vec_id"]}
+    dropped = {v: d for v, _, k, d in got if v in planted_ids and k == 0}
+    assert set(dropped) == planted_ids, "planted clones must be dropped"
+    assert set(dropped.values()) <= origin_ids | {
+        v for v, *_ in got if v < max(planted_ids)
+    }
+
+
+def test_streaming_semdedup_state_survives_restart(spark, tmp_path):
+    """The cell-membership state must be restored from the
+    checkpoint: run 2 contains ONLY clones of run-1 vectors, so every
+    drop it emits references a run-1 vec_id — impossible if the
+    standing membership was lost on restart."""
+    from processor_spark.operators.similarity import _ivfk_cents, _micro_arr
+
+    data = tmp_path / "inbox"
+    ckpt = str(tmp_path / "ckpt")
+    out = tmp_path / "out"
+    data.mkdir()
+    out.mkdir()
+
+    pdf = (
+        load(spark, SF_SMALL, "embeddings")
+        .toPandas()
+        .sort_values("vec_id")
+        .head(40)
+    )
+    pdf.to_parquet(data / "c1.parquet", index=False)
+    static = spark.read.schema(_emb_schema()).parquet(str(data))
+    cents = _ivfk_cents(static.select("vec_id", _micro_arr("embedding").alias("vm")))
+    cents_rows = [(r.cid, list(r.cm)) for r in cents.collect()]
+
+    def sink(batch_df, batch_id):
+        if batch_df.count():
+            batch_df.write.mode("append").parquet(str(out / "rows"))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(_emb_schema())
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(data))
+        )
+        P.run_foreach_batch_ckpt(
+            P.semdedup_stream_flags(stream, cents_rows), sink, ckpt
+        )
+
+    run_once()
+
+    copies = pdf.head(5).copy()
+    base_ids = {int(v) for v in copies["vec_id"]}
+    copies["vec_id"] = [int(pdf["vec_id"].max()) + 1 + k for k in range(5)]
+    copies.to_parquet(data / "c2.parquet", index=False)
+    run_once()
+
+    rows = spark.read.parquet(str(out / "rows")).collect()
+    new_ids = {int(v) for v in copies["vec_id"]}
+    verdicts = {r.vec_id: (r.kept, r.dup_of) for r in rows if r.vec_id in new_ids}
+    assert set(verdicts) == new_ids
+    for v, (kept, dup) in verdicts.items():
+        assert kept == 0 and dup in base_ids, (
+            "every clone must drop against its run-1 original"
+        )
