@@ -5049,3 +5049,72 @@ def q_semdedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("kept").cast("long").alias("n_kept"),
         (F.count(F.lit(1)) - F.sum("kept")).cast("long").alias("n_dropped"),
     )
+
+
+_SEMDEDUP_CLUSTERS_SQL = f"""
+    WITH RECURSIVE {_SEMDEDUP_ASSIGN}, prs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM assign a
+      JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN vecs p ON p.vec_id = a.vec_id
+      JOIN vecs q ON q.vec_id = b.vec_id
+      WHERE list_reduce(list_transform(range(1, len(p.vm) + 1),
+                 i -> (p.vm[i] - q.vm[i]) * (p.vm[i] - q.vm[i])),
+              (acc, x) -> acc + x) <= {SEMDEDUP_EPS}
+    ), edges AS (
+      SELECT va AS a, vb AS b FROM prs
+      UNION
+      SELECT vb, va FROM prs
+    ), reach(src, dst) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    )
+    SELECT src AS vec_id, min(dst) AS cluster_id FROM reach GROUP BY src
+    """
+
+
+@register("q_semdedup_clusters", sql=_SEMDEDUP_CLUSTERS_SQL)
+def q_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-duplicate CLUSTERS: connected components over the
+    within-cell ε-graph — the semantic mirror of q_dedup_clusters
+    (pairs alone over-remove: A~B, B~C must keep exactly one of
+    {A,B,C}; q_semdedup's lowest-id greedy approximates this, the
+    component closure is exact).  Spark side reuses the O(log n)
+    large-star/small-star CC (graph.connected_components) over the
+    ε-pairs, with the pair pipeline localCheckpoint'ed once before
+    the loop; the oracle closes the SAME pair set with a recursive
+    CTE on top of the shared k-means assignment CTEs.  Output: one
+    row per vector that participates in any ε-pair, cluster_id =
+    component minimum.  Scale: pairs are within-cell (linear under
+    the nlist ∝ n rule, SCALE.md r11); CC rounds are O(log n) with
+    edge count bounded by the pair output."""
+    from processor_spark.operators.graph import connected_components
+
+    e = load(spark, sf_dir, "embeddings", spread=True)
+    vecs = e.select("vec_id", _micro_arr("embedding").alias("vm"))
+    cents = _ivfk_cents(vecs)
+    assign = (
+        vecs.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "vm", "cid",
+            _int_sqdist(F.col("vm"), F.col("cm")).alias("sq"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.min_by("cid", F.struct(F.col("sq"), F.col("cid"))).alias("cell"),
+            F.first("vm").alias("vm"),
+        )
+    )
+    a = assign.select("cell", F.col("vec_id").alias("va"), F.col("vm").alias("vma"))
+    b = assign.select("cell", "vec_id", F.col("vm").alias("vmb"))
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("va") < F.col("vec_id"))
+        .where(_int_sqdist(F.col("vma"), F.col("vmb")) <= F.lit(SEMDEDUP_EPS))
+        .select(F.col("va").alias("src"), F.col("vec_id").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    return connected_components(pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )

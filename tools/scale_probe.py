@@ -189,6 +189,8 @@ HEADLINE = [
     "q_semdedup",
     "q_semdedup_stats",
     "q_gopher_repetition",
+    "q_label_propagation",
+    "q_semdedup_clusters",
 ]
 
 # per-table key columns to shift per replica so keys stay unique and
