@@ -1175,3 +1175,84 @@ def q_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# --------------------------------------- cross-table curation (r11)
+
+
+def _curation_sql() -> str:
+    from processor_spark.operators.similarity import _SEMDEDUP_SQL
+    from processor_spark.operators.text import _GOPHER_SQL
+
+    return f"""
+    WITH gq AS ({_GOPHER_SQL}), sd AS ({_SEMDEDUP_SQL}), ex AS (
+      SELECT doc_id, CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+                          THEN 1 ELSE 0 END AS pass_exact
+      FROM documents
+    )
+    SELECT d.doc_id, d.source,
+           COALESCE(g.passes, 1)  AS pass_quality,
+           e.pass_exact           AS pass_exact,
+           COALESCE(s.kept, 1)    AS pass_semantic,
+           COALESCE(g.passes, 1) * e.pass_exact * COALESCE(s.kept, 1) AS kept
+    FROM documents d
+    JOIN ex e ON e.doc_id = d.doc_id
+    LEFT JOIN gq g ON g.doc_id = d.doc_id
+    LEFT JOIN sd s ON s.vec_id = d.doc_id
+    """
+
+
+@register("q_curation_verdicts", sql=_curation_sql())
+def q_curation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation verdicts ACROSS tables: every document gets
+    one row with its three tier gates — Gopher repetition quality
+    (q_gopher_repetition's per-doc verdict), exact dedup (md5
+    group's lowest id survives), and SEMANTIC dedup (q_semdedup's
+    verdict joined doc_id = vec_id; documents without an embedding
+    pass the tier — the embed-a-subset reality the sf0.1 fixture
+    encodes: 2,000 embeddings over 5,000 docs) — plus the combined
+    keep bit.  The only key that joins the documents and embeddings
+    tables, and the composed-oracle showcase: both tier oracles are
+    embedded verbatim as CTEs, so the hash re-certifies the whole
+    gopher + k-means + ε-ball machinery through the final join.
+
+    Scale: the exact gate is one window over md5 groups (dup groups
+    are tiny); tier verdicts join on ids — three hash joins, no new
+    corpus-sized state beyond the tiers themselves."""
+    from processor_spark.operators.similarity import q_semdedup
+    from processor_spark.operators.text import q_gopher_repetition
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary")))
+    ex = d.select(
+        "doc_id",
+        "source",
+        F.when(F.col("doc_id") == F.min("doc_id").over(w), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("pass_exact"),
+    )
+    g = q_gopher_repetition.__wrapped__(spark, sf_dir).select(
+        "doc_id", F.col("passes").alias("g_passes")
+    )
+    s = q_semdedup.__wrapped__(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), F.col("kept").alias("s_kept")
+    )
+    return (
+        ex.join(g, "doc_id", "left")
+        .join(s, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("g_passes", F.lit(1)).cast("long").alias("pass_quality"),
+            "pass_exact",
+            F.coalesce("s_kept", F.lit(1)).cast("long").alias("pass_semantic"),
+            (
+                F.coalesce("g_passes", F.lit(1))
+                * F.col("pass_exact")
+                * F.coalesce("s_kept", F.lit(1))
+            )
+            .cast("long")
+            .alias("kept"),
+        )
+    )

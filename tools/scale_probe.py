@@ -191,6 +191,7 @@ HEADLINE = [
     "q_gopher_repetition",
     "q_label_propagation",
     "q_semdedup_clusters",
+    "q_curation_verdicts",
 ]
 
 # per-table key columns to shift per replica so keys stay unique and
