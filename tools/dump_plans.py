@@ -41,6 +41,10 @@ HEADLINE = [
     "q_max_concurrency",
     # session close: broadcast Bloom-bitmap blocklist probe
     "q_bloom_prefilter",
+    # r11: index-backed SemDeDup (no assign crossJoin — the plan IS
+    # the claim) and the cross-table curation composite
+    "q_semdedup_serve",
+    "q_curation_verdicts",
 ]
 
 INTRO = """Post-execution (AQE-final) plans captured from `.explain("formatted")`
