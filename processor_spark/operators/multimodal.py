@@ -945,3 +945,125 @@ def q_media_scenecut(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(scene_stats_svf, SCENE_SCHEMA)
         .orderBy("doc_id")
     )
+
+
+# ------------------------------- audio activity segmentation (r11)
+
+AUDIO_SEG_WIN = 16          # samples per analysis window
+AUDIO_SEG_THRESH = 16_000   # window abs-sum >= this → "active"
+
+AUDIO_WIN_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("w", T.LongType()),
+        T.StructField("s", T.LongType()),
+    ]
+)
+
+
+def decode_wav_windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL WAV decode (same spec-correct RIFF chunk walk as
+    decode_wav_stats) emitting one row per FULL analysis window:
+    (doc_id, window index, window abs-amplitude sum).  The sample
+    tail shorter than a window is dropped on both engines."""
+    import struct
+
+    import numpy as np
+
+    for pdf in batches:
+        out = {"doc_id": [], "w": [], "s": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                raise ValueError(f"doc {doc_id}: not a RIFF/WAVE payload")
+            pos, bits, channels, data = 12, None, None, None
+            while pos + 8 <= len(b):
+                cid, csz = b[pos : pos + 4], struct.unpack_from("<I", b, pos + 4)[0]
+                body = b[pos + 8 : pos + 8 + csz]
+                if cid == b"fmt ":
+                    _, channels, _, _, _, bits = struct.unpack_from("<HHIIHH", body)
+                elif cid == b"data":
+                    data = body
+                pos += 8 + csz + (csz & 1)
+            if data is None or bits != 16 or channels != 1:
+                raise ValueError(f"doc {doc_id}: unsupported WAV layout")
+            s = np.abs(np.frombuffer(data, dtype="<i2").astype(np.int64))
+            nw = len(s) // AUDIO_SEG_WIN
+            if nw == 0:
+                continue
+            sums = s[: nw * AUDIO_SEG_WIN].reshape(nw, AUDIO_SEG_WIN).sum(axis=1)
+            out["doc_id"].extend([int(doc_id)] * nw)
+            out["w"].extend(range(nw))
+            out["s"].extend(int(x) for x in sums)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "w": pd.Series(out["w"], dtype="int64"),
+                "s": pd.Series(out["s"], dtype="int64"),
+            }
+        )
+
+
+@register(
+    "q_audio_segments",
+    sql=f"""
+    WITH dims AS (
+      SELECT doc_id, 64 + (doc_id * 7) % 97 AS n FROM documents
+    ), wins AS (
+      SELECT doc_id, unnest(range(0, n // {AUDIO_SEG_WIN})) AS w FROM dims
+    ), wsum AS (
+      SELECT doc_id, w,
+             list_sum(list_transform(
+               range({AUDIO_SEG_WIN} * w, {AUDIO_SEG_WIN} * w + {AUDIO_SEG_WIN}),
+               t -> abs(((doc_id * 31 + t * 17) % 4001) - 2000))) AS s
+      FROM wins
+    ), act AS (
+      SELECT doc_id, w, s FROM wsum WHERE s >= {AUDIO_SEG_THRESH}
+    ), isl AS (
+      SELECT doc_id, w, s,
+             w - row_number() OVER (PARTITION BY doc_id ORDER BY w) AS grp
+      FROM act
+    )
+    SELECT doc_id,
+           CAST(min(w) AS BIGINT) AS start_win,
+           CAST(max(w) AS BIGINT) AS end_win,
+           CAST(count(*) AS BIGINT) AS n_wins,
+           CAST(sum(s) AS BIGINT) AS seg_sum_abs
+    FROM isl GROUP BY doc_id, grp
+    """,
+)
+def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio activity segmentation (the VAD-shaped pass a speech
+    pipeline runs before transcription): REAL RIFF/WAVE byte decode →
+    per-window integer abs-amplitude sums (numpy reshape, the
+    mapInPandas codec rule) → active windows (sum ≥ threshold) →
+    maximal contiguous runs via relational gaps-islands — one segment
+    row per run with exact integer mass.  The oracle replays the
+    closed-form sample stream (the q_media_audio contract), so chunk
+    framing, windowing, threshold and the island closure are all
+    hash-checked.  Scale: decode is a linear narrow map; the island
+    window partitions by doc_id — no cross-document state."""
+    from pyspark.sql import Window
+
+    wins = wav_table(spark, sf_dir).mapInPandas(decode_wav_windows, AUDIO_WIN_SCHEMA)
+    act = wins.where(F.col("s") >= AUDIO_SEG_THRESH)
+    grp = (F.col("w") - F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("w")
+    )).alias("grp")
+    return (
+        act.select("doc_id", "w", "s", grp)
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("w").alias("start_win"),
+            F.max("w").alias("end_win"),
+            F.count(F.lit(1)).alias("n_wins"),
+            F.sum("s").alias("seg_sum_abs"),
+        )
+        .select(
+            "doc_id",
+            F.col("start_win").cast("long"),
+            F.col("end_win").cast("long"),
+            F.col("n_wins").cast("long"),
+            F.col("seg_sum_abs").cast("long"),
+        )
+    )

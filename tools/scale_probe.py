@@ -192,6 +192,7 @@ HEADLINE = [
     "q_label_propagation",
     "q_semdedup_clusters",
     "q_curation_verdicts",
+    "q_audio_segments",
 ]
 
 # per-table key columns to shift per replica so keys stay unique and
