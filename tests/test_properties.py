@@ -1228,3 +1228,46 @@ def test_semdedup_clusters_match_unionfind(spark):
                 in_pair.add(int(m_ids[i + 1 + j]))
     exp = {v: find(v) for v in in_pair}
     assert got == exp
+
+
+def test_curation_verdicts_compose_their_tiers(spark):
+    """The cross-table composite must equal an independent pandas
+    recomposition: exact gate = lowest doc_id per hashlib-md5 text
+    group, quality/semantic gates joined from the engine's own tier
+    keys (each independently replay-tested above), kept = the
+    product — the test targets the JOIN/COALESCE layer."""
+    import hashlib
+
+    import pandas as pd
+
+    from processor_spark.operators.corpus import q_curation_verdicts
+    from processor_spark.operators.similarity import q_semdedup
+    from processor_spark.operators.text import q_gopher_repetition
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        q_curation_verdicts.__wrapped__(spark, sf)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    docs = pd.read_parquet(f"{sf}/documents.parquet")[["doc_id", "text", "source"]]
+    docs["h"] = [hashlib.md5(t.encode()).hexdigest() for t in docs["text"]]
+    keeper = docs.groupby("h")["doc_id"].transform("min")
+    docs["pass_exact"] = (docs["doc_id"] == keeper).astype("int64")
+    g = q_gopher_repetition.__wrapped__(spark, sf).toPandas()[["doc_id", "passes"]]
+    s = q_semdedup.__wrapped__(spark, sf).toPandas()[["vec_id", "kept"]]
+    exp = (
+        docs.merge(g, on="doc_id", how="left")
+        .merge(s.rename(columns={"vec_id": "doc_id", "kept": "s_kept"}),
+               on="doc_id", how="left")
+    )
+    exp["pass_quality"] = exp["passes"].fillna(1).astype("int64")
+    exp["pass_semantic"] = exp["s_kept"].fillna(1).astype("int64")
+    exp["kept"] = exp["pass_quality"] * exp["pass_exact"] * exp["pass_semantic"]
+    exp = (
+        exp[["doc_id", "source", "pass_quality", "pass_exact", "pass_semantic", "kept"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
