@@ -1191,10 +1191,11 @@ def _curation_sql() -> str:
       FROM documents
     )
     SELECT d.doc_id, d.source,
-           COALESCE(g.passes, 1)  AS pass_quality,
-           e.pass_exact           AS pass_exact,
-           COALESCE(s.kept, 1)    AS pass_semantic,
-           COALESCE(g.passes, 1) * e.pass_exact * COALESCE(s.kept, 1) AS kept
+           CAST(COALESCE(g.passes, 1) AS BIGINT) AS pass_quality,
+           CAST(e.pass_exact AS BIGINT)          AS pass_exact,
+           CAST(COALESCE(s.kept, 1) AS BIGINT)   AS pass_semantic,
+           CAST(COALESCE(g.passes, 1) * e.pass_exact * COALESCE(s.kept, 1)
+                AS BIGINT) AS kept
     FROM documents d
     JOIN ex e ON e.doc_id = d.doc_id
     LEFT JOIN gq g ON g.doc_id = d.doc_id

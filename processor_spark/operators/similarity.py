@@ -944,8 +944,12 @@ IVFK_NLIST = 8  # cells; the deployment knob — nlist ≈ n / target_cell
 # nprobe=4, at roughly equal serve wall-clock).
 IVFK_NPROBE_F = 4
 
-_IVFK_SQL = f"""
-    WITH vecs AS (
+# Shared k-means training + assignment CTE chain (vecs → seeds → one
+# Lloyd round → cents → d1 → assign): the ONE training contract the
+# ANN-with-trained-centroids family and the SemDeDup family both ride
+# (an edit here changes all of them in lockstep — that is the point;
+# previously _SEMDEDUP_ASSIGN hand-duplicated this text, ADVICE r11).
+_IVFK_TRAIN_ASSIGN = f"""vecs AS (
       SELECT vec_id,
              list_transform(CAST(embedding AS DOUBLE[]),
                x -> CAST(floor((x + 2.0) * 1000000 + 0.5) AS BIGINT)) AS vm
@@ -978,7 +982,10 @@ _IVFK_SQL = f"""
     ), assign AS (
       SELECT vec_id, cid AS cell FROM d1
       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sq, cid) = 1
-    ), probes AS (
+    )"""
+
+_IVFK_SQL = f"""
+    WITH {_IVFK_TRAIN_ASSIGN}, probes AS (
       SELECT vec_id AS q_id, cid AS cell FROM d1 WHERE vec_id <= {KNN_QUERIES}
       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sq, cid) <= {IVF_NPROBE}
     ), scored AS (
@@ -4857,44 +4864,10 @@ def q_ann_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # gated at sf0.01, CLAUDE.md).
 SEMDEDUP_EPS = 1_300_000_000_000
 
-# Shared CTE prefix: byte-identical to _IVFK_SQL's training/assignment
-# chain (same seeds, same one-Lloyd-round integer centroids, same
-# exact-int64 assignment) so the SemDeDup cells ARE the q_ann_ivf_kmeans
-# cells — one training contract across the ANN and dedup families.
-_SEMDEDUP_ASSIGN = f"""vecs AS (
-      SELECT vec_id,
-             list_transform(CAST(embedding AS DOUBLE[]),
-               x -> CAST(floor((x + 2.0) * 1000000 + 0.5) AS BIGINT)) AS vm
-      FROM embeddings
-    ), seeds AS (
-      SELECT vec_id AS cid, vm AS cm FROM vecs WHERE vec_id < {IVFK_NLIST}
-    ), d0 AS (
-      SELECT v.vec_id, s.cid,
-             list_reduce(list_transform(range(1, len(v.vm) + 1),
-                  i -> (v.vm[i] - s.cm[i]) * (v.vm[i] - s.cm[i])),
-               (acc, x) -> acc + x) AS sq
-      FROM vecs v CROSS JOIN seeds s
-    ), a0 AS (
-      SELECT vec_id, cid FROM d0
-      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sq, cid) = 1
-    ), elems AS (
-      SELECT a.cid, unnest(range(1, len(v.vm) + 1)) AS pos, unnest(v.vm) AS m
-      FROM a0 a JOIN vecs v USING (vec_id)
-    ), cmeans AS (
-      SELECT cid, pos, CAST(sum(m) AS BIGINT) // count(*) AS nm
-      FROM elems GROUP BY cid, pos
-    ), cents AS (
-      SELECT cid, list(nm ORDER BY pos) AS cm FROM cmeans GROUP BY cid
-    ), d1 AS (
-      SELECT v.vec_id, c.cid,
-             list_reduce(list_transform(range(1, len(v.vm) + 1),
-                  i -> (v.vm[i] - c.cm[i]) * (v.vm[i] - c.cm[i])),
-               (acc, x) -> acc + x) AS sq
-      FROM vecs v CROSS JOIN cents c
-    ), assign AS (
-      SELECT vec_id, cid AS cell FROM d1
-      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sq, cid) = 1
-    )"""
+# The SemDeDup cells ARE the q_ann_ivf_kmeans cells — the shared
+# training/assignment chain is interpolated from the single module
+# constant (no hand-kept duplicate to drift, ADVICE r11).
+_SEMDEDUP_ASSIGN = _IVFK_TRAIN_ASSIGN
 
 _SEMDEDUP_SQL = f"""
     WITH {_SEMDEDUP_ASSIGN}, near AS (
@@ -4957,12 +4930,23 @@ def semdedup_verdicts(
     so the within-cell pair stage stays linear — the same
     re-parameterization rule every family in this module carries
     (SCALE.md r8).  Defaults reproduce the registered key exactly."""
+    return _semdedup_from_assign(_semdedup_assign_frame(spark, sf_dir, nlist), eps)
+
+
+def _semdedup_assign_frame(
+    spark: SparkSession, sf_dir: str, nlist: int = IVFK_NLIST
+) -> DataFrame:
+    """PERSISTED (vec_id, vm, cell) assignment over the trained cells —
+    the shared entry of the SemDeDup family.  Every consumer reads the
+    assignment at least twice (both pair sides, plus the verdict
+    left-join base in q_semdedup), so the O(n·nlist) assign crossJoin
+    is persisted once here instead of recomputed per reader (ADVICE
+    r11: q_semdedup_clusters previously rebuilt it unpersisted on each
+    pair side)."""
     e = load(spark, sf_dir, "embeddings", spread=True)
     vecs = e.select("vec_id", _micro_arr("embedding").alias("vm"))
     cents = _ivfk_cents(vecs, nlist)
-    # three readers of the assignment (both pair sides + the verdict
-    # left-join base): persist the O(n·nlist) assign pass once
-    assign = scoped_persist(
+    return scoped_persist(
         vecs.crossJoin(F.broadcast(cents))
         .select(
             "vec_id", "vm", "cid",
@@ -4974,7 +4958,6 @@ def semdedup_verdicts(
             F.first("vm").alias("vm"),
         )
     )
-    return _semdedup_from_assign(assign, eps)
 
 
 def _semdedup_from_assign(assign: DataFrame, eps: int) -> DataFrame:
@@ -5091,21 +5074,9 @@ def q_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge count bounded by the pair output."""
     from processor_spark.operators.graph import connected_components
 
-    e = load(spark, sf_dir, "embeddings", spread=True)
-    vecs = e.select("vec_id", _micro_arr("embedding").alias("vm"))
-    cents = _ivfk_cents(vecs)
-    assign = (
-        vecs.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id", "vm", "cid",
-            _int_sqdist(F.col("vm"), F.col("cm")).alias("sq"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.min_by("cid", F.struct(F.col("sq"), F.col("cid"))).alias("cell"),
-            F.first("vm").alias("vm"),
-        )
-    )
+    # both pair sides read the assignment — the shared helper persists
+    # the O(n·nlist) assign pass once (ADVICE r11)
+    assign = _semdedup_assign_frame(spark, sf_dir)
     a = assign.select("cell", F.col("vec_id").alias("va"), F.col("vm").alias("vma"))
     b = assign.select("cell", "vec_id", F.col("vm").alias("vmb"))
     pairs = (
