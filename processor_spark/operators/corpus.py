@@ -1181,6 +1181,7 @@ def q_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _curation_sql() -> str:
+    from processor_spark.operators.dedup import JACCARD_THRESHOLD, _MINHASH_MD5_SQL
     from processor_spark.operators.similarity import _SEMDEDUP_SQL
     from processor_spark.operators.text import _GOPHER_SQL
 
@@ -1188,17 +1189,25 @@ def _curation_sql() -> str:
     WITH gq AS ({_GOPHER_SQL}), sd AS ({_SEMDEDUP_SQL}), ex AS (
       SELECT doc_id, CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text))
                           THEN 1 ELSE 0 END AS pass_exact
-      FROM documents
+    FROM documents
+    ), fz AS (
+      SELECT doc_b AS doc_id FROM ({_MINHASH_MD5_SQL}) mh
+      WHERE est_jaccard >= CAST({JACCARD_THRESHOLD} AS DOUBLE)
+      GROUP BY doc_b
     )
     SELECT d.doc_id, d.source,
            CAST(COALESCE(g.passes, 1) AS BIGINT) AS pass_quality,
            CAST(e.pass_exact AS BIGINT)          AS pass_exact,
+           CAST(CASE WHEN f.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+                                                 AS pass_fuzzy,
            CAST(COALESCE(s.kept, 1) AS BIGINT)   AS pass_semantic,
-           CAST(COALESCE(g.passes, 1) * e.pass_exact * COALESCE(s.kept, 1)
-                AS BIGINT) AS kept
+           CAST(COALESCE(g.passes, 1) * e.pass_exact
+                * (CASE WHEN f.doc_id IS NULL THEN 1 ELSE 0 END)
+                * COALESCE(s.kept, 1) AS BIGINT) AS kept
     FROM documents d
     JOIN ex e ON e.doc_id = d.doc_id
     LEFT JOIN gq g ON g.doc_id = d.doc_id
+    LEFT JOIN fz f ON f.doc_id = d.doc_id
     LEFT JOIN sd s ON s.vec_id = d.doc_id
     """
 
@@ -1206,20 +1215,27 @@ def _curation_sql() -> str:
 @register("q_curation_verdicts", sql=_curation_sql())
 def q_curation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation verdicts ACROSS tables: every document gets
-    one row with its three tier gates — Gopher repetition quality
+    one row with its four tier gates — Gopher repetition quality
     (q_gopher_repetition's per-doc verdict), exact dedup (md5
-    group's lowest id survives), and SEMANTIC dedup (q_semdedup's
+    group's lowest id survives), FUZZY dedup (q_dedup_minhash_md5's
+    LSH pairs at the declared Jaccard threshold; the doc with a
+    lower-id near-dup fails, r12), and SEMANTIC dedup (q_semdedup's
     verdict joined doc_id = vec_id; documents without an embedding
     pass the tier — the embed-a-subset reality the sf0.1 fixture
     encodes: 2,000 embeddings over 5,000 docs) — plus the combined
     keep bit.  The only key that joins the documents and embeddings
-    tables, and the composed-oracle showcase: both tier oracles are
-    embedded verbatim as CTEs, so the hash re-certifies the whole
-    gopher + k-means + ε-ball machinery through the final join.
+    tables, and the composed-oracle showcase: all three tier oracles
+    are embedded verbatim as CTEs, so the hash re-certifies the whole
+    gopher + minhash-LSH + k-means + ε-ball machinery through the
+    final join.
 
     Scale: the exact gate is one window over md5 groups (dup groups
-    are tiny); tier verdicts join on ids — three hash joins, no new
+    are tiny); tier verdicts join on ids — four hash joins, no new
     corpus-sized state beyond the tiers themselves."""
+    from processor_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        q_dedup_minhash_md5,
+    )
     from processor_spark.operators.similarity import q_semdedup
     from processor_spark.operators.text import q_gopher_repetition
 
@@ -1236,21 +1252,37 @@ def q_curation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = q_gopher_repetition.__wrapped__(spark, sf_dir).select(
         "doc_id", F.col("passes").alias("g_passes")
     )
+    # fuzzy tier: the doc with a LOWER-id MinHash near-dup (estimated
+    # Jaccard at/above the family's declared threshold) fails — the
+    # group's lowest id survives, the same survivor rule as the exact
+    # and semantic tiers
+    fz = (
+        q_dedup_minhash_md5.__wrapped__(spark, sf_dir)
+        .where(F.col("est_jaccard") >= F.lit(JACCARD_THRESHOLD))
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("f_hit", F.lit(1))
+    )
     s = q_semdedup.__wrapped__(spark, sf_dir).select(
         F.col("vec_id").alias("doc_id"), F.col("kept").alias("s_kept")
     )
     return (
         ex.join(g, "doc_id", "left")
+        .join(fz, "doc_id", "left")
         .join(s, "doc_id", "left")
         .select(
             "doc_id",
             "source",
             F.coalesce("g_passes", F.lit(1)).cast("long").alias("pass_quality"),
             "pass_exact",
+            F.when(F.col("f_hit").isNull(), 1).otherwise(0)
+            .cast("long")
+            .alias("pass_fuzzy"),
             F.coalesce("s_kept", F.lit(1)).cast("long").alias("pass_semantic"),
             (
                 F.coalesce("g_passes", F.lit(1))
                 * F.col("pass_exact")
+                * F.when(F.col("f_hit").isNull(), 1).otherwise(0)
                 * F.coalesce("s_kept", F.lit(1))
             )
             .cast("long")

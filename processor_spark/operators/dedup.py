@@ -441,9 +441,9 @@ def _md5_buckets(sig: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "q_dedup_minhash_md5",
-    sql=f"""
+# Named so q_curation_verdicts can compose the fuzzy tier's full
+# oracle as a CTE (the registered-oracles-compose pattern).
+_MINHASH_MD5_SQL = f"""
     WITH toks AS (
       SELECT doc_id,
              unnest(string_split_regex(trim(text), '\\s+')) AS tok,
@@ -460,8 +460,10 @@ def _md5_buckets(sig: DataFrame) -> DataFrame:
            round(({" + ".join(f"CAST(a.mh{i} = b.mh{i} AS INTEGER)" for i in range(_MD5_PERMS))}) / {_MD5_PERMS}.0, 4) AS est_jaccard
     FROM bands a JOIN bands b
       ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-    """,
-)
+    """
+
+
+@register("q_dedup_minhash_md5", sql=_MINHASH_MD5_SQL)
 def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH with an engine-portable (md5-derived) hash family —
     the SQL-verifiable twin of q_dedup_minhash.

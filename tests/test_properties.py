@@ -1233,14 +1233,18 @@ def test_semdedup_clusters_match_unionfind(spark):
 def test_curation_verdicts_compose_their_tiers(spark):
     """The cross-table composite must equal an independent pandas
     recomposition: exact gate = lowest doc_id per hashlib-md5 text
-    group, quality/semantic gates joined from the engine's own tier
-    keys (each independently replay-tested above), kept = the
+    group, quality/fuzzy/semantic gates joined from the engine's own
+    tier keys (each independently replay-tested above), kept = the
     product — the test targets the JOIN/COALESCE layer."""
     import hashlib
 
     import pandas as pd
 
     from processor_spark.operators.corpus import q_curation_verdicts
+    from processor_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        q_dedup_minhash_md5,
+    )
     from processor_spark.operators.similarity import q_semdedup
     from processor_spark.operators.text import q_gopher_repetition
 
@@ -1256,6 +1260,8 @@ def test_curation_verdicts_compose_their_tiers(spark):
     keeper = docs.groupby("h")["doc_id"].transform("min")
     docs["pass_exact"] = (docs["doc_id"] == keeper).astype("int64")
     g = q_gopher_repetition.__wrapped__(spark, sf).toPandas()[["doc_id", "passes"]]
+    mh = q_dedup_minhash_md5.__wrapped__(spark, sf).toPandas()
+    fuzzy_fail = set(mh.loc[mh["est_jaccard"] >= JACCARD_THRESHOLD, "doc_b"])
     s = q_semdedup.__wrapped__(spark, sf).toPandas()[["vec_id", "kept"]]
     exp = (
         docs.merge(g, on="doc_id", how="left")
@@ -1263,10 +1269,15 @@ def test_curation_verdicts_compose_their_tiers(spark):
                on="doc_id", how="left")
     )
     exp["pass_quality"] = exp["passes"].fillna(1).astype("int64")
+    exp["pass_fuzzy"] = (~exp["doc_id"].isin(fuzzy_fail)).astype("int64")
     exp["pass_semantic"] = exp["s_kept"].fillna(1).astype("int64")
-    exp["kept"] = exp["pass_quality"] * exp["pass_exact"] * exp["pass_semantic"]
+    exp["kept"] = (
+        exp["pass_quality"] * exp["pass_exact"]
+        * exp["pass_fuzzy"] * exp["pass_semantic"]
+    )
     exp = (
-        exp[["doc_id", "source", "pass_quality", "pass_exact", "pass_semantic", "kept"]]
+        exp[["doc_id", "source", "pass_quality", "pass_exact", "pass_fuzzy",
+             "pass_semantic", "kept"]]
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
