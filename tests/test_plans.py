@@ -648,3 +648,34 @@ def test_semdedup_serve_skips_the_assign_crossjoin(spark):
     assert "CartesianProduct" not in plan, plan
     in_plan = explain_str(_df(spark, "q_semdedup"))
     assert "BroadcastNestedLoopJoin" in in_plan  # the assign crossJoins
+
+
+def test_twolevel_assign_fine_stage_is_an_equi_join(spark):
+    """r12: past TWOLEVEL_MIN_NLIST cells the corpus must never
+    crossJoin the full centroid table — the two-level router's fine
+    argmin is an equi HASH join on the router cell (gid), so the only
+    corpus-sized nested-loop join left is against the isqrt(nlist)
+    coarse seeds.  The registered two-level keys force the same code
+    path at fixture scale, so this plan shape is exactly what runs at
+    derived nlist >= 64."""
+    plan = explain_str(_df(spark, "q_ann_ivf_twolevel"))
+    assert "gid" in plan, plan               # router column is live
+    assert "BroadcastHashJoin" in plan, plan  # fine stage equi-joins
+    assert "CartesianProduct" not in plan, plan
+    # the flat key has no router column anywhere in its plan
+    flat = explain_str(_df(spark, "q_ann_ivf_kmeans"))
+    assert "gid" not in flat
+
+
+def test_semdedup_clusters_persists_the_shared_assign(spark):
+    """r12 (ADVICE r11): both pair sides of the clusters key must read
+    the one persisted assign frame — the plan shows an InMemoryRelation
+    scan instead of two full Lloyd/assign pipelines."""
+    from processor_spark.operators.similarity import _semdedup_assign_frame
+
+    sf = SF_SMALL
+    assign = _semdedup_assign_frame(spark, sf)
+    try:
+        assert assign.storageLevel.useMemory or assign.storageLevel.useDisk
+    finally:
+        assign.unpersist()

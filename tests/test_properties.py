@@ -1282,3 +1282,45 @@ def test_curation_verdicts_compose_their_tiers(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_derived_nlist_rule():
+    """derived nlist = max(IVFK_NLIST, n // TARGET_CELL): the floor at
+    every fixture scale (500/500/2000 vectors), the measured 80.5 s
+    shape (512 cells) at the 64x probe layout (128k vectors)."""
+    from processor_spark.operators import similarity as S
+
+    try:
+        S._NVEC_CACHE["/fake/base"] = 2000
+        S._NVEC_CACHE["/fake/64x"] = 128000
+        assert S.derived_nlist(None, "/fake/base") == S.IVFK_NLIST
+        assert S.derived_nlist(None, "/fake/64x") == 512
+    finally:
+        S._NVEC_CACHE.pop("/fake/base", None)
+        S._NVEC_CACHE.pop("/fake/64x", None)
+
+
+def test_twolevel_assign_with_one_router_cell_equals_flat(spark):
+    """With ncoarse = isqrt(nlist) = 1 every vector routes to the
+    single coarse group containing ALL fine centroids, so the
+    two-level argmin must equal the flat argmin row-for-row — the
+    degenerate case that pins the router's tie-break algebra to the
+    flat path's."""
+    from pyspark.sql import functions as F
+
+    from processor_spark.operators.similarity import (
+        _assign_cells,
+        _ivfk_cents,
+        _micro_arr,
+    )
+    from processor_spark.sources import load
+
+    sf = "/root/testdata/sf0.001"
+    vecs = load(spark, sf, "embeddings").select(
+        "vec_id", _micro_arr("embedding").alias("vm")
+    )
+    cents = _ivfk_cents(vecs, 3)  # isqrt(3) == 1
+    flat = _assign_cells(vecs, cents, 3, two_level=False).select("vec_id", "cell")
+    two = _assign_cells(vecs, cents, 3, two_level=True).select("vec_id", "cell")
+    assert flat.exceptAll(two).count() == 0
+    assert two.exceptAll(flat).count() == 0
