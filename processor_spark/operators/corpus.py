@@ -1289,3 +1289,42 @@ def q_curation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept"),
         )
     )
+
+
+def _curation_funnel_sql() -> str:
+    return f"""
+    WITH cv AS ({_curation_sql()})
+    SELECT source,
+           CAST(count(*) AS BIGINT)           AS n_docs,
+           CAST(sum(pass_quality) AS BIGINT)  AS n_pass_quality,
+           CAST(sum(pass_exact) AS BIGINT)    AS n_pass_exact,
+           CAST(sum(pass_fuzzy) AS BIGINT)    AS n_pass_fuzzy,
+           CAST(sum(pass_semantic) AS BIGINT) AS n_pass_semantic,
+           CAST(sum(kept) AS BIGINT)          AS n_kept,
+           CAST((sum(kept) * 1000) // count(*) AS BIGINT) AS kept_permille
+    FROM cv GROUP BY source
+    """
+
+
+@register("q_curation_funnel", sql=_curation_funnel_sql())
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation FUNNEL over the four-tier verdicts — the
+    report a data-curation run actually monitors (which source loses
+    how much to which gate, and the final keep rate in permille).
+    Composes q_curation_verdicts' full oracle as a CTE, so the hash
+    re-certifies the entire gopher × exact × minhash-LSH × SemDeDup
+    pipeline one aggregation further.  Scale: one hash agg over the
+    verdict stream, grouped by the low-cardinality source column —
+    partial aggregation crushes it map-side."""
+    cv = q_curation_verdicts.__wrapped__(spark, sf_dir)
+    return cv.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("pass_quality").cast("long").alias("n_pass_quality"),
+        F.sum("pass_exact").cast("long").alias("n_pass_exact"),
+        F.sum("pass_fuzzy").cast("long").alias("n_pass_fuzzy"),
+        F.sum("pass_semantic").cast("long").alias("n_pass_semantic"),
+        F.sum("kept").cast("long").alias("n_kept"),
+        F.expr("CAST((sum(kept) * 1000) div count(*) AS BIGINT)").alias(
+            "kept_permille"
+        ),
+    )

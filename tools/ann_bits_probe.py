@@ -39,7 +39,7 @@ _args = [a.lstrip("-") for a in sys.argv[1:]]
 REPL = next((int(a) for a in _args if a.isdigit()), 64)
 # optional section selector: "graph", "ivf", "filtered" (default: all)
 ONLY = next((a for a in _args if a and not a.isdigit()), None)
-_KNOWN = (None, "graph", "ivf", "filtered", "ivfpq", "semdedup")
+_KNOWN = (None, "graph", "ivf", "filtered", "ivfpq", "semdedup", "twolevel", "semdedup2")
 if ONLY not in _KNOWN:
     sys.exit(f"unknown section {ONLY!r}; expected one of {_KNOWN[1:]}")
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -224,7 +224,7 @@ def main() -> None:
     nlist_scaled = max(IVFK_NLIST, round(n / target_cell))
     truth_l2 = (
         {(r.q_id, r.neighbor_id) for r in exact_l2_topk(spark).collect()}
-        if ONLY in (None, "ivf")
+        if ONLY in (None, "ivf", "twolevel")
         else set()
     )
     result["ivf_target_cell"] = round(target_cell, 1)
@@ -325,6 +325,56 @@ def main() -> None:
                 "n_dropped": int((pdf["kept"] == 0).sum()),
                 "wall_s": round(time.perf_counter() - t0, 2),
             }
+
+    # ---- r12: two-level coarse quantizer for the assign stage + the
+    # derived-nlist defaults.  Separate sections so the r11-comparable
+    # tags above (incl. the known-2,321 s fixed row) need not re-run.
+    if ONLY in (None, "twolevel"):
+        for tag, kwargs in (
+            ("ivf_scaled_flat", {"nlist": nlist_scaled, "two_level": False}),
+            ("ivf_scaled_twolevel", {"nlist": nlist_scaled, "two_level": True}),
+            ("ivf_derived_default", {}),  # no manual nlist: derives + routes
+        ):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df = ivf_kmeans_topk(spark, DST, **kwargs)
+            rec = recall_against(truth_l2, df)
+            result[tag] = {
+                **kwargs,
+                "recall_at_5": round(rec, 4),
+                "wall_s": round(time.perf_counter() - t0, 2),
+            }
+
+    if ONLY in (None, "semdedup2"):
+        from processor_spark.operators.similarity import (
+            q_semdedup_stats,
+            semdedup_verdicts,
+        )
+
+        for tag, kwargs in (
+            ("semdedup_scaled_flat", {"nlist": nlist_scaled, "two_level": False}),
+            ("semdedup_scaled_twolevel", {"nlist": nlist_scaled, "two_level": True}),
+            ("semdedup_derived_default", {}),  # no manual nlist
+        ):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            pdf = semdedup_verdicts(spark, DST, **kwargs).toPandas()
+            result[tag] = {
+                **kwargs,
+                "n_vecs": int(len(pdf)),
+                "n_dropped": int((pdf["kept"] == 0).sum()),
+                "wall_s": round(time.perf_counter() - t0, 2),
+            }
+        # q_semdedup_stats' own probe row (VERDICT r11 next #8): the
+        # registered key verbatim — derived nlist + per-cell agg
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        pdf = q_semdedup_stats.__wrapped__(spark, DST).toPandas()
+        result["semdedup_stats_derived"] = {
+            "n_cells": int(len(pdf)),
+            "n_dropped": int(pdf["n_dropped"].sum()),
+            "wall_s": round(time.perf_counter() - t0, 2),
+        }
 
     if ONLY not in (None, "filtered"):
         print(json.dumps(result))
