@@ -90,7 +90,7 @@ def main() -> None:
     # per-batch trigger durations, in arrival order: state membership
     # grows batch over batch, so a rewrite-dominated cost curve would
     # RISE across this series
-    prog = [json.loads(p) for p in q.recentProgress]
+    prog = [json.loads(p.json) for p in q.recentProgress]
     batches = [
         {
             "batch_id": p["batchId"],
