@@ -1146,6 +1146,7 @@ def compact_ivf_stream_index(
 
     from processor_spark.operators.similarity import (
         IVFK_NLIST,
+        TARGET_CELL,
         _ivfa_assign,
         _ivfa_cents,
         heal_swapped_root,
@@ -1163,9 +1164,15 @@ def compact_ivf_stream_index(
         .select("vec_id", "vm")
     )
     if retrain:
+        # retrain is exactly when a growing stream must re-derive its
+        # cell count — the occupancy rule applied at the moment the
+        # full accumulated corpus is in hand (r12, matches
+        # retrain_semdedup_stream; fixture-scale tests see the
+        # unchanged IVFK_NLIST floor)
+        nlist = max(IVFK_NLIST, vecs.count() // TARGET_CELL)
         seeds = (
             vecs.orderBy("vec_id")
-            .limit(IVFK_NLIST)
+            .limit(nlist)
             .select(
                 F.row_number().over(Window.orderBy("vec_id"))
                 .cast("long")
@@ -1182,13 +1189,24 @@ def compact_ivf_stream_index(
     cents.write.parquet(os.path.join(stage, "centroids"))
     if retrain:
         n_c = spark.read.parquet(os.path.join(stage, "centroids")).count()
-        if n_c != IVFK_NLIST:
+        if n_c != nlist:
             shutil.rmtree(stage, ignore_errors=True)
             raise ValueError(
-                f"retrain produced {n_c} centroids, expected {IVFK_NLIST}"
+                f"retrain produced {n_c} centroids, expected {nlist}"
             )
     new_cents = spark.read.parquet(os.path.join(stage, "centroids"))
-    _ivfa_assign(vecs, new_cents).write.partitionBy("cell").parquet(
+    if retrain:
+        # derived nlist → the O(n·nlist) flat re-assign is the two-level
+        # router's exact use case (auto past TWOLEVEL_MIN_NLIST; flat —
+        # byte-identical to _ivfa_assign — at the fixture-scale floor)
+        from processor_spark.operators.similarity import _assign_cells
+
+        reassigned = _assign_cells(
+            vecs, new_cents.selectExpr("cid", "cm"), nlist
+        ).select("vec_id", "cell", "vm")
+    else:
+        reassigned = _ivfa_assign(vecs, new_cents).select("vec_id", "cell", "vm")
+    reassigned.write.partitionBy("cell").parquet(
         os.path.join(stage, "assignments", "gen=0")
     )
     old = path + f".old-{uuid.uuid4().hex[:8]}"
