@@ -5202,6 +5202,39 @@ def q_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_semdedup_clusters_serve", sql=_SEMDEDUP_CLUSTERS_SQL)
+def q_semdedup_clusters_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-graph components served from the persisted trained-centroid
+    IVF index (r12): read build_ivf_kmeans_index's materialized
+    (vec_id, vm, cell) assignments instead of re-running the Lloyd +
+    assign passes — the q_semdedup_serve pattern one rung up (pairs +
+    O(log n) CC over parquet scans; plan-asserted crossJoin-free in
+    tests/test_plans.py).  Shares the rebuild twin's oracle, so the
+    hash certifies the index round trip THROUGH the component
+    closure.  Read schema pinned (fmt-3 assignments carry a label
+    column this key never uses)."""
+    import os
+
+    from processor_spark.operators.graph import connected_components
+
+    path = build_ivf_kmeans_index(spark, sf_dir)
+    assign = spark.read.schema("vec_id bigint, vm array<bigint>, cell int").parquet(
+        os.path.join(path, "assignments")
+    )
+    a = assign.select("cell", F.col("vec_id").alias("va"), F.col("vm").alias("vma"))
+    b = assign.select("cell", "vec_id", F.col("vm").alias("vmb"))
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("va") < F.col("vec_id"))
+        .where(_int_sqdist(F.col("vma"), F.col("vmb")) <= F.lit(SEMDEDUP_EPS))
+        .select(F.col("va").alias("src"), F.col("vec_id").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    return connected_components(pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+
+
 # ---------------------- two-level coarse quantizer, hash-oracled (r12)
 
 

@@ -679,3 +679,35 @@ def test_semdedup_clusters_persists_the_shared_assign(spark):
         assert assign.storageLevel.useMemory or assign.storageLevel.useDisk
     finally:
         assign.unpersist()
+
+
+def test_semdedup_clusters_serve_skips_the_assign_crossjoin(spark):
+    """r12: the index-backed clusters twin must answer from the
+    persisted assignments — no centroid crossJoin anywhere before the
+    CC loop (the pair frame is localCheckpoint'ed, so assert on the
+    pair pipeline the checkpoint captured via the serve key's first
+    stage instead: build it unheckpointed here)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from processor_spark.operators.similarity import (
+        SEMDEDUP_EPS,
+        _int_sqdist,
+        build_ivf_kmeans_index,
+    )
+
+    path = build_ivf_kmeans_index(spark, SF_SMALL)
+    assign = spark.read.schema(
+        "vec_id bigint, vm array<bigint>, cell int"
+    ).parquet(os.path.join(path, "assignments"))
+    a = assign.select("cell", F.col("vec_id").alias("va"), F.col("vm").alias("vma"))
+    b = assign.select("cell", "vec_id", F.col("vm").alias("vmb"))
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("va") < F.col("vec_id"))
+        .where(_int_sqdist(F.col("vma"), F.col("vmb")) <= F.lit(SEMDEDUP_EPS))
+    )
+    plan = explain_str(pairs)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
