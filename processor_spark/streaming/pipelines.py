@@ -1451,44 +1451,116 @@ def _semdedup_state_fn(key, pdfs: Iterator[pd.DataFrame], state):
     )
 
 
-def semdedup_assign_frame(vecs: DataFrame, cents_rows: list) -> DataFrame:
+def semdedup_assign_frame(
+    vecs: DataFrame, cents_rows: list, two_level: bool | None = None
+) -> DataFrame:
     """(vec_id, vm, cell) assignment as a PURE PROJECTION against
     centroid LITERALS (cents_rows = [(cid, [64 ints]), ...] collected
     from the frozen centroid table): streaming-safe — no aggregation
     before the stateful operator, no stream-static join state.  The
-    argmin is array_min over an nlist-element array of (sq, cid)
-    structs — lexicographic struct ordering IS the batch min_by
-    (sq, cid) tie-break, so cells match the batch twin exactly."""
-    from processor_spark.operators.similarity import _int_sqdist, _micro_arr
+    argmin is array_min over an array of (sq, cid) structs —
+    lexicographic struct ordering IS the batch min_by (sq, cid)
+    tie-break, so cells match the batch twin exactly.
+
+    Past TWOLEVEL_MIN_NLIST centroids (or with two_level=True) the
+    projection routes TWO-LEVEL, mirroring _assign_cells r12: the
+    router groups are computed DRIVER-side in exact integer python
+    (same isqrt(nlist) lowest-cid seeds, same (dist, id) tie-breaks),
+    the row picks its router cell from ncoarse literal structs, and a
+    lazily-evaluated CASE computes the fine argmin over only the
+    routed group's literals — per-row distance work drops from nlist
+    to ncoarse + |group| without any new streaming state."""
+    import math
+
+    from processor_spark.operators.similarity import (
+        TWOLEVEL_MIN_NLIST,
+        _int_sqdist,
+        _micro_arr,
+    )
 
     vm = _micro_arr("embedding")
-    structs = [
-        F.struct(
-            _int_sqdist(
-                vm, F.array(*[F.lit(int(e)) for e in cm])
-            ).alias("sq"),
-            F.lit(int(cid)).cast("int").alias("cid"),
+    use2l = (
+        (len(cents_rows) >= TWOLEVEL_MIN_NLIST) if two_level is None else two_level
+    )
+    if not use2l:
+        structs = [
+            F.struct(
+                _int_sqdist(
+                    vm, F.array(*[F.lit(int(e)) for e in cm])
+                ).alias("sq"),
+                F.lit(int(cid)).cast("int").alias("cid"),
+            )
+            for cid, cm in cents_rows
+        ]
+        return vecs.select(
+            "vec_id",
+            vm.alias("vm"),
+            F.array_min(F.array(*structs))["cid"].alias("cell"),
         )
-        for cid, cm in cents_rows
-    ]
-    return vecs.select(
-        "vec_id",
-        vm.alias("vm"),
-        F.array_min(F.array(*structs))["cid"].alias("cell"),
+
+    rows = sorted((int(cid), [int(e) for e in cm]) for cid, cm in cents_rows)
+    ncoarse = max(1, math.isqrt(len(rows)))
+    cseeds = rows[:ncoarse]  # lowest-cid centroids double as the router
+    groups: dict[int, list] = {gid: [] for gid, _ in cseeds}
+    for cid, cm in rows:
+        _, gid = min(
+            (sum((a - b) * (a - b) for a, b in zip(cm, gm)), gid)
+            for gid, gm in cseeds
+        )
+        groups[gid].append((cid, cm))
+    gid_col = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _int_sqdist(
+                        F.col("vm"), F.array(*[F.lit(e) for e in gm])
+                    ).alias("gsq"),
+                    F.lit(gid).cast("int").alias("gid"),
+                )
+                for gid, gm in cseeds
+            ]
+        )
+    )["gid"]
+    cell_expr = None
+    for gid, members in groups.items():
+        fine = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _int_sqdist(
+                            F.col("vm"), F.array(*[F.lit(e) for e in cm])
+                        ).alias("sq"),
+                        F.lit(cid).cast("int").alias("cid"),
+                    )
+                    for cid, cm in members
+                ]
+            )
+        )["cid"]
+        cond = F.col("gid") == F.lit(gid)
+        cell_expr = (
+            F.when(cond, fine) if cell_expr is None else cell_expr.when(cond, fine)
+        )
+    return (
+        vecs.select("vec_id", vm.alias("vm"))
+        .withColumn("gid", gid_col)
+        .select("vec_id", "vm", cell_expr.alias("cell"))
     )
 
 
-def semdedup_stream_flags(vecs: DataFrame, cents_rows: list) -> DataFrame:
+def semdedup_stream_flags(
+    vecs: DataFrame, cents_rows: list, two_level: bool | None = None
+) -> DataFrame:
     """Streaming SemDeDup: each arriving embedding is assigned to its
-    frozen k-means cell by a shuffle-free literal projection, then
-    probed against the cell's standing membership (stream state) with
-    the exact batch ε-ball rule — (vec_id, cell, kept, dup_of) per
-    arrival.  Update mode; NoTimeout (the standing corpus is the
-    product).  Centroids are frozen exactly like stream_ivf_ingest's
-    — drift handling is the retrain compaction on the batch side."""
+    frozen k-means cell by a shuffle-free literal projection (routed
+    two-level past TWOLEVEL_MIN_NLIST centroids — semdedup_assign_frame
+    r12), then probed against the cell's standing membership (stream
+    state) with the exact batch ε-ball rule — (vec_id, cell, kept,
+    dup_of) per arrival.  Update mode; NoTimeout (the standing corpus
+    is the product).  Drift handling: retrain_semdedup_stream opens a
+    new epoch (retrained centroids + log replay re-celling)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    assigned = semdedup_assign_frame(vecs, cents_rows)
+    assigned = semdedup_assign_frame(vecs, cents_rows, two_level)
     return assigned.groupBy("cell").applyInPandasWithState(
         _semdedup_state_fn,
         outputStructType=SEMDEDUP_STREAM_OUT_SCHEMA,

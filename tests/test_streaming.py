@@ -1420,3 +1420,57 @@ def test_streaming_semdedup_retrain_recells_after_drift(spark, tmp_path):
     assert not (out / "rows").exists() or not [
         f for f in os.listdir(out / "rows") if f.endswith(".parquet")
     ]
+
+
+def test_streaming_semdedup_twolevel_router_equals_batch(spark, tmp_path):
+    """r12: the streaming literal-projection assign must mirror
+    _assign_cells' two-level router EXACTLY (same driver-side integer
+    router groups, same tie-breaks) — forced on at fixture scale and
+    compared against the batch twin built with two_level=True."""
+    from pyspark.sql import functions as F
+
+    from processor_spark.operators.similarity import (
+        SEMDEDUP_EPS,
+        _assign_cells,
+        _ivfk_cents,
+        _micro_arr,
+        _semdedup_from_assign,
+    )
+
+    chunks = tmp_path / "emb_chunks"
+    chunks.mkdir()
+    pdf = load(spark, SF_SMALL, "embeddings").toPandas().sort_values("vec_id")
+    n = len(pdf)
+    step = n // 2 + 1
+    for i, lo in enumerate(range(0, n, step)):
+        pdf.iloc[lo : lo + step].to_parquet(
+            chunks / f"chunk_{i:02d}.parquet", index=False
+        )
+
+    static = spark.read.schema(_emb_schema()).parquet(str(chunks))
+    svecs = static.select("vec_id", _micro_arr("embedding").alias("vm"))
+    cents = _ivfk_cents(svecs, 8)
+    cents_rows = [(r.cid, list(r.cm)) for r in cents.collect()]
+
+    # sanity: the streaming projection's cells == the batch router's
+    stream_assign = P.semdedup_assign_frame(static, cents_rows, two_level=True)
+    batch_assign = _assign_cells(svecs, cents, 8, two_level=True)
+    sa = {(r.vec_id, int(r.cell)) for r in stream_assign.collect()}
+    ba = {(r.vec_id, int(r.cell)) for r in batch_assign.collect()}
+    assert sa == ba
+
+    stream = (
+        spark.readStream.schema(_emb_schema())
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(chunks))
+    )
+    got_df = _drain(
+        spark,
+        P.semdedup_stream_flags(stream, cents_rows, two_level=True),
+        "t_semdedup_2l",
+        mode="update",
+    )
+    got = {(r.vec_id, int(r.cell), r.kept, r.dup_of) for r in got_df.collect()}
+    twin = _semdedup_from_assign(batch_assign, SEMDEDUP_EPS)
+    want = {(r.vec_id, int(r.cell), r.kept, r.dup_of) for r in twin.collect()}
+    assert got == want
