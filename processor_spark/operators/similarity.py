@@ -1069,23 +1069,29 @@ def _int_sqdist(a: Column, b: Column) -> Column:
     )
 
 
-def _ivfk_cents(vecs: DataFrame, nlist: int = IVFK_NLIST) -> DataFrame:
+def _ivfk_cents(
+    vecs: DataFrame, nlist: int = IVFK_NLIST, two_level: bool | None = None
+) -> DataFrame:
     """One exact-integer Lloyd round from deterministic seeds (the
     nlist lowest vec_ids) → persisted (cid, cm) centroid table.
     ``vecs`` needs (vec_id, vm); extra columns are ignored.  Shared by
     the in-plan key, the index builder, and the filtered variant so
-    all three train byte-identical centroids (one oracle contract)."""
+    all three train byte-identical centroids (one oracle contract).
+
+    r12: the Lloyd argmin is the SAME O(n·nlist) stage as the corpus
+    assignment (the 64× breakdown measured it at 45.0 s of the 49 s
+    routed build), so it routes through the identical two-level
+    machinery — _assign_cells over the SEEDS frame — past
+    TWOLEVEL_MIN_NLIST (auto) or when forced.  At every fixture scale
+    the flat branch runs, byte-identical to the pre-r12 training, so
+    the shared oracle contract is untouched; the routed training has
+    its own cross-engine proof in q_ann_ivf_twolevel /
+    q_semdedup_twolevel, whose oracles train routed end-to-end."""
     seeds = vecs.where(F.col("vec_id") < nlist).select(
         F.col("vec_id").alias("cid"), F.col("vm").alias("cm")
     )
-    a0 = (
-        vecs.crossJoin(F.broadcast(seeds))
-        .select("vec_id", "vm", "cid", _int_sqdist(F.col("vm"), F.col("cm")).alias("sq"))
-        .groupBy("vec_id")
-        .agg(
-            F.min_by("cid", F.struct(F.col("sq"), F.col("cid"))).alias("cid"),
-            F.first("vm").alias("vm"),
-        )
+    a0 = _assign_cells(vecs.select("vec_id", "vm"), seeds, nlist, two_level).select(
+        F.col("cell").alias("cid"), "vm"
     )
     cents = (
         a0.select("cid", F.posexplode("vm").alias("pos", "m"))
@@ -1222,8 +1228,9 @@ def ivf_kmeans_topk(
     vecs = e.select("vec_id", _micro_arr("embedding").alias("vm"))
     # one Lloyd round: nearest seed by exact integer L2, then exact
     # integer per-(cell, dim) means (map-side min_by — one row per
-    # vector crosses the shuffle)
-    cents = _ivfk_cents(vecs, nlist)
+    # vector crosses the shuffle); both O(n·nlist) argmins (Lloyd and
+    # assign) route two-level past the threshold (r12)
+    cents = _ivfk_cents(vecs, nlist, two_level)
     assign = _assign_cells(vecs, cents, nlist, two_level)
     qd = (
         vecs.where(F.col("vec_id") <= KNN_QUERIES)
@@ -5067,7 +5074,15 @@ def _semdedup_assign_frame(
     e = load(spark, sf_dir, "embeddings", spread=True)
     vecs = e.select("vec_id", _micro_arr("embedding").alias("vm"))
     nlist = derived_nlist(spark, sf_dir) if nlist is None else nlist
-    cents = _ivfk_cents(vecs, nlist)
+    # training stays FLAT for this family even past the router
+    # threshold: SemDeDup's pair stage is occupancy², and routed
+    # training trades cell BALANCE for build speed — measured at
+    # 64×/nlist=512 (SCALE.md r12): flat train Σocc² 36.4M → 10.6 s
+    # pairs, routed train Σocc² 124.7M → 75.2 s pairs, a net loss.
+    # Only the assign argmin routes (cheap, balance-preserving: the
+    # centroids are already well-placed).  The IVF serve family has
+    # no pair stage and routes BOTH (7.7× there).
+    cents = _ivfk_cents(vecs, nlist, two_level=False)
     return scoped_persist(_assign_cells(vecs, cents, nlist, two_level))
 
 
@@ -5249,14 +5264,11 @@ def _dist_sql(a: str, b: str) -> str:
     )
 
 
-# Two-level assignment CTEs, following the shared training chain: the
-# ncoarse = isqrt(nlist) lowest-cid trained centroids double as the
-# coarse router (cseeds); every fine centroid routes to its nearest
-# router cell (cgrp), every vector routes the same way (vg), and the
-# final cell is the exact argmin among only the fine centroids in the
-# vector's routed group (a2).  Exactly _assign_cells' two-level
-# branch, tie-breaks included.
-_TWOLEVEL_CTES = f"""p AS (
+# Assignment-only routing CTEs (ride the shared FLAT-train prefix's
+# cents): cseeds/cgrp/vg/a2 — the SemDeDup family's two-level shape
+# (flat training preserves cell balance for the occupancy² pair
+# stage; only the assign argmin routes).
+_TWOLEVEL_ASSIGN_CTES = f"""p AS (
       SELECT greatest(1, CAST(floor(sqrt(greatest({IVFK_NLIST},
                count(*) // {TARGET_CELL}))) AS BIGINT)) AS nc
       FROM vecs
@@ -5280,9 +5292,82 @@ _TWOLEVEL_CTES = f"""p AS (
       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sq, cid) = 1
     )"""
 
+# Two-level CTE chain, routed END-TO-END (r12): both O(n·nlist)
+# argmins — the Lloyd seeds pass AND the final assignment — go
+# through the ncoarse = isqrt(nlist) router (the 64× breakdown
+# measured the flat Lloyd pass at 45.0 s of the 49 s build once the
+# assign alone was routed).  tseeds/tgrp/tvg/a0 route the TRAINING
+# argmin over the seed table; cseeds/cgrp/vg/a2 route the assignment
+# over the trained centroids.  Exactly _assign_cells' two-level
+# branch applied to each stage, tie-breaks included.  The IVF serve
+# family's shape — probe-bounded serving, no pair stage, so the
+# balance/speed trade goes the other way than SemDeDup's (see
+# _semdedup_assign_frame).
+_TWOLEVEL_FULL_CTES = f"""vecs AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(floor((x + 2.0) * 1000000 + 0.5) AS BIGINT)) AS vm
+      FROM embeddings
+    ), p AS (
+      SELECT greatest(1, CAST(floor(sqrt(greatest({IVFK_NLIST},
+               count(*) // {TARGET_CELL}))) AS BIGINT)) AS nc
+      FROM vecs
+    ), seeds AS (
+      SELECT vec_id AS cid, vm AS cm FROM vecs
+      WHERE vec_id < (SELECT greatest({IVFK_NLIST}, count(*) // {TARGET_CELL})
+                      FROM vecs)
+    ), tseeds AS (
+      SELECT cid AS gid, cm AS gm FROM seeds
+      QUALIFY row_number() OVER (ORDER BY cid) <= (SELECT nc FROM p)
+    ), tgrp AS (
+      SELECT cid, cm, gid FROM (
+        SELECT s.cid, s.cm, g.gid, {_dist_sql('s.cm', 'g.gm')} AS gsq
+        FROM seeds s CROSS JOIN tseeds g)
+      QUALIFY row_number() OVER (PARTITION BY cid ORDER BY gsq, gid) = 1
+    ), tvg AS (
+      SELECT vec_id, vm, gid FROM (
+        SELECT v.vec_id, v.vm, g.gid, {_dist_sql('v.vm', 'g.gm')} AS gsq
+        FROM vecs v CROSS JOIN tseeds g)
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY gsq, gid) = 1
+    ), a0 AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, s.cid, {_dist_sql('v.vm', 's.cm')} AS sq
+        FROM tvg v JOIN tgrp s USING (gid))
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sq, cid) = 1
+    ), elems AS (
+      SELECT a.cid, unnest(range(1, len(v.vm) + 1)) AS pos, unnest(v.vm) AS m
+      FROM a0 a JOIN vecs v USING (vec_id)
+    ), cmeans AS (
+      SELECT cid, pos, CAST(sum(m) AS BIGINT) // count(*) AS nm
+      FROM elems GROUP BY cid, pos
+    ), cents AS (
+      SELECT cid, list(nm ORDER BY pos) AS cm FROM cmeans GROUP BY cid
+    ), cseeds AS (
+      SELECT cid AS gid, cm AS gm FROM cents
+      QUALIFY row_number() OVER (ORDER BY cid) <= (SELECT nc FROM p)
+    ), cgrp AS (
+      SELECT cid, cm, gid FROM (
+        SELECT c.cid, c.cm, g.gid, {_dist_sql('c.cm', 'g.gm')} AS gsq
+        FROM cents c CROSS JOIN cseeds g)
+      QUALIFY row_number() OVER (PARTITION BY cid ORDER BY gsq, gid) = 1
+    ), vg AS (
+      SELECT vec_id, vm, gid FROM (
+        SELECT v.vec_id, v.vm, g.gid, {_dist_sql('v.vm', 'g.gm')} AS gsq
+        FROM vecs v CROSS JOIN cseeds g)
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY gsq, gid) = 1
+    ), a2 AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT v.vec_id, c.cid, {_dist_sql('v.vm', 'c.cm')} AS sq
+        FROM vg v JOIN cgrp c USING (gid))
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sq, cid) = 1
+    )"""
+
 _IVF2_SQL = f"""
-    WITH {_IVFK_TRAIN_ASSIGN}, {_TWOLEVEL_CTES}, probes AS (
-      SELECT vec_id AS q_id, cid AS cell FROM d1 WHERE vec_id <= {KNN_QUERIES}
+    WITH {_TWOLEVEL_FULL_CTES}, d1q AS (
+      SELECT v.vec_id, c.cid, {_dist_sql('v.vm', 'c.cm')} AS sq
+      FROM vecs v CROSS JOIN cents c WHERE v.vec_id <= {KNN_QUERIES}
+    ), probes AS (
+      SELECT vec_id AS q_id, cid AS cell FROM d1q
       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sq, cid) <= {IVF_NPROBE}
     ), scored AS (
       SELECT p.q_id, a.vec_id,
@@ -5325,7 +5410,7 @@ def q_ann_ivf_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SEMDEDUP2_SQL = f"""
-    WITH {_IVFK_TRAIN_ASSIGN}, {_TWOLEVEL_CTES}, near AS (
+    WITH {_IVFK_TRAIN_ASSIGN}, {_TWOLEVEL_ASSIGN_CTES}, near AS (
       SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
       FROM a2 a
       JOIN a2 b ON a.cell = b.cell AND a.vec_id < b.vec_id
