@@ -5398,14 +5398,17 @@ def q_ann_ivf_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
     isqrt(nlist) coarse cells restores O(n·2·sqrt(nlist)) and removes
     the corpus × full-centroid-table crossJoin from the plan (the
     fine stage is an equi-join on the router cell — plan-asserted in
-    tests/test_plans.py).  Assignment is approximate (a vector whose
-    true nearest fine centroid lives in another router group lands in
-    its routed group's best cell instead); probes still rank cells
-    exactly (|Q| × nlist is trivial).  Measured at 64×/nlist=512
-    (SCALE.md r12): flat assign 90.5 s → routed 42.2 s (2.15×) at
-    recall@5 = 1.0 on both rows.  All-integer as ever: full hash
-    oracle through training, routing, assignment, probing and
-    ranking."""
+    tests/test_plans.py).  BOTH O(n·nlist) argmins route: the Lloyd
+    seed pass (the 64× breakdown measured it at 45.0 s of the 49 s
+    assign-only-routed build) and the final assignment.  Assignment
+    is approximate (a vector whose true nearest centroid lives in
+    another router group lands in its routed group's best cell
+    instead); probes still rank cells exactly (|Q| × nlist is
+    trivial).  Measured at 64×/nlist=512 (SCALE.md r12 session 2):
+    flat 79.2 s → routed 10.3 s (7.7×) at recall@5 = 1.0 on both
+    rows; the no-knob derived default runs 8.8 s.  All-integer as
+    ever: full hash oracle through training, routing, assignment,
+    probing and ranking."""
     return ivf_kmeans_topk(spark, sf_dir, two_level=True)
 
 
@@ -5428,15 +5431,19 @@ _SEMDEDUP2_SQL = f"""
 
 @register("q_semdedup_twolevel", sql=_SEMDEDUP2_SQL)
 def q_semdedup_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup with the two-level coarse-quantized assign forced on —
+    """SemDeDup with the two-level coarse-quantized ASSIGN forced on —
     the dedup-family twin of q_ann_ivf_twolevel, hash-oracled through
     the router so the scale path (derived nlist ≥ TWOLEVEL_MIN_NLIST
-    auto-routes) has fixture-scale cross-engine proof.  Verdict
-    semantics are q_semdedup's exactly (lowest-id ε-ball survivor per
-    cell) over the routed cells; routing changes WHICH cell a
-    boundary vector compares within, the same trade every blocked
-    dedup family already makes (LSH bands, grid cells).  Measured at
-    64×/nlist=512 (SCALE.md r12): 83.2 s flat → 69.7 s routed;
-    dedup quality 122,560 vs 126,579 of 128k dropped (~3% boundary
-    loss — pass two_level=False where recall beats wall-clock)."""
+    auto-routes) has fixture-scale cross-engine proof.  Unlike the
+    IVF twin, TRAINING stays flat: the pair stage is occupancy² and
+    routed training trades cell balance for build speed (Σocc² 36.4M
+    → 124.7M, pairs 10.6 → 75.2 s at 64× — SCALE.md r12 session 2),
+    so only the assign argmin routes.  Verdict semantics are
+    q_semdedup's exactly (lowest-id ε-ball survivor per cell) over
+    the routed cells; routing changes WHICH cell a boundary vector
+    compares within, the same trade every blocked dedup family
+    already makes (LSH bands, grid cells).  Measured at 64×/nlist=512
+    isolated: 62-69 s vs 83-92 s flat-everything; dedup quality
+    122,560 vs 126,579 of 128k dropped (~3% boundary loss — pass
+    two_level=False where recall beats wall-clock)."""
     return semdedup_verdicts(spark, sf_dir, two_level=True)
