@@ -1,0 +1,61 @@
+"""Beyond-fixture proof of the derived-nlist rule (r12).
+
+Every fixture corpus derives nlist == IVFK_NLIST (the floor), so the
+standard parity suite never exercises the derivation ABOVE it.  These
+tests build a synthetic 3,000-vector corpus (sf0.1's embeddings plus
+1,000 id-shifted copies) where both engines must derive
+nlist = 3000 // TARGET_CELL = 12 > IVFK_NLIST, and hash-compare the
+registered keys' Spark and DuckDB sides on it — the scalar-subquery
+rule crossing engines off the floor, including the two-level router
+at a non-fixture ncoarse (isqrt(12) = 3).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from processor_spark import registry
+from tests.oracle_utils import compare
+
+registry.load_all_modules()
+
+
+@pytest.fixture(scope="module")
+def synth_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sf-synth-3000")
+    src = pd.read_parquet("/root/testdata/sf0.1/embeddings.parquet")
+    extra = src.head(1000).copy()
+    extra["vec_id"] = extra["vec_id"] + 10_000_000
+    pd.concat([src, extra], ignore_index=True).to_parquet(
+        d / "embeddings.parquet", index=False
+    )
+    return str(d)
+
+
+def _oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    return con.execute(sql).fetchdf()
+
+
+def test_derived_nlist_leaves_the_floor(spark, synth_dir):
+    from processor_spark.operators.similarity import derived_nlist
+
+    assert derived_nlist(spark, synth_dir) == 12
+
+
+@pytest.mark.parametrize(
+    "key",
+    ["q_semdedup", "q_semdedup_twolevel", "q_ann_ivf_kmeans", "q_ann_ivf_twolevel"],
+)
+def test_derived_rule_crosses_engines_above_the_floor(spark, synth_dir, key):
+    q = registry.get(key)
+    res = compare(q.fn(spark, synth_dir), _oracle(q.sql, synth_dir))
+    assert res["rows_match"], f"{key}: rows {res['rows_spark']} != {res['rows_oracle']}"
+    assert res["cols_match"], f"{key}: cols {res['cols_spark']} != {res['cols_oracle']}"
+    assert res["values_match"], f"{key}: value mismatch {res.get('first_diffs')}"
