@@ -67,6 +67,17 @@ def main() -> None:
         "keys": {},
         "confirmed": [],
     }
+    # Control group (r12): three dependency-light keys that no round
+    # has touched in ages, measured with the SAME isolated protocol —
+    # their median ratio vs the old artifact is the machine-day
+    # ambient floor measured the way the flagged keys are measured
+    # (a one-moment canary under- or over-normalizes: the r12 confirm
+    # normalized by 0.811 and "confirmed" 25 keys whose raw isolated
+    # ratios all sat in the same 1.06-1.25 band as the untouched
+    # controls).  A flagged key is only a REAL regression to the
+    # extent it exceeds this floor.
+    CONTROL_KEYS = ("q_filter", "q_struct_funcs", "q_subquery_correlated")
+
     if flagged:
         sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -75,6 +86,23 @@ def main() -> None:
 
         spark = build_session(app_name="processor_spark-sweep-confirm")
         qs = registry.queries()
+        control_ratios = []
+        for key in CONTROL_KEYS:
+            if key not in qs or key not in oq:
+                continue
+            qs[key](spark, sf_dir).toPandas()  # warm
+            passes = []
+            for _ in range(3):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                qs[key](spark, sf_dir).toPandas()
+                passes.append(round(time.perf_counter() - t0, 3))
+            med = round(statistics.median(passes), 3)
+            control_ratios.append(med / oq[key])
+        if control_ratios:
+            result["control_floor_raw_ratio"] = round(
+                statistics.median(control_ratios), 3
+            )
         for key in flagged:
             qs[key](spark, sf_dir).toPandas()  # warm (plan+codegen)
             passes = []
