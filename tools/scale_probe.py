@@ -193,6 +193,14 @@ HEADLINE = [
     "q_semdedup_clusters",
     "q_curation_verdicts",
     "q_audio_segments",
+    # r12: the fuzzy-tier curation composite + per-source funnel, the
+    # two-level keys (router math at fixture nlist — near-flat
+    # expected; the 64x story is the ann_bits_probe ladder), and the
+    # index-backed clusters serve
+    "q_curation_funnel",
+    "q_ann_ivf_twolevel",
+    "q_semdedup_twolevel",
+    "q_semdedup_clusters_serve",
 ]
 
 # per-table key columns to shift per replica so keys stay unique and
