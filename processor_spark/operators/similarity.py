@@ -5217,6 +5217,72 @@ def q_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PRUNE_PROTO_SQL = f"""
+    WITH {_IVFK_TRAIN_ASSIGN}, d2 AS (
+      SELECT a.vec_id, a.cell,
+             list_reduce(list_transform(range(1, len(v.vm) + 1),
+                  i -> (v.vm[i] - c.cm[i]) * (v.vm[i] - c.cm[i])),
+               (acc, x) -> acc + x) AS sq
+      FROM assign a
+      JOIN vecs v ON v.vec_id = a.vec_id
+      JOIN cents c ON c.cid = a.cell
+    ), ranked AS (
+      SELECT vec_id, cell, sq,
+             row_number() OVER (PARTITION BY cell ORDER BY sq, vec_id) AS proto_rank,
+             count(*) OVER (PARTITION BY cell) AS n_cell
+      FROM d2
+    )
+    SELECT vec_id, CAST(cell AS BIGINT) AS cell,
+           CAST(sq AS BIGINT) AS sq_micro2,
+           CAST(proto_rank AS BIGINT) AS proto_rank,
+           CAST(CASE WHEN proto_rank <= (n_cell + 4) // 5 THEN 0 ELSE 1 END
+                AS BIGINT) AS kept
+    FROM ranked
+    """
+
+
+@register("q_prune_prototypes", sql=_PRUNE_PROTO_SQL)
+def q_prune_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSL-prototypes data pruning (Sorscher et al. 2022, "Beyond
+    neural scaling laws"): rank each vector by its distance to its
+    k-means cell centroid — the most PROTOTYPICAL (closest, most
+    redundant) examples prune first; here the closest ceil(20%) of
+    each cell is dropped (kept = 0).  Rides the family's shared
+    training contract (same cells as q_ann_ivf_kmeans / q_semdedup),
+    so curation can compose it with the SemDeDup verdict at zero
+    extra training cost.  Emits (vec_id, cell, sq_micro2, proto_rank,
+    kept) — all integer (exact squared-L2 to the integer centroid,
+    integer ceil via (n+4) div 5), full hash oracle through the
+    training round.  Scale: one broadcast join to the nlist×d
+    centroid table plus per-cell windows, occupancy-bounded under the
+    derived-nlist rule — no corpus-sized sort anywhere."""
+    e = load(spark, sf_dir, "embeddings", spread=True)
+    vecs = e.select("vec_id", _micro_arr("embedding").alias("vm"))
+    nlist = derived_nlist(spark, sf_dir)
+    cents = _ivfk_cents(vecs, nlist, two_level=False)
+    assign = _assign_cells(vecs, cents, nlist)
+    d2 = assign.join(
+        F.broadcast(cents), assign["cell"] == cents["cid"]
+    ).select(
+        "vec_id", "cell", _int_sqdist(F.col("vm"), F.col("cm")).alias("sq")
+    )
+    wr = Window.partitionBy("cell").orderBy("sq", "vec_id")
+    wc = Window.partitionBy("cell")
+    return (
+        d2.withColumn("proto_rank", F.row_number().over(wr))
+        .withColumn("n_cell", F.count(F.lit(1)).over(wc))
+        .select(
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            F.col("sq").cast("long").alias("sq_micro2"),
+            F.col("proto_rank").cast("long").alias("proto_rank"),
+            F.when(
+                F.col("proto_rank") <= F.expr("(n_cell + 4) div 5"), 0
+            ).otherwise(1).cast("long").alias("kept"),
+        )
+    )
+
+
 @register("q_semdedup_clusters_serve", sql=_SEMDEDUP_CLUSTERS_SQL)
 def q_semdedup_clusters_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ε-graph components served from the persisted trained-centroid

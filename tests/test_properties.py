@@ -1324,3 +1324,43 @@ def test_twolevel_assign_with_one_router_cell_equals_flat(spark):
     two = _assign_cells(vecs, cents, 3, two_level=True).select("vec_id", "cell")
     assert flat.exceptAll(two).count() == 0
     assert two.exceptAll(flat).count() == 0
+
+
+def test_prune_prototypes_drops_the_closest_fifth_per_cell(spark):
+    """Independent numpy recomposition of the prototype-pruning rule:
+    using the engine's own (assignment, centroids), the dropped set
+    per cell must be exactly the ceil(n/5) members closest to the
+    centroid under (distance, vec_id) order — targets the
+    window/ceil/keep layer."""
+    import math
+
+    import numpy as np
+
+    from processor_spark import registry
+    from processor_spark.operators.similarity import (
+        _assign_cells,
+        _ivfk_cents,
+        _micro_arr,
+    )
+    from processor_spark.sources import load
+
+    sf = "/root/testdata/sf0.001"
+    got = registry.get("q_prune_prototypes").fn(spark, sf).toPandas()
+    vecs = load(spark, sf, "embeddings").select(
+        "vec_id", _micro_arr("embedding").alias("vm")
+    )
+    cents = _ivfk_cents(vecs, 8)
+    cdict = {r.cid: np.asarray(r.cm, dtype=np.int64) for r in cents.collect()}
+    assign = _assign_cells(vecs, cents, 8).collect()
+    by_cell: dict[int, list] = {}
+    for r in assign:
+        vm = np.asarray(r.vm, dtype=np.int64)
+        d = int(((vm - cdict[r.cell]) ** 2).sum())
+        by_cell.setdefault(int(r.cell), []).append((d, int(r.vec_id)))
+    exp_drop = set()
+    for cell, members in by_cell.items():
+        members.sort()
+        for d, v in members[: math.ceil(len(members) / 5)]:
+            exp_drop.add(v)
+    got_drop = set(got.loc[got["kept"] == 0, "vec_id"])
+    assert got_drop == exp_drop
