@@ -5255,11 +5255,14 @@ def q_prune_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer ceil via (n+4) div 5), full hash oracle through the
     training round.  Scale: one broadcast join to the nlist×d
     centroid table plus per-cell windows, occupancy-bounded under the
-    derived-nlist rule — no corpus-sized sort anywhere."""
+    derived-nlist rule — no corpus-sized sort anywhere; with no pair
+    stage to pay the balance trade, training routes two-level past
+    the threshold like the IVF family (auto), flat at every
+    oracle-checked scale."""
     e = load(spark, sf_dir, "embeddings", spread=True)
     vecs = e.select("vec_id", _micro_arr("embedding").alias("vm"))
     nlist = derived_nlist(spark, sf_dir)
-    cents = _ivfk_cents(vecs, nlist, two_level=False)
+    cents = _ivfk_cents(vecs, nlist)
     assign = _assign_cells(vecs, cents, nlist)
     d2 = assign.join(
         F.broadcast(cents), assign["cell"] == cents["cid"]
