@@ -1114,6 +1114,96 @@ def serve_ivf_stream_index(spark: SparkSession, path: str, query_df: DataFrame) 
     )
 
 
+# --------- shared retrain kernel (r13, VERDICT r12 next #5): the IVF
+# retrain compaction and the SemDeDup epoch retrain previously
+# duplicated the derive-nlist + rank-seed + stage/verify/swap
+# choreography with drift hazard — and only the SemDeDup one had the
+# explicit-file-list snapshot that defuses the CacheManager
+# identical-plan trap (ADVICE r12 medium).  One kernel now serves both.
+
+
+def _snapshot_parquet_files(root: str) -> list[str]:
+    """Explicit sorted leaf-file snapshot of a GROWING parquet log or
+    index dir (recursive).  Reading ``.parquet(*files)`` makes the
+    logical plan a function of the file SET: a retrain after new files
+    land builds a DIFFERENT plan, so the persisted training
+    (_ivfa_cents) can never hit the CacheManager's identical-plan cache
+    and silently train on the prior epoch's cached rows — the r12
+    stale-centroid trap, now closed on BOTH retrain paths."""
+    import os
+
+    out: list[str] = []
+    for dirpath, _dirs, files in os.walk(root):
+        out.extend(
+            os.path.join(dirpath, f) for f in files if f.endswith(".parquet")
+        )
+    return sorted(out)
+
+
+def _retrain_cents(vecs: DataFrame) -> tuple[int, int, DataFrame]:
+    """Derive nlist from the accumulated corpus count (the occupancy
+    rule applied at the moment the full corpus is in hand), seed by
+    rank (the corpus' lowest vec_ids, cid = 1..nlist — file ids carry
+    no guaranteed range), one exact-integer Lloyd round.  Returns
+    (n, nlist, cents); ``vecs`` needs (vec_id, vm)."""
+    from pyspark.sql import Window
+
+    from processor_spark.operators.similarity import (
+        IVFK_NLIST,
+        TARGET_CELL,
+        _ivfa_cents,
+    )
+
+    n = vecs.count()
+    nlist = max(IVFK_NLIST, n // TARGET_CELL)
+    seeds = (
+        vecs.orderBy("vec_id")
+        .limit(nlist)
+        .select(
+            F.row_number().over(Window.orderBy("vec_id")).cast("long").alias("cid"),
+            F.col("vm").alias("cm"),
+        )
+    )
+    return n, nlist, _ivfa_cents(vecs, seeds=seeds)
+
+
+def _stage_centroids(
+    spark: SparkSession, cents: DataFrame, stage: str, nlist: int
+) -> DataFrame:
+    """Write the trained centroids into the stage tree and verify the
+    row count BEFORE anything swaps (a short train — empty seeds, bad
+    snapshot — must fail loudly, not serve a half-index).  Returns the
+    re-read frame (reading back decouples later consumers from the
+    persisted training lineage)."""
+    import os
+    import shutil
+
+    cents.write.parquet(os.path.join(stage, "centroids"))
+    got = spark.read.parquet(os.path.join(stage, "centroids"))
+    n_c = got.count()
+    if n_c != nlist:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise ValueError(f"retrain produced {n_c} centroids, expected {nlist}")
+    return got
+
+
+def _swap_root(stage: str, root: str) -> None:
+    """Two-rename whole-root swap (stage in, live aside, GC) — each
+    rename atomic, a crash between them healed on entry by
+    heal_swapped_root (the r11 compaction contract)."""
+    import os
+    import shutil
+    import uuid
+
+    if os.path.isdir(root):
+        old = root + f".old-{uuid.uuid4().hex[:8]}"
+        os.replace(root, old)   # live root aside (atomic)
+        os.replace(stage, root)  # new complete tree in (atomic)
+        shutil.rmtree(old, ignore_errors=True)  # best-effort GC
+    else:
+        os.replace(stage, root)
+
+
 def compact_ivf_stream_index(
     spark: SparkSession, path: str, retrain: bool = False
 ) -> str:
@@ -1142,13 +1232,8 @@ def compact_ivf_stream_index(
     import shutil
     import uuid
 
-    from pyspark.sql import Window
-
     from processor_spark.operators.similarity import (
-        IVFK_NLIST,
-        TARGET_CELL,
         _ivfa_assign,
-        _ivfa_cents,
         heal_swapped_root,
     )
 
@@ -1158,44 +1243,30 @@ def compact_ivf_stream_index(
     if len(gens) <= 1 and not retrain:
         return path  # already compact, centroids untouched
 
+    # explicit file-list snapshot (ADVICE r12 medium): the assignments
+    # dir GROWS a generation per micro-batch, and _ivfa_cents persists
+    # its plan — a dir-path read would build the identical logical plan
+    # on every retrain and the CacheManager would serve the PRIOR
+    # epoch's cached training rows (the exact stale-cache failure the
+    # r12 drift test caught on the SemDeDup path).  cell is a partition
+    # DIR, absent from leaf files — this read doesn't need it (the
+    # retrain recomputes every cell).
+    files = _snapshot_parquet_files(root)
     vecs = (
-        spark.read.schema("vec_id bigint, vm array<bigint>, cell bigint")
-        .parquet(root)
+        spark.read.schema("vec_id bigint, vm array<bigint>")
+        .parquet(*files)
         .select("vec_id", "vm")
     )
+    stage = path + f".stage-compact-{uuid.uuid4().hex[:8]}"
+    shutil.rmtree(stage, ignore_errors=True)
     if retrain:
         # retrain is exactly when a growing stream must re-derive its
         # cell count — the occupancy rule applied at the moment the
-        # full accumulated corpus is in hand (r12, matches
-        # retrain_semdedup_stream; fixture-scale tests see the
+        # full accumulated corpus is in hand (shared kernel with
+        # retrain_semdedup_stream, r13; fixture-scale tests see the
         # unchanged IVFK_NLIST floor)
-        nlist = max(IVFK_NLIST, vecs.count() // TARGET_CELL)
-        seeds = (
-            vecs.orderBy("vec_id")
-            .limit(nlist)
-            .select(
-                F.row_number().over(Window.orderBy("vec_id"))
-                .cast("long")
-                .alias("cid"),
-                F.col("vm").alias("cm"),
-            )
-        )
-        cents = _ivfa_cents(vecs, seeds=seeds)
-    else:
-        cents = spark.read.parquet(os.path.join(path, "centroids"))
-
-    stage = path + f".stage-compact-{uuid.uuid4().hex[:8]}"
-    shutil.rmtree(stage, ignore_errors=True)
-    cents.write.parquet(os.path.join(stage, "centroids"))
-    if retrain:
-        n_c = spark.read.parquet(os.path.join(stage, "centroids")).count()
-        if n_c != nlist:
-            shutil.rmtree(stage, ignore_errors=True)
-            raise ValueError(
-                f"retrain produced {n_c} centroids, expected {nlist}"
-            )
-    new_cents = spark.read.parquet(os.path.join(stage, "centroids"))
-    if retrain:
+        _n, nlist, cents = _retrain_cents(vecs)
+        new_cents = _stage_centroids(spark, cents, stage, nlist)
         # derived nlist → the O(n·nlist) flat re-assign is the two-level
         # router's exact use case (auto past TWOLEVEL_MIN_NLIST; flat —
         # byte-identical to _ivfa_assign — at the fixture-scale floor)
@@ -1205,14 +1276,14 @@ def compact_ivf_stream_index(
             vecs, new_cents.selectExpr("cid", "cm"), nlist
         ).select("vec_id", "cell", "vm")
     else:
+        cents = spark.read.parquet(os.path.join(path, "centroids"))
+        cents.write.parquet(os.path.join(stage, "centroids"))
+        new_cents = spark.read.parquet(os.path.join(stage, "centroids"))
         reassigned = _ivfa_assign(vecs, new_cents).select("vec_id", "cell", "vm")
     reassigned.write.partitionBy("cell").parquet(
         os.path.join(stage, "assignments", "gen=0")
     )
-    old = path + f".old-{uuid.uuid4().hex[:8]}"
-    os.replace(path, old)   # live root aside (atomic)
-    os.replace(stage, path)  # new complete tree in (atomic)
-    shutil.rmtree(old, ignore_errors=True)  # best-effort GC
+    _swap_root(stage, path)
     return path
 
 
@@ -1451,27 +1522,144 @@ def _semdedup_state_fn(key, pdfs: Iterator[pd.DataFrame], state):
     )
 
 
-def semdedup_assign_frame(
-    vecs: DataFrame, cents_rows: list, two_level: bool | None = None
-) -> DataFrame:
-    """(vec_id, vm, cell) assignment as a PURE PROJECTION against
-    centroid LITERALS (cents_rows = [(cid, [64 ints]), ...] collected
-    from the frozen centroid table): streaming-safe — no aggregation
-    before the stateful operator, no stream-static join state.  The
-    argmin is array_min over an array of (sq, cid) structs —
-    lexicographic struct ordering IS the batch min_by (sq, cid)
-    tie-break, so cells match the batch twin exactly.
+# Literal-ints budget for the streaming assignment PROJECTION: past it
+# the plan embeds so many centroid literals (nlist × d, plus ncoarse × d
+# routed) that per-micro-batch Catalyst re-planning dominates the
+# trigger — measured at derived nlist=512 / d=64 (≈34k literals) by
+# tools/semdedup_router512_probe.py (SCALE.md r13): the literal router
+# takes 27.4 s of py4j calls just to BUILD and its steady-state batch
+# runs 6,799 ms vs the numpy-argmin branch's 1,514 ms (4.5×; stream
+# total 130.4 s vs 25.3 s).  Below the budget (the fixture floor
+# nlist=8 → 512 literals) the literal projection is cheapest and keeps
+# the plan fully Catalyst-visible.
+ASSIGN_LITERAL_MAX = 4096
 
-    Past TWOLEVEL_MIN_NLIST centroids (or with two_level=True) the
-    projection routes TWO-LEVEL, mirroring _assign_cells r12: the
-    router groups are computed DRIVER-side in exact integer python
-    (same isqrt(nlist) lowest-cid seeds, same (dist, id) tie-breaks),
-    the row picks its router cell from ncoarse literal structs, and a
-    lazily-evaluated CASE computes the fine argmin over only the
-    routed group's literals — per-row distance work drops from nlist
-    to ncoarse + |group| without any new streaming state."""
+
+def _router_groups(cents_rows: list) -> tuple[list, dict]:
+    """Driver-side two-level router construction, exact integer python —
+    the SAME groups _assign_cells computes Spark-side: router seeds =
+    the isqrt(nlist) lowest-cid centroids, each fine centroid routed to
+    its (gsq, gid)-min seed.  Shared by the literal-CASE and the
+    numpy-argmin assignment branches so both mirror the batch twin."""
     import math
 
+    rows = sorted((int(cid), [int(e) for e in cm]) for cid, cm in cents_rows)
+    ncoarse = max(1, math.isqrt(len(rows)))
+    cseeds = rows[:ncoarse]  # lowest-cid centroids double as the router
+    groups: dict[int, list] = {gid: [] for gid, _ in cseeds}
+    for cid, cm in rows:
+        _, gid = min(
+            (sum((a - b) * (a - b) for a, b in zip(cm, gm)), gid)
+            for gid, gm in cseeds
+        )
+        groups[gid].append((cid, cm))
+    return cseeds, groups
+
+
+def _numpy_assign(vecs_vm: DataFrame, cents_rows: list, two_level: bool) -> DataFrame:
+    """Closure-captured numpy argmin assignment (VERDICT r12 "what's
+    wrong": the literal-CASE router's plan grows linearly with nlist —
+    ~34k literals at derived nlist=512 — and Catalyst re-plans it every
+    micro-batch; this keeps the PLAN O(1) in nlist and moves the
+    distance work into one Arrow-batched mapInPandas).
+
+    Bit-exact with both literal branches: vm is integerized Spark-side
+    (identical _micro_arr projection), distances are exact — every
+    product ≤ (4.2e6)² ≈ 1.8e13 and every 64-dim sum ≤ 2.3e15 sits
+    below 2^53, so float64 matmul is integer-exact regardless of BLAS
+    summation order — and argmin over cid-sorted rows IS the (sq, cid)
+    min_by tie-break (first occurrence = lowest cid).  Two-level mode
+    reuses _router_groups, so routed cells equal _assign_cells
+    two_level=True exactly (asserted in tests/test_streaming.py)."""
+    import numpy as np
+
+    rows = sorted((int(cid), [int(e) for e in cm]) for cid, cm in cents_rows)
+    cids = np.asarray([cid for cid, _ in rows], dtype=np.int64)
+    C = np.asarray([cm for _, cm in rows], dtype=np.float64)
+    if two_level:
+        cseeds, groups = _router_groups(cents_rows)
+        G = np.asarray([gm for _, gm in cseeds], dtype=np.float64)
+        gids = [gid for gid, _ in cseeds]
+        # per-group fine matrices, cid-sorted (groups preserve cid order)
+        fine = {
+            gid: (
+                np.asarray([cid for cid, _ in mem], dtype=np.int64),
+                np.asarray([cm for _, cm in mem], dtype=np.float64),
+            )
+            for gid, mem in groups.items()
+            if mem
+        }
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["vm"].to_numpy()).astype(np.float64)
+            if not two_level:
+                sq = (
+                    (X * X).sum(axis=1)[:, None]
+                    + (C * C).sum(axis=1)[None, :]
+                    - 2.0 * (X @ C.T)
+                )
+                cell = cids[sq.argmin(axis=1)]
+            else:
+                gsq = (
+                    (X * X).sum(axis=1)[:, None]
+                    + (G * G).sum(axis=1)[None, :]
+                    - 2.0 * (X @ G.T)
+                )
+                gidx = gsq.argmin(axis=1)  # first-occurrence = lowest gid
+                cell = np.zeros(len(X), dtype=np.int64)
+                for j, gid in enumerate(gids):
+                    mask = gidx == j
+                    if not mask.any() or gid not in fine:
+                        continue
+                    mcids, M = fine[gid]
+                    Xm = X[mask]
+                    msq = (
+                        (Xm * Xm).sum(axis=1)[:, None]
+                        + (M * M).sum(axis=1)[None, :]
+                        - 2.0 * (Xm @ M.T)
+                    )
+                    cell[mask] = mcids[msq.argmin(axis=1)]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "vm": pdf["vm"],
+                    "cell": pd.Series(cell, index=pdf.index).astype("int32"),
+                }
+            )
+
+    return vecs_vm.mapInPandas(
+        fn, schema="vec_id bigint, vm array<bigint>, cell int"
+    )
+
+
+def semdedup_assign_frame(
+    vecs: DataFrame,
+    cents_rows: list,
+    two_level: bool | None = None,
+    impl: str | None = None,
+) -> DataFrame:
+    """(vec_id, vm, cell) assignment for the streaming SemDeDup —
+    streaming-safe by construction: no aggregation before the stateful
+    operator, no stream-static join state.  Three bodies, one
+    semantics (every pair equality-tested in tests/test_streaming.py):
+
+    - ``literal`` flat: a pure projection against centroid LITERALS;
+      argmin = array_min over (sq, cid) structs — lexicographic struct
+      ordering IS the batch min_by (sq, cid) tie-break.
+    - ``literal`` two-level (past TWOLEVEL_MIN_NLIST or forced):
+      mirrors _assign_cells r12 — driver-side integer router groups
+      (_router_groups), ncoarse literal router structs, then a
+      lazily-evaluated CASE over the routed group's literals.
+    - ``numpy`` (auto past ASSIGN_LITERAL_MAX embedded literal ints —
+      the VERDICT r12 plan-size hazard, measured at nlist=512 by
+      tools/semdedup_router512_probe.py): closure-captured centroid
+      matrix, one Arrow-batched mapInPandas, plan size O(1) in nlist.
+
+    ``impl`` forces a branch ("literal"/"numpy"); default picks by the
+    literal budget."""
     from processor_spark.operators.similarity import (
         TWOLEVEL_MIN_NLIST,
         _int_sqdist,
@@ -1482,6 +1670,16 @@ def semdedup_assign_frame(
     use2l = (
         (len(cents_rows) >= TWOLEVEL_MIN_NLIST) if two_level is None else two_level
     )
+    if impl is None:
+        d = len(cents_rows[0][1]) if cents_rows else 0
+        import math
+
+        nlits = (len(cents_rows) + (math.isqrt(len(cents_rows)) if use2l else 0)) * d
+        impl = "numpy" if nlits > ASSIGN_LITERAL_MAX else "literal"
+    if impl == "numpy":
+        return _numpy_assign(
+            vecs.select("vec_id", vm.alias("vm")), cents_rows, use2l
+        )
     if not use2l:
         structs = [
             F.struct(
@@ -1498,16 +1696,7 @@ def semdedup_assign_frame(
             F.array_min(F.array(*structs))["cid"].alias("cell"),
         )
 
-    rows = sorted((int(cid), [int(e) for e in cm]) for cid, cm in cents_rows)
-    ncoarse = max(1, math.isqrt(len(rows)))
-    cseeds = rows[:ncoarse]  # lowest-cid centroids double as the router
-    groups: dict[int, list] = {gid: [] for gid, _ in cseeds}
-    for cid, cm in rows:
-        _, gid = min(
-            (sum((a - b) * (a - b) for a, b in zip(cm, gm)), gid)
-            for gid, gm in cseeds
-        )
-        groups[gid].append((cid, cm))
+    cseeds, groups = _router_groups(cents_rows)
     gid_col = F.array_min(
         F.array(
             *[
@@ -1523,6 +1712,12 @@ def semdedup_assign_frame(
     )["gid"]
     cell_expr = None
     for gid, members in groups.items():
+        if not members:
+            # duplicate trained centroids can tie-route a seed's own
+            # group empty; F.array() over zero structs fails analysis
+            # and gid_col can never select an empty group under the
+            # same (gsq, gid) tie-break (ADVICE r12)
+            continue
         fine = F.array_min(
             F.array(
                 *[
@@ -1548,19 +1743,23 @@ def semdedup_assign_frame(
 
 
 def semdedup_stream_flags(
-    vecs: DataFrame, cents_rows: list, two_level: bool | None = None
+    vecs: DataFrame,
+    cents_rows: list,
+    two_level: bool | None = None,
+    impl: str | None = None,
 ) -> DataFrame:
     """Streaming SemDeDup: each arriving embedding is assigned to its
-    frozen k-means cell by a shuffle-free literal projection (routed
-    two-level past TWOLEVEL_MIN_NLIST centroids — semdedup_assign_frame
-    r12), then probed against the cell's standing membership (stream
+    frozen k-means cell by a shuffle-free stateless assignment (literal
+    projection at small nlist, closure-captured numpy argmin past
+    ASSIGN_LITERAL_MAX embedded literals — semdedup_assign_frame r13),
+    then probed against the cell's standing membership (stream
     state) with the exact batch ε-ball rule — (vec_id, cell, kept,
     dup_of) per arrival.  Update mode; NoTimeout (the standing corpus
     is the product).  Drift handling: retrain_semdedup_stream opens a
     new epoch (retrained centroids + log replay re-celling)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    assigned = semdedup_assign_frame(vecs, cents_rows, two_level)
+    assigned = semdedup_assign_frame(vecs, cents_rows, two_level, impl)
     return assigned.groupBy("cell").applyInPandasWithState(
         _semdedup_state_fn,
         outputStructType=SEMDEDUP_STREAM_OUT_SCHEMA,
@@ -1603,26 +1802,22 @@ def retrain_semdedup_stream(
     balance as the embedding distribution shifts, exactly the r10 IVF
     gap compact_ivf_stream_index closed for the batch side).
 
-    Seeding is the streaming family's rank-based rule (the corpus'
-    lowest vec_ids, cid = 1..nlist by rank — file ids carry no
-    guaranteed range), one exact-integer Lloyd round (_ivfa_cents),
-    nlist = max(IVFK_NLIST, n // TARGET_CELL) derived from the
-    accumulated count.  The whole root (centroids + meta) swaps
-    atomically; old epoch checkpoints die with the swap, which is the
-    point — the next run_semdedup_stream replays the log through the
-    new epoch's fresh checkpoint and rebuilds the membership state
+    Seeding/derivation/staging ride the shared retrain kernel
+    (_snapshot_parquet_files + _retrain_cents + _stage_centroids +
+    _swap_root — one choreography with the IVF retrain compaction,
+    r13): explicit file-list snapshot (the CacheManager identical-plan
+    trap), rank-based seeds, nlist = max(IVFK_NLIST, n // TARGET_CELL)
+    from the accumulated count.  The whole root (centroids + meta)
+    swaps atomically; old epoch checkpoints die with the swap, which is
+    the point — the next run_semdedup_stream replays the log through
+    the new epoch's fresh checkpoint and rebuilds the membership state
     under the new cells."""
     import json
     import os
     import shutil
     import uuid
 
-    from pyspark.sql import Window
-
     from processor_spark.operators.similarity import (
-        IVFK_NLIST,
-        TARGET_CELL,
-        _ivfa_cents,
         _micro_arr,
         heal_swapped_root,
     )
@@ -1632,48 +1827,17 @@ def retrain_semdedup_stream(
         os.path.join(root, "_SEM_META.json")
     ) else 0
 
-    # snapshot the log as an EXPLICIT file list: _ivfa_cents persists,
-    # and a directory-path read builds the identical logical plan every
-    # epoch — the CacheManager would serve epoch 0's cached centroids
-    # to every later retrain (the CLAUDE.md identical-plan cache-hit
-    # rule, observed in the drift test before this fix)
-    files = sorted(
-        os.path.join(chunks_dir, f)
-        for f in os.listdir(chunks_dir)
-        if f.endswith(".parquet")
-    )
+    files = _snapshot_parquet_files(chunks_dir)
     static = spark.read.schema(_emb_stream_schema()).parquet(*files)
     vecs = static.select("vec_id", _micro_arr("embedding").alias("vm"))
-    n = vecs.count()
-    nlist = max(IVFK_NLIST, n // TARGET_CELL)
-    seeds = (
-        vecs.orderBy("vec_id")
-        .limit(nlist)
-        .select(
-            F.row_number().over(Window.orderBy("vec_id")).cast("long").alias("cid"),
-            F.col("vm").alias("cm"),
-        )
-    )
-    cents = _ivfa_cents(vecs, seeds=seeds)
+    n, nlist, cents = _retrain_cents(vecs)
 
     stage = root + f".stage-retrain-{uuid.uuid4().hex[:8]}"
     shutil.rmtree(stage, ignore_errors=True)
-    cents.write.parquet(os.path.join(stage, "centroids"))
-    n_c = spark.read.parquet(os.path.join(stage, "centroids")).count()
-    if n_c != nlist:
-        shutil.rmtree(stage, ignore_errors=True)
-        raise ValueError(
-            f"semdedup retrain produced {n_c} centroids, expected {nlist}"
-        )
+    _stage_centroids(spark, cents, stage, nlist)
     with open(os.path.join(stage, "_SEM_META.json"), "w") as fh:
         json.dump({"epoch": epoch, "nlist": nlist, "n_vecs": n}, fh)
-    if os.path.isdir(root):
-        old = root + f".old-{uuid.uuid4().hex[:8]}"
-        os.replace(root, old)   # live root aside (atomic)
-        os.replace(stage, root)  # new epoch in (atomic)
-        shutil.rmtree(old, ignore_errors=True)  # best-effort GC
-    else:
-        os.replace(stage, root)
+    _swap_root(stage, root)
     # dead-epoch checkpoints (sibling ckpt dirs) are unreachable once
     # the meta advances — best-effort GC
     parent, base = os.path.dirname(root) or ".", os.path.basename(root)

