@@ -963,10 +963,30 @@ TWOLEVEL_MIN_NLIST = 64
 _NVEC_CACHE: dict[str, int] = {}
 
 
+def invalidate_nvec_cache(sf_dir: str | None = None) -> None:
+    """Drop the cached embeddings count for ``sf_dir`` (or all dirs).
+    ADVICE r12: derived_nlist pins the count per sf_dir for the process
+    lifetime — correct for immutable fixture dirs, but any
+    retrain/compaction-style caller that re-derives nlist over a
+    directory that GAINS files mid-process must call this first or
+    nlist silently freezes at the first count (the same growing-log
+    class as the r12 CacheManager stale-plan trap).  The streaming
+    retrain paths are immune — they count an explicit file-list
+    snapshot (_retrain_cents), never this cache."""
+    if sf_dir is None:
+        _NVEC_CACHE.clear()
+    else:
+        _NVEC_CACHE.pop(str(sf_dir), None)
+
+
 def derived_nlist(spark: SparkSession, sf_dir: str) -> int:
     """nlist ≈ n / TARGET_CELL (floored at IVFK_NLIST) from the corpus
-    count — cached per sf_dir (fixture dirs are immutable), so the
-    count job runs once per process per corpus."""
+    count — cached per sf_dir: the registered keys and persisted
+    builders only ever point this at IMMUTABLE fixture/probe dirs, so
+    the count job runs once per process per corpus.  A caller whose
+    dir can gain files must invalidate_nvec_cache(sf_dir) first
+    (ADVICE r12); the streaming retrain paths instead count explicit
+    file-list snapshots and never read this cache."""
     key = str(sf_dir)
     if key not in _NVEC_CACHE:
         _NVEC_CACHE[key] = load(spark, sf_dir, "embeddings").count()

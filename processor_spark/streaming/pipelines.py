@@ -1834,9 +1834,24 @@ def retrain_semdedup_stream(
 
     stage = root + f".stage-retrain-{uuid.uuid4().hex[:8]}"
     shutil.rmtree(stage, ignore_errors=True)
-    _stage_centroids(spark, cents, stage, nlist)
+    staged = _stage_centroids(spark, cents, stage, nlist)
+    # the epoch's TRAINING cell histogram — the baseline the drift
+    # trigger (semdedup_drift_stat) compares arrivals against.  One
+    # assignment pass over the corpus; the numpy branch prices this at
+    # 1.83 s per 128k vectors (SCALE.md r13), negligible next to the
+    # 66 s training it rides behind.
+    cents_rows = [(r.cid, list(r.cm)) for r in staged.collect()]
+    hist = {
+        str(int(r.cell)): int(r.n)
+        for r in semdedup_assign_frame(static, cents_rows)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
     with open(os.path.join(stage, "_SEM_META.json"), "w") as fh:
-        json.dump({"epoch": epoch, "nlist": nlist, "n_vecs": n}, fh)
+        json.dump(
+            {"epoch": epoch, "nlist": nlist, "n_vecs": n, "train_hist": hist}, fh
+        )
     _swap_root(stage, root)
     # dead-epoch checkpoints (sibling ckpt dirs) are unreachable once
     # the meta advances — best-effort GC
@@ -1886,3 +1901,89 @@ def run_semdedup_stream(
         semdedup_stream_flags(stream, cents_rows), sink, ckpt
     )
     return meta["epoch"]
+
+
+# --------- drift-triggered retrain policy (r13, VERDICT r12 next #4):
+# retrain_semdedup_stream existed but nothing decided WHEN to call it.
+# The trigger statistic is per-cell occupancy skew of NEW arrivals vs
+# the epoch's training histogram — chi-square shaped (the house
+# log-free drift statistic, CLAUDE.md r4), computed driver-side from
+# the verdict stream the sink already sees, so monitoring adds zero
+# Spark work.
+
+# Trigger threshold for semdedup_drift_stat.  Calibration: arrivals
+# drawn from the TRAINING distribution score ~(nlist-1)/m for m
+# arrivals (classic chi-square/m — 0.03 at m=250, nlist=8), while a
+# genuinely shifted distribution concentrating in few boundary cells
+# scores ~1/p_cell >= nlist (the all-in-one-cell worst case).  1.0 sits
+# orders of magnitude above sampling noise for any batch of >= nlist
+# rows and far below every real-shift score; the r13 streaming test
+# measures ~0.03 (control) vs >= 2 (injected +0.75 shift).
+SEMDEDUP_DRIFT_THRESHOLD = 1.0
+
+
+def semdedup_drift_stat(train_hist: dict, arrivals: dict) -> float:
+    """Per-arrival chi-square of the arrival cell distribution against
+    the epoch's training distribution: sum_i (q_i - p_i)^2 / p_i with
+    p Laplace-smoothed over the training cells (a trained cell that
+    won zero vectors still gets mass, so a new arrival there cannot
+    divide by zero).  0 = identical mix; >= ~nlist = concentrated in
+    cells the training rarely used."""
+    if not arrivals:
+        return 0.0
+    cells = set(train_hist) | set(arrivals)
+    tn = sum(train_hist.values()) + len(cells)  # +1 per cell (Laplace)
+    an = sum(arrivals.values())
+    stat = 0.0
+    for c in sorted(cells):
+        p = (train_hist.get(c, 0) + 1) / tn
+        q = arrivals.get(c, 0) / an
+        stat += (q - p) * (q - p) / p
+    return stat
+
+
+def run_semdedup_stream_monitored(
+    spark: SparkSession,
+    chunks_dir: str,
+    root: str,
+    sink,
+    threshold: float = SEMDEDUP_DRIFT_THRESHOLD,
+) -> dict:
+    """One monitored pass of the streaming SemDeDup: run the current
+    epoch over whatever new chunk files landed, accumulate the pass's
+    per-cell arrival histogram from the verdict micro-batches (cheap —
+    the sink sees the same cached batch), and if the drift statistic
+    against the epoch's training histogram exceeds ``threshold``, open
+    a new epoch (retrain_semdedup_stream).  The REPLAY is left to the
+    next pass (monitored or plain run_semdedup_stream) — the new
+    epoch's fresh checkpoint replays the whole log then, exactly the
+    manual-retrain contract; verdicts already emitted under the old
+    epoch stand (they were acted on — streaming verdicts are never
+    retracted).  Returns {"epoch", "drift_stat", "retrained"} with
+    ``epoch`` = the NEW epoch when retrained.  Epochs whose meta
+    predates the histogram (no "train_hist") never trigger —
+    monitoring starts at their next manual retrain."""
+    arrivals: dict[str, int] = {}
+
+    def monitored(batch_df, batch_id):
+        # persist so the stateful op computes once and both the count
+        # agg and the caller's sink read the cached batch
+        batch_df.persist()
+        try:
+            for r in (
+                batch_df.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+            ):
+                k = str(int(r.cell))
+                arrivals[k] = arrivals.get(k, 0) + int(r.n)
+            sink(batch_df, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    epoch = run_semdedup_stream(spark, chunks_dir, root, monitored)
+    meta = _semdedup_epoch(root)
+    hist = meta.get("train_hist")
+    stat = semdedup_drift_stat(hist, arrivals) if hist else 0.0
+    retrain = hist is not None and stat > threshold
+    if retrain:
+        epoch = retrain_semdedup_stream(spark, chunks_dir, root)
+    return {"epoch": epoch, "drift_stat": stat, "retrained": retrain}

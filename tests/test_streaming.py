@@ -1670,3 +1670,77 @@ def test_stream_ivf_second_retrain_sees_new_files(spark, tmp_path):
     got = sorted(tuple(r) for r in P.serve_ivf_stream_index(spark, path, qv).collect())
     want = sorted(tuple(r) for r in P.serve_ivf_stream_index(spark, path2, qv).collect())
     assert got == want and len(got) > 0
+
+
+def test_streaming_semdedup_drift_trigger(spark, tmp_path):
+    """r13 (VERDICT r12 next #4): the drift statistic must stay quiet
+    under same-distribution arrivals (no retrain — epoch unchanged) and
+    TRIP on a shifted distribution, auto-opening a new epoch whose
+    replayed verdicts equal the fresh-trained batch twin — the manual
+    r12 drift test upgraded to a triggered policy."""
+    import shutil
+
+    import numpy as np
+
+    from processor_spark.operators.similarity import (
+        SEMDEDUP_EPS,
+        _semdedup_from_assign,
+    )
+
+    chunks = tmp_path / "inbox"
+    out = tmp_path / "out"
+    root = str(tmp_path / "semstream")
+    chunks.mkdir()
+    out.mkdir()
+
+    pdf = (
+        load(spark, SF_SMALL, "embeddings")
+        .toPandas()
+        .sort_values("vec_id")
+        .head(120)
+    )
+    pdf.head(40).to_parquet(chunks / "c1.parquet", index=False)
+    assert P.retrain_semdedup_stream(spark, str(chunks), root) == 0
+    assert P._semdedup_epoch(root)["train_hist"]  # baseline recorded
+
+    def sink(batch_df, batch_id):
+        if batch_df.count():
+            batch_df.write.mode("append").parquet(str(out / "rows"))
+
+    # control: arrivals from the SAME distribution — quiet trigger
+    pdf.iloc[40:80].to_parquet(chunks / "c2.parquet", index=False)
+    res = P.run_semdedup_stream_monitored(spark, str(chunks), root, sink)
+    assert not res["retrained"], res
+    assert res["epoch"] == 0
+    assert res["drift_stat"] < P.SEMDEDUP_DRIFT_THRESHOLD / 2, res
+
+    # injected drift: every coordinate +0.75 — concentrated arrivals
+    b = pdf.tail(40).copy()
+    b["embedding"] = [
+        np.asarray(e, dtype=np.float32) + np.float32(0.75) for e in b["embedding"]
+    ]
+    b.to_parquet(chunks / "c3.parquet", index=False)
+    res = P.run_semdedup_stream_monitored(spark, str(chunks), root, sink)
+    assert res["retrained"], res
+    assert res["epoch"] == 1
+    assert res["drift_stat"] > P.SEMDEDUP_DRIFT_THRESHOLD, res
+
+    # the next pass replays the whole log under the triggered epoch
+    # (fresh checkpoint) and must equal the fresh-trained batch twin
+    shutil.rmtree(out / "rows", ignore_errors=True)
+    res2 = P.run_semdedup_stream_monitored(spark, str(chunks), root, sink)
+    assert not res2["retrained"] and res2["epoch"] == 1, res2
+    got = {
+        (r.vec_id, int(r.cell), r.kept, r.dup_of)
+        for r in spark.read.parquet(str(out / "rows")).collect()
+    }
+    static = spark.read.schema(_emb_schema()).parquet(str(chunks))
+    cents_rows = [
+        (r.cid, list(r.cm))
+        for r in spark.read.parquet(root + "/centroids").collect()
+    ]
+    twin = _semdedup_from_assign(
+        P.semdedup_assign_frame(static, cents_rows), SEMDEDUP_EPS
+    )
+    want = {(r.vec_id, int(r.cell), r.kept, r.dup_of) for r in twin.collect()}
+    assert got == want
