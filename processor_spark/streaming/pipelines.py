@@ -1534,6 +1534,16 @@ def _semdedup_state_fn(key, pdfs: Iterator[pd.DataFrame], state):
 # the plan fully Catalyst-visible.
 ASSIGN_LITERAL_MAX = 4096
 
+# Above this many centroids the numpy impl routes two-level even in
+# auto mode: a flat argmin materializes a (batch × nlist) float64
+# distance matrix per Arrow batch (10k rows × 8192 cells ≈ 655 MB —
+# the comfort ceiling), while below it the EXACT flat argmin is both
+# cheaper than any routing (one BLAS matmul) and perfectly balanced —
+# so auto-numpy is exact everywhere a 100 TB-scale nlist ≈ n/250
+# deployment would actually sit until the corpus passes ~2M vectors
+# per stream partition.
+NUMPY_FLAT_MAX_NLIST = 8192
+
 
 def _router_groups(cents_rows: list) -> tuple[list, dict]:
     """Driver-side two-level router construction, exact integer python —
@@ -1677,6 +1687,14 @@ def semdedup_assign_frame(
         nlits = (len(cents_rows) + (math.isqrt(len(cents_rows)) if use2l else 0)) * d
         impl = "numpy" if nlits > ASSIGN_LITERAL_MAX else "literal"
     if impl == "numpy":
+        if two_level is None:
+            # auto-numpy is EXACT below NUMPY_FLAT_MAX_NLIST (r13): one
+            # BLAS matmul per batch beats any routing AND keeps cells
+            # perfectly balanced — per-cell state size is occupancy-
+            # bound, so exactness is also the balance-safe choice.
+            # Routed numpy remains for forced two_level (the batch-twin
+            # equality tests) and for nlist past the matrix ceiling.
+            use2l = len(cents_rows) > NUMPY_FLAT_MAX_NLIST
         return _numpy_assign(
             vecs.select("vec_id", vm.alias("vm")), cents_rows, use2l
         )

@@ -711,3 +711,17 @@ def test_semdedup_clusters_serve_skips_the_assign_crossjoin(spark):
     plan = explain_str(pairs)
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_rprobe_router_is_a_projection_with_equi_join_fine_stage(spark):
+    """r13: the multi-probe router (q_semdedup_rprobe forces the
+    production rprobe=3 path) must keep the two-level plan contract —
+    the fine argmin is an equi HASH join on the router cell, no
+    corpus × centroid-table CartesianProduct — and its router stage is
+    a PROJECTION against a broadcast 1-row router array (Generate/
+    explode in the plan), not a window over an n×ncoarse shuffle."""
+    plan = explain_str(_df(spark, "q_semdedup_rprobe"))
+    assert "gid" in plan, plan                # router column is live
+    assert "BroadcastHashJoin" in plan, plan  # fine stage equi-joins
+    assert "CartesianProduct" not in plan, plan
+    assert "Generate" in plan, plan           # top-rprobe explode

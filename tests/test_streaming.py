@@ -1511,17 +1511,19 @@ def test_semdedup_numpy_assign_equals_literal(spark, tmp_path):
     assert np_2l == lit_2l
 
     # auto policy: 80 centroids at d=64 → (80 + isqrt(80)) × 64 > 4096
-    # literal ints → numpy branch; equality against forced literal
+    # literal ints → numpy branch, which in auto mode is the EXACT flat
+    # argmin (r13: below NUMPY_FLAT_MAX_NLIST exactness is also the
+    # balance-safe choice) — equality against the literal FLAT branch
     big_rows = [
         (1000 + i, list(r.vm))
         for i, r in enumerate(svecs.orderBy("vec_id").limit(80).collect())
     ]
     assert (len(big_rows) + 8) * 64 > P.ASSIGN_LITERAL_MAX
     auto = cells(P.semdedup_assign_frame(static, big_rows))
-    forced_lit = cells(
-        P.semdedup_assign_frame(static, big_rows, impl="literal")
+    forced_lit_flat = cells(
+        P.semdedup_assign_frame(static, big_rows, two_level=False, impl="literal")
     )
-    assert auto == forced_lit
+    assert auto == forced_lit_flat
 
 
 def test_semdedup_literal_router_skips_empty_group(spark):
