@@ -404,6 +404,21 @@ ANN_INDEX_ROOT = "/tmp/processor_spark_ann"
 ANN_INDEX_FMT = 4
 
 
+def write_partitioned(df: DataFrame, path: str, *cols: str) -> None:
+    """Cluster rows by the partition columns BEFORE a partitionBy
+    write.  Without it every write task emits a file into every
+    directory it holds rows for — measured at 64×/nlist=512 (fmt-4
+    (cell,label) layout): 56,161 files for 128,000 rows (~2.3
+    rows/file), and the full-index consumers went file-open-bound
+    (q_semdedup_serve 65.2 s for a 15 s pair stage — SCALE.md r13).
+    One repartition makes each directory exactly one task's output →
+    one file per directory; at 100 TB file count stays dir-count ×
+    O(1) instead of dir-count × cluster-width."""
+    df.repartition(*[F.col(c) for c in cols]).write.partitionBy(*cols).parquet(
+        path
+    )
+
+
 def _index_is_current(meta_path: str, kind: str | None = None) -> bool:
     """fmt (and, when given, KIND) gate on a persisted-index marker —
     a different builder's marker at the same explicit path= must not
@@ -485,7 +500,7 @@ def build_ivf_index(
         F.first("nrm").alias("nrm"),
     )
     cents.write.parquet(os.path.join(path, "centroids"))
-    assign.write.partitionBy("cell").parquet(os.path.join(path, "assignments"))
+    write_partitioned(assign, os.path.join(path, "assignments"), "cell")
     tmp = meta + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(
@@ -1433,9 +1448,7 @@ def build_ivf_kmeans_index(
     # the knob is only worth promoting for low-cardinality filter
     # columns (10 labels here; a high-cardinality column would shatter
     # the layout into tiny files).
-    assign.write.partitionBy("cell", "label").parquet(
-        os.path.join(path, "assignments")
-    )
+    write_partitioned(assign, os.path.join(path, "assignments"), "cell", "label")
     tmp = meta + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(
@@ -2169,7 +2182,7 @@ def build_ivfpq_index(
     cents, cb, codes = _ivfpq_frames(spark, sf_dir)
     cents.write.parquet(os.path.join(path, "centroids"))
     cb.write.parquet(os.path.join(path, "codebook"))
-    codes.write.partitionBy("cell").parquet(os.path.join(path, "codes"))
+    write_partitioned(codes, os.path.join(path, "codes"), "cell")
     tmp = meta + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(
@@ -2835,7 +2848,7 @@ def build_ivfpq_res_index(
     cents, rtcents, codes = _ivfpq_res_frames(spark, sf_dir)
     cents.write.parquet(os.path.join(path, "centroids"))
     rtcents.write.parquet(os.path.join(path, "rcodebook"))
-    codes.write.partitionBy("cell").parquet(os.path.join(path, "codes"))
+    write_partitioned(codes, os.path.join(path, "codes"), "cell")
     tmp = meta + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(
@@ -3474,8 +3487,9 @@ def build_ivf_append_index(
         )
         cents = _ivfa_cents(base)
         cents.write.parquet(os.path.join(path, "centroids"))
-        _ivfa_assign(base, cents).write.partitionBy("cell").parquet(
-            os.path.join(path, "assignments", "gen=0")
+        write_partitioned(
+            _ivfa_assign(base, cents),
+            os.path.join(path, "assignments", "gen=0"), "cell",
         )
         meta = {
             "kind": "ivf_append",
@@ -3501,7 +3515,7 @@ def build_ivf_append_index(
     delta = e.where(F.col("vec_id") % 10 == 0).select(
         "vec_id", _micro_arr("embedding").alias("vm")
     )
-    _ivfa_assign(delta, cents).write.partitionBy("cell").parquet(stage)
+    write_partitioned(_ivfa_assign(delta, cents), stage, "cell")
     os.replace(stage, gen1)  # atomic: readers see all of gen 1 or none
     meta = dict(meta, gens=2)
     tmp = meta_path + f".tmp-{uuid.uuid4().hex[:8]}"
@@ -3585,7 +3599,7 @@ def compact_ivf_append_index(spark: SparkSession, sf_dir: str, path: str | None 
             continue
         gf = spark.read.schema("vec_id bigint, vm array<bigint>, cell bigint").parquet(gdir)
         merged = gf if merged is None else merged.unionByName(gf)
-    merged.write.partitionBy("cell").parquet(os.path.join(stage, "gen=0"))
+    write_partitioned(merged, os.path.join(stage, "gen=0"), "cell")
     old = assign_root + f".old-{uuid.uuid4().hex[:8]}"
     os.replace(assign_root, old)      # old layout aside (atomic)
     os.replace(stage, assign_root)    # new single-gen layout in (atomic)
@@ -3845,9 +3859,7 @@ def build_ivfpq_res_append_index(
         )
         cents.write.parquet(os.path.join(path, "centroids"))
         rtcents.write.parquet(os.path.join(path, "rcodebook"))
-        codes_b.write.partitionBy("cell").parquet(
-            os.path.join(path, "codes", "gen=0")
-        )
+        write_partitioned(codes_b, os.path.join(path, "codes", "gen=0"), "cell")
         meta = {
             "kind": "ivfpq_res_append", "fmt": ANN_INDEX_FMT,
             "nlist": IVFK_NLIST, "nprobe": IVF_NPROBE, "m": PQ_M, "k": PQ_K,
@@ -3890,7 +3902,7 @@ def build_ivfpq_res_append_index(
         )
     )
     stage = os.path.join(path, f".stage-gen1-{uuid.uuid4().hex[:8]}")
-    codes_d.write.partitionBy("cell").parquet(stage)
+    write_partitioned(codes_d, stage, "cell")
     os.replace(stage, gen1)  # atomic: readers see all of gen 1 or none
     meta = dict(meta, gens=2)
     tmp = meta_path + f".tmp-{uuid.uuid4().hex[:8]}"

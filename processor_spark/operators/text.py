@@ -1461,7 +1461,9 @@ def build_text_index(
 
     d = load(spark, sf_dir, "documents", spread=True)
     postings, dl = _postings_frame(d)
-    postings.write.partitionBy("tbucket").parquet(os.path.join(path, "postings"))
+    from processor_spark.operators.similarity import write_partitioned
+
+    write_partitioned(postings, os.path.join(path, "postings"), "tbucket")
     stats = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("tot_toks"),
@@ -1538,8 +1540,10 @@ def build_text_index_incremental(
             F.col("doc_id") % 10 != 0
         )
         postings, dl = _postings_frame(base)
-        postings.write.partitionBy("tbucket").parquet(
-            os.path.join(path, "postings", "gen=0")
+        from processor_spark.operators.similarity import write_partitioned
+
+        write_partitioned(
+            postings, os.path.join(path, "postings", "gen=0"), "tbucket"
         )
         st = dl.agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -1569,7 +1573,9 @@ def build_text_index_incremental(
         F.col("doc_id") % 10 == 0
     )
     postings, dl = _postings_frame(delta)
-    postings.write.partitionBy("tbucket").parquet(stage)
+    from processor_spark.operators.similarity import write_partitioned
+
+    write_partitioned(postings, stage, "tbucket")
     dst = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("tot_toks"),

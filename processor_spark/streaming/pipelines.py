@@ -1280,8 +1280,10 @@ def compact_ivf_stream_index(
         cents.write.parquet(os.path.join(stage, "centroids"))
         new_cents = spark.read.parquet(os.path.join(stage, "centroids"))
         reassigned = _ivfa_assign(vecs, new_cents).select("vec_id", "cell", "vm")
-    reassigned.write.partitionBy("cell").parquet(
-        os.path.join(stage, "assignments", "gen=0")
+    from processor_spark.operators.similarity import write_partitioned
+
+    write_partitioned(
+        reassigned, os.path.join(stage, "assignments", "gen=0"), "cell"
     )
     _swap_root(stage, path)
     return path
@@ -1425,7 +1427,9 @@ def compact_text_stream_index(spark: SparkSession, path: str) -> str:
         ).parquet(os.path.join(root, g))
         merged = gf if merged is None else merged.unionByName(gf)
     stage = os.path.join(path, f".stage-compact-{uuid.uuid4().hex[:8]}")
-    merged.write.partitionBy("tbucket").parquet(os.path.join(stage, "gen=0"))
+    from processor_spark.operators.similarity import write_partitioned
+
+    write_partitioned(merged, os.path.join(stage, "gen=0"), "tbucket")
     with open(os.path.join(stage, "gen=0", "_GEN_STATS.json"), "w") as fh:
         json.dump({"n_docs": n_docs, "tot_toks": tot_toks}, fh)
     old = root + f".old-{uuid.uuid4().hex[:8]}"

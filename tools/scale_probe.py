@@ -25,7 +25,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPL = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-DST = f"/tmp/processor_spark-scale-probe-{REPL}x"
+# SPARK_GRAFT_PROBE_JITTER_EMB=1 (r13): embeddings replicas get the
+# ann_bits_probe ±5% deterministic jitter instead of replicating as
+# bit-clones — the layout the semantic-tier rows need (bit-clone
+# replicas make every vector 64 exact ε-dups, an adversarial dedup
+# density no real corpus has; jittered replicas are near-dups).
+JITTER_EMB = os.environ.get("SPARK_GRAFT_PROBE_JITTER_EMB", "") == "1"
+DST = f"/tmp/processor_spark-scale-probe-{REPL}x" + ("-jemb" if JITTER_EMB else "")
 
 HEADLINE = [
     "q_pricing_summary",
@@ -245,6 +251,15 @@ def build_layout(spark) -> None:
                 for col, step in _SHIFTS[t].items():
                     if step:
                         rep = rep.withColumn(col, F.col(col) + F.lit(i * step))
+                if t == "embeddings" and i > 0 and JITTER_EMB:
+                    rep = rep.withColumn(
+                        "embedding",
+                        F.expr(
+                            f"transform(embedding, (x, d) -> CAST(x + "
+                            f"(((vec_id * 2654435761 + d * 40503 + {i}) % 997)"
+                            f" / 997.0 - 0.5) * 0.1 AS FLOAT))"
+                        ),
+                    )
                 if t == "documents" and i > 0:
                     # salt every token with the replica id: replica i of a
                     # doc shares NO n-grams/shingles with replica j, so the
