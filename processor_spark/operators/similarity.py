@@ -1141,6 +1141,7 @@ def _ivfk_cents(
     nlist: int = IVFK_NLIST,
     two_level: bool | None = None,
     rprobe: int = 1,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """One exact-integer Lloyd round from deterministic seeds (the
     nlist lowest vec_ids) → persisted (cid, cm) centroid table.
@@ -1157,9 +1158,13 @@ def _ivfk_cents(
     the shared oracle contract is untouched; the routed training has
     its own cross-engine proof in q_ann_ivf_twolevel /
     q_semdedup_twolevel, whose oracles train routed end-to-end."""
-    seeds = vecs.where(F.col("vec_id") < nlist).select(
-        F.col("vec_id").alias("cid"), F.col("vm").alias("cm")
-    )
+    if seeds is None:
+        seeds = vecs.where(F.col("vec_id") < nlist).select(
+            F.col("vec_id").alias("cid"), F.col("vm").alias("cm")
+        )
+    # callers with no guaranteed id range (the streaming retrain
+    # kernel) pass their own rank-based (cid, cm) seed frame — the
+    # Lloyd round and routing are identical from there (r13)
     a0 = _assign_cells(
         vecs.select("vec_id", "vm"), seeds, nlist, two_level, rprobe=rprobe
     ).select(F.col("cell").alias("cid"), "vm")

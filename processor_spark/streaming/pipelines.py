@@ -1145,13 +1145,21 @@ def _retrain_cents(vecs: DataFrame) -> tuple[int, int, DataFrame]:
     rule applied at the moment the full corpus is in hand), seed by
     rank (the corpus' lowest vec_ids, cid = 1..nlist — file ids carry
     no guaranteed range), one exact-integer Lloyd round.  Returns
-    (n, nlist, cents); ``vecs`` needs (vec_id, vm)."""
+    (n, nlist, cents); ``vecs`` needs (vec_id, vm).
+
+    r13: the Lloyd argmin routes multi-probe past TWOLEVEL_MIN_NLIST
+    (auto, rprobe=TWOLEVEL_RPROBE_PAIR — the streaming consumers are
+    occupancy-sensitive: per-cell STATE size and the SemDeDup pair
+    replay both bound on cell balance); at the fixture-scale floor the
+    flat branch runs, value-identical to the r12 _ivfa_cents training
+    (same crossJoin argmin + integer means)."""
     from pyspark.sql import Window
 
     from processor_spark.operators.similarity import (
         IVFK_NLIST,
         TARGET_CELL,
-        _ivfa_cents,
+        TWOLEVEL_RPROBE_PAIR,
+        _ivfk_cents,
     )
 
     n = vecs.count()
@@ -1164,7 +1172,9 @@ def _retrain_cents(vecs: DataFrame) -> tuple[int, int, DataFrame]:
             F.col("vm").alias("cm"),
         )
     )
-    return n, nlist, _ivfa_cents(vecs, seeds=seeds)
+    return n, nlist, _ivfk_cents(
+        vecs, nlist, rprobe=TWOLEVEL_RPROBE_PAIR, seeds=seeds
+    )
 
 
 def _stage_centroids(
