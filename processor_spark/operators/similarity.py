@@ -5153,13 +5153,15 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     that bound is the entire point of clustering before comparing
     (same blocking role as the LSH bands in q_dedup_minhash_md5).
     Measured on the jittered N× layout (tools/ann_bits_probe.py,
-    SCALE.md r11/r12): nlist frozen at 8 runs 2,321 s at 64× —
-    occupancy² pair work AND parallelism capped at 8 cells — while
-    the derived default (512 cells, auto two-level router past
-    TWOLEVEL_MIN_NLIST) runs 64.6 s.  The assign stage past the
-    derivation threshold routes two-level (_assign_cells); at
-    index-backed deployments even that vanishes — reuse the persisted
-    IVF assignments (build_ivf_kmeans_index) instead of re-assigning
+    SCALE.md r11–r13): nlist frozen at 8 runs 2,321 s at 64× —
+    occupancy² pair work AND parallelism capped at 8 cells — the r12
+    derived default (flat train + rp1 assign) ran 62–69 s, and the
+    r13 default (BOTH argmins routed multi-probe at
+    rprobe=TWOLEVEL_RPROBE_PAIR past TWOLEVEL_MIN_NLIST) runs
+    **31–38 s** at better quality (124,173 vs 122,560 dropped of the
+    exact 126,579; Σocc² 46.0M vs flat 36.4M).  At index-backed
+    deployments even the assign vanishes — reuse the persisted IVF
+    assignments (build_ivf_kmeans_index) instead of re-assigning
     (q_semdedup_serve)."""
     return semdedup_verdicts(spark, sf_dir)
 
@@ -5477,9 +5479,12 @@ def _dist_sql(a: str, b: str) -> str:
 
 
 # Assignment-only routing CTEs (ride the shared FLAT-train prefix's
-# cents): cseeds/cgrp/vg/a2 — the SemDeDup family's two-level shape
-# (flat training preserves cell balance for the occupancy² pair
-# stage; only the assign argmin routes).
+# cents): cseeds/cgrp/vg/a2 — the r12 SemDeDup shape (flat training +
+# rprobe=1 routed assign), PINNED by q_semdedup_twolevel.  The r13
+# production default routes BOTH argmins multi-probe instead
+# (rprobe=TWOLEVEL_RPROBE_PAIR — see _twolevel_rprobe_ctes /
+# q_semdedup_rprobe); this text stays as the r12 proof key's exact
+# oracle.
 _TWOLEVEL_ASSIGN_CTES = f"""p AS (
       SELECT greatest(1, CAST(floor(sqrt(greatest({IVFK_NLIST},
                count(*) // {TARGET_CELL}))) AS BIGINT)) AS nc
@@ -5512,9 +5517,9 @@ _TWOLEVEL_ASSIGN_CTES = f"""p AS (
 # argmin over the seed table; cseeds/cgrp/vg/a2 route the assignment
 # over the trained centroids.  Exactly _assign_cells' two-level
 # branch applied to each stage, tie-breaks included.  The IVF serve
-# family's shape — probe-bounded serving, no pair stage, so the
-# balance/speed trade goes the other way than SemDeDup's (see
-# _semdedup_assign_frame).
+# family's shape — probe-bounded serving, no pair stage, so rprobe=1
+# suffices (recall 1.0 measured); pair-stage families widen the probe
+# instead (TWOLEVEL_RPROBE_PAIR, r13 — see _twolevel_rprobe_ctes).
 _TWOLEVEL_FULL_CTES = f"""vecs AS (
       SELECT vec_id,
              list_transform(CAST(embedding AS DOUBLE[]),
