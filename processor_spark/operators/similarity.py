@@ -5673,6 +5673,85 @@ def q_semdedup_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMBED_DRIFT_SQL = f"""
+    WITH {_SEMDEDUP_ASSIGN}, split AS (
+      SELECT cell, CAST(vec_id % 2 AS BIGINT) AS in_b FROM assign
+    ), per_cell AS (
+      SELECT cell,
+             CAST(sum(1 - in_b) AS BIGINT) AS a_cnt,
+             CAST(sum(in_b) AS BIGINT) AS b_cnt
+      FROM split GROUP BY cell
+    ), tot AS (
+      SELECT CAST(sum(a_cnt) AS BIGINT) AS n_a,
+             CAST(sum(b_cnt) AS BIGINT) AS n_b
+      FROM per_cell
+    )
+    SELECT CAST(p.cell AS BIGINT) AS cell, p.a_cnt, p.b_cnt,
+           p.b_cnt * t.n_a - t.n_b * p.a_cnt AS delta_scaled,
+           CASE WHEN p.a_cnt = 0 THEN -1 ELSE CAST(floor(
+             CAST(CAST(p.b_cnt * t.n_a - t.n_b * p.a_cnt AS HUGEINT)
+                  * (p.b_cnt * t.n_a - t.n_b * p.a_cnt) AS DOUBLE)
+             / CAST(CAST(t.n_a AS HUGEINT) * t.n_b * p.a_cnt AS DOUBLE)
+             * 1000000 + 0.5) AS BIGINT) END AS contrib_micro
+    FROM per_cell p CROSS JOIN tot t
+    """
+
+
+@register("q_embed_drift", sql=_EMBED_DRIFT_SQL)
+def q_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift between two corpus slices — the
+    fully-oracled BATCH twin of the streaming drift trigger
+    (pipelines.run_semdedup_stream_monitored, r13): both monitor the
+    same signal, the per-cell occupancy mix over the ONE shared
+    k-means training contract (_SEMDEDUP_ASSIGN — the identical CTE
+    prefix q_semdedup/q_ann_ivf_kmeans ride).  Slices are the
+    even/odd vec_id halves (a deterministic A/B over a common
+    binning); each cell reports its χ² contribution with period A as
+    the baseline, via q_chi2_drift's exact integer bridge — the
+    rational expected count never materializes ((b·n_a − n_b·a)²
+    cross-multiplied, numerator squared in 128-bit, snapped to micro
+    units per row so no float ever sums across rows), and a cell
+    empty in the baseline reports the -1 new-category sentinel
+    instead of dividing by zero.  PSI needs log — designed out, same
+    decision signal (the CLAUDE.md r4 rule).
+
+    Scale shape: rides the family's persisted assign frame (the
+    corpus pass is already paid), then an nlist-row agg + a 1-row
+    broadcast of the totals — the drift report itself is free at any
+    corpus size."""
+    assign = _semdedup_assign_frame(spark, sf_dir).select("vec_id", "cell")
+    per_cell = assign.groupBy("cell").agg(
+        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("a_cnt"),
+        F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("b_cnt"),
+    )
+    tot = per_cell.agg(
+        F.sum("a_cnt").cast("long").alias("n_a"),
+        F.sum("b_cnt").cast("long").alias("n_b"),
+    )
+    j = per_cell.crossJoin(F.broadcast(tot))
+    delta = F.col("b_cnt") * F.col("n_a") - F.col("n_b") * F.col("a_cnt")
+    dd = delta.cast("decimal(19,0)")
+    num = (dd * dd).cast("double")
+    den = (
+        F.col("n_a").cast("decimal(19,0)")
+        * F.col("n_b").cast("decimal(19,0)")
+        * F.col("a_cnt").cast("decimal(19,0)")
+    ).cast("double")
+    return j.select(
+        F.col("cell").cast("long").alias("cell"),
+        "a_cnt",
+        "b_cnt",
+        delta.alias("delta_scaled"),
+        F.when(F.col("a_cnt") == 0, F.lit(-1))
+        .otherwise(F.floor(num / den * 1000000 + F.lit(0.5)).cast("long"))
+        .alias("contrib_micro"),
+    )
+
+
 def _twolevel_rprobe_ctes(nlist_sub: str, rprobe: int) -> str:
     """Routed train+assign CTE chain parameterized by the nlist scalar
     expression and the router probe width — the multi-probe
