@@ -396,3 +396,29 @@ def test_compaction_heals_interrupted_swap(spark, tmp_path):
     except RuntimeError:
         raised = True
     assert raised
+
+
+def test_write_partitioned_emits_one_file_per_directory(spark, tmp_path):
+    """r13: a raw partitionBy write lets EVERY write task emit a file
+    into every directory it holds rows for (56,161 files for 128k rows
+    at the 64x layout — full-index readers went file-open-bound);
+    write_partitioned must cluster first so each directory is exactly
+    one task's output = one parquet file."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from processor_spark.operators.similarity import write_partitioned
+
+    df = spark.range(2000).select(
+        F.col("id").alias("vec_id"), (F.col("id") % 16).alias("cell")
+    ).repartition(8)  # pathological input partitioning
+    out = str(tmp_path / "assign")
+    write_partitioned(df, out, "cell")
+    for d in os.listdir(out):
+        if not d.startswith("cell="):
+            continue
+        files = [f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
+    # and nothing was lost
+    assert spark.read.parquet(out).count() == 2000
