@@ -5850,7 +5850,7 @@ def q_semdedup_rprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture-scale cross-engine proof of the r13 production math
     (routed rprobe=TWOLEVEL_RPROBE_PAIR for BOTH argmins, the balance-
     aware routing VERDICT r12 next #2 asked for).  nlist is pinned at
-    {_RPROBE_NLIST} so ncoarse=4 > rprobe=3 and the routed union is a
+    _RPROBE_NLIST=16 so ncoarse=4 > rprobe=3 and the routed union is a
     strict subset of the centroid table (at the derived fixture floor
     nlist=8, ncoarse=2 would make rprobe≥2 degenerate to flat —
     vacuous proof).
