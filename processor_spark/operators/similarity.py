@@ -5752,6 +5752,54 @@ def q_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMBED_DRIFT_SCORE_SQL = f"""
+    WITH drift AS ({_EMBED_DRIFT_SQL})
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(count_if(contrib_micro = -1) AS BIGINT) AS n_new_cells,
+           CAST(sum(CASE WHEN contrib_micro = -1 THEN 0
+                         ELSE contrib_micro END) AS BIGINT) AS chi2_micro,
+           CAST(CASE WHEN sum(CASE WHEN contrib_micro = -1 THEN 0
+                                   ELSE contrib_micro END)
+                          > 1000000 * (count(*) - 1)
+                          OR count_if(contrib_micro = -1) > 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS drifted
+    FROM drift
+    """
+
+
+@register("q_embed_drift_score", sql=_EMBED_DRIFT_SCORE_SQL)
+def q_embed_drift_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 1-row drift DECISION a monitor actually alerts on: total χ²
+    (exact integer sum of q_embed_drift's per-cell micro contributions
+    — no cross-row float ever exists), the count of cells absent from
+    the baseline slice (a new semantic region is drift by definition),
+    and the verdict bit under the documented rule χ² > (k−1)·1e6
+    micro-units (the statistic's expectation under the null is ~k−1,
+    so this triggers at ~1× the null mean — deliberately sensitive,
+    same spirit as the streaming SEMDEDUP_DRIFT_THRESHOLD) OR any new
+    cell.  Composes q_embed_drift's full oracle as a CTE (the
+    registered-oracles-compose pattern), so the hash certifies the
+    entire pipeline — training, assignment, per-cell χ², decision —
+    again in one row."""
+    d = q_embed_drift.__wrapped__(spark, sf_dir)
+    contrib = F.when(F.col("contrib_micro") == -1, F.lit(0)).otherwise(
+        F.col("contrib_micro")
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.count_if(F.col("contrib_micro") == -1).cast("long").alias("n_new_cells"),
+        F.sum(contrib).cast("long").alias("chi2_micro"),
+        F.when(
+            (F.sum(contrib) > F.lit(1000000) * (F.count(F.lit(1)) - F.lit(1)))
+            | (F.count_if(F.col("contrib_micro") == -1) > 0),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("drifted"),
+    )
+
+
 def _twolevel_rprobe_ctes(nlist_sub: str, rprobe: int) -> str:
     """Routed train+assign CTE chain parameterized by the nlist scalar
     expression and the router probe width — the multi-probe
