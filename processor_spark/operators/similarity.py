@@ -1221,7 +1221,17 @@ def _assign_cells(
     router stage is a pure PROJECTION against a broadcast 1-row array
     of router structs (array_sort + slice — no window, no extra
     shuffle: the only corpus-sized exchange remains the final n-row
-    min_by agg), so shuffle volume is identical to rprobe=1."""
+    min_by agg), so shuffle volume is identical to rprobe=1.
+
+    POLICY DIVERGENCE vs the streaming twin (ADVICE r13): in the auto
+    regime 64 ≤ nlist ≤ 8192, streaming semdedup_assign_frame past its
+    literal budget runs the numpy EXACT FLAT argmin (one BLAS matmul —
+    cheaper than routing AND perfectly balanced), while this batch
+    path routes two-level.  Mixed batch/stream consumers sharing one
+    centroid table therefore get DIFFERENT cells in that window unless
+    they force matching branches (two_level=..., rprobe=...) — the
+    equality tests pin forced-matching branches only.  Past 8192 both
+    sides route at rprobe=TWOLEVEL_RPROBE_PAIR (r14)."""
     use2l = (nlist >= TWOLEVEL_MIN_NLIST) if two_level is None else two_level
     if not use2l:
         return (
@@ -5688,7 +5698,8 @@ _EMBED_DRIFT_SQL = f"""
     )
     SELECT CAST(p.cell AS BIGINT) AS cell, p.a_cnt, p.b_cnt,
            p.b_cnt * t.n_a - t.n_b * p.a_cnt AS delta_scaled,
-           CASE WHEN p.a_cnt = 0 THEN -1 ELSE CAST(floor(
+           CASE WHEN p.a_cnt = 0 THEN -1
+                WHEN t.n_b = 0 THEN 0 ELSE CAST(floor(
              CAST(CAST(p.b_cnt * t.n_a - t.n_b * p.a_cnt AS HUGEINT)
                   * (p.b_cnt * t.n_a - t.n_b * p.a_cnt) AS DOUBLE)
              / CAST(CAST(t.n_a AS HUGEINT) * t.n_b * p.a_cnt AS DOUBLE)
@@ -5746,7 +5757,12 @@ def q_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a_cnt",
         "b_cnt",
         delta.alias("delta_scaled"),
+        # n_b = 0 (empty B slice) would make num/den = 0/0 → NaN and
+        # floor(NaN)::BIGINT is a data-dependent crash on both engines
+        # (ADVICE r13); with n_b = 0 every b_cnt is 0, delta is 0, and
+        # the χ² contribution's limit is exactly 0 — emit it directly
         F.when(F.col("a_cnt") == 0, F.lit(-1))
+        .when(F.col("n_b") == 0, F.lit(0))
         .otherwise(F.floor(num / den * 1000000 + F.lit(0.5)).cast("long"))
         .alias("contrib_micro"),
     )

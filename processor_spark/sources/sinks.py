@@ -25,8 +25,17 @@ def write_parquet_partitioned(
     At 100 TB: partition by a low-cardinality time bucket (e.g.
     month(o_orderdate)) — thousands of partitions, not millions; pair
     with maxRecordsPerFile to bound file sizes.
+
+    Rows are clustered by the partition columns BEFORE the write:
+    without that repartition every task emits a file into every
+    directory it holds rows for — dir-count × cluster-width files
+    (measured at 64×/nlist=512: 56,161 files for 128 k rows, readers
+    file-open-bound — SCALE.md r13).  One shuffle makes each directory
+    one task's output.
     """
-    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    df.repartition(*[F.col(c) for c in partition_cols]).write.mode(
+        mode
+    ).partitionBy(*partition_cols).parquet(path)
 
 
 def write_bucketed_table(

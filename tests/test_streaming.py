@@ -1746,3 +1746,248 @@ def test_streaming_semdedup_drift_trigger(spark, tmp_path):
     )
     want = {(r.vec_id, int(r.cell), r.kept, r.dup_of) for r in twin.collect()}
     assert got == want
+
+
+# --------- r14: scale-calibrated drift gate (VERDICT r13 missing #2)
+
+
+def _simulate_null_stats(nlist, m, seed0, reps):
+    """Seeded multinomial draws from an UNEVEN training histogram —
+    the null distribution of semdedup_drift_stat at a given (nlist, m);
+    pure Python, no Spark."""
+    import random
+
+    out = []
+    for rep in range(reps):
+        rng = random.Random(seed0 + rep)
+        weights = [rng.random() + 0.5 for _ in range(nlist)]
+        train = {str(c): 0 for c in range(1, nlist + 1)}
+        for _ in range(nlist * 25):  # ~TARGET_CELL rows per cell, 10-unit draws
+            c = rng.choices(range(1, nlist + 1), weights=weights)[0]
+            train[str(c)] += 10
+        pw = [train[str(c)] + 1 for c in range(1, nlist + 1)]
+        arr: dict[str, int] = {}
+        for _ in range(m):
+            c = rng.choices(range(1, nlist + 1), weights=pw)[0]
+            arr[str(c)] = arr.get(str(c), 0) + 1
+        out.append(P.semdedup_drift_stat(train, arr))
+    return out
+
+
+def test_drift_gate_scale_calibration():
+    """r14 (VERDICT r13 missing #2): the null of semdedup_drift_stat is
+    ≈(nlist−1)/m, which CROSSES the fixed 1.0 threshold when a pass
+    sees ≲nlist arrivals at derived nlist=512 — a quiet catch-up pass
+    would false-trigger a ~50 s retrain.  The null-normalized gate
+    (max(T, FACTOR·(nlist−1)/m)) must stay above every quiet draw at
+    BOTH regimes while a real shift clears it by orders of magnitude.
+    Pure Python — the statistic and gate never touch Spark."""
+    # fixture regime: nlist=8, m=250 — r13's measured ~0.03 null
+    small = _simulate_null_stats(8, 250, seed0=42, reps=100)
+    gate8 = P.semdedup_drift_gate(8, 250)
+    assert gate8 == P.SEMDEDUP_DRIFT_THRESHOLD  # m ≥ FACTOR·(nlist−1): floor
+    assert max(small) < gate8 / 5, max(small)
+
+    # derived regime: nlist=512, m=512 — the hazard the verdict named:
+    # the OLD fixed constant is crossed by plain sampling noise ...
+    big = _simulate_null_stats(512, 512, seed0=1042, reps=60)
+    assert max(big) > P.SEMDEDUP_DRIFT_THRESHOLD, max(big)
+    # ... and the normalized gate clears every quiet draw
+    gate512 = P.semdedup_drift_gate(512, 512)
+    assert gate512 > 3.5
+    assert max(big) < gate512, (max(big), gate512)
+
+    # a real shift (all arrivals in one cell) still trips immediately
+    train = {str(c): 250 for c in range(1, 513)}
+    shifted = P.semdedup_drift_stat(train, {"1": 512})
+    assert shifted > 50 * gate512, shifted
+
+    # large-m passes degrade to the r13 constant (history unbroken)
+    assert P.semdedup_drift_gate(512, 100_000) == P.SEMDEDUP_DRIFT_THRESHOLD
+    # no arrivals can never trip
+    assert P.semdedup_drift_gate(512, 0) == float("inf")
+
+
+def test_drift_consecutive_shifts_each_retrain(spark, tmp_path):
+    """r14 (VERDICT r13 next #3, cooldown adjudication): consecutive
+    genuinely-drifting passes each retrain — correct, not thrash,
+    because every retrain folds the drifted rows into the new epoch's
+    baseline, so the second trip is evidence of NEW drift against the
+    updated training histogram.  Pins the documented no-timer policy."""
+    import numpy as np
+
+    chunks = tmp_path / "inbox"
+    root = str(tmp_path / "semstream")
+    chunks.mkdir()
+
+    pdf = (
+        load(spark, SF_SMALL, "embeddings")
+        .toPandas()
+        .sort_values("vec_id")
+        .head(120)
+    )
+    pdf.head(40).to_parquet(chunks / "c1.parquet", index=False)
+    assert P.retrain_semdedup_stream(spark, str(chunks), root) == 0
+
+    def sink(batch_df, batch_id):
+        batch_df.count()
+
+    # pass 1: +0.75 shift on 40 fresh rows → trip → epoch 1
+    b = pdf.iloc[40:80].copy()
+    b["embedding"] = [
+        np.asarray(e, dtype=np.float32) + np.float32(0.75) for e in b["embedding"]
+    ]
+    b.to_parquet(chunks / "c2.parquet", index=False)
+    res1 = P.run_semdedup_stream_monitored(spark, str(chunks), root, sink)
+    assert res1["retrained"] and res1["epoch"] == 1, res1
+    assert res1["drift_stat"] > res1["gate"]
+
+    # pass 2 replays the full log under epoch 1 (fresh checkpoint) AND
+    # sees a second, DIFFERENT shift — the replayed rows match the new
+    # baseline (it trained on them), so the trip is driven by the new
+    # shift: retrain again, epoch 2.
+    c = pdf.tail(40).copy()
+    c["embedding"] = [
+        np.asarray(e, dtype=np.float32) - np.float32(0.9) for e in c["embedding"]
+    ]
+    c.to_parquet(chunks / "c3.parquet", index=False)
+    res2 = P.run_semdedup_stream_monitored(spark, str(chunks), root, sink)
+    assert res2["retrained"] and res2["epoch"] == 2, res2
+
+    # quiet pass after the dust settles: full-log replay under epoch 2
+    # equals its own baseline — no third retrain
+    res3 = P.run_semdedup_stream_monitored(spark, str(chunks), root, sink)
+    assert not res3["retrained"] and res3["epoch"] == 2, res3
+
+
+def test_snapshot_skips_hidden_dirs(tmp_path):
+    """ADVICE r13: the retrain snapshot walk must skip hidden/temporary
+    path components (Spark's _temporary commit dirs, .stage-* swap
+    debris) or an interrupted write's partial files silently enter
+    training."""
+    import pandas as pd
+
+    root = tmp_path / "log"
+    (root / "gen=0").mkdir(parents=True)
+    (root / "_temporary" / "0").mkdir(parents=True)
+    (root / ".stage-abc123").mkdir()
+    pdf = pd.DataFrame({"x": [1]})
+    pdf.to_parquet(root / "gen=0" / "part-0.parquet", index=False)
+    pdf.to_parquet(root / "_temporary" / "0" / "part-0.parquet", index=False)
+    pdf.to_parquet(root / ".stage-abc123" / "part-0.parquet", index=False)
+    pdf.to_parquet(root / "gen=0" / ".part-0.parquet.crc.parquet", index=False)
+
+    files = P._snapshot_parquet_files(str(root))
+    assert files == [str(root / "gen=0" / "part-0.parquet")]
+
+
+def test_numpy_routed_rprobe_equals_batch(spark):
+    """r14 (VERDICT r13 missing #3): the numpy two-level assignment at
+    rprobe=3 must equal _assign_cells(rprobe=3) cell-for-cell — the
+    multi-probe union argmin, not the refuted rp1 routing — on a
+    router layout wide enough for a real 3-probe (80 centroids →
+    ncoarse=8)."""
+    from processor_spark.operators.similarity import (
+        _assign_cells,
+        _micro_arr,
+    )
+
+    static = load(spark, SF_SMALL, "embeddings")
+    svecs = static.select("vec_id", _micro_arr("embedding").alias("vm"))
+    big_rows = [
+        (1000 + i, [int(e) for e in r.vm])
+        for i, r in enumerate(svecs.orderBy("vec_id").limit(80).collect())
+    ]
+    cents = spark.createDataFrame(
+        [(cid, cm) for cid, cm in big_rows], "cid long, cm array<bigint>"
+    )
+
+    for rp in (1, 3):
+        npy = {
+            (r.vec_id, int(r.cell))
+            for r in P.semdedup_assign_frame(
+                static, big_rows, two_level=True, impl="numpy", rprobe=rp
+            ).collect()
+        }
+        batch = {
+            (r.vec_id, int(r.cell))
+            for r in _assign_cells(
+                svecs, cents, len(big_rows), two_level=True, rprobe=rp
+            ).collect()
+        }
+        assert npy == batch, f"rprobe={rp}"
+    # non-vacuous: widening the probe must change at least one routed
+    # cell on this layout, or the test proves nothing
+    np1 = {
+        (r.vec_id, int(r.cell))
+        for r in P.semdedup_assign_frame(
+            static, big_rows, two_level=True, impl="numpy", rprobe=1
+        ).collect()
+    }
+    np3 = {
+        (r.vec_id, int(r.cell))
+        for r in P.semdedup_assign_frame(
+            static, big_rows, two_level=True, impl="numpy", rprobe=3
+        ).collect()
+    }
+    assert np1 != np3
+
+
+def test_batch_and_streaming_drift_decisions_agree():
+    """r14 (VERDICT r13 next #6): q_embed_drift_score's batch χ²
+    decision and the streaming trigger (semdedup_drift_stat against
+    semdedup_drift_gate) monitor the same signal — on a planted
+    clearly-quiet or clearly-shifted split over shared cells the two
+    decisions must agree.  Pure Python: the batch rule is mirrored
+    exactly (per-cell (b·n_a−n_b·a)²/(n_a·n_b·a) summed in micro-units,
+    trip iff χ² > (k−1) or any baseline-empty cell has arrivals)."""
+    import math
+    import random
+
+    def batch_decision(a, b):
+        # the q_embed_drift_score rule over per-cell baseline/arrival
+        # counts (cells = union; -1 sentinel == a_cnt 0 with b_cnt > 0)
+        cells = sorted(set(a) | set(b))
+        n_a, n_b = sum(a.values()), sum(b.values())
+        chi2_micro = 0
+        new_cell = False
+        for c in cells:
+            ac, bc = a.get(c, 0), b.get(c, 0)
+            if ac == 0:
+                new_cell = new_cell or bc > 0
+                continue
+            if n_b == 0:
+                continue
+            d = bc * n_a - n_b * ac
+            chi2_micro += math.floor(d * d / (n_a * n_b * ac) * 1e6 + 0.5)
+        k = len(cells)
+        return chi2_micro > 1_000_000 * (k - 1) or new_cell
+
+    def stream_decision(a, b):
+        stat = P.semdedup_drift_stat(a, b)
+        return stat > P.semdedup_drift_gate(len(a), sum(b.values()))
+
+    rng = random.Random(14)
+    for nlist in (8, 64):
+        for trial in range(20):
+            w = [rng.random() + 0.5 for _ in range(nlist)]
+            tot = sum(w)
+            a = {str(i + 1): max(1, int(250 * nlist * wi / tot)) for i, wi in enumerate(w)}
+            # clearly quiet: arrivals exactly proportional to baseline
+            # (scaled 1/10) — both must stay silent
+            quiet = {c: max(1, v // 10) for c, v in a.items()}
+            assert not batch_decision(a, quiet), (nlist, trial)
+            assert not stream_decision(a, quiet), (nlist, trial)
+            # clearly shifted: all arrivals in one trained cell — both
+            # must trip
+            target = str(rng.randrange(nlist) + 1)
+            m = max(4 * nlist, sum(quiet.values()))
+            shift = {target: m}
+            assert batch_decision(a, shift), (nlist, trial)
+            assert stream_decision(a, shift), (nlist, trial)
+            # new semantic region: arrivals in a cell absent from the
+            # baseline — both must trip (batch: sentinel; stream: the
+            # unsmoothed-q vs tiny-p term dominates)
+            nc = {str(nlist + 7): m}
+            assert batch_decision(a, nc), (nlist, trial)
+            assert stream_decision(a, nc), (nlist, trial)
