@@ -2201,7 +2201,10 @@ def build_ivfpq_index(
     tmp = meta + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(
-            {"kind": "ivfpq", "fmt": ANN_INDEX_FMT, "nlist": IVFK_NLIST,
+            {"kind": "ivfpq", "fmt": ANN_INDEX_FMT,
+             # the REAL (derived) cell count, not the floor constant —
+             # at 64x this reads 512, matching the layout on disk (r14)
+             "nlist": cents.count(),
              "nprobe": IVF_NPROBE, "m": PQ_M, "k": PQ_K, "source": sf_dir},
             fh,
         )
@@ -2653,18 +2656,20 @@ def _ivfpq_res_frames(
     bridge); and per-vector subspace codes carrying the IVF cell."""
     e = load(spark, sf_dir, "embeddings", spread=True)
     base = e.select("vec_id", _micro_arr("embedding").alias("vm"))
-    cents = _ivfk_cents(base, nlist or IVFK_NLIST)
-    assign = (
-        base.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id", "vm", "cid",
-            _int_sqdist(F.col("vm"), F.col("cm")).alias("sq"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.min_by("cid", F.struct(F.col("sq"), F.col("cid"))).alias("cell"),
-            F.first("vm").alias("vm"),
-        )
+    # r14: nlist DERIVES like every other trained-IVF family (the
+    # registered oracle's _IVF_CTES seed rule is already the derived
+    # scalar subquery — the builder had stayed at the fixed floor, so
+    # a 64× build trained 8 unbounded cells while its own oracle text
+    # said n/250); at every fixture scale derived == IVFK_NLIST, so
+    # parity history is unbroken.  The corpus assignment rides
+    # _assign_cells (auto two-level past TWOLEVEL_MIN_NLIST — the
+    # same routing _ivfpq_frames uses) instead of the hand-rolled
+    # flat crossJoin, which at derived nlist would be the O(n·nlist)
+    # single-exchange hazard every other family already left behind.
+    nlist = nlist or derived_nlist(spark, sf_dir)
+    cents = _ivfk_cents(base, nlist)
+    assign = _assign_cells(base, cents, nlist, keep=("vm",)).select(
+        "vec_id", "cell", "vm"
     )
     res = assign.join(
         F.broadcast(cents.select(F.col("cid").alias("cell"), "cm")), "cell"
@@ -2867,7 +2872,8 @@ def build_ivfpq_res_index(
     tmp = meta + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(
-            {"kind": "ivfpq_res", "fmt": ANN_INDEX_FMT, "nlist": IVFK_NLIST,
+            {"kind": "ivfpq_res", "fmt": ANN_INDEX_FMT,
+             "nlist": cents.count(),  # derived (r14), not the floor
              "nprobe": IVF_NPROBE, "m": PQ_M, "k": PQ_K, "source": sf_dir},
             fh,
         )

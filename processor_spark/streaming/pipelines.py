@@ -245,7 +245,17 @@ def run_foreach_batch_ckpt(
     query's offsets AND stateful-operator state live in ``checkpoint``,
     so a later call with the same location resumes exactly where the
     previous run stopped (the restart half of the stateful-sketch
-    equivalence tests)."""
+    equivalence tests).
+
+    A drain that is still active at ``timeout_s`` RAISES (r14): the
+    r14 file-spray probe's post-retrain ingest hit the old silent
+    stop — the call returned as if complete while 3 of 4 chunk files
+    sat unprocessed in the checkpoint, and every downstream consumer
+    (serve, retrain, the drift monitor's arrival histogram) silently
+    saw a partial pass.  availableNow means "drain everything
+    available"; not finishing is an error the caller must hear.  The
+    checkpoint is intact after the raise — re-calling resumes and
+    completes the drain."""
     q = (
         df.writeStream.foreachBatch(batch_fn)
         .outputMode(output_mode)
@@ -256,6 +266,11 @@ def run_foreach_batch_ckpt(
     q.awaitTermination(timeout_s)
     if q.isActive:
         q.stop()
+        raise TimeoutError(
+            f"availableNow drain still active after {timeout_s}s — the "
+            f"pass is INCOMPLETE (checkpoint {checkpoint} holds the "
+            "remaining offsets; re-call to resume, or raise timeout_s)"
+        )
 
 
 def type_totals_complete(events: DataFrame) -> DataFrame:
@@ -955,7 +970,13 @@ def quality_model_stats(docs: DataFrame) -> DataFrame:
 # so foreachBatch replays after a crash converge to the same layout.
 
 
-def stream_ivf_ingest(spark: SparkSession, chunks_dir: str, path: str, ckpt: str) -> str:
+def stream_ivf_ingest(
+    spark: SparkSession,
+    chunks_dir: str,
+    path: str,
+    ckpt: str,
+    timeout_s: int = 120,
+) -> str:
     """Consume embeddings chunk files as a stream and maintain an IVF
     index incrementally: the FIRST batch trains the frozen centroid
     table (one exact-integer Lloyd round — the offline-training stand-
@@ -971,7 +992,18 @@ def stream_ivf_ingest(spark: SparkSession, chunks_dir: str, path: str, ckpt: str
     compact_ivf_append_index generalized — fold gens, keep centroids.
 
     State: NONE in the state store (the index IS the state); the
-    checkpoint carries only source offsets."""
+    checkpoint carries only source offsets.
+
+    Post-retrain assignment (r14): a micro-batch reads ONE chunk file
+    = one partition, so the flat `_ivfa_assign` crossJoin runs its
+    whole n×nlist zip_with distance fold on ONE core — measured at
+    ~90 s for a 16k-row batch at derived nlist=512 (SCALE.md r14 —
+    the single-file twin of the spread=True rule).  Past
+    STREAM_ASSIGN_NUMPY_MIN_NLIST the sink therefore assigns through
+    the closure-captured numpy exact-flat argmin (_numpy_assign —
+    value-identical to _ivfa_assign: same exact integer distances,
+    same (sq, cid) tie-break; 16k×512×64 is a ~50 ms matmul).  At the
+    fixture floor the broadcast-join plan is unchanged."""
     import json
     import os
     import shutil
@@ -1044,6 +1076,16 @@ def stream_ivf_ingest(spark: SparkSession, chunks_dir: str, path: str, ckpt: str
         stage = os.path.join(path, f".stage-gen-{batch_id}")
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(gen_dir, ignore_errors=True)  # replayed batch: redo
+        n_cents = cents.count()
+        if n_cents > STREAM_ASSIGN_NUMPY_MIN_NLIST:
+            # single-file micro-batch = one partition: the flat
+            # crossJoin fold would run n×nlist×d on ONE core (~90 s
+            # at 16k×512 — SCALE.md r14); numpy exact flat is
+            # value-identical and ~single-digit ms
+            cents_rows = [(r.cid, list(r.cm)) for r in cents.collect()]
+            assigned = _numpy_assign(vecs, cents_rows, two_level=False)
+        else:
+            assigned = _ivfa_assign(vecs, cents)
         # write_partitioned, not raw partitionBy: without the repartition
         # every micro-batch task sprays a file into every cell dir it
         # holds rows for (the r13-measured 56,161-file class,
@@ -1052,11 +1094,11 @@ def stream_ivf_ingest(spark: SparkSession, chunks_dir: str, path: str, ckpt: str
         # and gens accumulate until compaction (VERDICT r13 weak #1).
         from processor_spark.operators.similarity import write_partitioned
 
-        write_partitioned(_ivfa_assign(vecs, cents), stage, "cell")
+        write_partitioned(assigned, stage, "cell")
         os.makedirs(os.path.dirname(gen_dir), exist_ok=True)
         os.replace(stage, gen_dir)
 
-    run_foreach_batch_ckpt(stream, sink, ckpt)
+    run_foreach_batch_ckpt(stream, sink, ckpt, timeout_s=timeout_s)
     return path
 
 
@@ -1326,7 +1368,8 @@ def compact_ivf_stream_index(
 
 
 def stream_text_index_ingest(
-    spark: SparkSession, chunks_dir: str, path: str, ckpt: str
+    spark: SparkSession, chunks_dir: str, path: str, ckpt: str,
+    timeout_s: int = 120,
 ) -> str:
     """Consume documents chunk files as a stream and maintain the
     positional text index incrementally: each batch's postings are
@@ -1380,7 +1423,7 @@ def stream_text_index_ingest(
         os.makedirs(os.path.dirname(gen_dir), exist_ok=True)
         os.replace(stage, gen_dir)
 
-    run_foreach_batch_ckpt(stream, sink, ckpt)
+    run_foreach_batch_ckpt(stream, sink, ckpt, timeout_s=timeout_s)
     return path
 
 
@@ -1579,6 +1622,18 @@ ASSIGN_LITERAL_MAX = 4096
 # deployment would actually sit until the corpus passes ~2M vectors
 # per stream partition.
 NUMPY_FLAT_MAX_NLIST = 8192
+
+# Above this many centroids the streaming IVF ingest assigns each
+# micro-batch via the numpy exact-flat argmin instead of the
+# _ivfa_assign broadcast crossJoin: a micro-batch is one chunk file =
+# ONE partition, so the crossJoin's n×nlist×d zip_with fold runs on a
+# single core — measured ~90 s for a 16k-row batch at derived
+# nlist=512 vs a ~50 ms numpy matmul (SCALE.md r14).  At the fixture
+# floor (nlist=8) the broadcast-join plan is cheap and fully
+# Catalyst-visible, so it stays.  Exactness note: the numpy flat
+# branch is VALUE-IDENTICAL to _ivfa_assign at any nlist (exact
+# integer distances below 2^53, same (sq, cid) tie-break).
+STREAM_ASSIGN_NUMPY_MIN_NLIST = 64
 
 
 def _router_groups(cents_rows: list) -> tuple[list, dict]:
@@ -1994,7 +2049,8 @@ def _emb_stream_schema() -> T.StructType:
 
 
 def run_semdedup_stream(
-    spark: SparkSession, chunks_dir: str, root: str, sink
+    spark: SparkSession, chunks_dir: str, root: str, sink,
+    timeout_s: int = 120,
 ) -> int:
     """One availableNow pass of the streaming SemDeDup under the
     CURRENT epoch: collect the epoch's centroids (literal-projection
@@ -2019,7 +2075,8 @@ def run_semdedup_stream(
     )
     ckpt = root + f"-ckpt-{meta['epoch']}"
     run_foreach_batch_ckpt(
-        semdedup_stream_flags(stream, cents_rows), sink, ckpt
+        semdedup_stream_flags(stream, cents_rows), sink, ckpt,
+        timeout_s=timeout_s,
     )
     return meta["epoch"]
 
@@ -2106,6 +2163,7 @@ def run_semdedup_stream_monitored(
     root: str,
     sink,
     threshold: float = SEMDEDUP_DRIFT_THRESHOLD,
+    timeout_s: int = 120,
 ) -> dict:
     """One monitored pass of the streaming SemDeDup: run the current
     epoch over whatever new chunk files landed, accumulate the pass's
@@ -2153,7 +2211,9 @@ def run_semdedup_stream_monitored(
         finally:
             batch_df.unpersist()
 
-    epoch = run_semdedup_stream(spark, chunks_dir, root, monitored)
+    epoch = run_semdedup_stream(
+        spark, chunks_dir, root, monitored, timeout_s=timeout_s
+    )
     meta = _semdedup_epoch(root)
     hist = meta.get("train_hist")
     stat = semdedup_drift_stat(hist, arrivals) if hist else 0.0
