@@ -1402,8 +1402,20 @@ def stream_text_index_ingest(
     )
 
     def sink(batch_df, batch_id):
-        if not batch_df.count():
+        n = batch_df.count()
+        if not n:
             return
+        if n >= TEXT_INGEST_SPREAD_MIN_DOCS:
+            # one chunk file = one partition: tokenize + posexplode
+            # (the compute-dense stage BEFORE the postings agg's
+            # shuffle) would run on one core — the text twin of the
+            # IVF micro-batch hazard, measured 3.88 s → 2.13 s per
+            # 20k-doc batch with the spread (SCALE.md r14,
+            # tools/text_ingest_batch_probe.py).  Tiny fixture
+            # batches skip it: a raw-text shuffle only pays past the
+            # gate (the q_ks_test rule — spread is for compute-dense
+            # maps, and below the gate the map is cheap).
+            batch_df = batch_df.repartition("doc_id")
         postings, dl = _postings_frame(batch_df)
         st = dl.agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -1634,6 +1646,14 @@ NUMPY_FLAT_MAX_NLIST = 8192
 # branch is VALUE-IDENTICAL to _ivfa_assign at any nlist (exact
 # integer distances below 2^53, same (sq, cid) tie-break).
 STREAM_ASSIGN_NUMPY_MIN_NLIST = 64
+
+# Batches at or above this many documents get spread across cores
+# before the posting build (stream_text_index_ingest): the tokenize +
+# posexplode stage runs BEFORE the postings agg's shuffle, so on a
+# one-file micro-batch it is single-core — measured 3.88 s → 2.13 s
+# per 20k-doc batch with the spread (SCALE.md r14).  Below the gate
+# the map is cheap and the raw-text shuffle would be pure cost.
+TEXT_INGEST_SPREAD_MIN_DOCS = 4096
 
 
 def _router_groups(cents_rows: list) -> tuple[list, dict]:
