@@ -920,7 +920,7 @@ def _minhash_bands_frame(docs: DataFrame) -> DataFrame:
     return bands
 
 
-def minhash_band_flags(docs: DataFrame) -> DataFrame:
+def minhash_band_flags(docs: DataFrame, spread: bool = False) -> DataFrame:
     """Streaming MinHash near-dup flags (VERDICT r9 missing #2): each
     new doc's _MD5_BANDS band keys probe the STANDING corpus' bucket
     registry held as stream state — the daily-ingest shape where the
@@ -934,9 +934,22 @@ def minhash_band_flags(docs: DataFrame) -> DataFrame:
     never evicted; state is ONE long per non-empty bucket (earliest
     member), so state size is bucket-count-bounded and independent of
     bucket occupancy — the property that keeps a 100 TB/day ingest's
-    state store from becoming the corpus itself."""
+    state store from becoming the corpus itself.
+
+    ``spread=True`` (r14) repartitions the docs before the md5-dense
+    band projection: a one-file micro-batch otherwise computes every
+    digest on one core map-side of the state groupBy — measured
+    2.48 s → 1.45 s per 20k-doc batch (SCALE.md r14,
+    tools/minhash_stream_spread_probe.py).  Pass it for
+    production-sized batches; verdicts are unaffected (the state fn
+    sorts each bucket's batch rows — order-insensitive), pinned by
+    the spread equality test.  Default off: fixture-scale batches are
+    below the compute-dense gate and the extra raw-text shuffle would
+    be pure cost (the q_ks_test rule)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    if spread:
+        docs = docs.repartition("doc_id")
     bands = _minhash_bands_frame(docs)
     return bands.groupBy("band_id", "band_key").applyInPandasWithState(
         _band_state_fn,

@@ -2132,3 +2132,40 @@ def test_availablenow_timeout_raises_and_resumes(spark, tmp_path):
 
     P.run_foreach_batch_ckpt(stream, fast_sink, ckpt, timeout_s=60)
     assert sorted(set(seen)) == [0, 1, 2]  # resume completed the drain
+
+
+def test_minhash_band_flags_spread_equality(spark, tmp_path):
+    """r14: spread=True (the production-batch knob for the md5-dense
+    band projection's single-partition hazard) must emit the identical
+    flag set — the state fn sorts each bucket's batch rows, so
+    upstream partitioning is invisible to verdicts."""
+    data = tmp_path / "inbox"
+    data.mkdir()
+    pdf = (
+        load(spark, SF_SMALL, "documents")
+        .toPandas()
+        .sort_values("doc_id")
+        .head(40)
+    )
+    copies = pdf.head(8).copy()
+    copies["doc_id"] = [int(pdf["doc_id"].max()) + 1 + k for k in range(8)]
+    import pandas as pd
+
+    pd.concat([pdf, copies]).to_parquet(data / "c1.parquet", index=False)
+
+    def flags(spread):
+        stream = (
+            spark.readStream.schema(_docs_schema())
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(data))
+        )
+        got = _drain(
+            spark,
+            P.minhash_band_flags(stream, spread=spread),
+            f"t_mh_spread_{int(spread)}",
+            mode="update",
+        )
+        return {(r.doc_id, r.band_id, r.dup_of) for r in got.collect()}
+
+    a, b = flags(False), flags(True)
+    assert a == b and len(a) > 0
