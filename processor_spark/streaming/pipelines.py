@@ -2197,19 +2197,23 @@ def run_semdedup_stream_monitored(
     sink,
     threshold: float = SEMDEDUP_DRIFT_THRESHOLD,
     timeout_s: int = 120,
+    replay_after_retrain: bool = False,
 ) -> dict:
     """One monitored pass of the streaming SemDeDup: run the current
     epoch over whatever new chunk files landed, accumulate the pass's
     per-cell arrival histogram from the verdict micro-batches (cheap —
     the sink sees the same cached batch), and if the drift statistic
     against the epoch's training histogram exceeds ``threshold``, open
-    a new epoch (retrain_semdedup_stream).  The REPLAY is left to the
-    next pass (monitored or plain run_semdedup_stream) — the new
-    epoch's fresh checkpoint replays the whole log then, exactly the
-    manual-retrain contract; verdicts already emitted under the old
-    epoch stand (they were acted on — streaming verdicts are never
-    retracted).  Returns {"epoch", "drift_stat", "gate", "retrained"}
-    with ``epoch`` = the NEW epoch when retrained.  Epochs whose meta
+    a new epoch (retrain_semdedup_stream).  By default the REPLAY is
+    left to the next pass (monitored or plain run_semdedup_stream) —
+    the new epoch's fresh checkpoint replays the whole log then,
+    exactly the manual-retrain contract; ``replay_after_retrain=True``
+    (r14) runs that replay immediately so the caller leaves the pass
+    with the re-celled verdicts in hand.  Verdicts already emitted
+    under the old epoch stand (they were acted on — streaming verdicts
+    are never retracted).  Returns {"epoch", "drift_stat", "gate",
+    "retrained", "replayed"} with ``epoch`` = the NEW epoch when
+    retrained.  Epochs whose meta
     predates the histogram (no "train_hist") never trigger —
     monitoring starts at their next manual retrain.
 
@@ -2255,11 +2259,23 @@ def run_semdedup_stream_monitored(
         int(meta.get("nlist") or len(hist or ())), m, threshold
     )
     retrain = hist is not None and stat > gate
+    replayed = False
     if retrain:
         epoch = retrain_semdedup_stream(spark, chunks_dir, root)
+        if replay_after_retrain:
+            # re-emit the whole log's verdicts under the new epoch NOW
+            # (the caller alerting on drift usually wants the re-celled
+            # verdicts, not a promise) — a plain pass: its arrivals ARE
+            # the training rows, so monitoring it is pointless (stat ~0
+            # by construction; the 64× composite measured 0.0000).
+            # Cost at 64×/nlist=512: 48.0 s for a 144k-row log
+            # (SCALE.md r14) — the same cost the next pass would pay.
+            run_semdedup_stream(spark, chunks_dir, root, sink, timeout_s=timeout_s)
+            replayed = True
     return {
         "epoch": epoch,
         "drift_stat": stat,
         "gate": gate,
         "retrained": retrain,
+        "replayed": replayed,
     }

@@ -2169,3 +2169,66 @@ def test_minhash_band_flags_spread_equality(spark, tmp_path):
 
     a, b = flags(False), flags(True)
     assert a == b and len(a) > 0
+
+
+def test_monitored_replay_after_retrain(spark, tmp_path):
+    """r14: replay_after_retrain=True must hand the caller the FULL
+    log's re-celled verdicts within the tripping pass (equal to the
+    fresh-trained batch twin), and the next monitored pass must see
+    nothing new and stay quiet."""
+    import numpy as np
+
+    from processor_spark.operators.similarity import (
+        SEMDEDUP_EPS,
+        _semdedup_from_assign,
+    )
+
+    chunks = tmp_path / "inbox"
+    out = tmp_path / "out"
+    root = str(tmp_path / "semstream")
+    chunks.mkdir()
+    out.mkdir()
+
+    pdf = (
+        load(spark, SF_SMALL, "embeddings")
+        .toPandas()
+        .sort_values("vec_id")
+        .head(80)
+    )
+    pdf.head(40).to_parquet(chunks / "c1.parquet", index=False)
+    assert P.retrain_semdedup_stream(spark, str(chunks), root) == 0
+
+    def sink(batch_df, batch_id):
+        if batch_df.count():
+            batch_df.write.mode("append").parquet(str(out / "rows"))
+
+    b = pdf.tail(40).copy()
+    b["embedding"] = [
+        np.asarray(e, dtype=np.float32) + np.float32(0.75) for e in b["embedding"]
+    ]
+    b.to_parquet(chunks / "c2.parquet", index=False)
+    res = P.run_semdedup_stream_monitored(
+        spark, str(chunks), root, sink, replay_after_retrain=True
+    )
+    assert res["retrained"] and res["replayed"] and res["epoch"] == 1, res
+
+    # the replay's emitted rows (the tail of out/) must equal the
+    # fresh-trained batch twin over the full log — without another pass
+    static = spark.read.schema(_emb_schema()).parquet(str(chunks))
+    cents_rows = [
+        (r.cid, list(r.cm))
+        for r in spark.read.parquet(root + "/centroids").collect()
+    ]
+    twin = _semdedup_from_assign(
+        P.semdedup_assign_frame(static, cents_rows), SEMDEDUP_EPS
+    )
+    want = {(r.vec_id, int(r.cell), r.kept, r.dup_of) for r in twin.collect()}
+    got_all = spark.read.parquet(str(out / "rows"))
+    # out/ holds pre-trip epoch-0 verdicts AND the epoch-1 replay; the
+    # replay re-emitted every vec_id, so filtering to rows matching the
+    # twin's cells isolates it — simpler: the twin must be a SUBSET of
+    # emitted rows, and every vec_id must have a twin-matching row
+    got = {(r.vec_id, int(r.cell), r.kept, r.dup_of) for r in got_all.collect()}
+    assert want <= got
+    res2 = P.run_semdedup_stream_monitored(spark, str(chunks), root, sink)
+    assert not res2["retrained"] and res2["epoch"] == 1, res2
