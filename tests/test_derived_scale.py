@@ -59,3 +59,31 @@ def test_derived_rule_crosses_engines_above_the_floor(spark, synth_dir, key):
     assert res["rows_match"], f"{key}: rows {res['rows_spark']} != {res['rows_oracle']}"
     assert res["cols_match"], f"{key}: cols {res['cols_spark']} != {res['cols_oracle']}"
     assert res["values_match"], f"{key}: value mismatch {res.get('first_diffs')}"
+
+
+@pytest.fixture(scope="module")
+def even_only_dir(tmp_path_factory):
+    """A corpus with ONLY even vec_ids: q_embed_drift's B slice
+    (vec_id % 2 = 1) is empty — the n_b = 0 edge ADVICE r13 flagged as
+    a data-dependent floor(NaN)::BIGINT crash on both engines."""
+    d = tmp_path_factory.mktemp("sf-even-only")
+    src = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    src[src["vec_id"] % 2 == 0].to_parquet(d / "embeddings.parquet", index=False)
+    return str(d)
+
+
+def test_embed_drift_empty_b_slice_guard(spark, even_only_dir):
+    """r14 (ADVICE r13): with slice B empty both engines must emit the
+    exact-limit 0 contribution instead of dividing 0/0 — and still
+    hash-match each other on the guarded rows."""
+    q = registry.get("q_embed_drift")
+    sdf = q.fn(spark, even_only_dir)
+    res = compare(sdf, _oracle(q.sql, even_only_dir))
+    assert res["rows_match"] and res["cols_match"] and res["values_match"], res
+    pdf = sdf.toPandas()
+    assert (pdf["b_cnt"] == 0).all()
+    assert set(pdf["contrib_micro"]) <= {0}, "guard branch: exact limit 0"
+
+    s = registry.get("q_embed_drift_score")
+    res2 = compare(s.fn(spark, even_only_dir), _oracle(s.sql, even_only_dir))
+    assert res2["values_match"], res2
