@@ -1361,8 +1361,24 @@ def compact_ivf_stream_index(
     else:
         cents = spark.read.parquet(os.path.join(path, "centroids"))
         cents.write.parquet(os.path.join(stage, "centroids"))
-        new_cents = spark.read.parquet(os.path.join(stage, "centroids"))
-        reassigned = _ivfa_assign(vecs, new_cents).select("vec_id", "cell", "vm")
+        # fold-only compaction KEEPS every vector's cell — and the cell
+        # is already encoded in each leaf file's cell= directory.
+        # Re-deriving it with the flat _ivfa_assign crossJoin (the
+        # pre-r14 path) was O(n·nlist) waste (128k × 512 ≈ 66M zip_with
+        # folds: measured 247.6 s vs 5.9 s for the path-parse fold at
+        # 64×/nlist=512 — SCALE.md r14) AND not cell-preserving: a
+        # post-retrain gen=0 carries the retrain's ROUTED assignment,
+        # so the flat rederive silently moved boundary vectors between
+        # cells on every fold (invisible at the fixture floor where
+        # flat == flat).  Parse the partition value from the file path
+        # instead — the explicit file-list snapshot read is what drops
+        # partition columns.
+        reassigned = vecs.withColumn(
+            "cell",
+            F.regexp_extract(
+                F.input_file_name(), r"cell=([0-9]+)", 1
+            ).cast("long"),
+        ).select("vec_id", "cell", "vm")
     from processor_spark.operators.similarity import write_partitioned
 
     write_partitioned(
