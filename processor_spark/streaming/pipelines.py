@@ -190,6 +190,23 @@ def running_totals(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def _raise_if_unfinished(q, timeout_s: int, where: str) -> None:
+    """availableNow means "drain everything available"; a query still
+    active at the deadline is an INCOMPLETE pass, and the pre-r14
+    silent stop let every downstream consumer see partial results
+    (the file-spray probe lost 3 of 4 post-retrain chunks to it —
+    SCALE.md r14).  Uniform across all four runners: stop, then raise
+    loudly.  Checkpointed runners resume on re-call; un-checkpointed
+    ones must re-run from scratch."""
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(
+            f"availableNow drain still active after {timeout_s}s — the "
+            f"pass is INCOMPLETE ({where}; re-call to resume if "
+            "checkpointed, or raise timeout_s)"
+        )
+
+
 def run_to_memory(
     df: DataFrame, name: str, output_mode: str = "append", timeout_s: int = 120
 ) -> None:
@@ -203,8 +220,7 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination(timeout_s)
-    if q.isActive:
-        q.stop()
+    _raise_if_unfinished(q, timeout_s, name)
 
 
 def write_parquet_stream(df: DataFrame, path: str, checkpoint: str, timeout_s: int = 120):
@@ -218,8 +234,7 @@ def write_parquet_stream(df: DataFrame, path: str, checkpoint: str, timeout_s: i
         .start()
     )
     q.awaitTermination(timeout_s)
-    if q.isActive:
-        q.stop()
+    _raise_if_unfinished(q, timeout_s, checkpoint)
 
 
 def run_foreach_batch(df: DataFrame, batch_fn, timeout_s: int = 120) -> None:
@@ -230,8 +245,7 @@ def run_foreach_batch(df: DataFrame, batch_fn, timeout_s: int = 120) -> None:
     (batch_id is the dedup token)."""
     q = df.writeStream.foreachBatch(batch_fn).trigger(availableNow=True).start()
     q.awaitTermination(timeout_s)
-    if q.isActive:
-        q.stop()
+    _raise_if_unfinished(q, timeout_s, "<un-checkpointed foreachBatch>")
 
 
 def run_foreach_batch_ckpt(
@@ -264,13 +278,7 @@ def run_foreach_batch_ckpt(
         .start()
     )
     q.awaitTermination(timeout_s)
-    if q.isActive:
-        q.stop()
-        raise TimeoutError(
-            f"availableNow drain still active after {timeout_s}s — the "
-            f"pass is INCOMPLETE (checkpoint {checkpoint} holds the "
-            "remaining offsets; re-call to resume, or raise timeout_s)"
-        )
+    _raise_if_unfinished(q, timeout_s, checkpoint)
 
 
 def type_totals_complete(events: DataFrame) -> DataFrame:
