@@ -18,8 +18,11 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from processor_spark.caching import scoped_persist
 from processor_spark.registry import register
@@ -1007,6 +1010,26 @@ TWOLEVEL_MIN_NLIST = 64
 # measured at rp1, SCALE.md r12).
 TWOLEVEL_RPROBE_PAIR = 3
 
+# Above this many centroids the AUTO assignment path routes two-level;
+# at or below it (and ≥ TWOLEVEL_MIN_NLIST) auto runs the EXACT flat
+# argmin as a closure-captured numpy matmul instead (r14): the router
+# exists because the CATALYST flat argmin is O(n·nlist) zip_with folds
+# (79.2 s at 64×/nlist=512 — SCALE.md r12), but the numpy matmul does
+# the identical exact arithmetic in milliseconds per Arrow batch —
+# measured end-to-end on the SemDeDup default at 64×: routed rp3
+# 28.6–35.8 s vs numpy flat 13.3–13.4 s, with dropped = 126,579 (the
+# exact-flat figure, vs 124,173 under rp3's boundary loss): exactness
+# is FASTER here, strictly better dedup quality, perfectly balanced
+# cells, and the result matches the flat SQL oracle at any scale
+# (tools/batch_numpy_flat_probe.py, SCALE.md r14).  The ceiling is the
+# per-task distance-matrix memory bound (the streaming twin's
+# NUMPY_FLAT_MAX_NLIST rationale — chunked to 2048 rows per matmul, a
+# task peaks at 2048×8192×8 B ≈ 134 MB).  This also CLOSES the ADVICE
+# r13 batch/stream auto-policy divergence: both sides now run exact
+# flat in [TWOLEVEL_MIN_NLIST, NUMPY_FLAT_MAX_NLIST] and route
+# multi-probe above it.
+NUMPY_FLAT_MAX_NLIST = 8192
+
 _NVEC_CACHE: dict[str, int] = {}
 
 
@@ -1186,6 +1209,61 @@ def _ivfk_cents(
     return scoped_persist(cents)
 
 
+def _numpy_flat_assign(
+    vecs: DataFrame, cents: DataFrame, keep: tuple[str, ...] = ("vm",)
+) -> DataFrame:
+    """EXACT flat argmin as a closure-captured numpy matmul (r14): the
+    same (sq, cid) min_by the Catalyst crossJoin computes, in one
+    Arrow-batched mapInPandas — value-identical at any nlist (exact
+    integer distances below 2^53, argmin over cid-sorted columns IS
+    the tie-break; the same proof as pipelines._numpy_assign, whose
+    streaming equality tests pin the arithmetic).  Centroids collect
+    driver-side (nlist ≤ NUMPY_FLAT_MAX_NLIST rows — the sanctioned
+    bounded-collect class) and the matmul is CHUNKED at 2048 rows so a
+    task's distance matrix peaks at 2048 × 8192 × 8 B ≈ 134 MB.
+    Measured at 64×/nlist=512: the SemDeDup default end-to-end fell
+    28.6–35.8 s (routed rp3) → 13.3–13.4 s with EXACT cells
+    (SCALE.md r14)."""
+    import numpy as np
+
+    rows = sorted(
+        (int(r.cid), [int(x) for x in r.cm]) for r in cents.collect()
+    )
+    cids = np.asarray([c for c, _ in rows], dtype=np.int64)
+    C = np.asarray([m for _, m in rows], dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+    in_cols = list(dict.fromkeys(("vec_id", "vm") + tuple(keep)))
+    src = vecs.select(*in_cols)
+    out_fields = [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("cell", T.LongType()),
+    ] + [src.schema[k] for k in keep]
+
+    def fn(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["vm"].to_numpy()).astype(np.float64)
+            cell = np.empty(len(X), dtype=np.int64)
+            for lo in range(0, len(X), 2048):
+                Xc = X[lo : lo + 2048]
+                sq = (
+                    (Xc * Xc).sum(axis=1)[:, None]
+                    + c2[None, :]
+                    - 2.0 * (Xc @ C.T)
+                )
+                cell[lo : lo + len(Xc)] = cids[sq.argmin(axis=1)]
+            out = {
+                "vec_id": pdf["vec_id"].astype("int64"),
+                "cell": pd.Series(cell, index=pdf.index),
+            }
+            for k in keep:
+                out[k] = pdf[k]
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(fn, schema=T.StructType(out_fields))
+
+
 def _assign_cells(
     vecs: DataFrame,
     cents: DataFrame,
@@ -1223,16 +1301,28 @@ def _assign_cells(
     shuffle: the only corpus-sized exchange remains the final n-row
     min_by agg), so shuffle volume is identical to rprobe=1.
 
-    POLICY DIVERGENCE vs the streaming twin (ADVICE r13): in the auto
-    regime 64 ≤ nlist ≤ 8192, streaming semdedup_assign_frame past its
-    literal budget runs the numpy EXACT FLAT argmin (one BLAS matmul —
-    cheaper than routing AND perfectly balanced), while this batch
-    path routes two-level.  Mixed batch/stream consumers sharing one
-    centroid table therefore get DIFFERENT cells in that window unless
-    they force matching branches (two_level=..., rprobe=...) — the
-    equality tests pin forced-matching branches only.  Past 8192 both
-    sides route at rprobe=TWOLEVEL_RPROBE_PAIR (r14)."""
+    AUTO POLICY (r14 — unified with the streaming twin, closing the
+    ADVICE r13 divergence): in the window TWOLEVEL_MIN_NLIST ≤ nlist ≤
+    NUMPY_FLAT_MAX_NLIST, auto runs the EXACT flat argmin as a numpy
+    matmul (_numpy_flat_assign — measured FASTER than routing at 64×
+    end-to-end, 13.4 s vs 28.6–35.8 s, at strictly better quality:
+    dropped 126,579 exact vs 124,173 under rp3's boundary loss), so
+    mixed batch/stream consumers sharing one centroid table get
+    IDENTICAL exact cells there.  Past the ceiling both sides route
+    multi-probe at rprobe=TWOLEVEL_RPROBE_PAIR.  Forced two_level=True
+    keeps the routed machinery (the pinned proof keys
+    q_ann_ivf_twolevel / q_semdedup_twolevel / q_semdedup_rprobe train
+    and assign routed end-to-end — their oracles encode the router
+    exactly)."""
     use2l = (nlist >= TWOLEVEL_MIN_NLIST) if two_level is None else two_level
+    if two_level is None and use2l and nlist <= NUMPY_FLAT_MAX_NLIST:
+        # r14 auto window [TWOLEVEL_MIN_NLIST, NUMPY_FLAT_MAX_NLIST]:
+        # the EXACT numpy-flat argmin beats routing outright (13.4 s
+        # vs 28.6–35.8 s end-to-end at 64× with strictly better dedup
+        # quality — NUMPY_FLAT_MAX_NLIST's table), so the routed
+        # approximation is reserved for forced two_level (the pinned
+        # proof keys) and for nlist past the matrix ceiling.
+        return _numpy_flat_assign(vecs, cents, keep)
     if not use2l:
         return (
             vecs.crossJoin(F.broadcast(cents))
@@ -5227,16 +5317,16 @@ def _semdedup_assign_frame(
     once here instead of recomputed per reader (ADVICE r11).  nlist
     derives from the corpus by default.
 
-    r13 routing policy (supersedes r12's flat-training rule): BOTH
-    argmins route past TWOLEVEL_MIN_NLIST, at
-    rprobe=TWOLEVEL_RPROBE_PAIR.  r12 kept training flat because
-    rprobe=1 routing concentrated occupancy (Σocc² 124.7M vs 36.4M
-    flat at 64× — a net loss for this family's occupancy² pair
-    stage); the r13 variant search (TWOLEVEL_RPROBE_PAIR's table)
-    showed multi-probe routing closes that to 46.0M at 18% of the
-    flat argmin's distance work, so the family no longer pays the
-    O(n·nlist) flat-training bill at every retrain.  Measured 64×
-    stage decomposition: SCALE.md r13."""
+    Routing policy history: r12 kept training flat (rp1 routing
+    concentrated occupancy — Σocc² 124.7M vs 36.4M flat at 64×); r13
+    routed BOTH argmins multi-probe at rprobe=TWOLEVEL_RPROBE_PAIR
+    (Σocc² 46.0M at 18% of the flat CATALYST argmin's distance work);
+    r14 made auto EXACT again below NUMPY_FLAT_MAX_NLIST — the numpy
+    matmul runs the flat argmin faster than routing ever did (13.4 s
+    vs 28.6–35.8 s end-to-end at 64×, dropped 126,579 exact vs
+    124,173) with perfectly balanced cells (Σocc² 36.4M).  ``rprobe``
+    now matters only past the matrix ceiling or on the forced-routed
+    pinned keys.  Measured: SCALE.md r12–r14."""
     e = load(spark, sf_dir, "embeddings", spread=True)
     vecs = e.select("vec_id", _micro_arr("embedding").alias("vm"))
     nlist = derived_nlist(spark, sf_dir) if nlist is None else nlist

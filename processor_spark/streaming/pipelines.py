@@ -1669,8 +1669,13 @@ ASSIGN_LITERAL_MAX = 4096
 # cheaper than any routing (one BLAS matmul) and perfectly balanced —
 # so auto-numpy is exact everywhere a 100 TB-scale nlist ≈ n/250
 # deployment would actually sit until the corpus passes ~2M vectors
-# per stream partition.
-NUMPY_FLAT_MAX_NLIST = 8192
+# per stream partition.  r14: the constant is canonical in
+# similarity.py — the BATCH auto path now runs the same exact-flat
+# numpy argmin in the same window, closing the ADVICE r13 policy
+# divergence.
+from processor_spark.operators.similarity import (  # noqa: E402
+    NUMPY_FLAT_MAX_NLIST,
+)
 
 # Above this many centroids the streaming IVF ingest assigns each
 # micro-batch via the numpy exact-flat argmin instead of the

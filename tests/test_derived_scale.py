@@ -87,3 +87,45 @@ def test_embed_drift_empty_b_slice_guard(spark, even_only_dir):
     s = registry.get("q_embed_drift_score")
     res2 = compare(s.fn(spark, even_only_dir), _oracle(s.sql, even_only_dir))
     assert res2["values_match"], res2
+
+
+def test_auto_assign_numpy_flat_equals_catalyst_flat(spark):
+    """r14: in the auto window [TWOLEVEL_MIN_NLIST, NUMPY_FLAT_MAX_
+    NLIST] _assign_cells runs the exact numpy-flat argmin — it must
+    equal the forced Catalyst flat branch cell-for-cell (same exact
+    integer distances, same (sq, cid) tie-break), with keep columns
+    passed through intact."""
+    from pyspark.sql import functions as F
+
+    from processor_spark.operators.similarity import (
+        TWOLEVEL_MIN_NLIST,
+        _assign_cells,
+        _micro_arr,
+    )
+    from processor_spark.sources import load
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    svecs = e.select(
+        "vec_id",
+        _micro_arr("embedding").alias("vm"),
+        (F.col("vec_id") % 7).cast("int").alias("label"),
+    )
+    cents = spark.createDataFrame(
+        [
+            (1000 + i, [int(x) for x in r.vm])
+            for i, r in enumerate(svecs.orderBy("vec_id").limit(80).collect())
+        ],
+        "cid long, cm array<bigint>",
+    )
+    assert 80 >= TWOLEVEL_MIN_NLIST
+
+    auto = _assign_cells(svecs, cents, 80, keep=("vm", "label"))
+    forced = _assign_cells(svecs, cents, 80, two_level=False, keep=("vm", "label"))
+    a = {(r.vec_id, int(r.cell), int(r.label)) for r in auto.collect()}
+    b = {(r.vec_id, int(r.cell), int(r.label)) for r in forced.collect()}
+    assert a == b and len(a) > 0
+    # and the routed branch still differs on this layout (non-vacuous:
+    # the window really replaced routing, not a no-op)
+    routed = _assign_cells(svecs, cents, 80, two_level=True, keep=("vm", "label"))
+    r = {(r.vec_id, int(r.cell), int(r.label)) for r in routed.collect()}
+    assert r != a
