@@ -5586,11 +5586,13 @@ def _dist_sql(a: str, b: str) -> str:
 
 # Assignment-only routing CTEs (ride the shared FLAT-train prefix's
 # cents): cseeds/cgrp/vg/a2 — the r12 SemDeDup shape (flat training +
-# rprobe=1 routed assign), PINNED by q_semdedup_twolevel.  The r13
-# production default routes BOTH argmins multi-probe instead
+# rprobe=1 routed assign), PINNED by q_semdedup_twolevel.  Policy
+# history: the r13 default routed BOTH argmins multi-probe
 # (rprobe=TWOLEVEL_RPROBE_PAIR — see _twolevel_rprobe_ctes /
-# q_semdedup_rprobe); this text stays as the r12 proof key's exact
-# oracle.
+# q_semdedup_rprobe); the r14 default is EXACT flat again below
+# NUMPY_FLAT_MAX_NLIST (the numpy argmin outruns the router — its
+# table) with multi-probe routing past the ceiling.  This text stays
+# as the r12 proof key's exact oracle.
 _TWOLEVEL_ASSIGN_CTES = f"""p AS (
       SELECT greatest(1, CAST(floor(sqrt(greatest({IVFK_NLIST},
                count(*) // {TARGET_CELL}))) AS BIGINT)) AS nc
@@ -5771,9 +5773,12 @@ def q_semdedup_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
     two_level=False where recall beats wall-clock).
 
     r13: this key PINS the r12 math (flat train + rprobe=1 routed
-    assign — its registered oracle's exact text); the production
-    default now routes BOTH argmins multi-probe
-    (rprobe=TWOLEVEL_RPROBE_PAIR), proven by q_semdedup_rprobe."""
+    assign — its registered oracle's exact text).  Production default
+    history: r13 routed both argmins at rprobe=TWOLEVEL_RPROBE_PAIR
+    (proven by q_semdedup_rprobe); r14 runs EXACT numpy-flat below
+    NUMPY_FLAT_MAX_NLIST (faster than the router AND exact — its
+    table) and routes rp3 only past the ceiling, where
+    q_semdedup_rprobe remains the cross-engine proof."""
     return semdedup_verdicts(
         spark, sf_dir, two_level=True, train_two_level=False, rprobe=1
     )
@@ -6007,9 +6012,11 @@ _SEMDEDUP_RPROBE_SQL = f"""
 @register("q_semdedup_rprobe", sql=_SEMDEDUP_RPROBE_SQL)
 def q_semdedup_rprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup with MULTI-PROBE two-level routing forced on — the
-    fixture-scale cross-engine proof of the r13 production math
-    (routed rprobe=TWOLEVEL_RPROBE_PAIR for BOTH argmins, the balance-
-    aware routing VERDICT r12 next #2 asked for).  nlist is pinned at
+    fixture-scale cross-engine proof of the multi-probe math (routed
+    rprobe=TWOLEVEL_RPROBE_PAIR for BOTH argmins, the balance-aware
+    routing VERDICT r12 next #2 asked for; since r14 the auto default
+    is exact numpy-flat below NUMPY_FLAT_MAX_NLIST, so this routing is
+    the production path PAST the matrix ceiling).  nlist is pinned at
     _RPROBE_NLIST=16 so ncoarse=4 > rprobe=3 and the routed union is a
     strict subset of the centroid table (at the derived fixture floor
     nlist=8, ncoarse=2 would make rprobe≥2 degenerate to flat —
