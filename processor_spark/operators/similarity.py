@@ -1021,14 +1021,34 @@ TWOLEVEL_RPROBE_PAIR = 3
 # exact-flat figure, vs 124,173 under rp3's boundary loss): exactness
 # is FASTER here, strictly better dedup quality, perfectly balanced
 # cells, and the result matches the flat SQL oracle at any scale
-# (tools/batch_numpy_flat_probe.py, SCALE.md r14).  The ceiling is the
-# per-task distance-matrix memory bound (the streaming twin's
-# NUMPY_FLAT_MAX_NLIST rationale — chunked to 2048 rows per matmul, a
-# task peaks at 2048×8192×8 B ≈ 134 MB).  This also CLOSES the ADVICE
-# r13 batch/stream auto-policy divergence: both sides now run exact
-# flat in [TWOLEVEL_MIN_NLIST, NUMPY_FLAT_MAX_NLIST] and route
-# multi-probe above it.
-NUMPY_FLAT_MAX_NLIST = 8192
+# (tools/batch_numpy_flat_probe.py, SCALE.md r14).
+#
+# Ceiling raised 8192 → 32768 at r14 close, from the measured ladder
+# (tools/flat_crossover_probe.py / _probe2.py / blkladder, 128k
+# vectors, 2-pass alternating legs): with the cache-sized centroid
+# block below, blocked-flat vs numpy-routed-rp3 is 2.4/1.9 s at
+# nlist=2048, 5.5/6.6 s at 8192, 11.5/41–46 s at 32768 — exact flat
+# WINS the whole span (the router's per-group gather loop degrades
+# with ncoarse), so the window is wherever flat measures faster, not
+# a memory bound.  This is a TODAY'S-IMPLS crossover, not physics:
+# flat work/vector = nlist vs routed ≈ 2·rprobe·sqrt(nlist), so
+# routing must win asymptotically (at the n/250 derivation the window
+# top is an 8M-vector corpus; 100 TB-scale nlist ≈ 10⁶ needs routing)
+# — re-measure before moving the ceiling again, in either direction.
+NUMPY_FLAT_MAX_NLIST = 32768
+
+# Centroid-column block width for the numpy flat matmul (r14 close):
+# the distance matrix is computed NUMPY_CENT_BLOCK centroids at a time
+# with a running (sq, cid) min across blocks, keeping the per-chunk
+# working set cache-sized and per-task memory flat in nlist.  Width is
+# MEASURED, not a guess: at nlist=8192 the flat assign walls 42–48 s
+# single-block, 13.0–17.8 s at width 2048, 4.7–7.6 s at width 1024,
+# 6.5–7.7 s at 512 (tools/flat_crossover_probe.py --blkwidth rows,
+# SCALE.md r14 close) — the apparent "matmul cliff" past nlist≈4096
+# was memory traffic (2048×nlist×8 B temporaries thrashing cache),
+# not distance work; 2048×1024×8 B ≈ 16 MB fits L2/L3 and restored
+# the BLAS-bound wall.
+NUMPY_CENT_BLOCK = 1024
 
 _NVEC_CACHE: dict[str, int] = {}
 
@@ -1163,7 +1183,7 @@ def _ivfk_cents(
     vecs: DataFrame,
     nlist: int = IVFK_NLIST,
     two_level: bool | None = None,
-    rprobe: int = 1,
+    rprobe: int | None = None,
     seeds: DataFrame | None = None,
 ) -> DataFrame:
     """One exact-integer Lloyd round from deterministic seeds (the
@@ -1219,11 +1239,18 @@ def _numpy_flat_assign(
     the tie-break; the same proof as pipelines._numpy_assign, whose
     streaming equality tests pin the arithmetic).  Centroids collect
     driver-side (nlist ≤ NUMPY_FLAT_MAX_NLIST rows — the sanctioned
-    bounded-collect class) and the matmul is CHUNKED at 2048 rows so a
-    task's distance matrix peaks at 2048 × 8192 × 8 B ≈ 134 MB.
-    Measured at 64×/nlist=512: the SemDeDup default end-to-end fell
-    28.6–35.8 s (routed rp3) → 13.3–13.4 s with EXACT cells
-    (SCALE.md r14)."""
+    bounded-collect class) and the matmul is CHUNKED at 2048 rows AND
+    BLOCKED at NUMPY_CENT_BLOCK centroid columns with a running
+    (sq, cid) min across blocks (r14 close), so a task's distance
+    matrix peaks at 2048 × 8192 × 8 B ≈ 134 MB at ANY nlist — what
+    bounds this path is distance WORK (O(n·nlist), quadratic in the
+    corpus under the n/250 derivation), not task memory.  Blocks
+    iterate in ascending-cid order and the running min updates on
+    strict <, so an across-block tie keeps the earlier (lower) cid —
+    blocking preserves the exact (sq, cid) tie-break bit-for-bit
+    (test_numpy_flat_blocked_equality).  Measured at 64×/nlist=512:
+    the SemDeDup default end-to-end fell 28.6–35.8 s (routed rp3) →
+    13.3–13.4 s with EXACT cells (SCALE.md r14)."""
     import numpy as np
 
     rows = sorted(
@@ -1247,12 +1274,132 @@ def _numpy_flat_assign(
             cell = np.empty(len(X), dtype=np.int64)
             for lo in range(0, len(X), 2048):
                 Xc = X[lo : lo + 2048]
-                sq = (
-                    (Xc * Xc).sum(axis=1)[:, None]
-                    + c2[None, :]
-                    - 2.0 * (Xc @ C.T)
+                x2 = (Xc * Xc).sum(axis=1)[:, None]
+                best_sq = np.full(len(Xc), np.inf)
+                bcell = np.empty(len(Xc), dtype=np.int64)
+                for cl in range(0, len(C), NUMPY_CENT_BLOCK):
+                    Cb = C[cl : cl + NUMPY_CENT_BLOCK]
+                    sq = (
+                        x2
+                        + c2[None, cl : cl + len(Cb)]
+                        - 2.0 * (Xc @ Cb.T)
+                    )
+                    loc = sq.argmin(axis=1)
+                    v = sq[np.arange(len(Xc)), loc]
+                    upd = v < best_sq
+                    best_sq[upd] = v[upd]
+                    bcell[upd] = cids[cl + loc[upd]]
+                cell[lo : lo + len(Xc)] = bcell
+            out = {
+                "vec_id": pdf["vec_id"].astype("int64"),
+                "cell": pd.Series(cell, index=pdf.index),
+            }
+            for k in keep:
+                out[k] = pdf[k]
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(fn, schema=T.StructType(out_fields))
+
+
+def _router_groups(cents_rows: list) -> tuple[list, dict]:
+    """Driver-side two-level router construction, exact integer python —
+    the SAME groups the Catalyst routed branch computes Spark-side:
+    router seeds = the isqrt(nlist) lowest-cid centroids, each fine
+    centroid routed to its (gsq, gid)-min seed.  Shared by the batch
+    numpy-routed path below and the streaming literal-CASE / numpy
+    branches (pipelines re-exports it) so every impl mirrors one
+    router.  (Moved here from streaming/pipelines.py at r14 close so
+    operators need not import the streaming layer.)"""
+    import math
+
+    rows = sorted((int(cid), [int(e) for e in cm]) for cid, cm in cents_rows)
+    ncoarse = max(1, math.isqrt(len(rows)))
+    cseeds = rows[:ncoarse]  # lowest-cid centroids double as the router
+    groups: dict[int, list] = {gid: [] for gid, _ in cseeds}
+    for cid, cm in rows:
+        _, gid = min(
+            (sum((a - b) * (a - b) for a, b in zip(cm, gm)), gid)
+            for gid, gm in cseeds
+        )
+        groups[gid].append((cid, cm))
+    return cseeds, groups
+
+
+def _numpy_routed_assign(
+    vecs: DataFrame,
+    cents: DataFrame,
+    keep: tuple[str, ...] = ("vm",),
+    rprobe: int = 1,
+) -> DataFrame:
+    """Two-level multi-probe argmin as closure-captured numpy (r14
+    close) — the batch twin of pipelines._numpy_assign's two-level
+    branch, with keep-column pass-through and a bigint cell.  Cell-for-
+    cell equal to the Catalyst routed branch of _assign_cells at the
+    same rprobe (same _router_groups, exact integer distances in
+    float64, stable argsort = the (gsq, gid) router tie-break, running
+    strict-<-or-lower-cid min across probed groups = the union's
+    (sq, cid) min_by) — pinned by test_numpy_routed_equals_catalyst_
+    routed.  This replaces the Catalyst router on the AUTO past-
+    ceiling path: measured at 128k vectors, numpy routing walls
+    7.6–8.7 s vs Catalyst 26.4–31.8 s at nlist=8192 and 41–46 s vs
+    57–61 s at 32768 (tools/flat_crossover_probe.py, SCALE.md r14
+    close); forced two_level=True keeps the Catalyst machinery (the
+    pinned oracle-proof keys encode that expression tree)."""
+    import numpy as np
+
+    cents_rows = [(int(r.cid), [int(x) for x in r.cm]) for r in cents.collect()]
+    cseeds, groups = _router_groups(cents_rows)
+    G = np.asarray([gm for _, gm in cseeds], dtype=np.float64)
+    gids = [gid for gid, _ in cseeds]
+    rp = min(rprobe, len(cseeds))
+    fine = {
+        gid: (
+            np.asarray([cid for cid, _ in mem], dtype=np.int64),
+            np.asarray([cm for _, cm in mem], dtype=np.float64),
+        )
+        for gid, mem in groups.items()
+        if mem
+    }
+    in_cols = list(dict.fromkeys(("vec_id", "vm") + tuple(keep)))
+    src = vecs.select(*in_cols)
+    out_fields = [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("cell", T.LongType()),
+    ] + [src.schema[k] for k in keep]
+
+    def fn(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["vm"].to_numpy()).astype(np.float64)
+            gsq = (
+                (X * X).sum(axis=1)[:, None]
+                + (G * G).sum(axis=1)[None, :]
+                - 2.0 * (X @ G.T)
+            )
+            probed = np.argsort(gsq, axis=1, kind="stable")[:, :rp]
+            best_sq = np.full(len(X), np.inf)
+            cell = np.zeros(len(X), dtype=np.int64)
+            for j, gid in enumerate(gids):
+                mask = (probed == j).any(axis=1)
+                if not mask.any() or gid not in fine:
+                    continue
+                mcids, M = fine[gid]
+                Xm = X[mask]
+                msq = (
+                    (Xm * Xm).sum(axis=1)[:, None]
+                    + (M * M).sum(axis=1)[None, :]
+                    - 2.0 * (Xm @ M.T)
                 )
-                cell[lo : lo + len(Xc)] = cids[sq.argmin(axis=1)]
+                loc = msq.argmin(axis=1)
+                gsqm = msq[np.arange(len(Xm)), loc]
+                gcid = mcids[loc]
+                idx = np.flatnonzero(mask)
+                upd = (gsqm < best_sq[idx]) | (
+                    (gsqm == best_sq[idx]) & (gcid < cell[idx])
+                )
+                best_sq[idx[upd]] = gsqm[upd]
+                cell[idx[upd]] = gcid[upd]
             out = {
                 "vec_id": pdf["vec_id"].astype("int64"),
                 "cell": pd.Series(cell, index=pdf.index),
@@ -1270,7 +1417,7 @@ def _assign_cells(
     nlist: int,
     two_level: bool | None = None,
     keep: tuple[str, ...] = ("vm",),
-    rprobe: int = 1,
+    rprobe: int | None = None,
 ) -> DataFrame:
     """Corpus → cell assignment, the stage every cluster-then-compare
     family shares.  Below TWOLEVEL_MIN_NLIST cells: the exact flat
@@ -1303,26 +1450,41 @@ def _assign_cells(
 
     AUTO POLICY (r14 — unified with the streaming twin, closing the
     ADVICE r13 divergence): in the window TWOLEVEL_MIN_NLIST ≤ nlist ≤
-    NUMPY_FLAT_MAX_NLIST, auto runs the EXACT flat argmin as a numpy
-    matmul (_numpy_flat_assign — measured FASTER than routing at 64×
-    end-to-end, 13.4 s vs 28.6–35.8 s, at strictly better quality:
-    dropped 126,579 exact vs 124,173 under rp3's boundary loss), so
-    mixed batch/stream consumers sharing one centroid table get
-    IDENTICAL exact cells there.  Past the ceiling both sides route
-    multi-probe at rprobe=TWOLEVEL_RPROBE_PAIR.  Forced two_level=True
-    keeps the routed machinery (the pinned proof keys
-    q_ann_ivf_twolevel / q_semdedup_twolevel / q_semdedup_rprobe train
-    and assign routed end-to-end — their oracles encode the router
-    exactly)."""
+    NUMPY_FLAT_MAX_NLIST, auto runs the EXACT flat argmin as a blocked
+    numpy matmul (_numpy_flat_assign — measured FASTER than every
+    routing impl across the whole window once the centroid block is
+    cache-sized: 11.5 s vs 41–46 s numpy-routed at nlist=32768, and
+    strictly better quality at the 64× default: dropped 126,579 exact
+    vs 124,173 under rp3's boundary loss), so mixed batch/stream
+    consumers sharing one centroid table get IDENTICAL exact cells
+    there.  Past the ceiling both sides route multi-probe NUMPY
+    (_numpy_routed_assign) at rprobe=TWOLEVEL_RPROBE_PAIR when the
+    caller left ``rprobe=None`` — numpy routing measured 3–4× faster
+    than the Catalyst router at nlist=8192 and 1.3–1.5× at 32768
+    (SCALE.md r14 close), with bit-identical cells.  ``rprobe=None``
+    means AUTO (rp3 past the ceiling, the balance-safe width — r13
+    refuted rp1's cells); an explicit integer is honored everywhere;
+    forced two_level paths default it to 1 (today's pinned behavior).
+    Forced two_level=True keeps the CATALYST routed machinery (the
+    pinned proof keys q_ann_ivf_twolevel / q_semdedup_twolevel /
+    q_semdedup_rprobe train and assign routed end-to-end — their
+    oracles encode that expression tree exactly)."""
     use2l = (nlist >= TWOLEVEL_MIN_NLIST) if two_level is None else two_level
-    if two_level is None and use2l and nlist <= NUMPY_FLAT_MAX_NLIST:
-        # r14 auto window [TWOLEVEL_MIN_NLIST, NUMPY_FLAT_MAX_NLIST]:
-        # the EXACT numpy-flat argmin beats routing outright (13.4 s
-        # vs 28.6–35.8 s end-to-end at 64× with strictly better dedup
-        # quality — NUMPY_FLAT_MAX_NLIST's table), so the routed
-        # approximation is reserved for forced two_level (the pinned
-        # proof keys) and for nlist past the matrix ceiling.
-        return _numpy_flat_assign(vecs, cents, keep)
+    if two_level is None and use2l:
+        if nlist <= NUMPY_FLAT_MAX_NLIST:
+            # r14 auto window [TWOLEVEL_MIN_NLIST, NUMPY_FLAT_MAX_NLIST]:
+            # the EXACT blocked numpy-flat argmin beats routing outright
+            # (NUMPY_FLAT_MAX_NLIST's ladder), so the routed
+            # approximation is reserved for forced two_level (the pinned
+            # proof keys) and for nlist past the measured crossover.
+            return _numpy_flat_assign(vecs, cents, keep)
+        # past the ceiling: numpy multi-probe routing, balance-safe
+        # width when unspecified (the streaming twin's auto rule)
+        return _numpy_routed_assign(
+            vecs, cents, keep,
+            rprobe=TWOLEVEL_RPROBE_PAIR if rprobe is None else rprobe,
+        )
+    rprobe = 1 if rprobe is None else rprobe
     if not use2l:
         return (
             vecs.crossJoin(F.broadcast(cents))
@@ -6016,7 +6178,7 @@ def q_semdedup_rprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     rprobe=TWOLEVEL_RPROBE_PAIR for BOTH argmins, the balance-aware
     routing VERDICT r12 next #2 asked for; since r14 the auto default
     is exact numpy-flat below NUMPY_FLAT_MAX_NLIST, so this routing is
-    the production path PAST the matrix ceiling).  nlist is pinned at
+    the production path PAST the measured flat/routed crossover).  nlist is pinned at
     _RPROBE_NLIST=16 so ncoarse=4 > rprobe=3 and the routed union is a
     strict subset of the centroid table (at the derived fixture floor
     nlist=8, ncoarse=2 would make rprobe≥2 degenerate to flat —

@@ -1102,9 +1102,19 @@ def stream_ivf_ingest(
             # single-file micro-batch = one partition: the flat
             # crossJoin fold would run n×nlist×d on ONE core (~90 s
             # at 16k×512 — SCALE.md r14); numpy exact flat is
-            # value-identical and ~single-digit ms
+            # value-identical and ~single-digit ms.  Past the flat
+            # ceiling follow the shared auto rule (routed rp3) so
+            # post-retrain generations carry the same cell policy the
+            # retrain's own _assign_cells pass would produce — a fold
+            # compaction preserves cells, so a policy split here would
+            # persist forever (the r14 fold lesson).
             cents_rows = [(r.cid, list(r.cm)) for r in cents.collect()]
-            assigned = _numpy_assign(vecs, cents_rows, two_level=False)
+            assigned = _numpy_assign(
+                vecs, cents_rows,
+                two_level=n_cents > NUMPY_FLAT_MAX_NLIST,
+                rprobe=_sim.TWOLEVEL_RPROBE_PAIR
+                if n_cents > NUMPY_FLAT_MAX_NLIST else 1,
+            )
         else:
             assigned = _ivfa_assign(vecs, cents)
         # write_partitioned, not raw partitionBy: without the repartition
@@ -1663,16 +1673,16 @@ def _semdedup_state_fn(key, pdfs: Iterator[pd.DataFrame], state):
 ASSIGN_LITERAL_MAX = 4096
 
 # Above this many centroids the numpy impl routes two-level even in
-# auto mode: a flat argmin materializes a (batch × nlist) float64
-# distance matrix per Arrow batch (10k rows × 8192 cells ≈ 655 MB —
-# the comfort ceiling), while below it the EXACT flat argmin is both
-# cheaper than any routing (one BLAS matmul) and perfectly balanced —
-# so auto-numpy is exact everywhere a 100 TB-scale nlist ≈ n/250
-# deployment would actually sit until the corpus passes ~2M vectors
-# per stream partition.  r14: the constant is canonical in
-# similarity.py — the BATCH auto path now runs the same exact-flat
-# numpy argmin in the same window, closing the ADVICE r13 policy
-# divergence.
+# auto mode.  r14 close: the flat branch is row-chunked AND centroid-
+# blocked (similarity.NUMPY_CENT_BLOCK), so memory is flat in nlist
+# and the ceiling is the MEASURED work crossover vs numpy routing
+# (32768 — exact flat wins the whole window, 11.5 s vs 41–46 s at the
+# top; see NUMPY_FLAT_MAX_NLIST's ladder in similarity.py), covering
+# every n/250-derived deployment up to ~8M vectors per stream
+# partition.  The constant is canonical in similarity.py — the BATCH
+# auto path runs the same exact-flat numpy argmin in the same window
+# (ADVICE r13 policy divergence closed by unification).
+from processor_spark.operators import similarity as _sim  # noqa: E402
 from processor_spark.operators.similarity import (  # noqa: E402
     NUMPY_FLAT_MAX_NLIST,
 )
@@ -1698,25 +1708,12 @@ STREAM_ASSIGN_NUMPY_MIN_NLIST = 64
 TEXT_INGEST_SPREAD_MIN_DOCS = 4096
 
 
-def _router_groups(cents_rows: list) -> tuple[list, dict]:
-    """Driver-side two-level router construction, exact integer python —
-    the SAME groups _assign_cells computes Spark-side: router seeds =
-    the isqrt(nlist) lowest-cid centroids, each fine centroid routed to
-    its (gsq, gid)-min seed.  Shared by the literal-CASE and the
-    numpy-argmin assignment branches so both mirror the batch twin."""
-    import math
-
-    rows = sorted((int(cid), [int(e) for e in cm]) for cid, cm in cents_rows)
-    ncoarse = max(1, math.isqrt(len(rows)))
-    cseeds = rows[:ncoarse]  # lowest-cid centroids double as the router
-    groups: dict[int, list] = {gid: [] for gid, _ in cseeds}
-    for cid, cm in rows:
-        _, gid = min(
-            (sum((a - b) * (a - b) for a, b in zip(cm, gm)), gid)
-            for gid, gm in cseeds
-        )
-        groups[gid].append((cid, cm))
-    return cseeds, groups
+# Driver-side two-level router construction — moved to
+# operators/similarity.py at r14 close (the batch numpy-routed path
+# shares it and operators must not import the streaming layer);
+# re-exported here so the streaming branches and tests keep their
+# name.
+_router_groups = _sim._router_groups
 
 
 def _numpy_assign(
@@ -1780,12 +1777,34 @@ def _numpy_assign(
                 continue
             X = np.stack(pdf["vm"].to_numpy()).astype(np.float64)
             if not two_level:
-                sq = (
-                    (X * X).sum(axis=1)[:, None]
-                    + (C * C).sum(axis=1)[None, :]
-                    - 2.0 * (X @ C.T)
-                )
-                cell = cids[sq.argmin(axis=1)]
+                # chunked rows + blocked centroid columns with a
+                # running (sq, cid) min — the batch twin's r14-close
+                # shape (similarity._numpy_flat_assign): per-task
+                # memory flat in nlist (a default 10k-row Arrow batch
+                # at the nlist ceiling would otherwise hold a 671 MB
+                # distance matrix), tie-break preserved because blocks
+                # ascend in cid and the min updates on strict <
+                c2 = (C * C).sum(axis=1)
+                cell = np.empty(len(X), dtype=np.int64)
+                blk = _sim.NUMPY_CENT_BLOCK
+                for lo in range(0, len(X), 2048):
+                    Xc = X[lo : lo + 2048]
+                    x2 = (Xc * Xc).sum(axis=1)[:, None]
+                    best_sq = np.full(len(Xc), np.inf)
+                    bcell = np.empty(len(Xc), dtype=np.int64)
+                    for cl in range(0, len(C), blk):
+                        Cb = C[cl : cl + blk]
+                        sq = (
+                            x2
+                            + c2[None, cl : cl + len(Cb)]
+                            - 2.0 * (Xc @ Cb.T)
+                        )
+                        loc = sq.argmin(axis=1)
+                        v = sq[np.arange(len(Xc)), loc]
+                        upd = v < best_sq
+                        best_sq[upd] = v[upd]
+                        bcell[upd] = cids[cl + loc[upd]]
+                    cell[lo : lo + len(Xc)] = bcell
             else:
                 gsq = (
                     (X * X).sum(axis=1)[:, None]
@@ -1867,18 +1886,20 @@ def semdedup_assign_frame(
     ``rprobe`` (r14, VERDICT r13 missing #3) applies to the numpy
     two-level branch.  Auto policy table:
 
-    =====================  =========================================
-    regime                 assignment
-    =====================  =========================================
+    ======================  =========================================
+    regime                  assignment
+    ======================  =========================================
     nlist ≤ literal budget  literal projection (flat < 64 cells,
                             routed rp1 CASE past TWOLEVEL_MIN_NLIST)
     past literal budget,    numpy EXACT flat argmin (perfect balance,
-    nlist ≤ 8192            one BLAS matmul — r13)
-    nlist > 8192            numpy routed rprobe=TWOLEVEL_RPROBE_PAIR
+    nlist ≤ NUMPY_FLAT_     one blocked BLAS matmul — r13; ceiling
+    MAX_NLIST (32768, r14)  raised to the measured crossover at r14
+                            close, similarity.NUMPY_FLAT_MAX_NLIST)
+    nlist > the ceiling     numpy routed rprobe=TWOLEVEL_RPROBE_PAIR
                             (per-cell streaming state is occupancy-
                             sensitive; rp1 was refuted by the r13
                             balance probe — max_occ 2,896 vs 1,053)
-    =====================  =========================================
+    ======================  =========================================
 
     Forced two_level with no explicit rprobe stays rp1 so the
     numpy==literal equality tests pin byte-identical branches."""

@@ -129,3 +129,136 @@ def test_auto_assign_numpy_flat_equals_catalyst_flat(spark):
     routed = _assign_cells(svecs, cents, 80, two_level=True, keep=("vm", "label"))
     r = {(r.vec_id, int(r.cell), int(r.label)) for r in routed.collect()}
     assert r != a
+
+
+def test_numpy_flat_blocked_equality(spark, monkeypatch):
+    """r14 close: _numpy_flat_assign blocks the matmul at
+    NUMPY_CENT_BLOCK centroid columns with a running (sq, cid) min, so
+    per-task memory is flat in nlist.  Blocking must be invisible: a
+    tiny forced block width (7 — nlist=80 spans 12 blocks, none
+    aligned) must produce cell-for-cell the block-free result AND the
+    Catalyst flat branch.  Centroid cid 61 duplicates cid 3's vector,
+    putting an exact cross-block tie on every vector nearest cid 3 —
+    the running min's strict < must keep the EARLIER block's lower cid
+    (the (sq, cid) min_by contract)."""
+    from pyspark.sql import functions as F
+
+    from processor_spark.operators import similarity as S
+    from processor_spark.sources import load
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    svecs = e.select("vec_id", S._micro_arr("embedding").alias("vm"))
+    base = [
+        [int(x) for x in r.vm]
+        for r in svecs.orderBy("vec_id").limit(80).collect()
+    ]
+    base[60] = list(base[2])  # cid 63 duplicates cid 5 (cids are 3+i)
+    cents = spark.createDataFrame(
+        [(3 + i, m) for i, m in enumerate(base)], "cid long, cm array<bigint>"
+    )
+
+    flat_sql = {
+        (r.vec_id, int(r.cell))
+        for r in S._assign_cells(svecs, cents, 80, two_level=False).collect()
+    }
+    blocked = {}
+    for width in (7, 8192):
+        monkeypatch.setattr(S, "NUMPY_CENT_BLOCK", width)
+        blocked[width] = {
+            (r.vec_id, int(r.cell))
+            for r in S._numpy_flat_assign(svecs, cents).collect()
+        }
+    assert blocked[7] == blocked[8192] == flat_sql and len(flat_sql) > 0
+    # non-vacuous tie: at least one vector sits nearest the duplicated
+    # centroid, and every such vector resolved to the LOWER cid (5)
+    assert any(c == 5 for _, c in flat_sql)
+    assert not any(c == 63 for _, c in flat_sql)
+
+
+def _label_vecs(spark):
+    from pyspark.sql import functions as F
+
+    from processor_spark.operators import similarity as S
+    from processor_spark.sources import load
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    return e.select(
+        "vec_id",
+        S._micro_arr("embedding").alias("vm"),
+        (F.col("vec_id") % 7).cast("int").alias("label"),
+    )
+
+
+def test_numpy_routed_equals_catalyst_routed(spark):
+    """r14 close: _numpy_routed_assign (the batch numpy twin of the
+    two-level router, now the AUTO past-ceiling path) must equal the
+    Catalyst routed branch cell-for-cell at rprobe 1 AND 3, with keep
+    columns through — same _router_groups, exact integer distances,
+    same (gsq, gid) router and (sq, cid) union tie-breaks."""
+    from processor_spark.operators import similarity as S
+
+    svecs = _label_vecs(spark)
+    cents = spark.createDataFrame(
+        [
+            (1000 + i, [int(x) for x in r.vm])
+            for i, r in enumerate(svecs.orderBy("vec_id").limit(80).collect())
+        ],
+        "cid long, cm array<bigint>",
+    )
+    for rp in (1, 3):
+        npy = {
+            (r.vec_id, int(r.cell), int(r.label))
+            for r in S._numpy_routed_assign(
+                svecs, cents, keep=("vm", "label"), rprobe=rp
+            ).collect()
+        }
+        cat = {
+            (r.vec_id, int(r.cell), int(r.label))
+            for r in S._assign_cells(
+                svecs, cents, 80, two_level=True,
+                keep=("vm", "label"), rprobe=rp,
+            ).collect()
+        }
+        assert npy == cat and len(npy) > 0, f"rprobe={rp}"
+
+
+def test_auto_assign_past_ceiling_routes_numpy_rp3(spark, monkeypatch):
+    """r14 close: AUTO past NUMPY_FLAT_MAX_NLIST routes via the numpy
+    two-level at rprobe=TWOLEVEL_RPROBE_PAIR (rprobe=None = auto) —
+    cells must equal the forced Catalyst router at rp3, and an
+    explicit rprobe must be honored."""
+    from processor_spark.operators import similarity as S
+
+    svecs = _label_vecs(spark)
+    cents = spark.createDataFrame(
+        [
+            (1000 + i, [int(x) for x in r.vm])
+            for i, r in enumerate(svecs.orderBy("vec_id").limit(80).collect())
+        ],
+        "cid long, cm array<bigint>",
+    )
+    monkeypatch.setattr(S, "NUMPY_FLAT_MAX_NLIST", 64)
+    auto = {
+        (r.vec_id, int(r.cell))
+        for r in S._assign_cells(svecs, cents, 80).collect()
+    }
+    cat3 = {
+        (r.vec_id, int(r.cell))
+        for r in S._assign_cells(
+            svecs, cents, 80, two_level=True, rprobe=3
+        ).collect()
+    }
+    assert auto == cat3 and len(auto) > 0
+    # explicit rprobe=1 is honored in auto mode past the ceiling
+    auto1 = {
+        (r.vec_id, int(r.cell))
+        for r in S._assign_cells(svecs, cents, 80, rprobe=1).collect()
+    }
+    cat1 = {
+        (r.vec_id, int(r.cell))
+        for r in S._assign_cells(
+            svecs, cents, 80, two_level=True, rprobe=1
+        ).collect()
+    }
+    assert auto1 == cat1
+    assert auto1 != auto  # rp1 and rp3 really differ on this layout
