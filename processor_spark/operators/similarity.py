@@ -1026,15 +1026,24 @@ TWOLEVEL_RPROBE_PAIR = 3
 # Ceiling raised 8192 → 32768 at r14 close, from the measured ladder
 # (tools/flat_crossover_probe.py / _probe2.py / blkladder, 128k
 # vectors, 2-pass alternating legs): with the cache-sized centroid
-# block below, blocked-flat vs numpy-routed-rp3 is 2.4/1.9 s at
-# nlist=2048, 5.5/6.6 s at 8192, 11.5/41–46 s at 32768 — exact flat
-# WINS the whole span (the router's per-group gather loop degrades
-# with ncoarse), so the window is wherever flat measures faster, not
-# a memory bound.  This is a TODAY'S-IMPLS crossover, not physics:
-# flat work/vector = nlist vs routed ≈ 2·rprobe·sqrt(nlist), so
-# routing must win asymptotically (at the n/250 derivation the window
-# top is an 8M-vector corpus; 100 TB-scale nlist ≈ 10⁶ needs routing)
-# — re-measure before moving the ceiling again, in either direction.
+# block below, blocked-flat vs numpy-routed-rp3 was 2.4/1.9 s at
+# nlist=2048, 5.5/6.6 s at 8192, 11.5/41–46 s at 32768 — flat won the
+# span.  r14-opt re-measured after _router_groups' fine→seed routing
+# went vectorized (the 41–46 s routed wall was 42.2 s of DRIVER-side
+# pure-python router construction, not the per-group gather loop):
+# routed rp3 now walls 1.3–2.2 s at 8192 and 2.2–4.2 s at 32768 vs
+# blocked-flat 3.3–5.6 / 8.8–9.8 on the same hour
+# (tools/router_groups_vec_probe.py, SCALE.md r14-opt) — the SPEED
+# crossover sits below 8192 again.  The ceiling deliberately stays:
+# inside the window exact flat is the QUALITY-bearing choice (cells
+# equal the flat SQL oracle at any scale, dropped 126,579 vs rp3's
+# 124,173, Σocc² 36.4M vs 46.0M at nlist=512) and the cost gap is
+# seconds per 128k rows; moving it is a quality-for-speed trade that
+# needs a dropped/Σocc² ladder at 8192–32768, not a wall-clock row —
+# adjudicate with data before moving it, in either direction.  Flat
+# work/vector = nlist vs routed ≈ 2·rprobe·sqrt(nlist): at the n/250
+# derivation the window top is an 8M-vector corpus; 100 TB-scale
+# nlist ≈ 10⁶ still needs routing.
 NUMPY_FLAT_MAX_NLIST = 32768
 
 # Centroid-column block width for the numpy flat matmul (r14 close):
@@ -1302,26 +1311,49 @@ def _numpy_flat_assign(
 
 
 def _router_groups(cents_rows: list) -> tuple[list, dict]:
-    """Driver-side two-level router construction, exact integer python —
-    the SAME groups the Catalyst routed branch computes Spark-side:
-    router seeds = the isqrt(nlist) lowest-cid centroids, each fine
-    centroid routed to its (gsq, gid)-min seed.  Shared by the batch
-    numpy-routed path below and the streaming literal-CASE / numpy
-    branches (pipelines re-exports it) so every impl mirrors one
-    router.  (Moved here from streaming/pipelines.py at r14 close so
-    operators need not import the streaming layer.)"""
+    """Driver-side two-level router construction — the SAME groups the
+    Catalyst routed branch computes Spark-side: router seeds = the
+    isqrt(nlist) lowest-cid centroids, each fine centroid routed to
+    its (gsq, gid)-min seed.  Shared by the batch numpy-routed path
+    below and the streaming literal-CASE / numpy branches (pipelines
+    re-exports it) so every impl mirrors one router.  (Moved here from
+    streaming/pipelines.py at r14 close so operators need not import
+    the streaming layer.)
+
+    The fine→seed routing is a vectorized float64 matmul identity —
+    exact for micro-unit coordinates (all terms are integers; 256·M²
+    < 2^53 holds through |coord| ≤ 5.9e6, the same sub-2^53 convention
+    every numpy assign path in this module relies on), with the stable
+    argmin reproducing the (gsq, gid) lexicographic tie-break because
+    seeds are cid-ascending.  The r14-close pure-python loop cost
+    42.2 s at nlist=32768 (O(nlist·ncoarse·d) interpreted ops) and was
+    the real cliff behind the routed ladder's 41–46 s wall — the
+    vectorized build runs 1.6 s on the identical inputs, group-for-
+    group equal (planted duplicate-centroid ties included;
+    test_router_groups_vectorized_equals_reference, and the Spark-side
+    cross-check test_numpy_routed_equals_catalyst_routed)."""
     import math
+
+    import numpy as np
 
     rows = sorted((int(cid), [int(e) for e in cm]) for cid, cm in cents_rows)
     ncoarse = max(1, math.isqrt(len(rows)))
     cseeds = rows[:ncoarse]  # lowest-cid centroids double as the router
+    C = np.asarray([cm for _, cm in rows], dtype=np.float64)
+    S = np.asarray([gm for _, gm in cseeds], dtype=np.float64)
+    ssq = (S * S).sum(axis=1)
+    assign = np.empty(len(rows), dtype=np.int64)
+    # Block fine rows so the distance matrix stays ~128 MB even at
+    # very large ncoarse; within a block the matmul is one BLAS call.
+    blk = max(256, 16_000_000 // ncoarse)
+    for s in range(0, len(rows), blk):
+        Cb = C[s : s + blk]
+        sq = (Cb * Cb).sum(axis=1)[:, None] + ssq[None, :] - 2.0 * (Cb @ S.T)
+        assign[s : s + blk] = sq.argmin(axis=1)
+    gid_of = [gid for gid, _ in cseeds]
     groups: dict[int, list] = {gid: [] for gid, _ in cseeds}
-    for cid, cm in rows:
-        _, gid = min(
-            (sum((a - b) * (a - b) for a, b in zip(cm, gm)), gid)
-            for gid, gm in cseeds
-        )
-        groups[gid].append((cid, cm))
+    for (cid, cm), j in zip(rows, assign):
+        groups[gid_of[j]].append((cid, cm))
     return cseeds, groups
 
 
@@ -1343,8 +1375,12 @@ def _numpy_routed_assign(
     ceiling path: measured at 128k vectors, numpy routing walls
     7.6–8.7 s vs Catalyst 26.4–31.8 s at nlist=8192 and 41–46 s vs
     57–61 s at 32768 (tools/flat_crossover_probe.py, SCALE.md r14
-    close); forced two_level=True keeps the Catalyst machinery (the
-    pinned oracle-proof keys encode that expression tree)."""
+    close); after _router_groups went vectorized (r14-opt — the 32768
+    wall was 42.2 s of driver-side router construction) the same legs
+    read 1.9–2.2 s at 8192 and 3.5–4.2 s at 32768
+    (tools/router_groups_vec_probe.py).  Forced two_level=True keeps
+    the Catalyst machinery (the pinned oracle-proof keys encode that
+    expression tree)."""
     import numpy as np
 
     cents_rows = [(int(r.cid), [int(x) for x in r.cm]) for r in cents.collect()]

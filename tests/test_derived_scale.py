@@ -262,3 +262,41 @@ def test_auto_assign_past_ceiling_routes_numpy_rp3(spark, monkeypatch):
     }
     assert auto1 == cat1
     assert auto1 != auto  # rp1 and rp3 really differ on this layout
+
+
+def test_router_groups_vectorized_equals_reference():
+    """r14-opt: _router_groups' vectorized fine->seed routing must be
+    group-for-group identical to the r14-close pure-python reference
+    (exact integer min over (gsq, gid)), including duplicate-centroid
+    ties planted across the seed/fine boundary — the lexicographic
+    tie-break must fall to the LOWEST gid on equal distance."""
+    import math
+
+    import numpy as np
+
+    from processor_spark.operators.similarity import _router_groups
+
+    def reference(cents_rows):
+        rows = sorted((int(cid), [int(e) for e in cm]) for cid, cm in cents_rows)
+        ncoarse = max(1, math.isqrt(len(rows)))
+        cseeds = rows[:ncoarse]
+        groups = {gid: [] for gid, _ in cseeds}
+        for cid, cm in rows:
+            _, gid = min(
+                (sum((a - b) * (a - b) for a, b in zip(cm, gm)), gid)
+                for gid, gm in cseeds
+            )
+            groups[gid].append((cid, cm))
+        return cseeds, groups
+
+    rng = np.random.default_rng(11)
+    nlist, d = 1024, 64
+    cents = rng.integers(-2_000_000, 2_000_000, size=(nlist, d))
+    for i in (1, 5, 40, nlist // 2, nlist - 1):  # dup ties; 40 > ncoarse=32
+        cents[i] = cents[0]
+    cents_rows = [(i, [int(x) for x in cents[i]]) for i in range(nlist)]
+    cs_v, gr_v = _router_groups(cents_rows)
+    cs_r, gr_r = reference(cents_rows)
+    assert cs_v == cs_r
+    assert gr_v == gr_r
+    assert sum(len(m) for m in gr_v.values()) == nlist
