@@ -1023,28 +1023,31 @@ TWOLEVEL_RPROBE_PAIR = 3
 # cells, and the result matches the flat SQL oracle at any scale
 # (tools/batch_numpy_flat_probe.py, SCALE.md r14).
 #
-# Ceiling raised 8192 → 32768 at r14 close, from the measured ladder
-# (tools/flat_crossover_probe.py / _probe2.py / blkladder, 128k
-# vectors, 2-pass alternating legs): with the cache-sized centroid
-# block below, blocked-flat vs numpy-routed-rp3 was 2.4/1.9 s at
-# nlist=2048, 5.5/6.6 s at 8192, 11.5/41–46 s at 32768 — flat won the
-# span.  r14-opt re-measured after _router_groups' fine→seed routing
-# went vectorized (the 41–46 s routed wall was 42.2 s of DRIVER-side
-# pure-python router construction, not the per-group gather loop):
-# routed rp3 now walls 1.3–2.2 s at 8192 and 2.2–4.2 s at 32768 vs
-# blocked-flat 3.3–5.6 / 8.8–9.8 on the same hour
-# (tools/router_groups_vec_probe.py, SCALE.md r14-opt) — the SPEED
-# crossover sits below 8192 again.  The ceiling deliberately stays:
-# inside the window exact flat is the QUALITY-bearing choice (cells
-# equal the flat SQL oracle at any scale, dropped 126,579 vs rp3's
-# 124,173, Σocc² 36.4M vs 46.0M at nlist=512) and the cost gap is
-# seconds per 128k rows; moving it is a quality-for-speed trade that
-# needs a dropped/Σocc² ladder at 8192–32768, not a wall-clock row —
-# adjudicate with data before moving it, in either direction.  Flat
+# Ceiling history: raised 8192 → 32768 at r14 close (blocked-flat vs
+# numpy-routed-rp3 walls 2.4/1.9 s at nlist=2048, 5.5/6.6 s at 8192,
+# 11.5/41–46 s at 32768 — flat won the span; tools/
+# flat_crossover_probe.py).  r14-opt then found the 41–46 s routed
+# wall was 42.2 s of DRIVER-side pure-python router construction and
+# vectorized it (_router_groups): routed rp3 walls 1.3–2.2 s at 8192
+# and 2.2–4.2 s at 32768 vs blocked-flat 3.3–5.6 / 8.8–9.8 on the
+# same hour (tools/router_groups_vec_probe.py) — the SPEED crossover
+# sits just below 8192.  The QUALITY side was then priced by the
+# dropped/Σocc² ladder the previous comment demanded
+# (tools/flat_quality_ladder.py, SCALE.md r14-opt; twin validated by
+# reproducing the engine-measured 64× rung exactly): at the
+# occupancy-250 layouts the n/250 rule actually produces in the band
+# — nlist=8192 / 2.0M vectors, 16384 / 4.1M, 32768 / 8.2M — routed
+# rp3's SemDeDup drop count is within 0.008% of exact flat (−155 /
+# +3 / −11 rows of 2.0–8.2M drops) and Σocc² within ±5% (better at
+# 8192), UNLIKE the nlist=512 layout where rp3 lost 1.9% of drops
+# (126,579 → 124,173): at ncoarse = √nlist ≥ 90 the rp3 probe set
+# covers the boundary mass.  Quality in 8192–32768 is a wash while
+# routing is 4.5–6.9× faster (twin walls 431/95, 1193/304, 5078/735
+# s), so the ceiling returned to the speed crossover.  Flat
 # work/vector = nlist vs routed ≈ 2·rprobe·sqrt(nlist): at the n/250
-# derivation the window top is an 8M-vector corpus; 100 TB-scale
-# nlist ≈ 10⁶ still needs routing.
-NUMPY_FLAT_MAX_NLIST = 32768
+# derivation the ceiling is a 2M-vector partition; 100 TB-scale
+# nlist ≈ 10⁶ routes, as it must.
+NUMPY_FLAT_MAX_NLIST = 8192
 
 # Centroid-column block width for the numpy flat matmul (r14 close):
 # the distance matrix is computed NUMPY_CENT_BLOCK centroids at a time
@@ -1487,20 +1490,24 @@ def _assign_cells(
     AUTO POLICY (r14 — unified with the streaming twin, closing the
     ADVICE r13 divergence): in the window TWOLEVEL_MIN_NLIST ≤ nlist ≤
     NUMPY_FLAT_MAX_NLIST, auto runs the EXACT flat argmin as a blocked
-    numpy matmul (_numpy_flat_assign — measured FASTER than every
-    routing impl across the whole window once the centroid block is
-    cache-sized: 11.5 s vs 41–46 s numpy-routed at nlist=32768, and
-    strictly better quality at the 64× default: dropped 126,579 exact
-    vs 124,173 under rp3's boundary loss), so mixed batch/stream
-    consumers sharing one centroid table get IDENTICAL exact cells
-    there.  Past the ceiling both sides route multi-probe NUMPY
+    numpy matmul (_numpy_flat_assign — fastest impl in the window AND
+    exact: measured faster than routing through nlist=8192 once the
+    centroid block is cache-sized, and strictly better quality at the
+    64× default: dropped 126,579 exact vs 124,173 under rp3's
+    boundary loss at nlist=512), so mixed batch/stream consumers
+    sharing one centroid table get IDENTICAL exact cells there.  Past
+    the ceiling both sides route multi-probe NUMPY
     (_numpy_routed_assign) at rprobe=TWOLEVEL_RPROBE_PAIR when the
-    caller left ``rprobe=None`` — numpy routing measured 3–4× faster
-    than the Catalyst router at nlist=8192 and 1.3–1.5× at 32768
-    (SCALE.md r14 close), with bit-identical cells.  ``rprobe=None``
-    means AUTO (rp3 past the ceiling, the balance-safe width — r13
-    refuted rp1's cells); an explicit integer is honored everywhere;
-    forced two_level paths default it to 1 (today's pinned behavior).
+    caller left ``rprobe=None`` — 2.3–4× faster than blocked flat at
+    8192–32768 after the r14-opt _router_groups vectorization, and
+    QUALITY-equal at the occupancy-250 layouts of that band (drop
+    count within 0.008% of exact, Σocc² within ±5% — the
+    flat_quality_ladder rows on NUMPY_FLAT_MAX_NLIST's comment; the
+    512-layout quality gap does not recur at ncoarse ≥ 90).
+    ``rprobe=None`` means AUTO (rp3 past the ceiling, the
+    balance-safe width — r13 refuted rp1's cells); an explicit
+    integer is honored everywhere; forced two_level paths default it
+    to 1 (today's pinned behavior).
     Forced two_level=True keeps the CATALYST routed machinery (the
     pinned proof keys q_ann_ivf_twolevel / q_semdedup_twolevel /
     q_semdedup_rprobe train and assign routed end-to-end — their

@@ -1673,15 +1673,18 @@ def _semdedup_state_fn(key, pdfs: Iterator[pd.DataFrame], state):
 ASSIGN_LITERAL_MAX = 4096
 
 # Above this many centroids the numpy impl routes two-level even in
-# auto mode.  r14 close: the flat branch is row-chunked AND centroid-
-# blocked (similarity.NUMPY_CENT_BLOCK), so memory is flat in nlist
-# and the ceiling is the MEASURED work crossover vs numpy routing
-# (32768 — exact flat wins the whole window, 11.5 s vs 41–46 s at the
-# top; see NUMPY_FLAT_MAX_NLIST's ladder in similarity.py), covering
-# every n/250-derived deployment up to ~8M vectors per stream
-# partition.  The constant is canonical in similarity.py — the BATCH
-# auto path runs the same exact-flat numpy argmin in the same window
-# (ADVICE r13 policy divergence closed by unification).
+# auto mode.  The flat branch is row-chunked AND centroid-blocked
+# (similarity.NUMPY_CENT_BLOCK), so memory is flat in nlist and the
+# ceiling is the MEASURED speed crossover vs the vectorized numpy
+# routing (8192, r14-opt) — quality-safe because the
+# flat_quality_ladder priced routed rp3's SemDeDup drops within
+# 0.008% of exact flat at every occupancy-250 layout in 8192–32768
+# (see NUMPY_FLAT_MAX_NLIST's comment in similarity.py); below the
+# ceiling exact flat is both fastest and oracle-exact, covering every
+# n/250-derived deployment up to ~2M vectors per stream partition.
+# The constant is canonical in similarity.py — the BATCH auto path
+# runs the same exact-flat numpy argmin in the same window (ADVICE
+# r13 policy divergence closed by unification).
 from processor_spark.operators import similarity as _sim  # noqa: E402
 from processor_spark.operators.similarity import (  # noqa: E402
     NUMPY_FLAT_MAX_NLIST,
@@ -1892,9 +1895,9 @@ def semdedup_assign_frame(
     nlist ≤ literal budget  literal projection (flat < 64 cells,
                             routed rp1 CASE past TWOLEVEL_MIN_NLIST)
     past literal budget,    numpy EXACT flat argmin (perfect balance,
-    nlist ≤ NUMPY_FLAT_     one blocked BLAS matmul — r13; ceiling
-    MAX_NLIST (32768, r14)  raised to the measured crossover at r14
-                            close, similarity.NUMPY_FLAT_MAX_NLIST)
+    nlist ≤ NUMPY_FLAT_     one blocked BLAS matmul — r13; ceiling =
+    MAX_NLIST (8192,        the r14-opt speed crossover, quality-
+    r14-opt)                adjudicated — similarity.NUMPY_FLAT_MAX_NLIST)
     nlist > the ceiling     numpy routed rprobe=TWOLEVEL_RPROBE_PAIR
                             (per-cell streaming state is occupancy-
                             sensitive; rp1 was refuted by the r13
