@@ -123,6 +123,34 @@ def main() -> None:
             samples[key].append(time.perf_counter() - t0)
     timings = {k: round(statistics.median(samples[k]), 4) for k in keys}
 
+    # Scaling-credible optional mode (VERDICT r14 next #2): the warm
+    # sf0.1 medians are sub-second overhead-bound walls that CANNOT
+    # show core scaling (documented since r4), so the driver's
+    # c8-vs-c32 ratio over them reads ≈1 and false-flags the harness.
+    # SPARK_GRAFT_BENCH_SCALING=1 times one embarrassingly parallel
+    # compute-dense job (md5 chain over a synthetic range — no data
+    # dependence, no shuffle) whose wall IS ∝ 1/cores, and reports it
+    # as a separate top-level field (never inside "queries": it is not
+    # a declared query).
+    scaling_fields: dict = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALING"):
+        spark.sparkContext.setJobDescription("bench: scaling probe (md5 x32)")
+        probe = spark.range(0, 2_000_000, 1, 64).select(
+            F.col("id"), F.md5(F.col("id").cast("string")).alias("h")
+        )
+        for i in range(31):
+            probe = probe.select(
+                "id", F.md5(F.concat("h", F.col("id").cast("string"))).alias("h")
+            )
+        probe.agg(F.max("h")).toPandas()  # warm codegen
+        t0 = time.perf_counter()
+        probe.agg(F.max("h")).toPandas()
+        scaling_fields["scaling_probe"] = {
+            "kind": "md5x32_range2m_64part",
+            "sec": round(time.perf_counter() - t0, 4),
+        }
+        spark.sparkContext.setJobDescription(None)
+
     out = {
         "metric": "headline suite wall-clock (warm session, steady-state runs)",
         "value": round(sum(timings.values()), 4),
@@ -133,6 +161,17 @@ def main() -> None:
         "n_queries": len(timings),
         "cold_runs": cold,
         "cold_total": round(sum(cold.values()), 4),
+        # Bench-contract visibility (VERDICT r14 next #2): stamp the
+        # core count and master the run actually used so the driver's
+        # scaling probe can be adjudicated from the artifact alone
+        # (the r14 PERF block false-flagged suspect_cpus_ignored on a
+        # harness that honors $SPARK_GRAFT_CPUS — session.py builds
+        # local[$SPARK_GRAFT_CPUS]; nothing in the JSON line said so).
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+        "master": spark.sparkContext.master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "sf_dir": sf_dir,
+        **scaling_fields,
         **({"canary": canary_fields} if canary_fields else {}),
     }
     print(json.dumps(out))
