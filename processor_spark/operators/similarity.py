@@ -1049,6 +1049,31 @@ TWOLEVEL_RPROBE_PAIR = 3
 # nlist ≈ 10⁶ routes, as it must.
 NUMPY_FLAT_MAX_NLIST = 8192
 
+# Above this many centroids the AUTO path stops collecting the
+# centroid table driver-side at all (r15, VERDICT r14 next #1 — the
+# one genuine scale-killer left on the ANN/semdedup hot path: the
+# numpy router is O(nlist·d) DRIVER memory and per-worker closure
+# bytes, unmeasured past 32768 until tools/routed_collect_probe.py).
+# Measured on synthetic micro-unit centroids at d=64 (SCALE.md r15):
+# the Arrow collect (_cents_np) holds 8·d B/centroid — a 128 MB
+# matrix at nlist=262144, ΔRSS ≤ 1.75× that, collected in 0.64 s
+# (the r14 row-wise .collect() path cost 6.91 s and +821 MB RSS at
+# 262144 — ~3.2 KB/centroid of python objects; it no longer exists)
+# — and the numpy routed assign stays 9.5-23× faster than the
+# distributed Catalyst router through 262144 (8.6 s vs 197.6 s at
+# 131072; 30.1 s vs 285.1 s at 262144, 131072 vectors assigned
+# end-to-end).  Past the ceiling auto falls back to that CATALYST
+# two-level routing — bit-identical cells (the same
+# test_numpy_routed_equals_catalyst_routed contract), everything
+# distributed: the corpus routes against isqrt(nlist) broadcast
+# seeds and the fine stage is an equi-join, so nothing O(nlist·d)
+# ever materializes on the driver or in a python worker; the fine
+# table's broadcast hint is also dropped past the ceiling so the
+# planner may shuffle-join it (a >128 MB broadcast build side is
+# its own hazard).  At the n/250 derivation the ceiling corresponds
+# to a ~65M-vector partition of the problem.
+ROUTED_DRIVER_MAX_NLIST = 262144
+
 # Centroid-column block width for the numpy flat matmul (r14 close):
 # the distance matrix is computed NUMPY_CENT_BLOCK centroids at a time
 # with a running (sq, cid) min across blocks, keeping the per-chunk
@@ -1241,6 +1266,60 @@ def _ivfk_cents(
     return scoped_persist(cents)
 
 
+def _cents_np(cents: DataFrame):
+    """Collect a (cid, cm) centroid table driver-side as numpy — the
+    Arrow path (toPandas + stack), NOT row-wise ``.collect()`` into
+    python int lists (r15, VERDICT r14 next #1): python-object rows
+    cost ~2.4 KB/centroid at d=64 (measured 630+ MB RSS and tens of
+    seconds at nlist=262144) where the numpy matrix is 8·d bytes/row
+    (134 MB) and arrives in ~1/20 the wall.  Returns (cids int64
+    ascending, C float64) — every numpy assign/router path consumes
+    exactly this shape.  The sub-2^53 exactness contract is asserted
+    here once for all of them: 2·d·M² < 2^53 (the DECOMPOSED distance
+    form's true sufficient condition — the x²+Σc² intermediate, not
+    the product term, is what must stay exact; ADVICE r14)."""
+    import numpy as np
+
+    pdf = cents.select("cid", "cm").toPandas()
+    cids = pdf["cid"].to_numpy().astype(np.int64)
+    C = (
+        np.stack(pdf["cm"].to_numpy()).astype(np.float64)
+        if len(pdf)
+        else np.zeros((0, 0), dtype=np.float64)
+    )
+    o = np.argsort(cids, kind="stable")
+    cids, C = cids[o], C[o]
+    _assert_sub53(C)
+    return cids, C
+
+
+def _assert_sub53(*mats) -> None:
+    """Loud guard for the decomposed-float64 exactness contract every
+    numpy distance path in this module relies on: all terms of
+    x² + c² − 2·x·c are integers and every intermediate (the largest
+    is the x²+c² partial-sum chain, ≤ 2·d·M²) stays below 2^53, so
+    the float64 arithmetic is EXACT.  The sufficient condition is
+    2·d·M² < 2^53 (|coord| ≤ ~8.39e6 at d=64, ~4.19e6 at d=256 —
+    micro-unit vectors sit at ≤ ~4.3e6); the r14 docstring overclaimed
+    256·M² < 2^53, which the intermediate can exceed at d=256
+    (ADVICE r14 medium).  Raises instead of silently returning
+    non-reference cells."""
+    import numpy as np
+
+    for M in mats:
+        if M.size == 0:
+            continue
+        d = M.shape[-1]
+        mx = float(np.abs(M).max())
+        if 2.0 * d * mx * mx >= 2.0**53:
+            raise ValueError(
+                f"micro-unit coordinate {mx:.3g} at d={d} breaks the "
+                f"2*d*M^2 < 2^53 float64-exactness contract of the "
+                f"numpy distance paths (max |coord| allowed: "
+                f"{(2.0 ** 52 / d) ** 0.5:.3g})"
+            )
+
+
 def _numpy_flat_assign(
     vecs: DataFrame, cents: DataFrame, keep: tuple[str, ...] = ("vm",)
 ) -> DataFrame:
@@ -1265,11 +1344,7 @@ def _numpy_flat_assign(
     13.3–13.4 s with EXACT cells (SCALE.md r14)."""
     import numpy as np
 
-    rows = sorted(
-        (int(r.cid), [int(x) for x in r.cm]) for r in cents.collect()
-    )
-    cids = np.asarray([c for c, _ in rows], dtype=np.int64)
-    C = np.asarray([m for _, m in rows], dtype=np.float64)
+    cids, C = _cents_np(cents)  # Arrow, not python rows (r15)
     c2 = (C * C).sum(axis=1)
     in_cols = list(dict.fromkeys(("vec_id", "vm") + tuple(keep)))
     src = vecs.select(*in_cols)
@@ -1324,40 +1399,69 @@ def _router_groups(cents_rows: list) -> tuple[list, dict]:
     the streaming layer.)
 
     The fine→seed routing is a vectorized float64 matmul identity —
-    exact for micro-unit coordinates (all terms are integers; 256·M²
-    < 2^53 holds through |coord| ≤ 5.9e6, the same sub-2^53 convention
-    every numpy assign path in this module relies on), with the stable
-    argmin reproducing the (gsq, gid) lexicographic tie-break because
-    seeds are cid-ascending.  The r14-close pure-python loop cost
-    42.2 s at nlist=32768 (O(nlist·ncoarse·d) interpreted ops) and was
-    the real cliff behind the routed ladder's 41–46 s wall — the
-    vectorized build runs 1.6 s on the identical inputs, group-for-
-    group equal (planted duplicate-centroid ties included;
+    exact for micro-unit coordinates: all terms are integers and the
+    sufficient condition is 2·d·M² < 2^53 (the x²+Σs² intermediate of
+    the decomposed form is the largest term — |coord| ≤ ~8.39e6 at
+    d=64, ~4.19e6 at d=256; asserted by _assert_sub53, ADVICE r14 —
+    the r14 text overclaimed 256·M² < 2^53, which the intermediate
+    can exceed at d=256).  The stable argmin reproduces the
+    (gsq, gid) lexicographic tie-break because seeds are
+    cid-ascending.  The r14-close pure-python loop cost 42.2 s at
+    nlist=32768 (O(nlist·ncoarse·d) interpreted ops) and was the real
+    cliff behind the routed ladder's 41–46 s wall — the vectorized
+    build runs 1.6 s on the identical inputs, group-for-group equal
+    (planted duplicate-centroid ties included;
     test_router_groups_vectorized_equals_reference, and the Spark-side
-    cross-check test_numpy_routed_equals_catalyst_routed)."""
-    import math
-
+    cross-check test_numpy_routed_equals_catalyst_routed).  Empty
+    input returns ([], {}) — the streaming caller's contemplated
+    empty-centroids case (ADVICE r14 low)."""
     import numpy as np
 
+    if not cents_rows:
+        return [], {}
     rows = sorted((int(cid), [int(e) for e in cm]) for cid, cm in cents_rows)
-    ncoarse = max(1, math.isqrt(len(rows)))
-    cseeds = rows[:ncoarse]  # lowest-cid centroids double as the router
     C = np.asarray([cm for _, cm in rows], dtype=np.float64)
-    S = np.asarray([gm for _, gm in cseeds], dtype=np.float64)
-    ssq = (S * S).sum(axis=1)
-    assign = np.empty(len(rows), dtype=np.int64)
-    # Block fine rows so the distance matrix stays ~128 MB even at
-    # very large ncoarse; within a block the matmul is one BLAS call.
-    blk = max(256, 16_000_000 // ncoarse)
-    for s in range(0, len(rows), blk):
-        Cb = C[s : s + blk]
-        sq = (Cb * Cb).sum(axis=1)[:, None] + ssq[None, :] - 2.0 * (Cb @ S.T)
-        assign[s : s + blk] = sq.argmin(axis=1)
+    _assert_sub53(C)
+    ncoarse, assign = _router_groups_np(C)
+    cseeds = rows[:ncoarse]  # lowest-cid centroids double as the router
     gid_of = [gid for gid, _ in cseeds]
     groups: dict[int, list] = {gid: [] for gid, _ in cseeds}
     for (cid, cm), j in zip(rows, assign):
         groups[gid_of[j]].append((cid, cm))
     return cseeds, groups
+
+
+def _router_groups_np(C, blk: int | None = None):
+    """numpy core of the two-level router construction: given the
+    cid-ASCENDING fine-centroid matrix (float64 of exact integers,
+    caller asserts the sub-2^53 contract), route every fine row to
+    its (gsq, gid)-min seed among the first ncoarse = isqrt(n) rows.
+    Returns (ncoarse, assign) with assign[i] = seed POSITION (0-based
+    row index into the first ncoarse rows).  Shared by the list-API
+    wrapper above (streaming literal-CASE branch, equality tests) and
+    the numpy-native batch router (_numpy_routed_assign), so every
+    impl mirrors ONE routing."""
+    import math
+
+    import numpy as np
+
+    n = len(C)
+    ncoarse = max(1, math.isqrt(n))
+    S = C[:ncoarse]
+    ssq = (S * S).sum(axis=1)
+    assign = np.empty(n, dtype=np.int64)
+    # Block fine rows so the distance matrix stays ~128 MB even at
+    # very large ncoarse; within a block the matmul is one BLAS call.
+    # ``blk`` is overridable so tests can pin the multi-block path
+    # (ADVICE r14 low: every production layout below ~63k cells runs
+    # single-block, leaving s > 0 untested otherwise).
+    if blk is None:
+        blk = max(256, 16_000_000 // ncoarse)
+    for s in range(0, n, blk):
+        Cb = C[s : s + blk]
+        sq = (Cb * Cb).sum(axis=1)[:, None] + ssq[None, :] - 2.0 * (Cb @ S.T)
+        assign[s : s + blk] = sq.argmin(axis=1)
+    return ncoarse, assign
 
 
 def _numpy_routed_assign(
@@ -1386,19 +1490,25 @@ def _numpy_routed_assign(
     expression tree)."""
     import numpy as np
 
-    cents_rows = [(int(r.cid), [int(x) for x in r.cm]) for r in cents.collect()]
-    cseeds, groups = _router_groups(cents_rows)
-    G = np.asarray([gm for _, gm in cseeds], dtype=np.float64)
-    gids = [gid for gid, _ in cseeds]
-    rp = min(rprobe, len(cseeds))
-    fine = {
-        gid: (
-            np.asarray([cid for cid, _ in mem], dtype=np.int64),
-            np.asarray([cm for _, cm in mem], dtype=np.float64),
-        )
-        for gid, mem in groups.items()
-        if mem
-    }
+    # Arrow collect + numpy-core routing end to end (r15, VERDICT r14
+    # next #1): no python-object centroid rows anywhere — the r14 path
+    # paid a row-wise .collect() (~2.4 KB/centroid driver RSS) plus a
+    # list→numpy rebuild per group; this one holds exactly ONE float64
+    # matrix (8·d B/centroid) and groups by index slices.
+    cids, C = _cents_np(cents)
+    ncoarse, rassign = _router_groups_np(C)
+    G = C[:ncoarse]
+    rp = min(rprobe, ncoarse)
+    # group members by seed position: stable argsort of the fine→seed
+    # assignment keeps members cid-ascending within each group (cids
+    # are ascending from _cents_np), exactly the list impl's order
+    order = np.argsort(rassign, kind="stable")
+    bounds = np.searchsorted(rassign[order], np.arange(ncoarse + 1))
+    fine = {}
+    for j in range(ncoarse):
+        mem = order[bounds[j] : bounds[j + 1]]
+        if len(mem):
+            fine[j] = (cids[mem], np.ascontiguousarray(C[mem]))
     in_cols = list(dict.fromkeys(("vec_id", "vm") + tuple(keep)))
     src = vecs.select(*in_cols)
     out_fields = [
@@ -1419,11 +1529,13 @@ def _numpy_routed_assign(
             probed = np.argsort(gsq, axis=1, kind="stable")[:, :rp]
             best_sq = np.full(len(X), np.inf)
             cell = np.zeros(len(X), dtype=np.int64)
-            for j, gid in enumerate(gids):
-                mask = (probed == j).any(axis=1)
-                if not mask.any() or gid not in fine:
+            for j in range(ncoarse):
+                if j not in fine:
                     continue
-                mcids, M = fine[gid]
+                mask = (probed == j).any(axis=1)
+                if not mask.any():
+                    continue
+                mcids, M = fine[j]
                 Xm = X[mask]
                 msq = (
                     (Xm * Xm).sum(axis=1)[:, None]
@@ -1521,12 +1633,19 @@ def _assign_cells(
             # approximation is reserved for forced two_level (the pinned
             # proof keys) and for nlist past the measured crossover.
             return _numpy_flat_assign(vecs, cents, keep)
-        # past the ceiling: numpy multi-probe routing, balance-safe
-        # width when unspecified (the streaming twin's auto rule)
-        return _numpy_routed_assign(
-            vecs, cents, keep,
-            rprobe=TWOLEVEL_RPROBE_PAIR if rprobe is None else rprobe,
-        )
+        if nlist <= ROUTED_DRIVER_MAX_NLIST:
+            # past the flat ceiling but inside the driver-collect
+            # window: numpy multi-probe routing, balance-safe width
+            # when unspecified (the streaming twin's auto rule)
+            return _numpy_routed_assign(
+                vecs, cents, keep,
+                rprobe=TWOLEVEL_RPROBE_PAIR if rprobe is None else rprobe,
+            )
+        # past ROUTED_DRIVER_MAX_NLIST (r15): never materialize
+        # O(nlist·d) on the driver — fall through to the DISTRIBUTED
+        # Catalyst two-level routing below (bit-identical cells at the
+        # same rprobe), at the pair-family probe width by default.
+        rprobe = TWOLEVEL_RPROBE_PAIR if rprobe is None else rprobe
     rprobe = 1 if rprobe is None else rprobe
     if not use2l:
         return (
@@ -1611,9 +1730,14 @@ def _assign_cells(
             )
         )
     # exact argmin within the routed group — equi-join on gid, never
-    # the full centroid table
+    # the full centroid table.  The broadcast hint is only safe while
+    # the fine table is modest; past ROUTED_DRIVER_MAX_NLIST (the r15
+    # distributed fallback's regime) the planner may shuffle-join it
+    # — a nlist×d build side beyond the driver window is exactly the
+    # hazard this branch exists to avoid (guide §3.1).
+    cgrp_side = F.broadcast(cgrp) if nlist <= ROUTED_DRIVER_MAX_NLIST else cgrp
     return (
-        vg.join(F.broadcast(cgrp), "gid")
+        vg.join(cgrp_side, "gid")
         .select(
             "vec_id", *keep, "cid",
             _int_sqdist(F.col("vm"), F.col("cm")).alias("sq"),
@@ -5485,6 +5609,7 @@ def semdedup_verdicts(
     two_level: bool | None = None,
     train_two_level="same",
     rprobe: int = TWOLEVEL_RPROBE_PAIR,
+    pair_impl: str | None = None,
 ) -> DataFrame:
     """Parameterized SemDeDup (the q_semdedup pipeline with the nlist
     and ε knobs exposed): nlist DERIVES from the corpus by default
@@ -5498,12 +5623,17 @@ def semdedup_verdicts(
     ``train_two_level="same"`` routes training like the assign; the
     pinned proof keys pass explicit values (q_semdedup_twolevel: flat
     train + rprobe=1 assign, the r12 math; q_semdedup_rprobe: routed
-    rprobe=3 end-to-end, the r13 scale math)."""
+    rprobe=3 end-to-end, the r13 scale math).  ``pair_impl`` (r15)
+    selects the ε-pair stage: None = auto (numpy kernel past
+    TWOLEVEL_MIN_NLIST, Catalyst join at every fixture scale)."""
+    nlist = derived_nlist(spark, sf_dir) if nlist is None else nlist
     return _semdedup_from_assign(
         _semdedup_assign_frame(
             spark, sf_dir, nlist, two_level, train_two_level, rprobe
         ),
         eps,
+        pair_impl=pair_impl,
+        nlist=nlist,
     )
 
 
@@ -5542,23 +5672,160 @@ def _semdedup_assign_frame(
     )
 
 
-def _semdedup_from_assign(assign: DataFrame, eps: int) -> DataFrame:
-    """Pair + verdict stages over an (vec_id, vm, cell) assignment
-    frame — shared by the in-plan key (computed assign, persisted)
-    and the index-backed serve twin (parquet assign, NOT persisted:
-    three cheap pruned scans fuse into their own stages, the r8
-    persist adjudication rule)."""
+def _cell_pair_kernel(eps: int, mode: str):
+    """Per-cell ε-pair scan as a grouped numpy kernel (r15, VERDICT
+    r14 next #3 — the most expensive surviving path: the Catalyst
+    pair join evaluates a d-dim zip_with fold per candidate pair,
+    ~Σocc² of them).  Exactness: distances use the decomposed float64
+    form whose every intermediate is an integer below 2^53
+    (_assert_sub53 — the same proof as every numpy assign path), so
+    the pair SET is bit-identical to _int_sqdist's.  Norm-band
+    pruning: rows sort by ‖x‖ and a row block only meets columns
+    within sqrt(eps) of its norm range — |‖x‖−‖y‖| > sqrt(eps) ⟹
+    ‖x−y‖² > eps (reverse triangle inequality), so pruned pairs are
+    provably outside the ball; the float margin (+1e-3 micro-units on
+    a bound whose abs error is ≤ ~1e-8) only ever widens the band.
+    Work per cell is O(occ · band_occ · d) BLAS instead of Σocc²
+    interpreted folds — sublinear in occ² whenever norms spread.
+
+    ``mode``: "pairs" emits every (src=lower id, dst=higher id) ε-pair
+    (the CC consumer); "min" emits (vec_id, dup_of = min lower-id
+    in-ball neighbor) only for duped vectors — the verdict consumer's
+    ``near`` aggregate computed in-kernel, so no pair-sized shuffle
+    ever leaves the task."""
+    import numpy as np
+
+    thr = float(eps) ** 0.5 + 1e-3
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        cols = (
+            ("src", "dst") if mode == "pairs" else ("vec_id", "dup_of")
+        )
+        if n < 2:
+            return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+        ids = pdf["vec_id"].to_numpy().astype(np.int64)
+        X = np.stack(pdf["vm"].to_numpy()).astype(np.float64)
+        _assert_sub53(X)
+        x2 = (X * X).sum(axis=1)
+        s = np.sqrt(x2)
+        o = np.argsort(s, kind="stable")
+        ids, X, x2, s = ids[o], X[o], x2[o], s[o]
+        lo_parts, hi_parts = [], []
+        dup = np.full(n, np.iinfo(np.int64).max) if mode == "min" else None
+        for a in range(0, n, 1024):
+            b = min(a + 1024, n)
+            lo = int(np.searchsorted(s, s[a] - thr, side="left"))
+            hi = int(np.searchsorted(s, s[b - 1] + thr, side="right"))
+            D = (
+                x2[a:b, None]
+                + x2[None, lo:hi]
+                - 2.0 * (X[a:b] @ X[lo:hi].T)
+            )
+            ii, jj = np.nonzero(D <= eps)
+            gi, gj = ii + a, jj + lo
+            m = ids[gi] < ids[gj]  # one orientation per pair, no self
+            gi, gj = gi[m], gj[m]
+            if mode == "min":
+                np.minimum.at(dup, gj, ids[gi])
+            else:
+                lo_parts.append(ids[gi])
+                hi_parts.append(ids[gj])
+        if mode == "min":
+            hit = dup < np.iinfo(np.int64).max
+            return pd.DataFrame(
+                {"vec_id": ids[hit], "dup_of": dup[hit]}
+            ).astype("int64")
+        src = np.concatenate(lo_parts) if lo_parts else np.empty(0, np.int64)
+        dst = np.concatenate(hi_parts) if hi_parts else np.empty(0, np.int64)
+        return pd.DataFrame({"src": src, "dst": dst}).astype("int64")
+
+    return fn
+
+
+def _semdedup_pairs(
+    assign: DataFrame, eps: int, impl: str | None = None, nlist: int | None = None
+) -> DataFrame:
+    """Within-cell ε-pairs (src = lower id, dst = higher id) over an
+    (vec_id, vm, cell) assignment — the stage every SemDeDup consumer
+    shares.  ``impl`` None = auto: the grouped numpy kernel past
+    TWOLEVEL_MIN_NLIST cells (the same gate as the assign policy — at
+    every fixture scale derived nlist = IVFK_NLIST keeps the Catalyst
+    join, so declared plans are untouched below the derived-nlist
+    regime), the Catalyst join otherwise.  Pair-set equality between
+    the impls is pinned by tests/test_semdedup_pair_kernel.py.
+    Measured at 64×/nlist=511 (SCALE.md r15,
+    tools/semdedup_pair_probe.py): verdicts e2e 22.8/14.5 s →
+    5.2/7.1 s (~3×), clusters e2e 27.0/27.0 s → 16.9/19.3 s (~1.5× —
+    CC + assign dominate the rest); the kernel ships each assignment
+    row ONCE (one groupBy exchange) where the join shuffled both
+    sides, and the norm band skips provably-outside pairs."""
+    if impl is None:
+        impl = (
+            "numpy"
+            if nlist is not None and nlist >= TWOLEVEL_MIN_NLIST
+            else "catalyst"
+        )
+    if impl == "numpy":
+        return (
+            assign.select("cell", "vec_id", "vm")
+            .groupBy("cell")
+            .applyInPandas(_cell_pair_kernel(eps, "pairs"), "src long, dst long")
+        )
     a = assign.select(
         "cell", F.col("vec_id").alias("va"), F.col("vm").alias("vma")
     )
     b = assign.select("cell", "vec_id", F.col("vm").alias("vmb"))
-    near = (
+    return (
         a.join(b, "cell")
         .where(F.col("va") < F.col("vec_id"))
         .where(_int_sqdist(F.col("vma"), F.col("vmb")) <= F.lit(eps))
-        .groupBy("vec_id")
-        .agg(F.min("va").alias("dup_of"))
+        .select(F.col("va").alias("src"), F.col("vec_id").alias("dst"))
     )
+
+
+def _semdedup_from_assign(
+    assign: DataFrame,
+    eps: int,
+    pair_impl: str | None = None,
+    nlist: int | None = None,
+) -> DataFrame:
+    """Pair + verdict stages over an (vec_id, vm, cell) assignment
+    frame — shared by the in-plan key (computed assign, persisted)
+    and the index-backed serve twin (parquet assign, NOT persisted:
+    three cheap pruned scans fuse into their own stages, the r8
+    persist adjudication rule).  ``pair_impl``/``nlist`` select the
+    pair stage (r15): auto keeps the Catalyst join below
+    TWOLEVEL_MIN_NLIST cells (every fixture-scale declared plan) and
+    runs the grouped numpy ε-kernel past it, emitting the ``near``
+    aggregate in-kernel (mode "min") so no pair-sized shuffle exists
+    at scale."""
+    if pair_impl is None:
+        pair_impl = (
+            "numpy"
+            if nlist is not None and nlist >= TWOLEVEL_MIN_NLIST
+            else "catalyst"
+        )
+    if pair_impl == "numpy":
+        near = (
+            assign.select("cell", "vec_id", "vm")
+            .groupBy("cell")
+            .applyInPandas(
+                _cell_pair_kernel(eps, "min"), "vec_id long, dup_of long"
+            )
+        )
+    else:
+        a = assign.select(
+            "cell", F.col("vec_id").alias("va"), F.col("vm").alias("vma")
+        )
+        b = assign.select("cell", "vec_id", F.col("vm").alias("vmb"))
+        near = (
+            a.join(b, "cell")
+            .where(F.col("va") < F.col("vec_id"))
+            .where(_int_sqdist(F.col("vma"), F.col("vmb")) <= F.lit(eps))
+            .groupBy("vec_id")
+            .agg(F.min("va").alias("dup_of"))
+        )
     return (
         assign.join(near, "vec_id", "left")
         .select(
@@ -5589,7 +5856,9 @@ def q_semdedup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = spark.read.schema("vec_id bigint, vm array<bigint>, cell int").parquet(
         os.path.join(path, "assignments")
     )
-    return _semdedup_from_assign(assign, SEMDEDUP_EPS)
+    return _semdedup_from_assign(
+        assign, SEMDEDUP_EPS, nlist=derived_nlist(spark, sf_dir)
+    )
 
 
 _SEMDEDUP_STATS_SQL = f"""
@@ -5657,17 +5926,13 @@ def q_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from processor_spark.operators.graph import connected_components
 
     # both pair sides read the assignment — the shared helper persists
-    # the O(n·nlist) assign pass once (ADVICE r11)
+    # the O(n·nlist) assign pass once (ADVICE r11); the pair stage is
+    # the shared _semdedup_pairs (r15: grouped numpy ε-kernel past
+    # TWOLEVEL_MIN_NLIST, Catalyst join at every fixture scale)
     assign = _semdedup_assign_frame(spark, sf_dir)
-    a = assign.select("cell", F.col("vec_id").alias("va"), F.col("vm").alias("vma"))
-    b = assign.select("cell", "vec_id", F.col("vm").alias("vmb"))
-    pairs = (
-        a.join(b, "cell")
-        .where(F.col("va") < F.col("vec_id"))
-        .where(_int_sqdist(F.col("vma"), F.col("vmb")) <= F.lit(SEMDEDUP_EPS))
-        .select(F.col("va").alias("src"), F.col("vec_id").alias("dst"))
-        .localCheckpoint(eager=True)
-    )
+    pairs = _semdedup_pairs(
+        assign, SEMDEDUP_EPS, nlist=derived_nlist(spark, sf_dir)
+    ).localCheckpoint(eager=True)
     return connected_components(pairs).select(
         F.col("doc_id").alias("vec_id"), "cluster_id"
     )
@@ -5761,15 +6026,9 @@ def q_semdedup_clusters_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = spark.read.schema("vec_id bigint, vm array<bigint>, cell int").parquet(
         os.path.join(path, "assignments")
     )
-    a = assign.select("cell", F.col("vec_id").alias("va"), F.col("vm").alias("vma"))
-    b = assign.select("cell", "vec_id", F.col("vm").alias("vmb"))
-    pairs = (
-        a.join(b, "cell")
-        .where(F.col("va") < F.col("vec_id"))
-        .where(_int_sqdist(F.col("vma"), F.col("vmb")) <= F.lit(SEMDEDUP_EPS))
-        .select(F.col("va").alias("src"), F.col("vec_id").alias("dst"))
-        .localCheckpoint(eager=True)
-    )
+    pairs = _semdedup_pairs(
+        assign, SEMDEDUP_EPS, nlist=derived_nlist(spark, sf_dir)
+    ).localCheckpoint(eager=True)
     return connected_components(pairs).select(
         F.col("doc_id").alias("vec_id"), "cluster_id"
     )

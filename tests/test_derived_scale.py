@@ -300,3 +300,35 @@ def test_router_groups_vectorized_equals_reference():
     assert cs_v == cs_r
     assert gr_v == gr_r
     assert sum(len(m) for m in gr_v.values()) == nlist
+
+
+def test_router_groups_empty_input():
+    """ADVICE r14 low: _router_groups([]) must return ([], {}) — the
+    streaming semdedup_assign_frame contemplates empty cents_rows; the
+    first vectorized version raised numpy AxisError instead."""
+    from processor_spark.operators.similarity import _router_groups
+
+    assert _router_groups([]) == ([], {})
+
+
+def test_router_groups_np_multiblock_equals_single(monkeypatch):
+    """ADVICE r14 low: every production layout below ~63k cells runs
+    _router_groups_np single-block (blk >= nlist), leaving the s > 0
+    path untested.  Force a tiny block (blk=100 over nlist=1024 spans
+    11 blocks, none aligned) — the fine→seed assignment must be
+    byte-identical to the single-block run, duplicate-centroid ties
+    included (rows 1/5/40/512/1023 duplicate row 0)."""
+    import numpy as np
+
+    from processor_spark.operators.similarity import _router_groups_np
+
+    rng = np.random.default_rng(11)
+    nlist, d = 1024, 64
+    cents = rng.integers(-2_000_000, 2_000_000, size=(nlist, d))
+    for i in (1, 5, 40, nlist // 2, nlist - 1):
+        cents[i] = cents[0]
+    C = cents.astype(np.float64)
+    nc1, a1 = _router_groups_np(C)
+    ncb, ab = _router_groups_np(C, blk=100)
+    assert nc1 == ncb == 32
+    assert (a1 == ab).all()
