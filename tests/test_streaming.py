@@ -1205,6 +1205,47 @@ def test_stream_text_index_bm25_equals_full_rebuild_and_replay_safe(spark, tmp_p
     ) == ["gen=0"]
 
 
+def test_stream_text_index_autofold_bounds_generations(
+    spark, tmp_path, monkeypatch
+):
+    """r15 (VERDICT r14 next #6): the ingest folds the index in-stream
+    once the generation count reaches TEXT_FOLD_MAX_GENS, so serve
+    fan-out stays bounded across arbitrarily many ingests (the r14
+    probe measured 20× cold serve degradation at 16 generations).
+    With the trigger forced to 3, six one-file batches must leave at
+    most 3 generations on disk — and the served BM25 must still equal
+    the one-shot full-corpus key exactly (folding changes layout,
+    never answers).  Same-checkpoint resume stays safe (batch ids
+    continue past the folded gen=0); a FRESH-checkpoint replay over a
+    folded index was already out of contract for the manual
+    compactor, which the auto-fold rides unchanged."""
+    import os
+
+    from processor_spark.operators.text import q_bm25
+
+    chunks = tmp_path / "docs"
+    chunks.mkdir()
+    pdf = load(spark, SF_SMALL, "documents").toPandas().sort_values("doc_id")
+    n = len(pdf)
+    step = n // 6 + 1
+    for i, lo in enumerate(range(0, n, step)):
+        pdf.iloc[lo : lo + step].to_parquet(
+            chunks / f"chunk_{i:02d}.parquet", index=False
+        )
+    monkeypatch.setattr(P, "TEXT_FOLD_MAX_GENS", 3)
+    path = str(tmp_path / "text_stream_fold")
+    P.stream_text_index_ingest(spark, str(chunks), path, str(tmp_path / "ckptf"))
+    gens = sorted(
+        g for g in os.listdir(os.path.join(path, "postings")) if g.startswith("gen=")
+    )
+    # without the fold 6 batches leave 6 generations; the forced
+    # trigger folds at batches 3 and 5, leaving {gen=0, gen=5}
+    assert len(gens) <= 3, gens
+    got = sorted(tuple(r) for r in P.serve_text_stream_bm25(spark, path).collect())
+    want = sorted(tuple(r) for r in q_bm25.__wrapped__(spark, SF_SMALL).collect())
+    assert got == want and len(got) > 0
+
+
 def _emb_schema():
     from pyspark.sql import types as T
 
@@ -1215,6 +1256,113 @@ def _emb_schema():
             T.StructField("label", T.IntegerType()),
         ]
     )
+
+
+class _FakeGroupState:
+    """Minimal applyInPandasWithState GroupState double for driving
+    _semdedup_state_fn directly (exists/get/update are all it uses)."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def test_semdedup_state_fn_hot_cell_vectorized():
+    """r15 (VERDICT r14 next #4): the vectorized _semdedup_state_fn
+    must emit verdict-for-verdict what the r11-r14 sequential loop
+    emitted — same dup_of (MIN lower-id in-ball neighbor over
+    state ∪ earlier batch rows), same final state content — across
+    two batches with a hot cell, an exact eps-boundary pair, and
+    OUT-OF-ORDER arrivals (batch 2 delivers ids below existing state
+    ids: the late row must keep its own verdict against lower ids
+    only, and join the membership for later rows)."""
+    import numpy as np
+    import pandas as pd
+
+    from processor_spark.operators.similarity import SEMDEDUP_EPS
+    from processor_spark.streaming.pipelines import _semdedup_state_fn
+
+    rng = np.random.default_rng(7)
+    d = 64
+    base = rng.integers(0, 4_000_000, size=(40, d))
+    side = int(SEMDEDUP_EPS**0.5 // 8)  # offsets well inside the ball
+
+    def rows(ids_vecs):
+        return pd.DataFrame(
+            {
+                "vec_id": pd.Series([i for i, _ in ids_vecs], dtype="int64"),
+                "vm": pd.Series([np.asarray(v) for _, v in ids_vecs]),
+            }
+        )
+
+    # batch 1: 40 originals + 40 in-ball clones (hot cell), shuffled
+    b1 = [(100 + i, base[i]) for i in range(40)]
+    b1 += [(200 + i, base[i] + side) for i in range(40)]
+    # threshold pinned from BOTH sides: isqrt(eps)² ≤ eps (dropped),
+    # (isqrt(eps)+1)² > eps (kept)
+    import math
+
+    s = math.isqrt(SEMDEDUP_EPS)
+    bnd = np.full(d, 4_000_000, dtype=np.int64)
+    just_in = bnd.copy()
+    just_in[0] += s  # dist² = isqrt(eps)² ≤ eps → drops
+    bnd_b = np.full(d, 1_000_000, dtype=np.int64)
+    just_out = bnd_b.copy()
+    just_out[0] += s + 1  # dist² = (isqrt(eps)+1)² > eps → kept
+    b1 += [(300, bnd), (301, just_in), (310, bnd_b), (311, just_out)]
+    rng.shuffle(b1)
+
+    # batch 2: out-of-order LOW ids (50..59) cloning originals, plus
+    # fresh high ids cloning the late rows
+    b2 = [(50 + i, base[i] + 2 * side) for i in range(10)]
+    b2 += [(400 + i, base[i] + 2 * side) for i in range(10)]
+
+    def reference(batches):
+        mem_ids, mem, out = [], [], {}
+        for batch in batches:
+            for v, x in sorted((int(i), list(map(int, x))) for i, x in batch):
+                xa = np.asarray(x, dtype=np.int64)
+                dup = -1
+                cands = [
+                    (int(dist), mid)
+                    for mid, mv in zip(mem_ids, mem)
+                    if mid < v
+                    for dist in [((np.asarray(mv) - xa) ** 2).sum()]
+                    if dist <= SEMDEDUP_EPS
+                ]
+                if cands:
+                    dup = min(mid for _, mid in cands)
+                out[v] = dup
+                mem_ids.append(v)
+                mem.append(list(map(int, xa)))
+        return out, mem_ids, mem
+
+    st = _FakeGroupState()
+    got = {}
+    for batch in (b1, b2):
+        (res,) = list(_semdedup_state_fn((5,), iter([rows(batch)]), st))
+        got.update(dict(zip(res["vec_id"], res["dup_of"])))
+        assert (res["kept"] == (res["dup_of"] == -1).astype("int64")).all()
+        assert (res["cell"] == 5).all()
+    want, ref_ids, ref_mem = reference((b1, b2))
+    assert {int(k): int(v) for k, v in got.items()} == want
+    # the threshold is INCLUSIVE and sharp: isqrt(eps)² drops,
+    # (isqrt(eps)+1)² keeps
+    assert want[301] == 300
+    assert want[311] == -1
+    # final state content identical to the sequential reference
+    assert list(st.get[0]) == ref_ids
+    assert list(st.get[1]) == [e for row in ref_mem for e in row]
 
 
 def test_streaming_semdedup_equals_batch(spark, tmp_path):
