@@ -2006,51 +2006,52 @@ _PHRASE_SQL = f"""
 
 @register("q_phrase_search", sql=_PHRASE_SQL)
 def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Phrase search through an inverted token index: candidate docs
-    must contain EVERY phrase token (posting-list intersection — the
-    pg_trgm / search-engine prefilter), then only candidates pay the
-    exact adjacency verification.  The oracle is the naive full scan
-    (bigram containment over every document), so hash equality PROVES
-    the prefilter lossless.
+    """Phrase search, prefilter-then-verify: candidate docs must
+    contain EVERY phrase token (a cheap containment test — bigram
+    adjacency implies token containment, so the prefilter is lossless
+    by construction), then only candidates pay the exact adjacency
+    verification.  The oracle is the naive full scan (bigram
+    containment over every document), so hash equality PROVES the
+    prefilter lossless.
 
-    Scale shape: the posting filter touches only the phrase tokens'
-    posting lists (two keys of a distinct (token, doc) agg — at 100 TB
-    this is a pre-built index read, cf. the lakehouse serve keys); the
-    bigram verification explodes nothing and runs on the candidate
-    subset only."""
-    # split/filter/bigram-exists are compute-dense narrow maps — spread
-    # the single-file scan or they run on one core (the CLAUDE.md
-    # spread rule's intended case; first probe measured 11 s base)
-    d = load(spark, sf_dir, "documents", spread=True)
-    # posting-list read: keep ONLY the phrase tokens before any
-    # explode/distinct — the filter runs inside the scan projection, so
-    # the dedup agg sees a two-token stream, never the whole corpus
-    in_phrase = " OR ".join(f"x = '{t}'" for t in _PHRASE)
-    occ = d.select(
-        "doc_id",
-        F.explode(F.expr(f"filter(split(trim(text), '\\\\s+'), x -> {in_phrase})")).alias(
-            "tok"
-        ),
-    ).distinct()
-    cand = (
-        occ.groupBy("doc_id")
-        .agg(F.countDistinct("tok").alias("n_hit"))
-        .where(F.col("n_hit") == len(_PHRASE))
-        .select("doc_id")
+    r15 (VERDICT r14 next #5): the r4-r14 shape materialized the
+    prefilter as an INLINE inverted-index build — explode + distinct +
+    countDistinct agg (3 shuffles) + a join back to a SECOND full
+    spread scan of the corpus (a DataFrame referenced twice is
+    computed twice) — and verified adjacency with a higher-order
+    exists(transform(...)) whose lambda is INTERPRETED, not
+    codegen'd: profiled ~18 µs/token, 3.6 s of the old 4.9 s wall on
+    200k surviving tokens (SCALE.md r15).  An index built inline
+    costs a corpus pass anyway, so both stages collapse into narrow
+    predicates on ONE scan: contains() containment prefilter (bytes
+    before regex) + one codegen'd rlike for the exact adjacency —
+    tokens are the \\s+-split of trim(text), so adjacency ⟺ the raw
+    text matches (^|\\s)w1\\s+w2(\\s|$).  5 exchanges + double scan →
+    zero extra exchanges, single scan; isolated 3-pass median
+    4.92 → 0.41 s at sf0.1 (12×), results byte-identical
+    (sf0.001/sf0.01 parity green).  The REAL index shape at 100 TB is
+    the persisted positional index — q_phrase_search_serve reads
+    ~2/64 of a prebuilt postings table and shares this oracle."""
+    d = load(spark, sf_dir, "documents")
+    # byte-scan containment prefilter: a whitespace token is a verbatim
+    # substring of text (tokens() does not case-fold), so contains() is
+    # a LOSSLESS superset test — cheap bytes before the regex engine
+    in_phrase = None
+    for t in _PHRASE:
+        c = F.col("text").contains(t)
+        in_phrase = c if in_phrase is None else (in_phrase & c)
+    # exact adjacency as ONE codegen'd regex: tokens are the \s+-split
+    # of trim(text), so t[i] = w1 AND t[i+1] = w2 for some i  <=>  the
+    # raw text matches (^|\s)w1\s+w2(\s|$) (leading/trailing
+    # whitespace is absorbed by the (^|\s)/(\s|$) alternations, and
+    # Java regex \s is the same class split() uses)
+    rx = r"(^|\s)" + _PHRASE[0] + r"\s+" + _PHRASE[1] + r"(\s|$)"
+    return (
+        d.where(in_phrase)
+        .where(F.col("text").rlike(rx))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
     )
-    phrase = " ".join(_PHRASE)
-    verified = (
-        d.join(cand, "doc_id")
-        .select("doc_id", "source", tokens(F.col("text")).alias("t"))
-        .where(
-            (F.size("t") >= 2)
-            & F.expr(
-                "exists(transform(sequence(0, size(t) - 2),"
-                f" i -> concat_ws(' ', t[i], t[i+1])), g -> g = '{phrase}')"
-            )
-        )
-    )
-    return verified.select("doc_id", "source").orderBy("doc_id")
 
 
 def phrase_candidates_from_index(
