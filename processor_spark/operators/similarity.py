@@ -238,15 +238,24 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("qnrm"),
         *[F.col(f"bucket{t}").alias(f"qbucket{t}") for t in range(LSH_TABLES)],
     )
-    cands = None
+    # "collides in ANY table" as ONE OR-predicate broadcast join (r15):
+    # the old shape ran LSH_TABLES separate broadcast joins (each a
+    # full corpus scan) + union — the OR over the tiny broadcast query
+    # side is a single nested-loop pass over ONE scan, same candidate
+    # SET (dropDuplicates keeps one row per (q_id, vec_id); the carried
+    # columns are identical across tables).  SCALE.md r15: the
+    # identical rewrite on q_ann_graph's seed stage measured
+    # 1.54 → 0.61 s isolated at sf0.1.
+    any_tbl = None
     for t in range(LSH_TABLES):
-        ct = (
-            e.join(F.broadcast(q), on=e[f"bucket{t}"] == q[f"qbucket{t}"])
-            .where(F.col("vec_id") != F.col("q_id"))
-            .select("q_id", "vec_id", "emb", "nrm", "qvec", "qnrm")
-        )
-        cands = ct if cands is None else cands.unionByName(ct)
-    cands = cands.dropDuplicates(["q_id", "vec_id"])
+        c = e[f"bucket{t}"] == q[f"qbucket{t}"]
+        any_tbl = c if any_tbl is None else (any_tbl | c)
+    cands = (
+        e.join(F.broadcast(q), on=any_tbl)
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", "emb", "nrm", "qvec", "qnrm")
+        .dropDuplicates(["q_id", "vec_id"])
+    )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
         cands.select(
@@ -4692,17 +4701,25 @@ def graph_ann_topk(
         .where(F.col("bsz") <= cap)
         .drop("bsz")
     )
+    # local pair generation from per-bucket posting arrays (the r4
+    # q_dedup_ngram pattern, applied r15): the cap bounds every array
+    # at ``cap`` ids, so ordered pairs explode locally off ONE collect
+    # per (tbl, bucket) — the bucket×bucket self-join (a second
+    # shuffle of the capped stream + a join stage) is gone.  Same pair
+    # SET (equality-verified at sf0.1: 910,352 pairs both shapes;
+    # SCALE.md r15).
     pair_ids = (
-        capped.alias("a")
-        .join(
-            capped.alias("c"),
-            on=[
-                F.col("a.tbl") == F.col("c.tbl"),
-                F.col("a.bucket") == F.col("c.bucket"),
-                F.col("a.vec_id") != F.col("c.vec_id"),
-            ],
+        capped.groupBy("tbl", "bucket")
+        .agg(F.collect_list("vec_id").alias("ids"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, a -> transform("
+                    "filter(ids, c -> c != a), c -> struct(a AS src, c AS dst))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("a.vec_id").alias("src"), F.col("c.vec_id").alias("dst"))
+        .select("p.src", "p.dst")
         .distinct()
     )
     src_e = e.select(
@@ -4732,15 +4749,19 @@ def graph_ann_topk(
         F.col("nrm").alias("qnrm"),
         *[F.col(f"bucket{t}").alias(f"qbucket{t}") for t in range(n_tables)],
     )
-    seeds = None
+    # one OR-predicate broadcast join instead of n_tables separate
+    # joins + union (r15): same seed SET after distinct, ONE corpus
+    # scan — measured 1.54 → 0.61 s isolated at sf0.1 (SCALE.md r15)
+    any_tbl = None
     for t in range(n_tables):
-        st = (
-            e.join(F.broadcast(q), on=e[f"bucket{t}"] == q[f"qbucket{t}"])
-            .where(F.col("vec_id") != F.col("q_id"))
-            .select("q_id", "vec_id")
-        )
-        seeds = st if seeds is None else seeds.unionByName(st)
-    seeds = seeds.distinct()
+        c = e[f"bucket{t}"] == q[f"qbucket{t}"]
+        any_tbl = c if any_tbl is None else (any_tbl | c)
+    seeds = (
+        e.join(F.broadcast(q), on=any_tbl)
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+        .distinct()
+    )
     hop = (
         seeds.join(edges, on=seeds.vec_id == edges.src)
         .select("q_id", F.col("dst").alias("vec_id"))
@@ -4825,17 +4846,25 @@ def build_graph_index(
         .where(F.col("bsz") <= GRAPH_BUCKET_CAP)
         .drop("bsz")
     )
+    # local pair generation from per-bucket posting arrays (the r4
+    # q_dedup_ngram pattern, applied r15): the cap bounds every array
+    # at ``cap`` ids, so ordered pairs explode locally off ONE collect
+    # per (tbl, bucket) — the bucket×bucket self-join (a second
+    # shuffle of the capped stream + a join stage) is gone.  Same pair
+    # SET (equality-verified at sf0.1: 910,352 pairs both shapes;
+    # SCALE.md r15).
     pair_ids = (
-        capped.alias("a")
-        .join(
-            capped.alias("c"),
-            on=[
-                F.col("a.tbl") == F.col("c.tbl"),
-                F.col("a.bucket") == F.col("c.bucket"),
-                F.col("a.vec_id") != F.col("c.vec_id"),
-            ],
+        capped.groupBy("tbl", "bucket")
+        .agg(F.collect_list("vec_id").alias("ids"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, a -> transform("
+                    "filter(ids, c -> c != a), c -> struct(a AS src, c AS dst))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("a.vec_id").alias("src"), F.col("c.vec_id").alias("dst"))
+        .select("p.src", "p.dst")
         .distinct()
     )
     src_e = e.select(
