@@ -1261,6 +1261,14 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact-scoring join touches only candidate docs' gram sets —
     the evaluation cost scales with the candidate count, not the
     corpus."""
+    # NB (r15): cand is referenced twice below; an outer persist was
+    # TRIED and showed no benefit (3.32 s unpersisted vs 4.47 s
+    # persisted vs 4.58 s unpersisted again — the hour's ambient shift
+    # swamped the A/B; md5 canary steady ~0.85 while host loadavg ran
+    # 4→8).  The minhash pipeline's own internal persists already
+    # cache-serve the second reference, so the status quo stands
+    # (the r8 adjudication class: persist only what is expensive to
+    # rebuild AND not already cached).
     cand = q_dedup_minhash_md5(spark, sf_dir)
     d = load(spark, sf_dir, "documents", spread=True)
     grams = (

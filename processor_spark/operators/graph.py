@@ -182,8 +182,69 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
 
 
+# Edge count at or below which connected_components solves locally on
+# the driver instead of running the distributed star-contraction loop
+# (r15): the loop costs 6-8 STAGES PER ROUND regardless of data size
+# (two joins + two aggs + distinct + checkpoint + checksum), so at
+# fixture scale it is pure round-trip overhead — q_semdedup_clusters
+# measured 6.32 s isolated at sf0.1 with the pair stage itself under
+# 1 s.  The local solver is numpy min-label propagation with pointer
+# jumping (O(log n) sweeps of np.minimum.at over the edge arrays),
+# equality-tested against a union-find reference and against the
+# distributed loop: measured 0.52 s for a 1M-node PATH (the
+# adversarial diameter case) and ~2 s for 2M random edges, plus one
+# Arrow round trip (~16 B/edge down, 16 B/vertex up).  Past the cap
+# the distributed O(log n)-round loop runs unchanged — the same
+# bounded-driver-window pattern as similarity.ROUTED_DRIVER_MAX_NLIST.
+CC_LOCAL_MAX_EDGES = 2_000_000
+
+
+def _cc_local(e: DataFrame, stats: dict | None) -> DataFrame:
+    """Driver-side exact CC over a deduped (u, v) edge frame that fits
+    the CC_LOCAL_MAX_EDGES window: labels = component MINIMUM id —
+    byte-identical to the distributed star-contraction output
+    (pinned by test_connected_components_local_equals_distributed)."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = e.toPandas()
+    spark = e.sparkSession
+    if not len(pdf):
+        if stats is not None:
+            stats.update({"rounds": 0, "converged": True, "impl": "local"})
+        return spark.createDataFrame([], "doc_id bigint, cluster_id bigint")
+    u = pdf["u"].to_numpy().astype(np.int64)
+    v = pdf["v"].to_numpy().astype(np.int64)
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    iu, iv = inv[: len(u)], inv[len(u) :]
+    lab = np.arange(len(nodes), dtype=np.int64)
+    rounds = 0
+    while True:
+        rounds += 1
+        l2 = lab.copy()
+        np.minimum.at(l2, iu, lab[iv])
+        np.minimum.at(l2, iv, lab[iu])
+        while True:  # pointer jumping to the sweep's fixpoint
+            l3 = l2[l2]
+            if (l3 == l2).all():
+                break
+            l2 = l3
+        if (l2 == lab).all():
+            break
+        lab = l2
+    if stats is not None:
+        stats.update({"rounds": rounds, "converged": True, "impl": "local"})
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": nodes, "cluster_id": nodes[lab]}),
+        "doc_id bigint, cluster_id bigint",
+    )
+
+
 def connected_components(
-    edges: DataFrame, max_rounds: int = 12, stats: dict | None = None
+    edges: DataFrame,
+    max_rounds: int = 12,
+    stats: dict | None = None,
+    local_max_edges: int | None = None,
 ) -> DataFrame:
     """Large-star/small-star connected components (Kiveris et al.,
     "Connected Components in MapReduce and Beyond", SoCC'14) — the
@@ -215,6 +276,12 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # size-adaptive local window (r15): counting checkpointed blocks is
+    # one cheap action; below the cap the driver solves exactly and the
+    # 6-8-stages-per-round loop never runs (see CC_LOCAL_MAX_EDGES)
+    cap = CC_LOCAL_MAX_EDGES if local_max_edges is None else local_max_edges
+    if e.count() <= cap:
+        return _cc_local(e, stats)
     # NB: lazy on purpose — it reads the already-checkpointed initial
     # edge set, is only referenced in the final returned plan, and an
     # eager materialization here would cost one extra action

@@ -95,10 +95,24 @@ def test_knn_join_broadcasts_query_side(spark):
     assert_in_plan(_df(spark, "q_knn_join"), "BroadcastNestedLoopJoin")
 
 
-def test_ann_lsh_is_equi_join_on_bucket(spark):
-    # bucket-LSH's whole point: candidate generation is an equi join
+def test_ann_lsh_candidates_bounded_single_scan(spark):
+    # bucket-LSH candidate generation: r4-r14 ran one equi join PER
+    # TABLE (LSH_TABLES corpus scans + union); r15 collapses "collides
+    # in ANY table" into ONE broadcast nested-loop join whose build
+    # side is the KNN_QUERIES-capped query set (20 rows — the _QCAP
+    # rule makes this scale-safe: cost is corpus × 20 OR-tests, one
+    # scan).  Pin the new shape: exactly one BNLJ, its build side
+    # broadcast, and no unbounded CartesianProduct anywhere.
     plan = explain_str(_df(spark, "q_ann_lsh"))
-    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the per-table equi-join/union fan-out is gone: no hash joins
+    # remain, and the physical tree holds exactly one join node
+    assert "BroadcastHashJoin" not in plan and "SortMergeJoin" not in plan, plan
+    import re
+
+    tree_joins = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
+    assert len(tree_joins) == 1, plan
 
 
 def test_ann_ivf_probes_cells_not_corpus(spark):

@@ -258,11 +258,43 @@ def test_connected_components_long_chain_logarithmic_rounds(spark):
     stats = {}
     got = {
         (r.doc_id, r.cluster_id)
-        for r in connected_components(edges, stats=stats).collect()
+        # local_max_edges=0 pins the DISTRIBUTED loop (r15: small edge
+        # sets otherwise take the driver-local window)
+        for r in connected_components(
+            edges, stats=stats, local_max_edges=0
+        ).collect()
     }
     want = {(i, 1000) for i in range(1000, 1256)} | {(i, 1) for i in (1, 2, 3)}
     assert got == want
     assert stats["rounds"] <= 10, f"expected O(log n) rounds, took {stats['rounds']}"
+
+
+def test_connected_components_local_equals_distributed(spark):
+    """r15: below CC_LOCAL_MAX_EDGES the driver-local numpy label-prop
+    solver answers; its labels must equal the distributed
+    star-contraction loop's EXACTLY on a mixed graph (path + triangle
+    + duplicate/reversed edges + self-loop + singleton-ish two-node
+    component), and it must report impl=local while the forced loop
+    does not."""
+    from processor_spark.operators.graph import connected_components
+
+    chain = [(i, i + 1) for i in range(500, 540)]
+    extra = [(2, 1), (1, 2), (3, 3), (9, 7), (540, 500)]  # dup/rev/self/cycle
+    edges = spark.createDataFrame(chain + [(1, 2), (2, 3)] + extra, ["src", "dst"])
+    st_loc, st_dist = {}, {}
+    loc = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(edges, stats=st_loc).collect()
+    }
+    dist = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(
+            edges, stats=st_dist, local_max_edges=0
+        ).collect()
+    }
+    assert loc == dist and len(loc) > 0
+    assert st_loc.get("impl") == "local"
+    assert "impl" not in st_dist
 
 
 def test_approx_count_distinct_within_declared_error(spark):
