@@ -192,11 +192,16 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # jumping (O(log n) sweeps of np.minimum.at over the edge arrays),
 # equality-tested against a union-find reference and against the
 # distributed loop: measured 0.52 s for a 1M-node PATH (the
-# adversarial diameter case) and ~2 s for 2M random edges, plus one
-# Arrow round trip (~16 B/edge down, 16 B/vertex up).  Past the cap
-# the distributed O(log n)-round loop runs unchanged — the same
-# bounded-driver-window pattern as similarity.ROUTED_DRIVER_MAX_NLIST.
-CC_LOCAL_MAX_EDGES = 2_000_000
+# adversarial diameter case), ~4 s for 4M uniformly RANDOM edges (the
+# slow-convergence shape), and 6.7-11.0 s for the REAL 64× SemDeDup
+# edge set (5.75M edges, 128k vertices, near-dup cliques → 5 sweeps)
+# vs 14.0-17.3 s for the distributed loop on the same input — local
+# wins ~2× even there, so the window is set one octave past it.  One
+# Arrow round trip (~16 B/edge down, 16 B/vertex up → 128 MB driver
+# transient at the cap).  Past the cap the distributed O(log n)-round
+# loop runs unchanged — the same bounded-driver-window pattern as
+# similarity.ROUTED_DRIVER_MAX_NLIST.
+CC_LOCAL_MAX_EDGES = 8_000_000
 
 
 def _cc_local(e: DataFrame, stats: dict | None) -> DataFrame:
